@@ -1,0 +1,57 @@
+"""Filter/predicate builders (SURVEY.md §2.2 P6-P12).
+
+All are plain Column predicates, so Catalyst pushes them into the Parquet
+scan (verify with .explain → PushedFilters) — at 100 TB these prune row
+groups before any compute happens.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def non_null_non_blank(*cols: str) -> Column:
+    """id-style guard (P6, reference spark_cleaner.py:103-106): every listed
+    column non-null and non-blank after trim."""
+    pred: Column | None = None
+    for c in cols:
+        p = F.col(c).isNotNull() & (F.trim(F.col(c).cast("string")) != "")
+        pred = p if pred is None else (pred & p)
+    assert pred is not None
+    return pred
+
+
+def keyword_pattern(keywords: Sequence[str], word_boundary: bool = False) -> str:
+    """Escaped alternation regex from a keyword list (P7/P9,
+    reference transformer_data.py:343-371, loader_NeonDB.py:749-781)."""
+    parts = [re.escape(k) for k in keywords]
+    if word_boundary:
+        parts = [rf"\b{p}\b" for p in parts]
+    return "|".join(parts)
+
+
+def keyword_include(col: Column, keywords: Sequence[str], **kw) -> Column:
+    """Case-insensitive keyword include mask (P7)."""
+    return F.lower(col.cast("string")).rlike(keyword_pattern([k.lower() for k in keywords], **kw))
+
+
+def keyword_exclude(col: Column, keywords: Sequence[str], **kw) -> Column:
+    """Keyword exclusion mask (P8): true when NO keyword matches."""
+    return ~keyword_include(col, keywords, **kw)
+
+
+def esports_filter(
+    df: DataFrame,
+    text_col: str,
+    include: Sequence[str],
+    exclude: Sequence[str],
+) -> DataFrame:
+    """Include-then-exclude keyword filter over a text column — the
+    reference's esports market filter shape (transformer_data.py:341-382,
+    466-496): a row must match ≥1 include keyword and 0 exclude keywords."""
+    c = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
+    return df.filter(keyword_include(c, include) & keyword_exclude(c, exclude))

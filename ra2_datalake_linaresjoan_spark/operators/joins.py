@@ -1,0 +1,47 @@
+"""Join helpers (SURVEY.md §2.3 J1-J7).
+
+Scale posture: dimension lookups are explicitly broadcast (`F.broadcast`)
+so fact-side scans never shuffle for them; semi/anti joins are expressed
+as `left_semi` / `left_anti` so Catalyst can pick broadcast variants and
+AQE can re-plan at runtime. No collect-based key sets — everything stays
+distributed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def semi_filter(df: DataFrame, keys_df: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Keep rows whose key exists in keys_df (J6 — the reference's
+    valid-id set filters, loader_NeonDB.py:493-500, without collecting)."""
+    on = [on] if isinstance(on, str) else list(on)
+    return df.join(F.broadcast(keys_df.select(*on).distinct()), on=on, how="left_semi")
+
+
+def anti_orphans(fact: DataFrame, dim: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """Rows of ``fact`` with no match in ``dim`` (J1-J3 orphan detection,
+    reference validator_warehouse.py:108-162)."""
+    on = [on] if isinstance(on, str) else list(on)
+    return fact.join(dim.select(*on).distinct(), on=on, how="left_anti")
+
+
+def fk_resolve(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    dim_id: str,
+    out_col: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Resolve a natural key to a dimension surrogate id via broadcast
+    left join (J4/J5 — replaces the reference's driver-side dict probes,
+    loader_NeonDB.py:261-264, 523-528). Unmatched keys get null ids."""
+    d = dim.select(F.col(dim_key).alias("_fk_nat"), F.col(dim_id).alias(out_col))
+    if broadcast_dim:
+        d = F.broadcast(d)
+    return fact.join(d, fact[fact_key] == d["_fk_nat"], "left").drop("_fk_nat")

@@ -1,0 +1,56 @@
+"""Readers (SURVEY.md §2.1 S4 Delta read, plus parquet/csv/json).
+
+Delta Lake is the reference's bronze format (extractor_polymarket.py:208-213);
+this environment has no delta-spark, so ``format='delta'`` is gated behind a
+runtime check and everything defaults to Parquet (same columnar layout,
+same pushdown behavior). On a cluster with Delta available the same calls
+serve Delta paths unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver's synthetic star-schema tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _delta_available(spark: SparkSession) -> bool:
+    try:
+        return "io.delta" in spark.conf.get("spark.sql.extensions", "")
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
+    """Read a table; Delta when requested & available, else Parquet."""
+    if fmt == "delta" and not _delta_available(spark):
+        fmt = "parquet"
+    return spark.read.format(fmt).options(**options).load(path)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's parquet tables from an sf directory as a dict of
+    DataFrames. Missing files are skipped (sf dirs may lack extension
+    tables)."""
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            out[t] = spark.read.parquet(p)
+    return out
