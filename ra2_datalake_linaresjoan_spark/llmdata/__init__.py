@@ -1,0 +1,42 @@
+"""LLM-training-data pipeline operators (BASELINE.json north star).
+
+Beyond the reference's own surface: deduplication (exact, MinHash-LSH,
+SimHash, n-gram Jaccard), similarity search over embedding columns,
+text analysis (language-ID, quality scoring, token counting,
+fingerprinting), and multimodal binary-column plumbing — all designed
+as distributed DataFrame plans that hold at 100 TB.
+"""
+
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    whitespace_token_count,
+)
+from ra2_datalake_linaresjoan_spark.llmdata.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from ra2_datalake_linaresjoan_spark.llmdata.similarity import (
+    cosine_topk,
+    lsh_bucket_ann,
+)
+
+__all__ = [
+    "bpe_ish_token_count",
+    "doc_fingerprint",
+    "language_id",
+    "quality_score",
+    "whitespace_token_count",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "shingles",
+    "simhash",
+    "cosine_topk",
+    "lsh_bucket_ann",
+]

@@ -1,0 +1,220 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- exact: one hash-shuffle on a 128-bit fingerprint — the cheapest possible
+  dedup at any scale.
+- n-gram Jaccard: exact pairwise similarity via a shingle inverted index
+  (explode → self-join on shingle → count). Correct but O(pairs sharing a
+  shingle); used as the verification oracle and for modest corpora.
+- MinHash+LSH: the 100-TB path — constant-size signatures per doc, banding
+  turns all-pairs into per-bucket joins; candidates are then verified with
+  exact Jaccard so the output has no false positives.
+- SimHash: 64-bit signature per doc; near-dup when hamming distance small;
+  candidate generation by banding the signature bits.
+
+All stages are DataFrame ops (explode/groupBy/join) — no driver-side
+loops, no UDFs on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime modulus for the MinHash universal-hash family.
+_MERSENNE = (1 << 61) - 1
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, text) → distinct (id, shingle) word n-grams, lower-cased.
+
+    Uses sequence+slice inside a higher-order transform — all JVM-side.
+    Documents shorter than n words produce no shingles.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = df.select(F.col(id_col), words.alias("_w")).filter(F.size("_w") >= n)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
+    )
+    return (
+        d.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard ≥ t).
+
+    Inverted-index self-join: common-shingle counts via groupBy on shingle,
+    per-doc shingle counts broadcast back in. jaccard = common/(na+nb-common).
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    ca = cnt.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = cnt.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_signature(sh: DataFrame, id_col: str, num_hashes: int, seed: int) -> DataFrame:
+    """(id, shingle) → (id, sig: array<long>[num_hashes]).
+
+    Hash family: independently-salted xxhash64 per function — each salt is
+    an effectively independent permutation of the shingle universe. (An
+    affine a·x+b mod p family is NOT usable here: keeping the product
+    inside a 64-bit long means it never wraps the modulus, so it's
+    order-preserving and every "hash" would pick the same argmin.)
+    The per-hash min runs as num_hashes aggregate columns — one shuffle on
+    id, constant state per doc.
+    """
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(seed), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate detection — the 100-TB dedup path.
+
+    shingle → minhash signature (num_hashes) → band into ``bands`` buckets
+    (rows = num_hashes/bands) → candidate pairs = docs sharing any band
+    bucket → (optionally) verify candidates with exact Jaccard so output
+    has no false positives.
+
+    Returns (doc_a, doc_b, jaccard) when verify else (doc_a, doc_b).
+    Cost: signatures are one shuffle; banding explodes each doc into
+    ``bands`` rows (constant factor); the join is per-bucket — no all-pairs
+    blowup as long as buckets stay small (tune bands/rows for the corpus
+    dup rate).
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, id_col, text_col, n)
+    sig = _minhash_signature(sh, id_col, num_hashes, seed)
+    band_arr = F.array(
+        *[
+            F.hash(F.concat_ws("_", F.lit(bi), *[
+                F.col("sig")[bi * rows_per_band + r].cast("string")
+                for r in range(rows_per_band)
+            ]))
+            for bi in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bucket"))
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
+    return cand.join(exact, ["doc_a", "doc_b"])
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """64-bit SimHash per document from shingle hashes.
+
+    For each bit position, sum +1/-1 over shingle hashes; bit = sign.
+    Implemented as 64 conditional aggregates — JVM-side, one shuffle.
+    Returns (id, simhash: long).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    h = F.xxhash64("shingle")
+    aggs = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_bit = sh.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return per_bit.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs within a hamming radius.
+
+    Candidate generation by banding the 64-bit signature into 4 16-bit
+    blocks (pigeonhole: ≤3 differing bits → ≥1 identical block), then exact
+    hamming check via bit_count(xor). Returns (doc_a, doc_b, hamming).
+    """
+    sig = simhash(df, id_col, text_col, n)
+    blocks = F.array(
+        *[F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)]
+    )
+    banded = sig.select(F.col(id_col), F.col("simhash"), F.posexplode(blocks).alias("blk", "val"))
+    a = banded.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "val")
+    b = banded.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "val")
+    cand = (
+        a.join(b, ["blk", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact content dedup: md5 fingerprint groupBy, survivor = min id.
+
+    One shuffle on the fingerprint; survivor choice is deterministic
+    (SURVEY §2.11: the engine always picks deterministic survivors).
+    """
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import doc_fingerprint
+
+    fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return df.join(keep.select(id_col), id_col, "left_semi")

@@ -1,0 +1,120 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the lakehouse as ``binary`` columns with a
+struct of metadata (modality, mime, width/height/duration…). The Spark-side
+plumbing — schema, partition-friendly batch shape, Arrow-batched
+``mapInPandas`` UDF signatures — is real and tested; the actual
+decode/resize/frame-sample kernels are STUBBED (this container has no
+image/audio libs): ``decode_stub=True`` produces deterministic fake
+features, ``decode_stub=False`` raises NotImplementedError where a real
+Pillow/ffmpeg call would go.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical multimodal column schema: payload + typed metadata struct.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType()),
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Demo/bootstrap: wrap a text column as a binary payload with metadata —
+    exercises the exact schema/plumbing a real image column would use."""
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text").alias("modality"),
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: bytes → tiny feature
+    vector from byte statistics. Replaced by Pillow/torchvision in prod."""
+    if not payload:
+        return [0.0] * dim
+    acc = [0] * dim
+    for i, b in enumerate(payload):
+        acc[i % dim] = (acc[i % dim] + b) % 1000
+    n = len(payload)
+    return [a / n for a in acc]
+
+
+def extract_features(
+    media: DataFrame, dim: int = 8, decode_stub: bool = True
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    ``mapInPandas`` — the real 100-TB shape: executors stream Arrow record
+    batches, Python touches each payload once, output schema is fixed.
+
+    With ``decode_stub=False`` this is where a real decoder
+    (PIL.Image.open / av.open) would run; it raises NotImplementedError
+    here because the container has no media libraries.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decode requires Pillow/ffmpeg — not in this container"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": [_fake_feature(p, dim) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def byte_stats(media: DataFrame) -> DataFrame:
+    """Pure-JVM metadata pass: payload sizes per modality — the cheap scan
+    you run before deciding what to decode."""
+    return (
+        media.groupBy(F.col("meta.modality").alias("modality"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.round(F.avg(F.octet_length("payload")), 4).alias("avg_bytes"),
+        )
+    )

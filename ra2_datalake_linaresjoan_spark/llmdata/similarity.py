@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+- ``cosine_topk`` — exact brute force: query set ⋈ corpus with a JVM-side
+  cosine (zip_with + aggregate), per-query top-k via window. The baseline,
+  and fine whenever |queries|·|corpus| is bounded (broadcast the smaller
+  side).
+- ``lsh_bucket_ann`` — the scale path: random-hyperplane LSH buckets the
+  corpus; each query only scores its bucket's candidates across a few
+  hash tables. Recall tunable by planes/tables; still pure DataFrame ops.
+
+Dot products run as Column expressions (no Python, Arrow not needed);
+embeddings are cast to double so scores are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, neighbor_id, cos_sim).
+
+    The corpus is broadcast when small; ranking happens on the ROUNDED
+    similarity with neighbor-id tiebreak so results are deterministic and
+    engine-portable. Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane (host-side constant —
+    ships to executors as a literal array, no data movement)."""
+    import random
+
+    rnd = random.Random((seed << 16) ^ plane_idx)
+    return [1.0 if rnd.random() < 0.5 else -1.0 for _ in range(dim)]
+
+
+def lsh_bucket_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH.
+
+    Each table hashes a vector to a ``planes``-bit bucket (sign of dot with
+    ``planes`` fixed hyperplanes). Queries join candidates per (table,
+    bucket), exact cosine re-scores candidates, per-query top-k. At 100 TB
+    the join is per-bucket (no all-pairs); buckets are tunable via
+    ``planes``; multiple tables recover recall.
+    """
+
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        v = F.col(vec_col).cast("array<double>")
+        table_cols = []
+        for t in range(tables):
+            bits = None
+            for p in range(planes):
+                plane = F.array(*[F.lit(x) for x in _hyperplane(dim, t * planes + p, seed)])
+                bit = F.when(_dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                term = F.shiftleft(bit, p)
+                bits = term if bits is None else bits.bitwiseXOR(term)
+            table_cols.append(bits)
+        return df.select(
+            F.col(id_col).alias(out_id),
+            v.alias(f"_{out_id}_v"),
+            F.posexplode(F.array(*table_cols)).alias("tbl", "bucket"),
+        )
+
+    qb = bucketed(queries, "query_id")
+    cb = bucketed(corpus, "neighbor_id")
+    cand = (
+        qb.join(cb, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_query_id_v", "_neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")), round_digits).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

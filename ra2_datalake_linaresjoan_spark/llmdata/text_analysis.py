@@ -1,0 +1,99 @@
+"""Text-analysis operators for LLM data pipelines.
+
+All pure Column expressions (JVM-side, codegen-friendly): token counting,
+quality scoring, heuristic language ID, and document fingerprinting. At
+100 TB these run at scan speed with zero Python and zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Regex of a "BPE-ish" token: word runs OR single non-word-non-space chars.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+#: Tiny per-language marker-word lists for the n-gram/stopword heuristic.
+#: Deliberately small and deterministic — the contract is "same answer
+#: everywhere", not linguistic accuracy; swap in fastText offline for that.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def whitespace_token_count(col: Column) -> Column:
+    """Whitespace-delimited token count; empty/null-safe → 0."""
+    t = F.trim(col.cast("string"))
+    return F.when(
+        t.isNull() | (t == ""), F.lit(0)
+    ).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE-ish regex (word runs plus
+    individual punctuation marks) — a cheap, deterministic proxy for
+    tokenizer-length used in data-quality filtering."""
+    return F.size(F.regexp_extract_all(col.cast("string"), F.lit(BPE_TOKEN_RE), 0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-space characters that are punctuation/symbols."""
+    s = col.cast("string")
+    nospace = F.regexp_replace(s, r"\s", "")
+    punct = F.regexp_replace(nospace, r"[A-Za-z0-9_]", "")
+    return F.when(F.length(nospace) == 0, F.lit(0.0)).otherwise(
+        F.length(punct).cast("double") / F.length(nospace)
+    )
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = ("the", "a", "of", "and", "is")) -> Column:
+    """Fraction of whitespace tokens that are in the stopword list."""
+    words = F.split(F.lower(F.trim(col.cast("string"))), r"\s+")
+    n = F.size(words)
+    hits = F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def quality_score(col: Column) -> Column:
+    """Composite 0-1 document quality score from length / punctuation /
+    stopword signals — the standard pre-training heuristic filter shape.
+
+    score = 0.4·len_score + 0.3·(1 − punct_ratio) + 0.3·stop_score where
+    len_score saturates at 200 tokens and stop_score rewards a natural
+    stopword rate (~2-60%).
+    """
+    n_tok = whitespace_token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(200.0), F.lit(1.0))
+    p = punct_ratio(col)
+    sw = stopword_ratio(col)
+    stop_score = F.when((sw >= 0.02) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(0.4 * len_score + 0.3 * (1.0 - p) + 0.3 * stop_score, 6)
+
+
+def language_id(col: Column) -> Column:
+    """Heuristic language ID: count marker-word hits per language, argmax
+    with deterministic tie order (en > es > fr > de), 'und' when nothing
+    matches. Pure expressions → runs at scan speed."""
+    words = F.split(F.lower(F.trim(col.cast("string"))), r"\s+")
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # reversed() so earlier langs win ties via outermost when
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(col: Column) -> Column:
+    """Deterministic content fingerprint: md5 of the casefolded,
+    whitespace-collapsed, punctuation-stripped text. Identical content →
+    identical fingerprint across engines (md5 is engine-agnostic)."""
+    norm = F.regexp_replace(F.lower(F.trim(col.cast("string"))), r"[^a-z0-9\s]", "")
+    norm = F.regexp_replace(norm, r"\s+", " ")
+    return F.md5(norm)

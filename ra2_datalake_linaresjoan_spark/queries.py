@@ -223,6 +223,644 @@ ORDER BY c_nationkey
 
 
 # ---------------------------------------------------------------------------
+# Joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-join: region ⋈ nation ⋈ customer ⋈ orders ⋈
+    lineitem, revenue per nation. Dims are broadcast (region/nation/customer
+    are tiny relative to facts) so the only real shuffle is the final
+    group-by; Catalyst + AQE order the joins."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join + agg + top-k: unshipped BUILDING orders by
+    revenue. TakeOrderedAndProject keeps the top-10 without a global sort."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    cutoff = "1999-06-30"
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit(cutoff))
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit(cutoff))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-06-30'
+  AND l_shipdate  > TIMESTAMP '1999-06-30'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J6): customers having ≥1 URGENT open order —
+    the reference's valid-id set filters without collecting a set."""
+    from ra2_datalake_linaresjoan_spark.operators.joins import semi_filter
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        semi_filter(customer, urgent, "c_custkey")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'O'
+)
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti orphan detection (J1-J3, reference
+    validator_warehouse.py:108-162): lineitems whose part is NOT in the
+    premium-part dim, counted per returnflag."""
+    from ra2_datalake_linaresjoan_spark.operators.joins import anti_orphans
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    premium = part.filter(F.col("p_retailprice") >= 950.0).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    orphans = anti_orphans(lineitem, premium, "l_partkey")
+    return (
+        orphans.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_ANTI_JOIN_ORPHANS = """
+SELECT l_returnflag, count(*) AS n_orphans
+FROM lineitem
+WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_retailprice >= 950.0)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash lookup (J4, reference dict-probe loader_NeonDB.py:261-264):
+    lineitem ⋈ broadcast(part) → revenue per brand. The dim broadcast means
+    the 100-TB fact side never shuffles for the join."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("brand_revenue"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_BROADCAST_BRAND_REVENUE = """
+SELECT p_brand,
+       round(sum(l_extendedprice), 4) AS brand_revenue,
+       round(avg(l_quantity), 4)      AS avg_qty,
+       count(*)                       AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# More aggregates (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_avg_max_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average & max of grouped counts (A9, reference
+    extractor_polymarket.py:303-353: markets-per-event stats): lineitems
+    per order → avg/max/min per order priority. Two-level agg."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    per_order = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        per_order.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg("n_items"), 4).alias("avg_items"),
+            F.max("n_items").alias("max_items"),
+            F.min("n_items").alias("min_items"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_AVG_MAX_GROUP = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderpriority,
+       round(avg(n_items), 4) AS avg_items,
+       max(n_items)           AS max_items,
+       min(n_items)           AS min_items,
+       count(*)               AS n_orders
+FROM per_order JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed counts (A7, reference outcome-count histogram
+    transformer_data.py:612-616): part-size buckets via a CASE expression."""
+    part = _t(spark, sf_dir, "part")
+    bucket = (
+        F.when(F.col("p_size") <= 10, F.lit("small"))
+        .when(F.col("p_size") <= 25, F.lit("medium"))
+        .when(F.col("p_size") <= 40, F.lit("large"))
+        .otherwise(F.lit("jumbo"))
+    )
+    return (
+        part.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+SQL_BUCKET_HISTOGRAM = """
+SELECT CASE WHEN p_size <= 10 THEN 'small'
+            WHEN p_size <= 25 THEN 'medium'
+            WHEN p_size <= 40 THEN 'large'
+            ELSE 'jumbo' END AS size_bucket,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price
+FROM part
+GROUP BY 1
+ORDER BY size_bucket
+"""
+
+
+def q_ratio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio/derived stats (A8, reference porcentaje_activos
+    extractor_polymarket.py:287-299): per-status share of orders, % rounded
+    to 2 — post-aggregation arithmetic over a single global agg."""
+    orders = _t(spark, sf_dir, "orders")
+    totals = orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    # window-free: cross-join the single global count (broadcast, 1 row)
+    grand = orders.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        totals.crossJoin(F.broadcast(grand))
+        .select(
+            "o_orderstatus",
+            "n",
+            F.round(F.col("n") / F.col("total") * 100, 2).alias("pct"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_RATIO_STATS = """
+SELECT o_orderstatus, count(*) AS n,
+       round(count(*) * 100.0 / (SELECT count(*) FROM orders), 2) AS pct
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_date_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-dimension build (J7/F17, reference loader_NeonDB.py:266-285):
+    distinct order dates → surrogate key + calendar parts with pandas
+    conventions (Mon=0 weekday, weekend = dow>=5)."""
+    from ra2_datalake_linaresjoan_spark.functions.calendar import build_date_dim
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = build_date_dim(orders, "o_orderdate")
+    return dim.select(
+        F.col("fecha_id").cast("long").alias("fecha_id"),
+        "fecha",
+        "anio",
+        "mes",
+        "dia",
+        "trimestre",
+        "dia_semana",
+        "es_finde",
+    ).orderBy("fecha_id")
+
+
+SQL_DATE_DIM = """
+SELECT row_number() OVER (ORDER BY fecha)        AS fecha_id,
+       fecha,
+       CAST(year(fecha) AS INTEGER)              AS anio,
+       CAST(month(fecha) AS INTEGER)             AS mes,
+       CAST(day(fecha) AS INTEGER)               AS dia,
+       CAST(quarter(fecha) AS INTEGER)           AS trimestre,
+       CAST(isodow(fecha) - 1 AS INTEGER)        AS dia_semana,
+       isodow(fecha) - 1 >= 5                    AS es_finde
+FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS fecha FROM orders WHERE o_orderdate IS NOT NULL)
+ORDER BY fecha_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# LLM-data ops: text analysis, dedup, similarity, multimodal (north star)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) per language."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        bpe_ish_token_count,
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            whitespace_token_count(F.col("text")).alias("ws_tokens"),
+            bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+            F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DOC_TOKEN_STATS = r"""
+WITH tok AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS bpe_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       round(avg(bpe_tokens), 4)      AS avg_bpe_tokens,
+       round(avg(n_chars), 4)         AS avg_chars
+FROM tok GROUP BY lang ORDER BY lang
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (length/punct/stopword composite) per source."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", quality_score(F.col("text")).alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+            F.round(F.min("q"), 4).alias("min_quality"),
+            F.round(F.max("q"), 4).alias("max_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DOC_QUALITY = r"""
+WITH feat AS (
+  SELECT source,
+         CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         regexp_replace(text, '\s', '', 'g') AS nospace,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents
+), comp AS (
+  SELECT source,
+         least(n_tok / 200.0, 1.0) AS len_score,
+         CASE WHEN length(nospace) = 0 THEN 0.0
+              ELSE length(regexp_replace(nospace, '[A-Za-z0-9_]', '', 'g')) * 1.0 / length(nospace)
+         END AS p,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE len(list_filter(words, x -> list_contains(['the','a','of','and','is'], x))) * 1.0 / len(words)
+         END AS sw
+  FROM feat
+), scored AS (
+  SELECT source,
+         round(0.4 * len_score + 0.3 * (1.0 - p)
+               + 0.3 * (CASE WHEN sw >= 0.02 AND sw <= 0.6 THEN 1.0 ELSE 0.5 END), 6) AS q
+  FROM comp
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(q), 4) AS avg_quality,
+       round(min(q), 4) AS min_quality,
+       round(max(q), 4) AS max_quality
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs the labeled lang column → confusion counts."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+SQL_LANG_ID_CONFUSION = r"""
+WITH w AS (
+  SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS words FROM documents
+), s AS (
+  SELECT lang,
+         len(list_filter(words, x -> list_contains(['the','and','of','is','a'], x)))   AS s_en,
+         len(list_filter(words, x -> list_contains(['el','la','de','que','los'], x)))  AS s_es,
+         len(list_filter(words, x -> list_contains(['le','la','les','et','des'], x)))  AS s_fr,
+         len(list_filter(words, x -> list_contains(['der','die','und','das','ist'], x))) AS s_de
+  FROM w
+), pred AS (
+  SELECT lang,
+         CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+              WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+              WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+              WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de) THEN 'de'
+              ELSE 'und' END AS predicted
+  FROM s
+)
+SELECT lang, predicted, count(*) AS n
+FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+"""
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup via md5 fingerprint, deterministic min-id
+    survivor; returns surviving (doc_id, fingerprint)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import exact_dedup
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs, "doc_id", "text")
+    return survivors.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+SQL_EXACT_DEDUP_DOCS = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+)
+SELECT doc_id, fingerprint
+FROM fp
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+ORDER BY doc_id
+"""
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+), cnt AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_a, doc_b, round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+  FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+)
+SELECT * FROM jac WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (3-gram shingles, τ=0.8) via a
+    shingle inverted-index self-join."""
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection, exact-Jaccard-verified (the 100-TB
+    dedup path). Banding: 24 bands × 2 rows → P(miss | j=0.8) ≈ 2e-11, so
+    the verified output equals the exact-Jaccard oracle."""
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, num_hashes=48, bands=24, threshold=0.8
+    ).select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 10 over 64-bit signatures of
+    3-gram shingles) — rows-only check (signature bits are
+    engine-specific)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=10).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for every 50th vector —
+    the exact-ANN baseline. Ranked on rounded similarity with id tiebreak
+    for engine-portable determinism."""
+    from ra2_datalake_linaresjoan_spark.llmdata.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(qs, emb, k=5).orderBy(
+        "query_id", F.col("cos_sim").desc(), "neighbor_id"
+    )
+
+
+SQL_COSINE_TOPK = """
+SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+WHERE q.vec_id % 50 = 0
+QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY cos_sim DESC, c.vec_id ASC) <= 5
+ORDER BY query_id, cos_sim DESC, neighbor_id
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (the scale path): approximate top-5 —
+    rows-only check (approximation is engine-specific by design)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.similarity import lsh_bucket_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return lsh_bucket_ann(qs, emb, dim=64, k=5, planes=6, tables=6).orderBy(
+        "query_id", F.col("cos_sim").desc(), "neighbor_id"
+    )
+
+
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: wrap text as binary payloads with
+    typed metadata, aggregate byte stats per modality (pure JVM)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.multimodal import (
+        attach_binary_payload,
+        byte_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return byte_stats(media).orderBy("modality")
+
+
+SQL_MULTIMODAL_BYTES = """
+SELECT 'text' AS modality,
+       count(*) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       round(avg(octet_length(encode(text))), 4) AS avg_bytes
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (stub decoder) — rows-only check (the fake features are
+    engine-internal, the plumbing is what's exercised)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "modality", "n_bytes", F.round(F.col("feature")[0], 4).alias("f0")
+    ).orderBy("media_id")
+
+
+def q_regex_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword include/exclude regex filter (P7/P8, the reference's esports
+    filter shape) + null/blank guard (P6) over documents."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import (
+        keyword_exclude,
+        keyword_include,
+        non_null_non_blank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.filter(non_null_non_blank("doc_id", "text"))
+        .filter(keyword_include(t, ["spark", "stream"]) & keyword_exclude(t, ["slow", "error"]))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+SQL_REGEX_FILTER_DOCS = """
+SELECT lang, count(*) AS n_docs
+FROM documents
+WHERE doc_id IS NOT NULL AND trim(CAST(doc_id AS VARCHAR)) <> ''
+  AND text IS NOT NULL AND trim(text) <> ''
+  AND regexp_matches(lower(text), 'spark|stream')
+  AND NOT regexp_matches(lower(text), 'slow|error')
+GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -234,6 +872,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "conditional_agg": (q_conditional_agg, SQL_CONDITIONAL_AGG),
     "window_dedup": (q_window_dedup, SQL_WINDOW_DEDUP),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
+    "revenue_by_nation": (q_revenue_by_nation, SQL_REVENUE_BY_NATION),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join_orphans": (q_anti_join_orphans, SQL_ANTI_JOIN_ORPHANS),
+    "broadcast_brand_revenue": (q_broadcast_brand_revenue, SQL_BROADCAST_BRAND_REVENUE),
+    "avg_max_group": (q_avg_max_group, SQL_AVG_MAX_GROUP),
+    "bucket_histogram": (q_bucket_histogram, SQL_BUCKET_HISTOGRAM),
+    "ratio_stats": (q_ratio_stats, SQL_RATIO_STATS),
+    "date_dim": (q_date_dim, SQL_DATE_DIM),
+    "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
+    "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
+    "lang_id_confusion": (q_lang_id_confusion, SQL_LANG_ID_CONFUSION),
+    "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "minhash_lsh": (q_minhash_lsh, SQL_NGRAM_JACCARD),
+    "simhash_neardup": (q_simhash_neardup, None),
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ann_lsh": (q_ann_lsh, None),
+    "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+    "multimodal_features": (q_multimodal_features, None),
+    "regex_filter_docs": (q_regex_filter_docs, SQL_REGEX_FILTER_DOCS),
 }
 
 
