@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a count() action (materializes the full plan; no
+driver-side collect of data). Timings are per-query wall clock after a
+session warm-up query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ra2_datalake_linaresjoan_spark import queries as q
+from ra2_datalake_linaresjoan_spark.session import get_spark
+
+#: Headline set: the scale-sensitive core + one of each extension family.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "shipping_priority",
+    "top_orders",
+    "window_dedup",
+    "date_dim",
+    "count_distinct",
+    "doc_quality",
+    "exact_dedup_docs",
+    "minhash_lsh",
+    "cosine_topk",
+    "event_sessionization",
+    "tumbling_windows",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="ra2_bench")
+
+    registry = q.queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # warm-up: JVM + parquet footer caches
+    registry["pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -152,8 +152,34 @@ def minhash_lsh_candidates(
     )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(df, id_col, text_col, n, threshold)
-    return cand.join(exact, ["doc_a", "doc_b"])
+    return verify_candidates_jaccard(cand, sh, id_col, threshold)
+
+
+def verify_candidates_jaccard(
+    cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs WITHOUT the all-pairs
+    shingle join: collect each doc's shingle set once (bounded by doc
+    length), join onto the candidate pairs, intersect per pair. Cost is
+    O(|candidates| · doc_len) — the true LSH scale path."""
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_sh"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    common = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                common
+                / (F.size("_sh_a") + F.size("_sh_b") - common),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

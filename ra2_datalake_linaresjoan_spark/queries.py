@@ -744,13 +744,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 10 over 64-bit signatures of
-    3-gram shingles) — rows-only check (signature bits are
-    engine-specific)."""
+    """SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures of
+    3-gram shingles; 4-block banding makes that radius exact-recall by
+    pigeonhole) — rows-only check (signature bits are engine-specific)."""
     from ra2_datalake_linaresjoan_spark.llmdata.dedup import simhash_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=10).orderBy(
+    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -861,6 +861,141 @@ GROUP BY lang ORDER BY lang
 
 
 # ---------------------------------------------------------------------------
+# Event-stream queries (SURVEY §2.9 streaming extension, batch-checkable)
+# ---------------------------------------------------------------------------
+
+
+def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + sum(value).
+
+    Same ``F.window`` expression the streaming path uses (streaming/windows
+    module); here executed on the bounded events table so the DuckDB
+    time_bucket oracle can check it."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+SQL_TUMBLING_WINDOWS = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 hour long, 30-minute slide) per event_type —
+    every event lands in 2 windows; starts are on the 30-minute grid."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+SQL_SLIDING_WINDOWS = """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM starts
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) per user via
+    ``F.session_window`` — the streaming-native sessionization operator run
+    on the bounded table; oracle is the classic gaps-and-islands SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_EVENT_SESSIONIZATION = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM islands
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the props payload (F9/F20 family):
+    get_json_object → typed column → grouped aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_mod"), "value")
+        .groupBy("k_mod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       count(*) AS n,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY 1
+ORDER BY k_mod
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -893,6 +1028,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "multimodal_features": (q_multimodal_features, None),
     "regex_filter_docs": (q_regex_filter_docs, SQL_REGEX_FILTER_DOCS),
+    "tumbling_windows": (q_tumbling_windows, SQL_TUMBLING_WINDOWS),
+    "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
+    "event_sessionization": (q_event_sessionization, SQL_EVENT_SESSIONIZATION),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
 }
 
 

@@ -1,0 +1,121 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is all batch snapshots (SURVEY §2.9: no streams); this is the
+engine's streaming extension. Design: the SAME window expressions the batch
+queries use (queries.q_tumbling_windows etc.) applied to an unbounded
+``readStream`` DataFrame, plus watermarking for state cleanup and
+late-data handling — so batch results are the ground truth for the
+streaming path (tested with availableNow triggers against the batch
+oracle).
+
+At scale: state stores are keyed by (window, group); watermarks bound
+state size; ``dropDuplicatesWithinWatermark`` bounds the dedup state. No
+custom state management — built-in operators only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Explicit schema for the events stream. ``ts`` arrives as epoch-nanos
+#: (the driver's parquet writes TIMESTAMP(NANOS), which Spark reads as
+#: long under nanosAsLong) and is normalized to a microsecond timestamp.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet directory/file."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.load(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def tumbling_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, when ``slide`` given) windowed count+sum per
+    event_type with a watermark bounding state and admitting late data up
+    to the watermark delay."""
+    w = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user (inactivity gap); watermark closes sessions
+    once event time passes start+gap+delay."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once event_id dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps ids only inside the watermark
+    horizon — the streaming analog of the batch W1 dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(
+    df: DataFrame, query_name: str, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming plan with an availableNow trigger into an
+    in-memory sink and return the result table — used by tests to check
+    streaming results against the batch oracle."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,75 @@
+"""Streaming-vs-batch equivalence: the streaming plans (availableNow
+trigger, memory sink) must reproduce the batch window queries, and
+dedup/late-data semantics must hold (SURVEY §7.4 risk 6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark import queries as q
+from ra2_datalake_linaresjoan_spark.streaming.windows import (
+    read_events_stream,
+    run_to_memory,
+    sessionized,
+    stream_dedup,
+    tumbling_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    # file-stream sources require a directory
+    d = tmp_path_factory.mktemp("events_stream")
+    import shutil
+
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+@pytest.fixture
+def events_stream(spark, events_dir):
+    return read_events_stream(spark, events_dir)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_streaming_tumbling_equals_batch(spark, events_stream):
+    stream_out = run_to_memory(
+        tumbling_agg(events_stream), "t_tumbling", spark
+    )
+    batch = q.q_tumbling_windows(spark, SF)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(stream_out, cols) == _rows(batch, cols)
+
+
+def test_streaming_sessions_equal_batch(spark, events_stream):
+    stream_out = run_to_memory(sessionized(events_stream), "t_sessions", spark)
+    batch = q.q_event_sessionization(spark, SF)
+    cols = ["user_id", "session_start", "n_events", "total_value"]
+    assert _rows(stream_out, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_drops_duplicate_ids(spark, events_stream):
+    deduped = run_to_memory(
+        stream_dedup(events_stream), "t_dedup", spark, output_mode="append"
+    )
+    n_src = spark.read.parquet(f"{SF}/events.parquet").count()
+    n_out = deduped.count()
+    n_ids = deduped.select("event_id").distinct().count()
+    assert n_out == n_ids  # no duplicate ids survive
+    assert n_out <= n_src
+
+
+def test_sliding_window_each_event_in_two_windows(spark, events_stream):
+    out = run_to_memory(
+        tumbling_agg(events_stream, window="1 hour", slide="30 minutes"),
+        "t_sliding",
+        spark,
+    )
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert out.agg(F.sum("n_events")).collect()[0][0] == 2 * n_events
