@@ -44,7 +44,7 @@ def normalize_boolean(col: Column) -> Column:
         F.when(s.isin(*_TRUE_WORDS), F.lit(True))
         .when(s.isin(*_FALSE_WORDS), F.lit(False))
         # numeric strings like "2", "0.0": bool(int(v)) semantics
-        .when(s.rlike(r"^-?\d+(\.\d+)?$"), s.cast("double").cast("int") != 0)
+        .when(s.rlike(r"^-?\d+(\.\d+)?$"), s.try_cast("double").try_cast("int") != 0)
         .otherwise(F.lit(None).cast("boolean"))
     )
 
@@ -71,8 +71,8 @@ def normalize_numeric(col: Column) -> Column:
         .when(us_thousands, F.regexp_replace(s, ",", ""))
         .otherwise(s)
     )
-    # cast returns null on malformed input (ANSI off), matching coerce-to-null
-    return cleaned.cast("double")
+    # try_cast: null on malformed input (ANSI-safe coerce-to-null)
+    return cleaned.try_cast("double")
 
 
 def clean_string(col: Column, max_length: int = 5000) -> Column:
@@ -111,7 +111,7 @@ def normalize_prices(col: Column) -> Column:
     elements; null if nothing parses (transformer_data.py:102-140)."""
     arr = _jsonish_array(col)
     doubles = F.filter(
-        F.transform(arr, lambda x: F.trim(x).cast("double")), lambda x: x.isNotNull()
+        F.transform(arr, lambda x: F.trim(x).try_cast("double")), lambda x: x.isNotNull()
     )
     return F.when(F.size(doubles) > 0, doubles).otherwise(
         F.lit(None).cast("array<double>")
@@ -156,8 +156,9 @@ def coalesce_chain(*cols: Column | str, default: str | None = None) -> Column:
 
 
 def to_timestamp_coerce(col: Column) -> Column:
-    """ISO-8601 string → timestamp, null on failure (F16)."""
-    return F.to_timestamp(col.cast("string"))
+    """ISO-8601 string → timestamp, null on failure (F16; try_to_timestamp
+    keeps coerce semantics under ANSI mode)."""
+    return F.try_to_timestamp(col.cast("string"))
 
 
 def safe_array_size(col: Column) -> Column:

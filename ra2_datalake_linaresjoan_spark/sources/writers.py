@@ -1,0 +1,70 @@
+"""Sinks (SURVEY §2.1 S3, S5-S11).
+
+Parquet is the default at-rest format (Delta when the runtime has it —
+same calls, ``fmt="delta"``). The reference's S3 mirror
+(``upload_datalake_s3.py``: driver-side file walk + per-object boto3
+upload) collapses into writing directly to ``s3a://`` URIs — committers
+handle the object store, no copy step. Its JDBC loads
+(``loader_NeonDB.py`` execute_values batches) map to the built-in JDBC
+sink with ``batchsize``; upsert parity = dedup-before-write (the engine's
+deterministic W1) or Delta MERGE where available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Generic sink: parquet/delta/csv/json to any URI (file://, s3a://…).
+
+    ``mode='overwrite'`` with ``overwriteSchema`` mirrors the reference's
+    Delta overwrite+schema-overwrite bronze writes
+    (extractor_polymarket.py:208-213).
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "delta" and mode == "overwrite":
+        writer = writer.option("overwriteSchema", "true")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.options(**options).save(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 1000,
+    **options,
+) -> None:
+    """JDBC batch sink (S7): the reference's execute_values page_size
+    becomes the writer's batchsize; executors write partitions in
+    parallel."""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**options)
+        .mode(mode)
+        .save()
+    )
+
+
+def write_json_report(rows: list[dict], path: str) -> None:
+    """Tiny JSON report sink (S11, volumetry reports): collected aggregate
+    rows → one JSON document on the driver (reports are KB-sized)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(rows, f, indent=2, default=str)

@@ -1,0 +1,58 @@
+"""REST paginated source (S1/S2): distributed fetch with an injected
+synthetic fetcher; response-shape tolerance; writer round-trip."""
+
+from __future__ import annotations
+
+import json
+
+from ra2_datalake_linaresjoan_spark.sources.rest import (
+    bronze_ingest,
+    extract_endpoint,
+    normalize_response,
+)
+from ra2_datalake_linaresjoan_spark.sources.writers import write_table
+
+
+def _make_fake_fetch():
+    # defined as a closure so cloudpickle ships it by value to executors
+    # (a module-level function in tests/ is not importable there)
+    def fake_fetch(endpoint: str, offset: int, limit: int) -> list[dict]:
+        if offset >= 12:
+            return []
+        return [
+            {"id": f"{endpoint}-{offset + i}", "value": offset + i, "nested": {"a": 1}}
+            for i in range(min(limit, 12 - offset))
+        ]
+    return fake_fetch
+
+
+def test_normalize_response_shapes():
+    recs = [{"id": 1}]
+    assert normalize_response(recs, "markets") == recs
+    assert normalize_response({"data": recs}, "markets") == recs
+    assert normalize_response({"markets": recs}, "markets") == recs
+    assert normalize_response({"other": recs}, "markets") == []
+    assert normalize_response("garbage", "markets") == []
+
+
+def test_extract_endpoint_distributed(spark):
+    raw = extract_endpoint(spark, "markets", _make_fake_fetch(), total_pages=4, page_size=4)
+    rows = [json.loads(r["raw"]) for r in raw.collect()]
+    assert len(rows) == 12
+    assert {r["id"] for r in rows} == {f"markets-{i}" for i in range(12)}
+
+
+def test_bronze_ingest_typed(spark):
+    df = bronze_ingest(
+        spark, "markets", _make_fake_fetch(), total_pages=4,
+        schema="id string, value long", page_size=4,
+    )
+    assert df.columns == ["id", "value"]
+    assert df.count() == 12
+    assert df.agg({"value": "sum"}).collect()[0][0] == sum(range(12))
+
+
+def test_write_table_roundtrip(spark, tmp_path):
+    df = spark.range(10).withColumnRenamed("id", "k")
+    write_table(df, str(tmp_path / "t"), fmt="parquet")
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 10
