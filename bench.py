@@ -47,8 +47,11 @@ def main() -> None:
     registry = q.queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # warm-up: JVM + parquet footer caches
+    # warm-up: JVM, parquet footer caches, and Python/Arrow workers
     registry["pricing_summary"](spark, sf_dir).count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:

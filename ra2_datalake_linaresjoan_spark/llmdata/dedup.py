@@ -25,11 +25,15 @@ from pyspark.sql import functions as F
 _MERSENNE = (1 << 61) - 1
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, text) → distinct (id, shingle) word n-grams, lower-cased.
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, text) → (id, shingle) word n-grams, lower-cased.
 
     Uses sequence+slice inside a higher-order transform — all JVM-side.
-    Documents shorter than n words produce no shingles.
+    Documents shorter than n words produce no shingles. ``distinct=False``
+    skips the dedup shuffle for consumers whose aggregates are
+    duplicate-insensitive (min-hash, collect_set).
     """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     d = df.select(F.col(id_col), words.alias("_w")).filter(F.size("_w") >= n)
@@ -37,10 +41,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
         F.sequence(F.lit(1), F.size("_w") - (n - 1)),
         lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
     )
-    return (
-        d.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = d.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -130,18 +132,29 @@ def minhash_lsh_candidates(
     dup rate).
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(df, id_col, text_col, n)
-    sig = _minhash_signature(sh, id_col, num_hashes, seed)
+    sh = shingles(df, id_col, text_col, n, distinct=False)
+    # ONE shuffle computes both the minhash signature and the exact shingle
+    # set per doc — the set is reused for candidate verification, so the
+    # shingle relation is never re-derived or re-shuffled.
+    min_aggs = [
+        F.min(F.xxhash64("shingle", F.lit(seed), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    per_doc = (
+        sh.groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_sh"), *min_aggs)
+        .persist()
+    )
     band_arr = F.array(
         *[
             F.hash(F.concat_ws("_", F.lit(bi), *[
-                F.col("sig")[bi * rows_per_band + r].cast("string")
+                F.col(f"h{bi * rows_per_band + r}").cast("string")
                 for r in range(rows_per_band)
             ]))
             for bi in range(bands)
         ]
     )
-    banded = sig.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bucket"))
+    banded = per_doc.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bucket"))
     a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
     cand = (
@@ -152,7 +165,22 @@ def minhash_lsh_candidates(
     )
     if not verify:
         return cand
-    return verify_candidates_jaccard(cand, sh, id_col, threshold)
+    sets = per_doc.select(F.col(id_col), F.col("_sh"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sh_b"))
+    common = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(common / (F.size("_sh_a") + F.size("_sh_b") - common), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def verify_candidates_jaccard(
