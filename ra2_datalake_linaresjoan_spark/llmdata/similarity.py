@@ -135,6 +135,57 @@ def _cosine_topk_numpy(
     )
 
 
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim ≥ t),
+    id_a < id_b.
+
+    Same broadcast-matrix mapInPandas shape as ``cosine_topk``: every
+    partition of rows scores against the broadcast corpus with one matmul
+    and keeps only above-threshold pairs where the partner id is larger
+    (dedup for free, no shuffle). For corpora beyond broadcast size,
+    LSH-bucket first (``lsh_bucket_ann``) and verify candidates.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = np.round(q @ c_mat.T, round_digits)
+            qi, ci = np.where((sims >= threshold) & (q_ids[:, None] < c_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": q_ids[qi],
+                    "id_b": c_ids[ci],
+                    "cos_sim": sims[qi, ci],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, schema="id_a long, id_b long, cos_sim double"
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
     """Deterministic pseudo-random ±1 hyperplane (host-side constant —
     ships to executors as a literal array, no data movement)."""

@@ -996,6 +996,401 @@ ORDER BY k_mod
 
 
 # ---------------------------------------------------------------------------
+# Analytic windows, rollup, set ops (SURVEY §2.5-§2.7 full surface)
+# ---------------------------------------------------------------------------
+
+
+def q_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytics: per-user inter-event gaps (microsecond-exact),
+    aggregated per user. The window partitions by user — shuffle on
+    user_id, no global ordering anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("gap_us") / 1e6, 4).alias("avg_gap_s"),
+            F.round(F.max("gap_us") / 1e6, 4).alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_LAG_GAPS = """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       round(avg(gap_us) / 1e6, 4) AS avg_gap_s,
+       round(max(gap_us) / 1e6, 4) AS max_gap_s
+FROM g GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() + row_number(): top-3 parts per brand by retail price.
+    row_number uses a deterministic tiebreak; rank is exposed so tie
+    semantics are oracle-checked."""
+    part = _t(spark, sf_dir, "part")
+    w_det = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    w_rank = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        part.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.rank().over(w_rank).alias("price_rank"),
+            F.row_number().over(w_det).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "price_rank")
+        .orderBy("p_brand", "p_partkey")
+    )
+
+
+SQL_RANK_PARTS = """
+SELECT p_brand, p_partkey, p_retailprice, price_rank
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+         row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn <= 3
+ORDER BY p_brand, p_partkey
+"""
+
+
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) over a deterministic total order: order-value quartile
+    stats."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+        )
+        .orderBy("quartile")
+    )
+
+
+SQL_NTILE_QUARTILES = """
+SELECT quartile, count(*) AS n,
+       round(min(o_totalprice), 4) AS min_price,
+       round(max(o_totalprice), 4) AS max_price
+FROM (
+  SELECT o_totalprice,
+         ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+  FROM orders
+)
+GROUP BY quartile ORDER BY quartile
+"""
+
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (priority, status): subtotal + grand-total rows — the
+    grouping-sets surface Catalyst expands into a single shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_value"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total_value",
+        )
+        .orderBy("priority", "status")
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(o_orderstatus, 'ALL')   AS status,
+       count(*) AS n,
+       round(sum(o_totalprice), 4) AS total_value
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY priority, status
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over customer key sets (buyers in 1996
+    vs 1997) — the set-operation surface absent from the reference but
+    exposed by the engine (SURVEY §2.7)."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == year).select("o_custkey").distinct()
+
+    y96, y97 = buyers(1996), buyers(1997)
+    rows = [
+        ("both_years", y96.intersect(y97)),
+        ("only_1996", y96.exceptAll(y97)),
+        ("either_year", y96.union(y97).distinct()),
+    ]
+    out = None
+    for label, df in rows:
+        one = df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(label).alias("cohort"), "n_customers"
+        )
+        out = one if out is None else out.unionAll(one)
+    return out.orderBy("cohort")
+
+
+SQL_SET_OPS = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+     y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT 'both_years' AS cohort, count(*) AS n_customers FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)
+UNION ALL
+SELECT 'only_1996', count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)
+UNION ALL
+SELECT 'either_year', count(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97)
+ORDER BY cohort
+"""
+
+
+# ---------------------------------------------------------------------------
+# Normalizer / classifier parity oracles (F1/F2/F3/F7/F8 semantics checked
+# end-to-end against hand-written expected SQL)
+# ---------------------------------------------------------------------------
+
+
+def q_normalize_numeric_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 parity: synthesize US/EU/comma-decimal strings from o_totalprice
+    and parse them back with normalize_numeric. The oracle applies the
+    reference's documented decision table in SQL — including the quirk
+    that comma-decimal strings ('1234,56') are treated as comma-THOUSANDS
+    and parse to 123456."""
+    from ra2_datalake_linaresjoan_spark.functions.normalize import normalize_numeric
+
+    orders = _t(spark, sf_dir, "orders")
+    x = F.round(F.col("o_totalprice"), 2)
+    plain = x.cast("string")
+    comma_dec = F.regexp_replace(plain, r"\.", ",")
+    intpart = F.floor(x).cast("long")
+    dec2 = F.lpad(F.round((x - F.floor(x)) * 100).cast("long").cast("string"), 2, "0")
+    eu = F.when(
+        intpart >= 1000,
+        F.concat(
+            (intpart / 1000).cast("long").cast("string"),
+            F.lit("."),
+            F.lpad((intpart % 1000).cast("string"), 3, "0"),
+            F.lit(","),
+            dec2,
+        ),
+    ).otherwise(F.concat(intpart.cast("string"), F.lit(","), dec2))
+    variants = orders.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("plain").alias("variant"), plain.alias("s")),
+                F.struct(F.lit("comma_dec").alias("variant"), comma_dec.alias("s")),
+                F.struct(F.lit("eu").alias("variant"), eu.alias("s")),
+            )
+        ).alias("v")
+    ).select("v.variant", "v.s")
+    parsed = variants.select("variant", normalize_numeric(F.col("s")).alias("x"))
+    return (
+        parsed.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("x").alias("n_parsed"),
+            F.round(F.sum("x"), 2).alias("total"),
+        )
+        .orderBy("variant")
+    )
+
+
+SQL_NORMALIZE_NUMERIC_PARITY = r"""
+WITH base AS (
+  SELECT round(o_totalprice, 2) AS x,
+         CAST(round(o_totalprice, 2) AS VARCHAR) AS plain
+  FROM orders
+), variants AS (
+  SELECT 'plain' AS variant, plain AS s FROM base
+  UNION ALL
+  SELECT 'comma_dec', replace(plain, '.', ',') FROM base
+  UNION ALL
+  SELECT 'eu',
+         CASE WHEN CAST(floor(x) AS BIGINT) >= 1000 THEN
+           concat(CAST(CAST(floor(x) AS BIGINT) // 1000 AS VARCHAR), '.',
+                  lpad(CAST(CAST(floor(x) AS BIGINT) % 1000 AS VARCHAR), 3, '0'), ',',
+                  lpad(CAST(CAST(round((x - floor(x)) * 100) AS BIGINT) AS VARCHAR), 2, '0'))
+         ELSE
+           concat(CAST(CAST(floor(x) AS BIGINT) AS VARCHAR), ',',
+                  lpad(CAST(CAST(round((x - floor(x)) * 100) AS BIGINT) AS VARCHAR), 2, '0'))
+         END
+  FROM base
+), parsed AS (
+  SELECT variant,
+         CASE
+           -- EU: has dots AND exactly one comma, comma after last dot
+           WHEN length(s) - length(replace(s, '.', '')) > 0
+                AND length(s) - length(replace(s, ',', '')) = 1
+                AND strpos(reverse(s), ',') < strpos(reverse(s), '.')
+             THEN try_cast(replace(replace(s, '.', ''), ',', '.') AS DOUBLE)
+           -- comma(s), no dots: strip commas (reference thousands rule)
+           WHEN length(s) - length(replace(s, ',', '')) > 0
+                AND length(s) - length(replace(s, '.', '')) = 0
+             THEN try_cast(replace(s, ',', '') AS DOUBLE)
+           ELSE try_cast(s AS DOUBLE)
+         END AS x
+  FROM variants
+)
+SELECT variant, count(*) AS n, count(x) AS n_parsed, round(sum(x), 2) AS total
+FROM parsed GROUP BY variant ORDER BY variant
+"""
+
+
+def q_normalize_boolean_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 parity: boolean literal zoo synthesized from order status and
+    parsed back; oracle maps the same literals by the documented truth
+    table."""
+    from ra2_datalake_linaresjoan_spark.functions.normalize import normalize_boolean
+
+    orders = _t(spark, sf_dir, "orders")
+    lit = (
+        F.when(F.col("o_orderstatus") == "O", F.lit("Yes"))
+        .when(F.col("o_orderstatus") == "F", F.lit(" 0 "))
+        .otherwise(F.lit("maybe"))
+    )
+    parsed = orders.select(normalize_boolean(lit).alias("b"))
+    return (
+        parsed.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("b").asc_nulls_first())
+    )
+
+
+SQL_NORMALIZE_BOOLEAN_PARITY = """
+SELECT b, count(*) AS n FROM (
+  SELECT CASE WHEN o_orderstatus = 'O' THEN TRUE
+              WHEN o_orderstatus = 'F' THEN FALSE
+              ELSE NULL END AS b
+  FROM orders
+) GROUP BY b ORDER BY b NULLS FIRST
+"""
+
+
+def q_clean_string_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 parity: inject leading/trailing/internal whitespace into part
+    names, clean, and compare length/count stats."""
+    from ra2_datalake_linaresjoan_spark.functions.normalize import clean_string
+
+    part = _t(spark, sf_dir, "part")
+    messy = F.concat(F.lit("  "), F.regexp_replace("p_name", " ", "   "), F.lit(" \t"))
+    cleaned = part.select(clean_string(messy, 30).alias("c"), "p_name")
+    return cleaned.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count("c").alias("n_nonnull"),
+        F.sum(F.length("c")).cast("long").alias("total_len"),
+        F.countDistinct("c").alias("n_distinct"),
+    )
+
+
+SQL_CLEAN_STRING_PARITY = r"""
+WITH cleaned AS (
+  SELECT CASE WHEN c = '' THEN NULL ELSE c END AS c FROM (
+    SELECT substring(regexp_replace(regexp_replace(trim(concat('  ', regexp_replace(p_name, ' ', '   '), ' ' || chr(9))), '\s+', ' ', 'g'), '[\x00-\x1f]', '', 'g'), 1, 30) AS c
+    FROM part
+  )
+)
+SELECT count(*) AS n, count(c) AS n_nonnull,
+       CAST(sum(length(c)) AS BIGINT) AS total_len,
+       count(DISTINCT c) AS n_distinct
+FROM cleaned
+"""
+
+
+#: Classifier parity corpus: one question per gaming keyword group
+#: (priority order) and per bet-type rule, with expected labels.
+CLASSIFIER_CASES: list[tuple[str, str, str]] = [
+    ("Who will win the DOTA 2 grand final?", "DOTA", "Match Winner"),
+    ("dota the international ti13 special", "DOTA", "Prop Bet"),
+    ("Valorant champions spread by more than 2.5?", "Valorant", "Spread"),
+    ("csgo blast premier total kills over under?", "CS:GO", "Over/Under"),
+    ("counter-strike major: first team to win a map?", "CS:GO", "First Blood"),
+    ("league of legends worlds 2026 mvp award", "League of Legends", "MVP/Best Player"),
+    ("lck spring round winner", "League of Legends", "Round/Map Winner"),
+    ("fortnite total points scored", "Fortnite", "Over/Under"),
+    ("overwatch owcs map 3 winner", "Overwatch", "Round/Map Winner"),
+    ("apex legends global series finals", "Apex Legends", "Prop Bet"),
+    ("cdl call of duty league champs", "Call of Duty", "Prop Bet"),
+    ("hearthstone hct best player vote", "Hearthstone", "MVP/Best Player"),
+    ("starcraft 2 gsl will win?", "StarCraft", "Match Winner"),
+    ("rocket league grand final spread", "Rocket League", "Spread"),
+    # reference quirk: 'rlcs ' contains the LoL keyword 'lcs ', and League
+    # of Legends outranks Rocket League in the priority table — so rlcs
+    # questions classify as LoL (transformer_data.py:408,416)
+    ("rlcs spring playoffs", "League of Legends", "Prop Bet"),
+    ("rainbow six six invitational", "Rainbow Six", "Prop Bet"),
+    ("esports awards ceremony", "Esports General", "Prop Bet"),
+    ("who takes the tournament?", "Esports General", "Prop Bet"),
+    # priority: dota beats valorant when both appear
+    ("dota vs valorant crossover?", "DOTA", "Prop Bet"),
+]
+
+
+def q_classifier_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8 parity: run the keyword classifiers over a fixed corpus
+    covering every game group, every bet rule, and priority collisions;
+    the oracle states the expected labels literally."""
+    from ra2_datalake_linaresjoan_spark.functions.classify import (
+        extract_bet_type,
+        extract_gaming_type,
+    )
+
+    corpus = spark.createDataFrame(
+        [(q,) for q, _, _ in CLASSIFIER_CASES], "question string"
+    )
+    return corpus.select(
+        "question",
+        extract_gaming_type(F.col("question")).alias("gaming_type"),
+        extract_bet_type(F.col("question")).alias("bet_type"),
+    ).orderBy("question")
+
+
+SQL_CLASSIFIER_PARITY = "SELECT * FROM (VALUES\n" + ",\n".join(
+    "  ('{}', '{}', '{}')".format(q.replace("'", "''"), g, b)
+    for q, g, b in CLASSIFIER_CASES
+) + "\n) AS t(question, gaming_type, bet_type) ORDER BY question"
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (τ=0.4): broadcast-matrix matmul,
+    threshold filter, id_a < id_b dedup — no shuffle."""
+    from ra2_datalake_linaresjoan_spark.llmdata.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+SQL_COSINE_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1032,6 +1427,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
     "event_sessionization": (q_event_sessionization, SQL_EVENT_SESSIONIZATION),
     "json_props": (q_json_props, SQL_JSON_PROPS),
+    "lag_gaps": (q_lag_gaps, SQL_LAG_GAPS),
+    "rank_parts": (q_rank_parts, SQL_RANK_PARTS),
+    "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),
+    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
+    "set_ops": (q_set_ops, SQL_SET_OPS),
+    "normalize_numeric_parity": (q_normalize_numeric_parity, SQL_NORMALIZE_NUMERIC_PARITY),
+    "normalize_boolean_parity": (q_normalize_boolean_parity, SQL_NORMALIZE_BOOLEAN_PARITY),
+    "clean_string_parity": (q_clean_string_parity, SQL_CLEAN_STRING_PARITY),
+    "classifier_parity": (q_classifier_parity, SQL_CLASSIFIER_PARITY),
+    "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
 }
 
 
