@@ -186,6 +186,89 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_ann(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate NN: KMeans-partitioned corpus cells,
+    each query probes its ``n_probe`` nearest cells and exact-scores only
+    those candidates.
+
+    The coarse quantizer is ``pyspark.ml.clustering.KMeans`` (fixed seed);
+    corpus cell assignment is one ``model.transform``; query-side probing
+    broadcasts the (tiny) centroid matrix and explodes each query into its
+    probe cells, so the candidate join is per-cell — corpus scan cost per
+    query drops by ~n_cells/n_probe. Recall/latency tunes via
+    (n_cells, n_probe). At 100 TB: cells are the partition key; a cell's
+    vectors co-locate, and only probed cells are read.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    spark = queries.sparkSession
+    corpus_v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_arr"),
+    ).withColumn("_vec", array_to_vector("_arr"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="cell")
+    model = km.fit(corpus_v)
+    corpus_cells = model.transform(corpus_v).select(
+        "neighbor_id", F.col("_arr").alias("_cv"), "cell"
+    )
+
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+            d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cells = np.argsort(d, axis=1)[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    "_qv": [list(v) for v in np.repeat(q, n_probe, axis=0)],
+                    "cell": cells.reshape(-1),
+                }
+            )
+
+    probed = queries.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+        probe, schema=f"query_id long, _qv array<double>, cell int"
+    )
+    scored = (
+        probed.join(corpus_cells, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
     """Deterministic pseudo-random ±1 hyperplane (host-side constant —
     ships to executors as a literal array, no data movement)."""

@@ -790,6 +790,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans cells + n_probe probing) — rows-only check
+    (cluster assignments are engine-specific). Recall vs the exact
+    baseline is asserted in tests."""
+    from ra2_datalake_linaresjoan_spark.llmdata.similarity import ivf_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_ann(qs, emb, k=5, n_cells=16, n_probe=4).orderBy(
+        "query_id", F.col("cos_sim").desc(), "neighbor_id"
+    )
+
+
 def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing: wrap text as binary payloads with
     typed metadata, aggregate byte stats per modality (pure JVM)."""
@@ -1420,6 +1433,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_neardup": (q_simhash_neardup, None),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "multimodal_features": (q_multimodal_features, None),
     "regex_filter_docs": (q_regex_filter_docs, SQL_REGEX_FILTER_DOCS),

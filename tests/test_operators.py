@@ -1,0 +1,99 @@
+"""Unit tests for relational operators not already covered by oracle
+queries: P3 drop-all-null-columns, FK resolution, top-k determinism,
+volumetry report shape, approx distinct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark.operators.dedup import (
+    dedup_keep_newest,
+    drop_all_null_columns,
+)
+from ra2_datalake_linaresjoan_spark.operators.joins import fk_resolve
+from ra2_datalake_linaresjoan_spark.operators.topk import top_k
+from ra2_datalake_linaresjoan_spark.plans.volumetry import volumetry_report
+
+
+def test_drop_all_null_columns(spark):
+    df = spark.createDataFrame(
+        [(1, None, "a", None), (2, None, "b", None)],
+        "id int, empty1 string, keep string, empty2 int",
+    )
+    out = drop_all_null_columns(df)
+    assert out.columns == ["id", "keep"]
+    # no all-null columns → unchanged
+    assert drop_all_null_columns(out).columns == ["id", "keep"]
+
+
+def test_fk_resolve_broadcast(spark):
+    fact = spark.createDataFrame([("a", "DOTA"), ("b", "Chess")], "id string, game string")
+    dim = spark.createDataFrame([(1, "DOTA")], "game_id int, name string")
+    out = fk_resolve(fact, dim, "game", "name", "game_id", "resolved_id")
+    rows = {r["id"]: r["resolved_id"] for r in out.collect()}
+    assert rows == {"a": 1, "b": None}
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_top_k_deterministic_with_ties(spark):
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 10 else 0.5) for i in range(20)], "id int, score double"
+    )
+    out = [r["id"] for r in top_k(df, "score", 5, tiebreak=["id"]).collect()]
+    assert out == [0, 1, 2, 3, 4]
+
+
+def test_dedup_keep_newest_null_timestamps(spark):
+    df = spark.createDataFrame(
+        [("k", None, 1), ("k", "2026-01-02", 2), ("k", "2026-01-01", 3)],
+        "id string, ts string, payload int",
+    )
+    out = dedup_keep_newest(df, ["id"], "ts").collect()
+    assert len(out) == 1 and out[0]["payload"] == 2  # nulls sort last
+
+
+def test_volumetry_report(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "active", F.col("o_orderstatus") == "O"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rep = volumetry_report(
+        {"orders": orders},
+        {"items_per_order": (lineitem, "l_orderkey", "l_partkey")},
+    )
+    assert rep["entities"]["orders"]["total"] == orders.count()
+    assert 0 < rep["entities"]["orders"]["pct_active"] < 100
+    rel = rep["relations"]["items_per_order"]
+    assert rel["n_keys"] > 0 and rel["max_per_key"] >= rel["avg_per_key"]
+    assert len(rel["top"]) == 10
+
+
+def test_approx_count_distinct_close_to_exact(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    row = cust.agg(
+        F.countDistinct("c_custkey").alias("exact"),
+        F.approx_count_distinct("c_custkey", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.llmdata.similarity import (
+        cosine_topk,
+        ivf_ann,
+        lsh_bucket_ann,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(qs, emb, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_ann(qs, emb, k=5, n_cells=16, n_probe=4).collect()}
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in lsh_bucket_ann(qs, emb, dim=64, k=5, planes=4, tables=8).collect()}
+    assert len(ivf & exact) / len(exact) >= 0.7
+    # random near-orthogonal vectors are LSH's worst case (top neighbors sit
+    # at ~68deg); with 4-bit buckets x 8 tables expected recall is ~0.5-0.7
+    assert len(lsh & exact) / len(exact) >= 0.4
