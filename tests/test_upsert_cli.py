@@ -1,0 +1,51 @@
+"""merge_upsert idempotency (ON CONFLICT parity) + CLI orchestrator."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+from ra2_datalake_linaresjoan_spark.sources.upsert import merge_upsert
+
+
+def test_merge_upsert_modes(spark, tmp_path):
+    p = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "old"), (2, "keep")], "id int, v string")
+    merge_upsert(spark, p, base, ["id"])
+    # upsert: new wins, new keys insert
+    merge_upsert(spark, p, spark.createDataFrame([(1, "new"), (3, "ins")], "id int, v string"), ["id"], mode="upsert")
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert rows == {1: "new", 2: "keep", 3: "ins"}
+    # ignore: existing wins (DO NOTHING), new keys still insert
+    merge_upsert(spark, p, spark.createDataFrame([(2, "clobber"), (4, "ins2")], "id int, v string"), ["id"], mode="ignore")
+    rows = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert rows == {1: "new", 2: "keep", 3: "ins", 4: "ins2"}
+    # idempotent: re-applying the same updates changes nothing
+    merge_upsert(spark, p, spark.createDataFrame([(4, "ins2")], "id int, v string"), ["id"], mode="ignore")
+    assert spark.read.parquet(p).count() == 4
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    # stage bronze parquet from the pipeline fixtures
+    from tests.test_pipeline_gold import EVENTS, EVENT_COLS, MARKETS, MARKET_COLS, SERIES, SERIES_COLS
+
+    base = tmp_path / "lake"
+    spark.createDataFrame(MARKETS, MARKET_COLS).write.parquet(str(base / "bronze" / "markets"))
+    spark.createDataFrame(EVENTS, EVENT_COLS).write.parquet(str(base / "bronze" / "events"))
+    spark.createDataFrame(SERIES, SERIES_COLS).write.parquet(str(base / "bronze" / "series"))
+
+    report = tmp_path / "report.json"
+    proc = subprocess.run(
+        [sys.executable, "-m", "ra2_datalake_linaresjoan_spark.cli",
+         "--base", str(base), "--report", str(report)],
+        capture_output=True, text=True, timeout=300,
+        env={**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"},
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    doc = json.loads(report.read_text())
+    assert all(v == 0 for v in doc["validation"]["orphans"].values())
+    assert doc["validation"]["counts"]["dim_videojuego"] == 13
+    assert {s["gaming_type"] for s in doc["summary"]} == {"DOTA", "Valorant", "CS:GO"}
+    assert (base / "gold" / "fact_metricas_gaming").exists()
