@@ -1,0 +1,53 @@
+"""Skew-handling join helpers (SURVEY §4: AQE + salting).
+
+AQE's skew-join split (on in the session builder) handles most skew at
+runtime. For the pathological case — a join key whose hot values overflow
+even split partitions (the reference's data has one: a single tag touches
+133,658 of 200k events, BASELINE.md) — ``salted_join`` spreads each hot
+key over ``salt`` sub-keys: the big side gets a random salt per row, the
+small side is replicated ``salt`` times. Row multiplication is limited to
+the replicated (small) side; the big side never copies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salted keys: big ⋈ small on ``on`` where ``on`` is
+    skewed in ``big``.
+
+    big:   salt_col = pmod(hash(random-ish but cheap: monotonic row bits), salt)
+           — we use a deterministic spread over an existing unique-ish
+           expression when available; callers needing exact reproducibility
+           should pass a pre-salted frame.
+    small: exploded over all salt values (×salt rows — fine, it's small).
+    """
+    b = big.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)).cast("int"))
+    s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = b.join(s, [on, "_salt"], how)
+    return out.drop("_salt")
+
+
+def salted_group_count(df: DataFrame, keys: Sequence[str], salt: int = 16, count_col: str = "n") -> DataFrame:
+    """Two-phase grouped count for skewed keys: partial count per
+    (key, salt) then re-aggregate per key — the hot key's rows split
+    across ``salt`` reducers in phase 1, and phase 2 only sees ``salt``
+    partial rows per key. (Spark's hash agg already does map-side partials;
+    this helps when even the merged partition for one key is too big.)"""
+    k = list(keys)
+    salted = df.withColumn(
+        "_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt)).cast("int")
+    )
+    partial = salted.groupBy(*k, "_salt").agg(F.count(F.lit(1)).alias("_pc"))
+    return partial.groupBy(*k).agg(F.sum("_pc").cast("long").alias(count_col))

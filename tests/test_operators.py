@@ -97,3 +97,40 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     # random near-orthogonal vectors are LSH's worst case (top neighbors sit
     # at ~68deg); with 4-bit buckets x 8 tables expected recall is ~0.5-0.7
     assert len(lsh & exact) / len(exact) >= 0.4
+
+
+def test_salted_join_and_group(spark):
+    from ra2_datalake_linaresjoan_spark.operators.skew import (
+        salted_group_count,
+        salted_join,
+    )
+
+    # one hot key (90% of rows) + tail
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)],
+        "k string, v int",
+    ).repartition(8)
+    small = spark.createDataFrame([("hot", "H"), ("k1", "K")], "k string, name string")
+    joined = salted_join(big, small, "k")
+    assert joined.count() == 901  # 900 hot + k1
+    counts = {r["k"]: r["n"] for r in salted_group_count(big, ["k"]).collect()}
+    assert counts["hot"] == 900 and counts["k7"] == 1
+
+
+def test_grouped_agg_pandas_udaf(spark, sf_dir):
+    import numpy as np
+
+    from ra2_datalake_linaresjoan_spark.llmdata.udafs import label_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = {r["label"]: r for r in label_centroids(emb).collect()}
+    assert set(cents) == {r["label"] for r in emb.select("label").distinct().collect()}
+    # verify one centroid against a local numpy computation
+    lbl = sorted(cents)[0]
+    local = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb.filter(F.col("label") == lbl).collect()]
+    ).mean(axis=0)
+    got = np.asarray(cents[lbl]["centroid"])
+    assert np.allclose(got, local, atol=1e-9)
+    assert cents[lbl]["n_vectors"] == int(emb.filter(F.col("label") == lbl).count())

@@ -1,0 +1,48 @@
+"""Physical-plan regression guards: the properties that make queries
+scale — pushdown, pruning, broadcast, TakeOrderedAndProject — asserted on
+the actual executed plans so a refactor can't silently lose them."""
+
+from __future__ import annotations
+
+import pytest
+
+from ra2_datalake_linaresjoan_spark import queries as q
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = q.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 7 needed columns reach the scan
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_by_nation")
+    # formatted explain lists each node twice (tree + detail)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_semi_join_stays_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "semi_join")
+    assert "LeftSemi" in plan
+
+
+def test_window_dedup_partitions_by_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_dedup")
+    # the window must shuffle by the dedup key, not a global sort
+    assert "hashpartitioning(user_id" in plan

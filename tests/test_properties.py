@@ -27,13 +27,11 @@ def numeric_spec(value: str) -> float | None:
     elif commas > 0 and dots == 0:
         s = s.replace(",", "")
     try:
-        out = float(s)
+        # Spark's try_cast and Python float() agree on inf/nan spellings
+        # ('1e999'→inf, 'Infinity', 'nan', ...) — verified empirically
+        return float(s)
     except ValueError:
         return None
-    # Spark's try_cast rejects inf/nan spellings that float() accepts
-    if out in (float("inf"), float("-inf")) or out != out:
-        return None
-    return out
 
 
 digits = st.text(alphabet="0123456789.,- eE", min_size=0, max_size=12)
@@ -53,8 +51,14 @@ def test_normalize_numeric_matches_spec(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "v string")
     got = [r["x"] for r in df.select(normalize_numeric(F.col("v")).alias("x")).collect()]
     want = [numeric_spec(v) for v in values]
+    import math
+
     for g, w, v in zip(got, want, values):
         if g is None or w is None:
+            assert g == w, (v, g, w)
+        elif math.isnan(w):
+            assert math.isnan(g), (v, g, w)
+        elif math.isinf(w):
             assert g == w, (v, g, w)
         else:
             assert abs(g - w) < 1e-9 * max(1.0, abs(w)), (v, g, w)
