@@ -537,6 +537,107 @@ ORDER BY fecha_id
 """
 
 
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated aggregate: revenue of lineitems whose
+    quantity is under 20% of their part's average. Expressed as a window
+    average per part — the decorrelated plan Catalyst would want anyway
+    (one shuffle on partkey, no per-row subquery)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("l_partkey")
+    brand = li.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    flagged = brand.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+    return flagged.filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)) / 7.0, 4).alias(
+            "avg_yearly"
+        ),
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+SELECT count(*) AS n_items,
+       round(coalesce(sum(l_extendedprice), 0) / 7.0, 4) AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < 0.2 * (
+    SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+def q_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated comparison against a per-group average: customers richer
+    than their nation's mean balance, counted per nation — window-average
+    decorrelation again."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    flagged = cust.withColumn("_nation_avg", F.avg("c_acctbal").over(w))
+    return (
+        flagged.filter(F.col("c_acctbal") > F.col("_nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_above_avg"),
+            F.round(F.max("c_acctbal"), 4).alias("richest"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_ABOVE_AVG_BALANCE = """
+SELECT c_nationkey, count(*) AS n_above_avg, round(max(c_acctbal), 4) AS richest
+FROM customer c
+WHERE c_acctbal > (
+  SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share: ASIA's share of global revenue per
+    order year — conditional aggregation over a multi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("r_name") == "ASIA", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("asia_share"),
+            F.round(F.sum(rev), 4).alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       round(sum(CASE WHEN r_name = 'ASIA' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS asia_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1 ORDER BY o_year
+"""
+
+
 # ---------------------------------------------------------------------------
 # LLM-data ops: text analysis, dedup, similarity, multimodal (north star)
 # ---------------------------------------------------------------------------
@@ -1385,6 +1486,41 @@ SQL_CLASSIFIER_PARITY = "SELECT * FROM (VALUES\n" + ",\n".join(
 ) + "\n) AS t(question, gaming_type, bet_type) ORDER BY question"
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (engine extension operator): each click event
+    gets the most recent at-or-before purchase of the same user. Oracle is
+    DuckDB's native ASOF JOIN; the Spark plan is the union+carry-forward
+    single-shuffle pattern (operators/asof.py)."""
+    from ra2_datalake_linaresjoan_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id"), F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(clicks, purchases, on="ts", by="user_id")
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("purchase_id_asof").alias("purchase_id"),
+        F.col("purchase_value_asof").alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+SQL_ASOF_JOIN = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS purchase_id,
+       r.value    AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY l.event_id
+"""
+
+
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (τ=0.4): broadcast-matrix matmul,
     threshold filter, id_a < id_b dedup — no shuffle."""
@@ -1424,6 +1560,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bucket_histogram": (q_bucket_histogram, SQL_BUCKET_HISTOGRAM),
     "ratio_stats": (q_ratio_stats, SQL_RATIO_STATS),
     "date_dim": (q_date_dim, SQL_DATE_DIM),
+    "small_qty_revenue": (q_small_qty_revenue, SQL_SMALL_QTY_REVENUE),
+    "above_avg_balance": (q_above_avg_balance, SQL_ABOVE_AVG_BALANCE),
+    "market_share": (q_market_share, SQL_MARKET_SHARE),
     "doc_token_stats": (q_doc_token_stats, SQL_DOC_TOKEN_STATS),
     "doc_quality": (q_doc_quality, SQL_DOC_QUALITY),
     "lang_id_confusion": (q_lang_id_confusion, SQL_LANG_ID_CONFUSION),
@@ -1451,6 +1590,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "clean_string_parity": (q_clean_string_parity, SQL_CLEAN_STRING_PARITY),
     "classifier_parity": (q_classifier_parity, SQL_CLASSIFIER_PARITY),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
 }
 
 

@@ -39,6 +39,29 @@ def write_table(
     writer.options(**options).save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog table (co-located join layout).
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle — the physical plan shows SortMergeJoin with no
+    Exchange on either side. This is the at-rest answer to repeated big
+    joins on one key (fact-to-fact joins at 100 TB): pay the shuffle once
+    at write time, never again at read time. Requires ``saveAsTable``
+    (buckets live in the catalog, not bare parquet paths).
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

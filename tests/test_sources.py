@@ -56,3 +56,31 @@ def test_write_table_roundtrip(spark, tmp_path):
     df = spark.range(10).withColumnRenamed("id", "k")
     write_table(df, str(tmp_path / "t"), fmt="parquet")
     assert spark.read.parquet(str(tmp_path / "t")).count() == 10
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.sources.writers import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        lineitem = spark.read.parquet(f"{sf}/lineitem.parquet")
+        write_bucketed(orders, "b_orders", ["o_orderkey"], 8)
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem", ["o_orderkey"], 8,
+        )
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
