@@ -943,6 +943,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based sentiment scoring as pure expressions (SURVEY §7.1 M7
+    text-analysis surface): polarity = (pos−neg)/(pos+neg) over fixed word
+    lists, aggregated per language."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pos = F.size(F.filter(words, lambda w: w.isin("fast", "big", "value")))
+    neg = F.size(F.filter(words, lambda w: w.isin("slow", "small", "error")))
+    polarity = F.when(pos + neg == 0, F.lit(0.0)).otherwise(
+        (pos - neg).cast("double") / (pos + neg)
+    )
+    return (
+        docs.select("lang", F.round(polarity, 6).alias("polarity"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("polarity"), 4).alias("avg_polarity"),
+            F.sum(F.when(F.col("polarity") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_positive"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_SENTIMENT_LEXICON = r"""
+WITH scored AS (
+  SELECT lang,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> list_contains(['fast','big','value'], x))) AS pos,
+         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> list_contains(['slow','small','error'], x))) AS neg
+  FROM documents
+), pol AS (
+  SELECT lang,
+         round(CASE WHEN pos + neg = 0 THEN 0.0
+                    ELSE (pos - neg) * 1.0 / (pos + neg) END, 6) AS polarity
+  FROM scored
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(polarity), 4) AS avg_polarity,
+       CAST(sum(CASE WHEN polarity > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive
+FROM pol GROUP BY lang ORDER BY lang
+"""
+
+
 def q_regex_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword include/exclude regex filter (P7/P8, the reference's esports
     filter shape) + null/blank guard (P6) over documents."""
@@ -1521,6 +1567,58 @@ ORDER BY l.event_id
 """
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (extension operator): for each error event,
+    the number and value of same-user purchases in the preceding 10
+    minutes (zero-preserving). Oracle is the plain inequality join."""
+    from ra2_datalake_linaresjoan_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    pairs = interval_join(
+        errors, purchases, by="user_id", left_on="ts", right_on="p_ts",
+        window_seconds=600,
+    )
+    per_event = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("p_value"), 4).alias("purchase_value"),
+    )
+    return (
+        errors.join(per_event, "event_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_purchases", F.lit(0).cast("long")).alias("n_purchases"),
+            F.round(F.coalesce("purchase_value", F.lit(0.0)), 4).alias("purchase_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH errors AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     purchases AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase'),
+     pairs AS (
+       SELECT e.event_id, count(*) AS n_purchases, round(sum(p.p_value), 4) AS purchase_value
+       FROM errors e JOIN purchases p
+         ON e.user_id = p.user_id
+        AND p.p_ts >= e.ts - INTERVAL '600 seconds'
+        AND p.p_ts <= e.ts
+       GROUP BY e.event_id
+     )
+SELECT e.event_id, e.user_id,
+       coalesce(p.n_purchases, 0) AS n_purchases,
+       round(coalesce(p.purchase_value, 0.0), 4) AS purchase_value
+FROM errors e LEFT JOIN pairs p ON e.event_id = p.event_id
+ORDER BY e.event_id
+"""
+
+
 def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (τ=0.4): broadcast-matrix matmul,
     threshold filter, id_a < id_b dedup — no shuffle."""
@@ -1591,6 +1689,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "classifier_parity": (q_classifier_parity, SQL_CLASSIFIER_PARITY),
     "cosine_neardup": (q_cosine_neardup, SQL_COSINE_NEARDUP),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "sentiment_lexicon": (q_sentiment_lexicon, SQL_SENTIMENT_LEXICON),
 }
 
 
