@@ -36,6 +36,9 @@ HEADLINE = [
     "cosine_topk",
     "event_sessionization",
     "tumbling_windows",
+    "asof_join",
+    "interval_join",
+    "market_share",
 ]
 
 

@@ -27,6 +27,39 @@ def embedding_centroid(vectors: pd.Series) -> list[float]:
     return [float(x) for x in mat.mean(axis=0)]
 
 
+def standardize_embeddings_per_label(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Grouped-map ``applyInPandas``: z-score each embedding dimension
+    within its label group (per-group whitening — a common retrieval
+    preprocessing step that needs the whole group in one place).
+
+    Each label's vectors arrive as one Arrow batch; one numpy pass
+    computes mean/std and emits standardized vectors. Scale: group size is
+    the unit of memory — for groups beyond executor memory, pre-aggregate
+    moments with ``label_centroids``-style GROUPED_AGG and broadcast them
+    instead.
+    """
+
+    def standardize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
+        std = mat.std(axis=0)
+        std[std == 0] = 1.0
+        z = (mat - mat.mean(axis=0)) / std
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                label_col: pdf[label_col].to_numpy(),
+                "z_embedding": [list(map(float, row)) for row in z],
+            }
+        )
+
+    return df.groupBy(label_col).applyInPandas(
+        standardize,
+        schema=f"{id_col} long, {label_col} int, z_embedding array<double>",
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -180,7 +180,17 @@ def enrich_gaming_markets(df: DataFrame) -> DataFrame:
 
 def gaming_summary(df: DataFrame) -> DataFrame:
     """Per-gaming_type summary (transformer_data.py:596-618): counts,
-    volume/liquidity sums+avgs, outcome-count buckets — one aggregate job."""
+    volume/liquidity sums+avgs, outcome-count buckets — one aggregate job.
+    Schema-tolerant: absent metric columns contribute nulls/zeros (the
+    reference's defensive column checks, transformer_data.py:580-616)."""
+    for c, dtype, default in (
+        ("liquidity", "double", None),
+        ("volume", "double", None),
+        ("outcome_count", "int", 0),
+    ):
+        if c not in df.columns:
+            fill = F.lit(default).cast(dtype)
+            df = df.withColumn(c, fill)
     return (
         df.groupBy("gaming_type")
         .agg(

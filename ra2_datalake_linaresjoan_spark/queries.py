@@ -943,6 +943,99 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_jsonish_arrays_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F5 parity: synthesize Python-literal JSON-ish arrays from part
+    columns, parse with normalize_outcomes / normalize_prices, and check
+    the parsed shape against the oracle's direct computation — including
+    the skip-unparseable-element and null-on-malformed paths."""
+    from ra2_datalake_linaresjoan_spark.functions.normalize import (
+        normalize_outcomes,
+        normalize_prices,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    outcomes_str = F.concat(
+        F.lit("[' "), F.col("p_brand"), F.lit("', '"), F.col("p_type"), F.lit(" ']")
+    )
+    prices_str = F.concat(
+        F.lit("['"),
+        F.round(F.col("p_retailprice"), 2).cast("string"),
+        F.lit("', 'bad', '"),
+        F.col("p_size").cast("string"),
+        F.lit("']"),
+    )
+    parsed = part.select(
+        "p_partkey",
+        normalize_outcomes(outcomes_str).alias("outs"),
+        normalize_prices(prices_str).alias("prices"),
+    )
+    return parsed.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("outs")).cast("long").alias("total_outcomes"),
+        F.countDistinct(F.col("outs")[0]).alias("n_brands_upper"),
+        F.sum(F.size("prices")).cast("long").alias("total_prices"),
+        F.round(F.sum(F.col("prices")[0]), 2).alias("sum_first_price"),
+        F.round(F.sum(F.col("prices")[1]), 2).alias("sum_sizes"),
+    )
+
+
+SQL_JSONISH_ARRAYS_PARITY = """
+SELECT count(*) AS n,
+       CAST(count(*) * 2 AS BIGINT)                   AS total_outcomes,
+       count(DISTINCT upper(p_brand))                 AS n_brands_upper,
+       CAST(count(*) * 2 AS BIGINT)                   AS total_prices,
+       round(sum(round(p_retailprice, 2)), 2)         AS sum_first_price,
+       round(sum(CAST(p_size AS DOUBLE)), 2)          AS sum_sizes
+FROM part
+"""
+
+
+#: Pipeline-parity corpus: messy bronze market rows through the full
+#: silver recipe; expected summary hand-derived from the documented
+#: semantics (dedup newest, EU numerics, exclusion, null-volume fill).
+PIPELINE_ROWS = [
+    # duplicate id — newest (March, volume '2.000,5' EU) must win
+    ("m1", "Who will win DOTA TI?", "true", "0", "1.234,56", "2026-02-01T00:00:00"),
+    ("m1", "Who will win DOTA TI?", "1", "false", "2.000,5", "2026-03-01T00:00:00"),
+    ("m2", "Valorant spread by more than 2?", "si", "f", "50", "2026-03-02T00:00:00"),
+    ("m3", "dota but also bitcoin", "1", "0", "99", "2026-03-03T00:00:00"),  # excluded
+    ("m4", "csgo blast premier winner?", "no", "yes", None, "2026-03-04T00:00:00"),
+    (None, "valorant ghost row", "1", "0", "1", "2026-03-05T00:00:00"),  # dropped
+]
+
+
+def q_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end silver-pipeline parity: messy literal bronze rows →
+    clean → esports filter → classify → per-game summary; the oracle
+    states the expected summary literally (documented semantics:
+    newest-wins dedup, EU numeric parsing, include/exclude keywords,
+    null-volume → 0.0 fill, boolean zoo)."""
+    from ra2_datalake_linaresjoan_spark.plans.pipelines import (
+        clean_markets,
+        enrich_gaming_markets,
+        gaming_market_filter,
+        gaming_summary,
+    )
+
+    raw = spark.createDataFrame(
+        PIPELINE_ROWS,
+        "id string, question string, active string, closed string, volume string, updatedAt string",
+    )
+    m = enrich_gaming_markets(gaming_market_filter(clean_markets(raw)))
+    return gaming_summary(m).select(
+        "gaming_type", "n_markets", "total_volume", "n_active", "n_closed"
+    )
+
+
+SQL_PIPELINE_PARITY = """
+SELECT * FROM (VALUES
+  ('DOTA',     CAST(1 AS BIGINT), CAST(2000.5 AS DOUBLE), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+  ('Valorant', CAST(1 AS BIGINT), CAST(50.0 AS DOUBLE),   CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+  ('CS:GO',    CAST(1 AS BIGINT), CAST(0.0 AS DOUBLE),    CAST(0 AS BIGINT), CAST(1 AS BIGINT))
+) AS t(gaming_type, n_markets, total_volume, n_active, n_closed)
+"""
+
+
 def q_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-based sentiment scoring as pure expressions (SURVEY §7.1 M7
     text-analysis surface): polarity = (pos−neg)/(pos+neg) over fixed word
@@ -1691,6 +1784,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "sentiment_lexicon": (q_sentiment_lexicon, SQL_SENTIMENT_LEXICON),
+    "jsonish_arrays_parity": (q_jsonish_arrays_parity, SQL_JSONISH_ARRAYS_PARITY),
+    "pipeline_parity": (q_pipeline_parity, SQL_PIPELINE_PARITY),
 }
 
 

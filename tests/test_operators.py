@@ -134,3 +134,20 @@ def test_grouped_agg_pandas_udaf(spark, sf_dir):
     got = np.asarray(cents[lbl]["centroid"])
     assert np.allclose(got, local, atol=1e-9)
     assert cents[lbl]["n_vectors"] == int(emb.filter(F.col("label") == lbl).count())
+
+
+def test_apply_in_pandas_standardize(spark, sf_dir):
+    import numpy as np
+
+    from ra2_datalake_linaresjoan_spark.llmdata.udafs import (
+        standardize_embeddings_per_label,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    z = standardize_embeddings_per_label(emb)
+    assert z.count() == emb.count()
+    # per-label mean ~0 and std ~1 in every dimension
+    one = z.filter(F.col("label") == 0).collect()
+    mat = np.stack([np.asarray(r["z_embedding"]) for r in one])
+    assert np.allclose(mat.mean(axis=0), 0, atol=1e-9)
+    assert np.allclose(mat.std(axis=0), 1, atol=1e-6)
