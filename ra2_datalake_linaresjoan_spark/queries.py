@@ -1082,6 +1082,68 @@ FROM pol GROUP BY lang ORDER BY lang
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-data composite: exact dedup → near-dup removal
+    (Jaccard ≥ 0.8, smaller id survives) → quality floor → language
+    allowlist → curated rows with metadata."""
+    from ra2_datalake_linaresjoan_spark.llmdata.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, min_quality=0.5, langs=("en", "es", "fr", "de", "zh")
+    ).orderBy("doc_id")
+
+
+SQL_CURATE_CORPUS = r"""
+WITH fp AS (
+  SELECT doc_id, lang, text,
+         md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS f
+  FROM documents
+), exact_survivors AS (
+  SELECT doc_id, lang, text FROM fp
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)
+), w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+), cnt AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), neardup_b AS (
+  SELECT DISTINCT doc_b FROM pairs
+  JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+  WHERE round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 6) >= 0.8
+), kept AS (
+  SELECT * FROM exact_survivors WHERE doc_id NOT IN (SELECT doc_b FROM neardup_b)
+), feat AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         regexp_replace(text, '\s', '', 'g') AS nospace,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM kept
+), scored AS (
+  SELECT doc_id, lang, n_tok AS ws_tokens,
+         round(0.4 * least(n_tok / 200.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN length(nospace) = 0 THEN 0.0
+                     ELSE length(regexp_replace(nospace, '[A-Za-z0-9_]', '', 'g')) * 1.0 / length(nospace) END)
+             + 0.3 * (CASE WHEN (CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE len(list_filter(words, x -> list_contains(['the','a','of','and','is'], x))) * 1.0 / len(words) END)
+                        BETWEEN 0.02 AND 0.6 THEN 1.0 ELSE 0.5 END), 6) AS quality
+  FROM feat
+)
+SELECT doc_id, lang, quality, ws_tokens
+FROM scored
+WHERE quality >= 0.5 AND lang IN ('en','es','fr','de','zh')
+ORDER BY doc_id
+"""
+
+
 def q_regex_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword include/exclude regex filter (P7/P8, the reference's esports
     filter shape) + null/blank guard (P6) over documents."""
@@ -1767,6 +1829,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     "multimodal_features": (q_multimodal_features, None),
     "regex_filter_docs": (q_regex_filter_docs, SQL_REGEX_FILTER_DOCS),
+    "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
     "tumbling_windows": (q_tumbling_windows, SQL_TUMBLING_WINDOWS),
     "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
     "event_sessionization": (q_event_sessionization, SQL_EVENT_SESSIONIZATION),

@@ -109,3 +109,11 @@ def test_safe_array_size(spark):
     df = spark.createDataFrame([([1, 2],), (None,)], "v array<int>")
     out = [r["n"] for r in df.select(safe_array_size(F.col("v")).alias("n")).collect()]
     assert out == [2, 0]
+
+
+def test_parse_list_value_tolerant(spark):
+    from ra2_datalake_linaresjoan_spark.functions.json_utils import parse_list_value
+
+    out = _apply(spark, parse_list_value,
+                 ["['a', 'b']", "not-a-list", None, "[]"])
+    assert out == [["a", "b"], [], [], []]

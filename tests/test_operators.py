@@ -151,3 +151,13 @@ def test_apply_in_pandas_standardize(spark, sf_dir):
     mat = np.stack([np.asarray(r["z_embedding"]) for r in one])
     assert np.allclose(mat.mean(axis=0), 0, atol=1e-9)
     assert np.allclose(mat.std(axis=0), 1, atol=1e-6)
+
+
+def test_curation_lsh_equals_exact(spark, sf_dir):
+    from ra2_datalake_linaresjoan_spark.llmdata.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {r["doc_id"] for r in curate_corpus(docs).collect()}
+    lsh = {r["doc_id"] for r in curate_corpus(docs, use_lsh=True).collect()}
+    assert exact == lsh  # LSH path = exact path at these parameters
+    assert 0 < len(exact) < docs.count()

@@ -84,3 +84,23 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    orders = spark.read.parquet(f"{sf}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    p = str(tmp_path / "orders_by_year")
+    orders.write.partitionBy("o_year").parquet(p)
+    filtered = spark.read.parquet(p).filter(F.col("o_year") == 1997)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the year predicate is a PartitionFilter, and only
+    # that year's directory is read
+    assert "PartitionFilters: [isnotnull(o_year" in plan
+    n97 = orders.filter(F.col("o_year") == 1997).count()
+    assert filtered.count() == n97
