@@ -107,6 +107,83 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 224, height: int = 224, decode_stub: bool = True
+) -> DataFrame:
+    """Image resize over binary payloads (mapInPandas, Arrow-batched).
+
+    Real implementation = PIL ``Image.open(...).resize(...)`` per payload;
+    stubbed here (no Pillow in container) by truncating/padding bytes to a
+    deterministic ``width*height``-proportional size so the schema,
+    batching, and downstream contracts are fully exercised.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height // 64  # deterministic stub payload size
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("real resize requires Pillow")
+            out = []
+            for p in pdf["payload"]:
+                b = bytes(p or b"")
+                out.append(b[:target].ljust(target, b"\0"))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, every_n: int = 10, max_frames: int = 4, decode_stub: bool = True
+) -> DataFrame:
+    """Video frame sampling: one payload → up to ``max_frames`` frame rows
+    (a 1:N mapInPandas — the shape a real ffmpeg/av extraction uses).
+
+    Stub: frames are deterministic byte slices of the payload. Real:
+    ``av.open`` + keyframe stepping.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError("real frame sampling requires PyAV/ffmpeg")
+            ids, idxs, frames = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p or b"")
+                step = max(len(b) // max(every_n, 1), 1)
+                for i in range(min(max_frames, max(len(b) // step, 1))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * step : (i + 1) * step])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def byte_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata pass: payload sizes per modality — the cheap scan
     you run before deciding what to decode."""

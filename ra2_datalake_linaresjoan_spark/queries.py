@@ -1315,6 +1315,52 @@ ORDER BY k_mod
 # ---------------------------------------------------------------------------
 
 
+def q_volumetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volumetry report shape (A1/A8/A9, reference
+    extractor_polymarket.py:231-353): entity totals + status percentages +
+    relation avg/max — one aggregate job per section, unioned."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    entity = orders.agg(
+        F.lit("orders").alias("section"),
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("n_active"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            / F.count(F.lit(1))
+            * 100,
+            2,
+        ).alias("pct_active"),
+    )
+    rel = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.lit("items_per_order").alias("section"),
+            F.count(F.lit(1)).alias("total"),
+            F.max("n").cast("long").alias("n_active"),
+            F.round(F.avg("n"), 2).alias("pct_active"),
+        )
+    )
+    return entity.unionAll(rel).orderBy("section")
+
+
+SQL_VOLUMETRY = """
+SELECT 'orders' AS section, count(*) AS total,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) * 100.0 / count(*), 2) AS pct_active
+FROM orders
+UNION ALL
+SELECT 'items_per_order', count(*),
+       CAST(max(n) AS BIGINT),
+       round(avg(n), 2)
+FROM (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey)
+ORDER BY section
+"""
+
+
 def q_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag() analytics: per-user inter-event gaps (microsecond-exact),
     aggregated per user. The window partitions by user — shuffle on
@@ -1386,7 +1432,13 @@ ORDER BY p_brand, p_partkey
 
 def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) over a deterministic total order: order-value quartile
-    stats."""
+    stats.
+
+    Scale note: exact equal-count quantiles inherently require a total
+    order (one-partition window) — correct here and at dim scale; for
+    100 TB fact quantiles use ``approxQuantile``/``percentile_approx``
+    boundaries + a broadcast range join instead (sketch-based, no global
+    sort)."""
     orders = _t(spark, sf_dir, "orders")
     w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
     return (
@@ -1834,6 +1886,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sliding_windows": (q_sliding_windows, SQL_SLIDING_WINDOWS),
     "event_sessionization": (q_event_sessionization, SQL_EVENT_SESSIONIZATION),
     "json_props": (q_json_props, SQL_JSON_PROPS),
+    "volumetry": (q_volumetry, SQL_VOLUMETRY),
     "lag_gaps": (q_lag_gaps, SQL_LAG_GAPS),
     "rank_parts": (q_rank_parts, SQL_RANK_PARTS),
     "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),

@@ -161,3 +161,22 @@ def test_curation_lsh_equals_exact(spark, sf_dir):
     lsh = {r["doc_id"] for r in curate_corpus(docs, use_lsh=True).collect()}
     assert exact == lsh  # LSH path = exact path at these parameters
     assert 0 < len(exact) < docs.count()
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    from ra2_datalake_linaresjoan_spark.llmdata.multimodal import (
+        attach_binary_payload,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = attach_binary_payload(docs, "text", "doc_id")
+    resized = resize_images(media, width=64, height=64)
+    rows = resized.collect()
+    assert len(rows) == 20
+    assert all(len(r["payload"]) == 64 * 64 // 64 for r in rows)
+    assert all(r["width"] == 64 for r in rows)
+    frames = sample_frames(media, every_n=10, max_frames=3)
+    per_media = frames.groupBy("media_id").count().collect()
+    assert all(1 <= r["count"] <= 3 for r in per_media)
