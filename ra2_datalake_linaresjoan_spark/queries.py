@@ -1315,6 +1315,73 @@ ORDER BY k_mod
 # ---------------------------------------------------------------------------
 
 
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped argmin join-back: per part (sampled), the supplier
+    row achieving the minimum supply cost — here modeled as the
+    minimum-acctbal supplier among the part's lineitem suppliers.
+    Window-min + filter (no self-join), deterministic id tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(_t(spark, sf_dir, "supplier"))
+    pairs = (
+        li.filter(F.col("l_partkey") % 100 == 0)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("l_partkey", "s_suppkey", F.round("s_acctbal", 4).alias("s_acctbal"))
+        .orderBy("l_partkey")
+    )
+
+
+SQL_CHEAPEST_SUPPLIER = """
+SELECT l_partkey, s_suppkey, round(s_acctbal, 4) AS s_acctbal
+FROM (
+  SELECT DISTINCT l.l_partkey, s.s_suppkey, s.s_acctbal,
+         row_number() OVER (PARTITION BY l.l_partkey
+                            ORDER BY s.s_acctbal ASC, s.s_suppkey ASC) AS rn
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_partkey % 100 = 0) l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+) WHERE rn = 1
+ORDER BY l_partkey
+"""
+
+
+def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by-style argmax: per event_type, the highest-value event
+    (deterministic via struct max ordering: value then event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    best = F.max(F.struct(F.col("value"), F.col("event_id")))
+    worst = F.min(F.struct(F.col("value"), F.col("event_id")))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            best["event_id"].alias("top_event_id"),
+            F.round(best["value"], 4).alias("top_value"),
+            worst["event_id"].alias("bottom_event_id"),
+            F.round(worst["value"], 4).alias("bottom_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_ARGMAX_EVENTS = """
+SELECT event_type,
+       first(event_id ORDER BY value DESC, event_id DESC) AS top_event_id,
+       round(max(value), 4)                               AS top_value,
+       first(event_id ORDER BY value ASC, event_id ASC)   AS bottom_event_id,
+       round(min(value), 4)                               AS bottom_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_volumetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volumetry report shape (A1/A8/A9, reference
     extractor_polymarket.py:231-353): entity totals + status percentages +
@@ -1887,6 +1954,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "event_sessionization": (q_event_sessionization, SQL_EVENT_SESSIONIZATION),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "volumetry": (q_volumetry, SQL_VOLUMETRY),
+    "cheapest_supplier": (q_cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
+    "argmax_events": (q_argmax_events, SQL_ARGMAX_EVENTS),
     "lag_gaps": (q_lag_gaps, SQL_LAG_GAPS),
     "rank_parts": (q_rank_parts, SQL_RANK_PARTS),
     "ntile_quartiles": (q_ntile_quartiles, SQL_NTILE_QUARTILES),
