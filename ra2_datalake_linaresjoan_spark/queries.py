@@ -1382,6 +1382,83 @@ ORDER BY event_type
 """
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per order priority.
+
+    Scale note: exact percentiles sort within each group; for 100 TB use
+    ``percentile_approx`` (t-digest sketch, mergeable, one pass) — exposed
+    by the engine but not oracle-comparable (sketch implementations
+    differ across engines)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4)  AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of embedding vectors (storage/bandwidth
+    op for vector pipelines): per-vector scale = 127/max|v|, elements
+    rounded into [-127, 127]. Pure higher-order expressions — JVM-side,
+    no Python; oracle via DuckDB list lambdas."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    max_abs = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    scale = F.when(max_abs == 0, F.lit(1.0)).otherwise(127.0 / max_abs)
+    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    out = emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        q.alias("q"),
+    )
+    return out.select(
+        "vec_id",
+        "scale",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias(
+            "l1_quantized"
+        ),
+        F.array_max("q").alias("q_max"),
+        F.array_min("q").alias("q_min"),
+    ).orderBy("vec_id")
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH q AS (
+  SELECT vec_id,
+         CASE WHEN m = 0 THEN 1.0 ELSE 127.0 / m END AS scale_raw,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * (CASE WHEN m = 0 THEN 1.0 ELSE 127.0 / m END)) AS INTEGER)) AS qv
+  FROM (SELECT vec_id, embedding,
+               list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),
+                           (a, b) -> greatest(a, b)) AS m
+        FROM embeddings)
+)
+SELECT vec_id,
+       round(scale_raw, 6) AS scale,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1_quantized,
+       list_max(qv) AS q_max,
+       list_min(qv) AS q_min
+FROM q
+ORDER BY vec_id
+"""
+
+
 def q_volumetry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volumetry report shape (A1/A8/A9, reference
     extractor_polymarket.py:231-353): entity totals + status percentages +
@@ -1955,6 +2032,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "volumetry": (q_volumetry, SQL_VOLUMETRY),
     "cheapest_supplier": (q_cheapest_supplier, SQL_CHEAPEST_SUPPLIER),
+    "percentiles": (q_percentiles, SQL_PERCENTILES),
+    "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
     "argmax_events": (q_argmax_events, SQL_ARGMAX_EVENTS),
     "lag_gaps": (q_lag_gaps, SQL_LAG_GAPS),
     "rank_parts": (q_rank_parts, SQL_RANK_PARTS),

@@ -73,3 +73,41 @@ def test_sliding_window_each_event_in_two_windows(spark, events_stream):
     )
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     assert out.agg(F.sum("n_events")).collect()[0][0] == 2 * n_events
+
+
+def test_foreach_batch_checkpoint_recovery(spark, tmp_path):
+    """foreachBatch sink + checkpoint: a restarted stream must NOT
+    reprocess already-committed files (exactly-once per micro-batch)."""
+    import shutil
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "a.parquet")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(str(out))
+
+    def run_once():
+        q = (
+            read_events_stream(spark, str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(str(out)).count()
+    assert n1 == 1000
+
+    # restart with no new data: checkpoint prevents reprocessing
+    run_once()
+    assert spark.read.parquet(str(out)).count() == n1
+
+    # add a second file: only the delta is processed
+    shutil.copy(f"{SF}/events.parquet", src / "b.parquet")
+    run_once()
+    assert spark.read.parquet(str(out)).count() == 2 * n1
