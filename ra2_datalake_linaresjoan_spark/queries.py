@@ -2053,9 +2053,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 }
 
 
+def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    from ra2_datalake_linaresjoan_spark.queries_ext import REGISTRY_EXT
+
+    return {**_REGISTRY, **REGISTRY_EXT}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _full_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {name: sql for name, (_, sql) in _full_registry().items() if sql is not None}

@@ -180,3 +180,19 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     frames = sample_frames(media, every_n=10, max_frames=3)
     per_media = frames.groupBy("media_id").count().collect()
     assert all(1 <= r["count"] <= 3 for r in per_media)
+
+
+def test_connected_components(spark):
+    from ra2_datalake_linaresjoan_spark.operators.components import (
+        connected_components,
+    )
+
+    # two components: a chain 1-2-3-4 (diameter > 1 round) and a pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        (r["id"], r["component_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
