@@ -104,3 +104,55 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(o_year" in plan
     n97 = orders.filter(F.col("o_year") == 1997).count()
     assert filtered.count() == n97
+
+
+def test_python_datasource_batch(spark):
+    from ra2_datalake_linaresjoan_spark.sources.datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("rest_paginated")
+        .option("endpoint", "markets")
+        .option("mode", "synthetic")
+        .option("total_pages", "4")
+        .option("page_size", "25")
+        .load()
+    )
+    assert df.count() == 100
+    assert df.rdd.getNumPartitions() == 4  # one task per page
+    parsed = df.selectExpr(
+        "from_json(raw, 'id string, question string, volume double, active boolean') AS r"
+    ).select("r.*")
+    assert parsed.filter("id = 'markets-0'").count() == 1
+    assert parsed.schema["volume"].dataType.typeName() == "double"
+
+
+def test_python_datasource_stream(spark, tmp_path):
+    from ra2_datalake_linaresjoan_spark.sources.datasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("rest_paginated")
+        .option("endpoint", "events")
+        .option("mode", "synthetic")
+        .option("total_pages", "3")
+        .option("page_size", "10")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rest_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # one page per micro-batch: poll until all 3 pages are committed
+    import time
+
+    n = 0
+    for _ in range(120):
+        n = spark.sql("SELECT count(*) AS n FROM rest_stream_sink").collect()[0]["n"]
+        if n >= 30:
+            break
+        time.sleep(1)
+    q.stop()
+    assert n == 30
