@@ -507,6 +507,37 @@ FROM reach GROUP BY u ORDER BY vec_id
 """
 
 
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse_json once,
+    then typed variant_get extraction — the modern engine path for JSON
+    columns (binary-encoded, no re-parse per field access), vs the string
+    get_json_object path exercised by `json_props`."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 5).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+SQL_PROPS_VARIANT = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS k_bucket,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY k_bucket
+ORDER BY k_bucket
+"""
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "order_priority_exists": (q_order_priority_exists, SQL_ORDER_PRIORITY_EXISTS),
@@ -524,4 +555,5 @@ REGISTRY_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "hash_sample_docs": (q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
+    "props_variant": (q_props_variant, SQL_PROPS_VARIANT),
 }

@@ -117,3 +117,31 @@ def test_parse_list_value_tolerant(spark):
     out = _apply(spark, parse_list_value,
                  ["['a', 'b']", "not-a-list", None, "[]"])
     assert out == [["a", "b"], [], [], []]
+
+
+def test_char_shingles_udtf(spark):
+    from ra2_datalake_linaresjoan_spark.llmdata.udtfs import (
+        register_udtfs,
+        shingle_table,
+    )
+
+    register_udtfs(spark)
+    docs = spark.createDataFrame(
+        [(1, "Hello"), (2, None), (3, "ab")], ["doc_id", "text"]
+    )
+    docs.createOrReplaceTempView("udtf_docs")
+    sql_rows = spark.sql(
+        "SELECT d.doc_id, s.pos, s.shingle "
+        "FROM udtf_docs d, LATERAL char_shingles(d.text, 3) s"
+    ).collect()
+    assert {(r["doc_id"], r["pos"], r["shingle"]) for r in sql_rows} == {
+        (1, 0, "hel"),
+        (1, 1, "ell"),
+        (1, 2, "llo"),
+    }
+    api_rows = shingle_table(docs, "text", 3).collect()
+    assert {(r["doc_id"], r["shingle"]) for r in api_rows} == {
+        (1, "hel"),
+        (1, "ell"),
+        (1, "llo"),
+    }
