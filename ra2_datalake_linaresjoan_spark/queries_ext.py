@@ -420,7 +420,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     within doc. All JVM-side expressions (explode + two aggs + window) —
     the canonical inverted-index shape that scales linearly in corpus size."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    # corpus size as a lazy broadcast scalar, not an eager .count() — at
+    # 100 TB a driver-side count would be a full blocking scan before the
+    # plan even builds; this way it is one cheap metadata-only agg job
+    # inside the same plan.
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tokens = docs.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
@@ -430,9 +434,10 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
         tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
-            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)

@@ -196,3 +196,21 @@ def test_connected_components(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_hll_sketch_rollup(spark, sf_dir):
+    """Mergeable HLL sketches: per-group sketches union to the global
+    distinct count — the pre-aggregated-rollup path for COUNT(DISTINCT)
+    at 100 TB (store sketch bytes per partition, merge at query time,
+    never re-scan raw data)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_status.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_n")
+    ).collect()[0]["approx_n"]
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
