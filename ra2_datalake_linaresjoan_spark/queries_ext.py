@@ -543,6 +543,52 @@ ORDER BY k_bucket
 """
 
 
+def q_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: lag() marks a session break when the
+    gap to the previous event exceeds 30 min, a running sum of break flags
+    numbers the sessions, then a per-session rollup. The pure-window
+    formulation of what `event_sessionization` does with session_window() —
+    both shapes matter (this one composes with arbitrary per-row logic).
+    One shuffle on user_id; both windows share that partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap (unix_timestamp would truncate to seconds and
+    # misclassify gaps whose fractional parts straddle the 1800 s boundary)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_ord))
+    is_break = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.withColumn("session_no", F.sum(is_break).over(w_run))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+SQL_SESSION_ISLANDS = """
+WITH flagged AS (
+  SELECT user_id, value, ts,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL '1800 seconds' THEN 0 ELSE 1 END AS is_break,
+         event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, value,
+         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM numbered
+GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "order_priority_exists": (q_order_priority_exists, SQL_ORDER_PRIORITY_EXISTS),
@@ -561,4 +607,5 @@ REGISTRY_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     "props_variant": (q_props_variant, SQL_PROPS_VARIANT),
+    "session_islands": (q_session_islands, SQL_SESSION_ISLANDS),
 }
