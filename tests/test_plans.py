@@ -46,3 +46,32 @@ def test_window_dedup_partitions_by_key(spark, sf_dir):
     plan = _plan(spark, sf_dir, "window_dedup")
     # the window must shuffle by the dedup key, not a global sort
     assert "hashpartitioning(user_id" in plan
+
+
+def test_having_joinback_broadcasts_aggregate(spark, sf_dir):
+    """Q18 shape: the HAVING-filtered aggregate (tiny) must be the broadcast
+    side, so the orders/customer scans never shuffle on the join key."""
+    plan = _plan(spark, sf_dir, "large_volume_customers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_customer_distribution_keeps_outer(spark, sf_dir):
+    """Q13 shape: the LEFT OUTER must survive optimization (zero-order
+    customers are the point of the query)."""
+    plan = _plan(spark, sf_dir, "customer_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_exists_semi_prunes_columns(spark, sf_dir):
+    """Q4 shape: the lineitem side of the EXISTS semi-join should scan only
+    the join key + filter column, not the full row."""
+    plan = _plan(spark, sf_dir, "order_priority_exists")
+    li_reads = [
+        l for l in plan.splitlines()
+        if "ReadSchema" in l and "l_orderkey" in l
+    ]
+    assert li_reads and all(
+        "l_extendedprice" not in l and "l_quantity" not in l for l in li_reads
+    )
+    assert "LeftSemi" in plan
