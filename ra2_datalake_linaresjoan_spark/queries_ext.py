@@ -589,6 +589,44 @@ ORDER BY user_id, session_no
 """
 
 
+def q_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the DataFrame API (Spark 4
+    ``groupingSets``): per-status and per-priority totals in ONE scan +
+    one expand — completing the multi-grouping family next to
+    `rollup_orders` and `cube_orders`. At scale this replaces two separate
+    groupBy jobs over the same fact."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "avg_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+SQL_GROUPING_SETS_ORDERS = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY status, priority
+"""
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "order_priority_exists": (q_order_priority_exists, SQL_ORDER_PRIORITY_EXISTS),
@@ -608,4 +646,5 @@ REGISTRY_EXT: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | No
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     "props_variant": (q_props_variant, SQL_PROPS_VARIANT),
     "session_islands": (q_session_islands, SQL_SESSION_ISLANDS),
+    "grouping_sets_orders": (q_grouping_sets_orders, SQL_GROUPING_SETS_ORDERS),
 }
