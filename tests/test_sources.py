@@ -156,3 +156,21 @@ def test_python_datasource_stream(spark, tmp_path):
         time.sleep(1)
     q.stop()
     assert n == 30
+
+
+def test_csv_sink_roundtrip(spark, tmp_path):
+    """S6: CSV sink with header; values survive a read-back with schema."""
+    from ra2_datalake_linaresjoan_spark.sources.writers import write_table
+
+    df = spark.createDataFrame(
+        [(1, "a,b", 1.5), (2, None, -0.25)], ["id", "txt", "x"]
+    )
+    p = str(tmp_path / "csv_out")
+    write_table(df, p, fmt="csv")
+    back = (
+        spark.read.option("header", "true")
+        .schema("id bigint, txt string, x double")
+        .csv(p)
+    )
+    rows = {r["id"]: (r["txt"], r["x"]) for r in back.collect()}
+    assert rows == {1: ("a,b", 1.5), 2: (None, -0.25)}
