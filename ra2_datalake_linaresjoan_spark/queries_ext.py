@@ -4,8 +4,10 @@ Widens SURVEY §2 coverage with the TPC-H shapes the first batch skipped
 (EXISTS semi-join aggregation, outer-join histogram, conditional ratio,
 HAVING join-back, returned-items top-k), analytic window frames (running
 totals, moving averages, first/last value, percent_rank/cume_dist), pivot,
-deterministic hash sampling, TF-IDF, collect_set aggregation, CUBE, and
-near-dup connected components. Same contract as `queries.py`: identical
+deterministic hash sampling, TF-IDF, collect_set aggregation, CUBE,
+GROUPING SETS, VARIANT-typed JSON access, gaps-and-islands
+sessionization, and near-dup connected components. Same contract as
+`queries.py`: identical
 column aliases both sides, aggregate doubles rounded to 4 (rank fractions
 to 6) so summation-order noise can't flip the driver's value hash.
 """
