@@ -2055,8 +2055,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from ra2_datalake_linaresjoan_spark.queries_ext import REGISTRY_EXT
+    from ra2_datalake_linaresjoan_spark.queries_ext3 import REGISTRY_EXT3
 
-    return {**_REGISTRY, **REGISTRY_EXT}
+    return {**_REGISTRY, **REGISTRY_EXT, **REGISTRY_EXT3}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
