@@ -210,9 +210,14 @@ ORDER BY l_linestatus
 
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: per-supplier revenue over a quarter, then the
-    supplier(s) whose revenue equals the global max (scalar subquery).
-    The max is a one-row aggregate of the already-reduced revenue table,
-    broadcast back — the raw fact is scanned exactly once."""
+    supplier(s) whose revenue equals the global max. The max is an
+    unpartitioned window over the ALREADY-REDUCED revenue table (one row
+    per supplier), so the raw fact is scanned exactly once — a
+    scalar-subquery formulation would recompute the whole revenue subtree
+    for the max. The single-partition window is safe at any scale: its
+    input is at most |suppliers| rows."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1996-04-01"))
@@ -220,10 +225,13 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
     )
-    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        revenue.join(F.broadcast(max_rev), F.col("total_rev") == F.col("max_rev"))
+        revenue.withColumn(
+            "max_rev",
+            F.max("total_rev").over(Window.partitionBy(F.lit(1))),
+        )
+        .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",

@@ -75,3 +75,66 @@ def test_exists_semi_prunes_columns(spark, sf_dir):
         "l_extendedprice" not in l and "l_quantity" not in l for l in li_reads
     )
     assert "LeftSemi" in plan
+
+
+def test_forecast_revenue_all_predicates_pushed(spark, sf_dir):
+    """Q6 shape: every predicate (date range, discount band, quantity cap)
+    must reach the parquet scan, and the job must be join-free — one
+    map-side partial agg plus the single-partition final."""
+    plan = _plan(spark, sf_dir, "forecast_revenue")
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in pushed, frag
+    assert "Join" not in plan
+
+
+def test_top_supplier_single_fact_scan(spark, sf_dir):
+    """Q15 shape: the window-max formulation must NOT recompute the revenue
+    subtree — exactly two scans (lineitem + supplier; formatted explain
+    lists each node twice)."""
+    plan = _plan(spark, sf_dir, "top_supplier")
+    assert plan.count("Scan parquet") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_discounted_revenue_disjunction_pushdown(spark, sf_dir):
+    """Q19 shape: Catalyst must extract per-side conjuncts of the
+    OR-of-ANDs onto BOTH scans (quantity envelopes → lineitem, brand/size
+    envelopes → part) and keep the part side broadcast."""
+    plan = _plan(spark, sf_dir, "discounted_revenue")
+    li_pushed = [
+        l for l in plan.splitlines() if "PushedFilters" in l and "l_quantity" in l
+    ]
+    part_pushed = [
+        l for l in plan.splitlines() if "PushedFilters" in l and "p_brand" in l
+    ]
+    assert li_pushed and any("Or(" in l for l in li_pushed)
+    assert part_pushed and any("Or(" in l for l in part_pushed)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_time_bucket_rollup_single_scan(spark, sf_dir):
+    """Hypertable rollup: the hourly level must merge the 5-minute
+    partials, not re-scan events — one scan, no join."""
+    plan = _plan(spark, sf_dir, "time_bucket_rollup")
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+
+
+def test_waiting_suppliers_no_cartesian(spark, sf_dir):
+    """Q21 shape: the EXISTS/NOT-EXISTS rewrite must stay key-equi — no
+    nested-loop or cartesian fallback anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dormant_customers_anti_join(spark, sf_dir):
+    """Q22 shape: the dormancy check must be a LeftAnti join over the
+    key-pruned, date-filtered orders column."""
+    plan = _plan(spark, sf_dir, "dormant_customers")
+    assert "LeftAnti" in plan
+    reads = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "o_custkey" in l
+    ]
+    assert reads and all("o_totalprice" not in l for l in reads)
