@@ -111,3 +111,52 @@ def test_foreach_batch_checkpoint_recovery(spark, tmp_path):
     shutil.copy(f"{SF}/events.parquet", src / "b.parquet")
     run_once()
     assert spark.read.parquet(str(out)).count() == 2 * n1
+
+
+def test_stream_stream_join_equals_batch(spark, events_dir):
+    """Watermarked stream–stream interval join (click → purchase within
+    30 min per user) must emit exactly the pairs the same join produces
+    on bounded DataFrames."""
+    from ra2_datalake_linaresjoan_spark.queries import _events
+    from ra2_datalake_linaresjoan_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+    from ra2_datalake_linaresjoan_spark.streaming.windows import read_events_stream
+
+    clicks = read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_interval_join(clicks, purchases)
+    stream_out = run_to_memory(joined, "t_ssjoin", spark, output_mode="append")
+
+    ev = _events(spark, SF)
+    batch = stream_stream_interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    cols = ["l_event_id", "r_event_id"]
+    assert _rows(stream_out, cols) == _rows(batch, cols)
+    assert stream_out.count() > 0
+
+
+def test_stream_static_enrich_broadcasts(spark, events_stream):
+    """Stream–static join: every stream row keeps exactly one dimension
+    match; the plan on the static side is a broadcast."""
+    from ra2_datalake_linaresjoan_spark.streaming.joins import stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [(t, t.upper()) for t in ("click", "purchase", "view", "signup", "error")],
+        ["event_type", "type_label"],
+    )
+    out = run_to_memory(
+        stream_static_enrich(events_stream, dim, "event_type"),
+        "t_ssenrich",
+        spark,
+        output_mode="append",
+    )
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert out.count() == n_events
+    assert out.filter(F.col("type_label").isNull()).count() == 0
