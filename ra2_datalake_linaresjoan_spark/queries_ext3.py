@@ -490,6 +490,47 @@ ORDER BY bucket_hour, event_type
 """
 
 
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history over the events feed: each user's event_type is
+    treated as a dimension attribute; consecutive no-change rows collapse
+    into one validity episode (`operators/scd2.scd2_history`). Validity
+    bounds are emitted as epoch-micros BIGINTs (the feed carries
+    microsecond fractions — see `session_islands`)."""
+    from ra2_datalake_linaresjoan_spark.operators.scd2 import scd2_history
+    from ra2_datalake_linaresjoan_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    hist = scd2_history(ev, key="user_id", state="event_type", ts="ts", tiebreak="event_id")
+    return hist.select(
+        "user_id",
+        "state",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    ).orderBy("user_id", "valid_from_us")
+
+
+SQL_SCD2_USER_STATE = """
+WITH changed AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events
+  )
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id,
+       event_type AS state,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(lead(ts) OVER w) AS valid_to_us,
+       lead(ts) OVER w IS NULL AS is_current
+FROM changed
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from_us
+"""
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY_EXT3: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
@@ -502,4 +543,5 @@ REGISTRY_EXT3: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "waiting_suppliers": (q_waiting_suppliers, SQL_WAITING_SUPPLIERS),
     "dormant_customers": (q_dormant_customers, SQL_DORMANT_CUSTOMERS),
     "time_bucket_rollup": (q_time_bucket_rollup, SQL_TIME_BUCKET_ROLLUP),
+    "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
 }

@@ -91,3 +91,48 @@ def write_json_report(rows: list[dict], path: str) -> None:
 
     with open(path, "w") as f:
         json.dump(rows, f, indent=2, default=str)
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    num_files: int | None = None,
+) -> None:
+    """Layout-optimized write: range-partition on ``sort_cols`` then sort
+    within each file, so parquet row-group min/max stats become tight,
+    non-overlapping ranges — the poor man's clustering index. A later
+    scan with a predicate on the leading sort column skips whole row
+    groups / files (data skipping), which at 100 TB is the difference
+    between reading a partition and reading a table.
+    """
+    parted = (
+        df.repartitionByRange(num_files, *sort_cols)
+        if num_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    parted.sortWithinPartitions(*sort_cols).write.format(fmt).mode(mode).save(path)
+
+
+def compact(spark, src: str, dest: str, fmt: str = "parquet", target_file_mb: int = 128) -> int:
+    """Small-files compaction: rewrite ``src`` into ``dest`` with file
+    sizes near ``target_file_mb``. Streaming sinks and per-batch appends
+    leave thousands of KB-scale files; at scale that throttles every
+    downstream scan on file-open overhead and starves the scheduler with
+    tiny splits. File count is derived from the ACTUAL byte size via the
+    Hadoop FileSystem API (scheme-agnostic: file://, s3a://, hdfs://),
+    not a row-count guess. Returns the output file count.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(src)
+    # coalesce (no shuffle) when shrinking the file count; repartition
+    # only if we must grow it
+    out = df.coalesce(int(n)) if df.rdd.getNumPartitions() >= n else df.repartition(int(n))
+    out.write.format(fmt).mode("overwrite").save(dest)
+    return int(n)

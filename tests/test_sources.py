@@ -174,3 +174,67 @@ def test_csv_sink_roundtrip(spark, tmp_path):
     )
     rows = {r["id"]: (r["txt"], r["x"]) for r in back.collect()}
     assert rows == {1: ("a,b", 1.5), 2: (None, -0.25)}
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    """Compaction: a directory of tiny files is rewritten to the byte-size
+    derived count, preserving every row."""
+    from ra2_datalake_linaresjoan_spark.sources.writers import compact
+
+    src, dest = str(tmp_path / "small"), str(tmp_path / "compacted")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.repartition(50).write.parquet(src)
+    n = compact(spark, src, dest, target_file_mb=128)
+    assert n == 1  # sf0.001 orders ≪ 128 MB
+    out = spark.read.parquet(dest)
+    assert out.count() == orders.count()
+    assert len([f for f in out.inputFiles() if f.endswith(".parquet")]) == 1
+
+
+def test_write_sorted_gives_disjoint_file_ranges(spark, tmp_path):
+    """Layout write: repartitionByRange + sortWithinPartitions must yield
+    files whose [min, max] ranges on the sort key do not overlap — the
+    property parquet min/max data skipping needs."""
+    import pyarrow.parquet as pq
+
+    from ra2_datalake_linaresjoan_spark.sources.writers import write_sorted
+
+    dest = str(tmp_path / "sorted")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_sorted(orders, dest, ["o_orderkey"], num_files=4)
+    ranges = []
+    for f in spark.read.parquet(dest).inputFiles():
+        md = pq.read_metadata(f.removeprefix("file:"))
+        idx = md.schema.names.index("o_orderkey")
+        mins = [md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups)]
+        maxs = [md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned layout: a filter on the partition column must show
+    up as PartitionFilters (pruning at planning time — at scale this is
+    what keeps a day query from listing seven years of files)."""
+    from pyspark.sql import functions as F
+
+    dest = str(tmp_path / "orders_by_year")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_table(
+        orders.withColumn("o_year", F.year("o_orderdate")),
+        dest,
+        partition_by=["o_year"],
+    )
+    df = spark.read.parquet(dest).filter(F.col("o_year") == 1996)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "o_year" in plan.split("PartitionFilters")[1].split("]")[0]
+    years = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.year("o_orderdate").alias("y")
+    ).distinct().count()
+    assert years > 1
+    assert df.count() == orders.filter(F.year("o_orderdate") == 1996).count()
