@@ -490,6 +490,39 @@ ORDER BY bucket_hour, event_type
 """
 
 
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling (the training-data-mix shape:
+    different keep rates per language): keep a doc iff the first hex char
+    of md5(doc_id) is below a per-stratum threshold — 50% for 'en', 25%
+    for 'de', 12.5% elsewhere. Unlike `sampleBy` (rand()-seeded, engine-
+    and partitioning-dependent) this is reproducible across engines and
+    reruns, and it's a pure pushed-down filter — no shuffle before the
+    final per-lang count."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    threshold = (
+        F.when(F.col("lang") == "en", F.lit("8"))
+        .when(F.col("lang") == "de", F.lit("4"))
+        .otherwise(F.lit("2"))
+    )
+    return (
+        docs.filter(bucket < threshold)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("lang")
+    )
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = """
+SELECT lang, count(*) AS n_sampled
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      < (CASE WHEN lang = 'en' THEN '8' WHEN lang = 'de' THEN '4' ELSE '2' END)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 history over the events feed: each user's event_type is
     treated as a dimension attribute; consecutive no-change rows collapse
@@ -544,4 +577,5 @@ REGISTRY_EXT3: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "dormant_customers": (q_dormant_customers, SQL_DORMANT_CUSTOMERS),
     "time_bucket_rollup": (q_time_bucket_rollup, SQL_TIME_BUCKET_ROLLUP),
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
+    "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
 }
