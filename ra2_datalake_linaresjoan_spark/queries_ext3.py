@@ -564,6 +564,85 @@ ORDER BY user_id, valid_from_us
 """
 
 
+def q_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 fixed iterations, damping 0.85) over the
+    nation trade graph: an edge customer-nation → supplier-nation per
+    lineitem, weight = line count (`operators/pagerank.py`). The class of
+    computation SQL can't express with a bounded plan — here the oracle
+    CAN check it exactly because the iteration count is fixed and the SQL
+    side unrolls the same three steps. Ranks rounded to 6."""
+    from ra2_datalake_linaresjoan_spark.operators.pagerank import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+    nodes = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("id"))
+    ranks = pagerank(nodes, edges, iterations=3, damping=0.85)
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ranks.join(F.broadcast(nat), ranks["id"] == nat["n_nationkey"])
+        .select(F.col("n_name").alias("nation"), F.round("rank", 6).alias("pagerank"))
+        .orderBy("nation")
+    )
+
+
+SQL_NATION_PAGERANK = """
+WITH edges AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY src, dst
+), trans AS (
+  SELECT src, dst, weight / sum(weight) OVER (PARTITION BY src) AS p
+  FROM edges
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nation
+), r0 AS (
+  SELECT n_nationkey AS id, 1.0 / (SELECT cnt FROM n) AS rank FROM nation
+), r1 AS (
+  SELECT nation.n_nationkey AS id,
+         0.15 / (SELECT cnt FROM n)
+         + 0.85 * coalesce(sum(r0.rank * trans.p), 0.0) AS rank
+  FROM nation
+  LEFT JOIN trans ON trans.dst = nation.n_nationkey
+  LEFT JOIN r0 ON r0.id = trans.src
+  GROUP BY nation.n_nationkey
+), r2 AS (
+  SELECT nation.n_nationkey AS id,
+         0.15 / (SELECT cnt FROM n)
+         + 0.85 * coalesce(sum(r1.rank * trans.p), 0.0) AS rank
+  FROM nation
+  LEFT JOIN trans ON trans.dst = nation.n_nationkey
+  LEFT JOIN r1 ON r1.id = trans.src
+  GROUP BY nation.n_nationkey
+), r3 AS (
+  SELECT nation.n_nationkey AS id,
+         0.15 / (SELECT cnt FROM n)
+         + 0.85 * coalesce(sum(r2.rank * trans.p), 0.0) AS rank
+  FROM nation
+  LEFT JOIN trans ON trans.dst = nation.n_nationkey
+  LEFT JOIN r2 ON r2.id = trans.src
+  GROUP BY nation.n_nationkey
+)
+SELECT n_name AS nation, round(r3.rank, 6) AS pagerank
+FROM r3 JOIN nation ON r3.id = n_nationkey
+ORDER BY nation
+"""
+
+
 # name -> (spark_fn, oracle_sql | None)
 REGISTRY_EXT3: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "forecast_revenue": (q_forecast_revenue, SQL_FORECAST_REVENUE),
@@ -578,4 +657,5 @@ REGISTRY_EXT3: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "time_bucket_rollup": (q_time_bucket_rollup, SQL_TIME_BUCKET_ROLLUP),
     "scd2_user_state": (q_scd2_user_state, SQL_SCD2_USER_STATE),
     "stratified_sample_docs": (q_stratified_sample_docs, SQL_STRATIFIED_SAMPLE_DOCS),
+    "nation_pagerank": (q_nation_pagerank, SQL_NATION_PAGERANK),
 }
