@@ -138,3 +138,25 @@ def test_dormant_customers_anti_join(spark, sf_dir):
         l for l in plan.splitlines() if "ReadSchema" in l and "o_custkey" in l
     ]
     assert reads and all("o_totalprice" not in l for l in reads)
+
+
+def test_scd2_single_shuffle_for_both_windows(spark, sf_dir):
+    """SCD2: the lag-filter pass and the lead pass share partitioning and
+    ordering, so the plan must contain exactly one events-side hash
+    exchange on user_id (formatted explain lists nodes twice)."""
+    plan = _plan(spark, sf_dir, "scd2_user_state")
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+
+
+def test_pagerank_iterations_reuse_cached_edges(spark, sf_dir):
+    """PageRank: iterations must reuse the cached transition table instead
+    of rebuilding the fact-scan subtree — the final plan shows in-memory
+    relation scans, and the raw lineitem scan appears at most once."""
+    plan = _plan(spark, sf_dir, "nation_pagerank")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    li_scans = [
+        l
+        for l in plan.splitlines()
+        if "Scan parquet" in l and "lineitem" in l
+    ]
+    assert len(li_scans) <= 2
