@@ -210,17 +210,37 @@ def verify_candidates_jaccard(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+def _simhash_bit(hash_fn: str, b: int) -> "F.Column":
+    """Bit ``b`` (0 = LSB) of the 64-bit shingle hash, as a 0/1 Column.
+
+    ``xxhash64`` (default): native JVM hash — fastest, Spark-specific.
+    ``md5``: engine-portable — bit b lives in hex digit ``15 - b//4`` of
+    the md5 hex string (digit's bit ``b%4``), identically computable in
+    any SQL engine with md5 + hex parsing (used by the DuckDB oracle).
+    """
+    if hash_fn == "xxhash64":
+        return F.shiftright(F.xxhash64("shingle"), b).bitwiseAND(F.lit(1))
+    if hash_fn == "md5":
+        digit = F.conv(F.substring(F.md5("shingle"), 16 - b // 4, 1), 16, 10).cast("int")
+        return F.shiftright(digit, b % 4).bitwiseAND(F.lit(1))
+    raise ValueError(f"unknown simhash hash_fn: {hash_fn!r}")
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, hash_fn: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per document from shingle hashes.
 
     For each bit position, sum +1/-1 over shingle hashes; bit = sign.
     Implemented as 64 conditional aggregates — JVM-side, one shuffle.
-    Returns (id, simhash: long).
+    ``hash_fn="md5"`` swaps xxhash64 for an engine-portable bit source
+    (same algorithm, SQL-oracle-checkable). Returns (id, simhash: long).
     """
     sh = shingles(df, id_col, text_col, n)
-    h = F.xxhash64("shingle")
     aggs = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        F.sum(
+            F.when(_simhash_bit(hash_fn, b) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
         for b in range(64)
     ]
     per_bit = sh.groupBy(id_col).agg(*aggs)
@@ -233,7 +253,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs within a hamming radius.
 
@@ -241,7 +266,7 @@ def simhash_neardup_pairs(
     blocks (pigeonhole: ≤3 differing bits → ≥1 identical block), then exact
     hamming check via bit_count(xor). Returns (doc_a, doc_b, hamming).
     """
-    sig = simhash(df, id_col, text_col, n)
+    sig = simhash(df, id_col, text_col, n, hash_fn=hash_fn)
     blocks = F.array(
         *[F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)]
     )

@@ -36,6 +36,11 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+#: Above this corpus row count the ``auto`` strategy refuses to collect a
+#: matrix to the driver and stays with the broadcast-join expression plan.
+MAX_COLLECT_ROWS = 200_000
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -43,23 +48,29 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int = 6,
-    method: str = "numpy",
+    method: str = "auto",
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (query_id, neighbor_id, cos_sim).
 
-    Two physical strategies, identical results:
-    - ``numpy`` (default): corpus collected once into a broadcast float64
+    Physical strategies, identical results:
+    - ``auto`` (default): one cheap ``count()`` on the corpus; if it is
+      within ``MAX_COLLECT_ROWS`` use the numpy matmul path, else fall back
+      to the collect-free broadcast-join expression plan. No data-sized
+      driver collect is ever reachable on an unbounded corpus.
+    - ``numpy`` (opt-in): corpus collected once into a broadcast float64
       matrix; queries stream through ``mapInPandas`` and each Arrow batch
       is one BLAS matmul + partial top-k. ~10-100× the expression path —
       the right call whenever the corpus fits executor memory (the
       documented contract of a brute-force baseline; beyond that use
       ``lsh_bucket_ann``).
-    - ``expr``: pure Column zip_with/aggregate — no Python anywhere, for
-      when Arrow is unavailable.
+    - ``expr``: pure Column zip_with/aggregate — no Python anywhere, no
+      collect anywhere: the corpus moves via a broadcast *join*.
 
     Ranking happens on the ROUNDED similarity with neighbor-id tiebreak so
     results are deterministic and engine-portable. Self-matches excluded.
     """
+    if method == "auto":
+        method = "numpy" if corpus.count() <= MAX_COLLECT_ROWS else "expr"
     if method == "numpy":
         return _cosine_topk_numpy(queries, corpus, id_col, vec_col, k, round_digits)
     q = queries.select(
@@ -141,20 +152,44 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     round_digits: int = 6,
+    method: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim ≥ t),
     id_a < id_b.
 
-    Same broadcast-matrix mapInPandas shape as ``cosine_topk``: every
-    partition of rows scores against the broadcast corpus with one matmul
-    and keeps only above-threshold pairs where the partner id is larger
-    (dedup for free, no shuffle). For corpora beyond broadcast size,
-    LSH-bucket first (``lsh_bucket_ann``) and verify candidates.
+    ``auto`` (default) size-guards exactly like ``cosine_topk``: a corpus
+    beyond ``MAX_COLLECT_ROWS`` takes the collect-free broadcast-join
+    expression plan; a bounded corpus takes the broadcast-matrix
+    mapInPandas path (one matmul per Arrow batch, keep only pairs with the
+    larger partner id — dedup for free, no shuffle). For corpora beyond
+    broadcast size entirely, LSH-bucket first (``lsh_bucket_ann``) and
+    verify candidates.
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
+
+    if method == "auto":
+        method = "numpy" if df.count() <= MAX_COLLECT_ROWS else "expr"
+    if method == "expr":
+        left = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).cast("array<double>").alias("_av"),
+        )
+        right = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).cast("array<double>").alias("_bv"),
+        )
+        return (
+            left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("_av"), F.col("_bv")), round_digits).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
 
     spark = df.sparkSession
     rows = df.select(id_col, vec_col).collect()
@@ -186,6 +221,79 @@ def cosine_neardup_pairs(
     )
 
 
+def _sqdist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _ivf_ann_seed(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_cells: int,
+    n_probe: int,
+    round_digits: int,
+) -> DataFrame:
+    """IVF with a deterministic seed-vector coarse quantizer: the centroids
+    are the ``n_cells`` lowest-id corpus vectors (a valid — if crude —
+    quantizer; KMeans refines exactly this kind of seeding). Everything is
+    pure DataFrame ops: centroid frame is tiny and broadcast, assignment
+    and probing are windowed argmins over a broadcast cross join, so the
+    whole search is engine-portable and SQL-oracle-checkable.
+    """
+    emb = lambda d, idn, vn: d.select(  # noqa: E731
+        F.col(id_col).alias(idn), F.col(vec_col).cast("array<double>").alias(vn)
+    )
+    cents = (
+        emb(corpus, "cell", "_cv")
+        .orderBy("cell")
+        .limit(n_cells)
+        .withColumn("cell", F.col("cell").cast("int"))
+    )
+    # Corpus→cell assignment: nearest centroid (squared L2, cell tiebreak).
+    c = emb(corpus, "neighbor_id", "_nv")
+    aw = Window.partitionBy("neighbor_id").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    assign = (
+        c.join(F.broadcast(cents), how="cross")
+        .withColumn("_d2", _sqdist(F.col("_nv"), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(aw))
+        .filter(F.col("_rn") == 1)
+        .select("neighbor_id", "_nv", "cell")
+    )
+    # Query probing: n_probe nearest cells each.
+    q = emb(queries, "query_id", "_qv")
+    pw = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("cell").asc())
+    probed = (
+        q.join(F.broadcast(cents), how="cross")
+        .withColumn("_d2", _sqdist(F.col("_qv"), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(pw))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "cell")
+    )
+    scored = (
+        probed.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_nv")), round_digits).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def ivf_ann(
     queries: DataFrame,
     corpus: DataFrame,
@@ -196,19 +304,28 @@ def ivf_ann(
     n_probe: int = 4,
     seed: int = 42,
     round_digits: int = 6,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate NN: KMeans-partitioned corpus cells,
-    each query probes its ``n_probe`` nearest cells and exact-scores only
-    those candidates.
+    """IVF (inverted-file) approximate NN: quantizer-partitioned corpus
+    cells, each query probes its ``n_probe`` nearest cells and exact-scores
+    only those candidates.
 
-    The coarse quantizer is ``pyspark.ml.clustering.KMeans`` (fixed seed);
-    corpus cell assignment is one ``model.transform``; query-side probing
-    broadcasts the (tiny) centroid matrix and explodes each query into its
-    probe cells, so the candidate join is per-cell — corpus scan cost per
-    query drops by ~n_cells/n_probe. Recall/latency tunes via
-    (n_cells, n_probe). At 100 TB: cells are the partition key; a cell's
-    vectors co-locate, and only probed cells are read.
+    ``quantizer="kmeans"`` (default): ``pyspark.ml.clustering.KMeans``
+    (fixed seed); corpus cell assignment is one ``model.transform``;
+    query-side probing broadcasts the (tiny) centroid matrix and explodes
+    each query into its probe cells, so the candidate join is per-cell —
+    corpus scan cost per query drops by ~n_cells/n_probe. Recall/latency
+    tunes via (n_cells, n_probe). At 100 TB: cells are the partition key;
+    a cell's vectors co-locate, and only probed cells are read.
+
+    ``quantizer="seed"``: deterministic lowest-id seed vectors as
+    centroids — identical search mechanics, engine-portable assignment, so
+    the full IVF bucketing is checkable against a SQL oracle.
     """
+    if quantizer == "seed":
+        return _ivf_ann_seed(
+            queries, corpus, id_col, vec_col, k, n_cells, n_probe, round_digits
+        )
     from collections.abc import Iterator
 
     import numpy as np
@@ -314,24 +431,36 @@ def lsh_bucket_ann(
             table_cols.append(bits)
         return df.select(
             F.col(id_col).alias(out_id),
-            v.alias(f"_{out_id}_v"),
             F.posexplode(F.array(*table_cols)).alias("tbl", "bucket"),
         )
 
+    # Candidate dedup moves ONLY the id pair through the exchange — the
+    # embedding arrays are re-joined after distinct so the shuffle payload
+    # stays a few bytes per row instead of 2·dim doubles.
     qb = bucketed(queries, "query_id")
     cb = bucketed(corpus, "neighbor_id")
     cand = (
         qb.join(cb, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_query_id_v", "_neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("_query_id_v"), F.col("_neighbor_id_v")), round_digits).alias(
-            "cos_sim"
-        ),
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    nv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_nv"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_nv")), round_digits).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

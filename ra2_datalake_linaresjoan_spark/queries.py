@@ -844,15 +844,69 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
 
 
+def _simhash_oracle_sql() -> str:
+    """Exact DuckDB oracle of the md5-variant SimHash: same per-bit ±1
+    aggregation, same 4×16-bit banding, same bit_count(xor) hamming —
+    generated programmatically (64 bit expressions)."""
+    bit_sums = ",\n    ".join(
+        "CASE WHEN sum(CASE WHEN (('0x'||substr(md5(shingle), %d, 1))::INT >> %d) & 1 = 1 "
+        "THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit%d" % (16 - b // 4, b % 4, b)
+        for b in range(64)
+    )
+    blocks = ",\n    ".join(
+        "(%s) AS blk%d"
+        % (" + ".join("bit%d * %d" % (16 * blk + j, 1 << j) for j in range(16)), blk)
+        for blk in range(4)
+    )
+    ham = " + ".join(
+        "bit_count(xor(sa.blk%d::BIGINT, sb.blk%d::BIGINT))" % (i, i) for i in range(4)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+), bits AS (
+  SELECT doc_id,
+    {bit_sums}
+  FROM sh GROUP BY doc_id
+), sig AS (
+  SELECT doc_id,
+    {blocks}
+  FROM bits
+), banded AS (
+  SELECT doc_id, blk0, blk1, blk2, blk3,
+         unnest([0, 1, 2, 3]) AS blk, unnest([blk0, blk1, blk2, blk3]) AS val
+  FROM sig
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+), ham AS (
+  SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
+  FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3 ORDER BY doc_a, doc_b
+"""
+
+
+SQL_SIMHASH_NEARDUP = _simhash_oracle_sql()
+
+
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 over 64-bit signatures of
     3-gram shingles; 4-block banding makes that radius exact-recall by
-    pigeonhole) — rows-only check (signature bits are engine-specific)."""
+    pigeonhole). Uses the engine-portable md5 bit source so the full
+    signature + banding + hamming pipeline is oracle-checked bit-for-bit
+    (xxhash64 stays the scale-path default in the operator)."""
     from ra2_datalake_linaresjoan_spark.llmdata.dedup import simhash_neardup_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3).orderBy(
-        "doc_a", "doc_b"
+    return (
+        simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=3, hash_fn="md5")
+        .select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -879,9 +933,61 @@ ORDER BY query_id, cos_sim DESC, neighbor_id
 """
 
 
+def _ann_lsh_oracle_sql(
+    dim: int = 64, planes: int = 6, tables: int = 6, seed: int = 42, k: int = 5
+) -> str:
+    """Exact DuckDB oracle of ``lsh_bucket_ann``: the hyperplanes are
+    host-side deterministic constants (``_hyperplane``), so the identical
+    literals are embedded here and the whole bucketing + candidate join +
+    re-scoring pipeline is replicated in SQL."""
+    from ra2_datalake_linaresjoan_spark.llmdata.similarity import _hyperplane
+
+    bucket_exprs = []
+    for t in range(tables):
+        terms = []
+        for p in range(planes):
+            plane = _hyperplane(dim, t * planes + p, seed)
+            lit = "[" + ", ".join(str(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN {1 << p} ELSE 0 END)"
+            )
+        bucket_exprs.append("(" + " + ".join(terms) + f") AS bkt{t}")
+    buckets = ",\n    ".join(bucket_exprs)
+    tbl_list = "[" + ", ".join(str(t) for t in range(tables)) + "]"
+    val_list = "[" + ", ".join(f"bkt{t}" for t in range(tables)) + "]"
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sig AS (
+  SELECT vec_id,
+    {buckets}
+  FROM emb
+), banded AS (
+  SELECT vec_id, unnest({tbl_list}) AS tbl, unnest({val_list}) AS bucket FROM sig
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM banded q JOIN banded c ON q.tbl = c.tbl AND q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % 50 = 0
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qe.v, ce.v), 6) AS cos_sim
+  FROM cand JOIN emb qe ON qe.vec_id = cand.query_id
+            JOIN emb ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= {k}
+ORDER BY query_id, cos_sim DESC, neighbor_id
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_oracle_sql()
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (the scale path): approximate top-5 —
-    rows-only check (approximation is engine-specific by design)."""
+    """Random-hyperplane LSH ANN (the scale path): approximate top-5.
+    The hyperplanes are deterministic host-side constants, so the exact
+    bucketing is replicated in the DuckDB oracle — full hash-match, not a
+    rows-only check."""
     from ra2_datalake_linaresjoan_spark.llmdata.similarity import lsh_bucket_ann
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -891,15 +997,43 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_ANN_IVF = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT 16
+), assign AS (
+  SELECT e.vec_id AS neighbor_id, e.v AS nv, c.cell
+  FROM emb e CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv) ASC, c.cell ASC) = 1
+), probes AS (
+  SELECT e.vec_id AS query_id, e.v AS qv, c.cell
+  FROM emb e CROSS JOIN cents c
+  WHERE e.vec_id % 50 = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id ORDER BY list_distance(e.v, c.cv) ASC, c.cell ASC) <= 4
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, round(list_cosine_similarity(p.qv, a.nv), 6) AS cos_sim
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos_sim FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) <= 5
+ORDER BY query_id, cos_sim DESC, neighbor_id
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans cells + n_probe probing) — rows-only check
-    (cluster assignments are engine-specific). Recall vs the exact
-    baseline is asserted in tests."""
+    """IVF ANN (coarse-quantizer cells + n_probe probing). Registered with
+    the deterministic seed-vector quantizer so cell assignment, probing,
+    and re-scoring are all oracle-checked in SQL; the KMeans quantizer
+    stays the operator default (recall vs the exact baseline is asserted
+    in tests)."""
     from ra2_datalake_linaresjoan_spark.llmdata.similarity import ivf_ann
 
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 50 == 0)
-    return ivf_ann(qs, emb, k=5, n_cells=16, n_probe=4).orderBy(
+    return ivf_ann(qs, emb, k=5, n_cells=16, n_probe=4, quantizer="seed").orderBy(
         "query_id", F.col("cos_sim").desc(), "neighbor_id"
     )
 
@@ -926,10 +1060,28 @@ FROM documents
 """
 
 
+SQL_MULTIMODAL_FEATURES = """
+WITH b AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+), pos AS (
+  SELECT media_id, h, n, unnest(range(0, n, 8)) AS i FROM b WHERE n > 0
+), acc AS (
+  SELECT media_id, sum(('0x' || substr(h, i * 2 + 1, 2))::BIGINT) % 1000 AS a0
+  FROM pos GROUP BY media_id
+)
+SELECT b.media_id, 'text' AS modality, CAST(b.n AS BIGINT) AS n_bytes,
+       round(CASE WHEN b.n = 0 THEN 0.0 ELSE acc.a0 * 1.0 / b.n END, 4) AS f0
+FROM b LEFT JOIN acc ON acc.media_id = b.media_id
+ORDER BY b.media_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (stub decoder) — rows-only check (the fake features are
-    engine-internal, the plumbing is what's exercised)."""
+    """Arrow-batched mapInPandas feature extraction over binary payloads.
+    The stub decoder's feature math is deterministic byte arithmetic
+    (per-slot byte sums mod 1000 / payload length), so slot 0 is
+    oracle-checked exactly in DuckDB over hex(encode(text))."""
     from ra2_datalake_linaresjoan_spark.llmdata.multimodal import (
         attach_binary_payload,
         extract_features,
@@ -2018,12 +2170,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "exact_dedup_docs": (q_exact_dedup_docs, SQL_EXACT_DEDUP_DOCS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "minhash_lsh": (q_minhash_lsh, SQL_NGRAM_JACCARD),
-    "simhash_neardup": (q_simhash_neardup, None),
+    "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "ann_lsh": (q_ann_lsh, None),
-    "ann_ivf": (q_ann_ivf, None),
+    "ann_lsh": (q_ann_lsh, SQL_ANN_LSH),
+    "ann_ivf": (q_ann_ivf, SQL_ANN_IVF),
     "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "regex_filter_docs": (q_regex_filter_docs, SQL_REGEX_FILTER_DOCS),
     "curate_corpus": (q_curate_corpus, SQL_CURATE_CORPUS),
     "tumbling_windows": (q_tumbling_windows, SQL_TUMBLING_WINDOWS),
@@ -2053,11 +2205,69 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 }
 
 
+#: Names the correctness driver should hit FIRST. The driver verifies the
+#: first N queries() entries per round (round 1 covered exactly the first
+#: 50 in insertion order), so the registry is emitted with the queries
+#: that still lack a green driver row — plus any whose implementation
+#: changed this round — ahead of the long-stable ones.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # no driver row at all in CORRECTNESS_r01 (registry positions > 50)
+    "cosine_neardup",
+    "asof_join",
+    "interval_join",
+    "sentiment_lexicon",
+    "jsonish_arrays_parity",
+    "pipeline_parity",
+    "order_priority_exists",
+    "customer_distribution",
+    "promo_revenue",
+    "large_volume_customers",
+    "returned_item_customers",
+    "running_totals",
+    "moving_avg_events",
+    "first_last_events",
+    "percentrank_parts",
+    "pivot_user_events",
+    "cube_orders",
+    "sources_by_lang",
+    "hash_sample_docs",
+    "tfidf_top_terms",
+    "neardup_components",
+    "props_variant",
+    "session_islands",
+    "grouping_sets_orders",
+    "forecast_revenue",
+    "volume_shipping",
+    "product_type_profit",
+    "late_line_priority",
+    "top_supplier",
+    "supplier_variety",
+    "discounted_revenue",
+    "waiting_suppliers",
+    "dormant_customers",
+    "time_bucket_rollup",
+    "scd2_user_state",
+    "stratified_sample_docs",
+    "nation_pagerank",
+    # had a driver row but err=no_oracle in r1 — oracles added this round
+    "simhash_neardup",
+    "ann_lsh",
+    "ann_ivf",
+    "multimodal_features",
+    # implementation changed this round — re-verify
+    "cosine_topk",
+    "market_share",
+)
+
+
 def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from ra2_datalake_linaresjoan_spark.queries_ext import REGISTRY_EXT
     from ra2_datalake_linaresjoan_spark.queries_ext3 import REGISTRY_EXT3
 
-    return {**_REGISTRY, **REGISTRY_EXT, **REGISTRY_EXT3}
+    merged = {**_REGISTRY, **REGISTRY_EXT, **REGISTRY_EXT3}
+    ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
+    ordered.update(merged)
+    return ordered
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
