@@ -48,6 +48,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             e.join(labels, e["v"] == labels["id"])
@@ -73,6 +74,17 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
 
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: iteration budget max_iter={max_iter} exhausted "
+            "before the label fixpoint — component ids may be incorrect on "
+            "long-chain graphs; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("id"), F.col("comp").alias("component_id"))

@@ -42,18 +42,25 @@ def pagerank(
         .cache()
     )
     ranks = nodes.select(F.col("id"), F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
-        contribs = (
-            trans.join(F.broadcast(ranks), trans["src"] == ranks["id"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
-        )
-        ranks = nodes.join(
-            contribs, nodes["id"] == contribs["dst"], "left"
-        ).select(
-            "id",
-            (F.lit(teleport) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
+    try:
+        for _ in range(iterations):
+            contribs = (
+                trans.join(F.broadcast(ranks), trans["src"] == ranks["id"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
+            )
+            ranks = nodes.join(
+                contribs, nodes["id"] == contribs["dst"], "left"
+            ).select(
+                "id",
+                (
+                    F.lit(teleport) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+        # materialize the final ranks while trans is still cached, then
+        # release the cache — repeated pagerank() calls must not accumulate
+        # cached transition tables in executor memory
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        trans.unpersist()
     return ranks

@@ -600,22 +600,32 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped market share: ASIA's share of global revenue per
     order year — conditional aggregation over a multi-join."""
-    li = _t(spark, sf_dir, "lineitem")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    region = F.broadcast(_t(spark, sf_dir, "region"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey"))
+    region = F.broadcast(_t(spark, sf_dir, "region").select("r_regionkey", "r_name"))
+    # Collapse the customer→nation→region chain to a 2-column boolean dim
+    # (9 bytes/row) BEFORE touching the facts: two broadcast joins, no
+    # shuffle. Broadcasting the reduced flag keeps the lineitem⋈orders
+    # shuffle the only big exchange in the whole plan.
+    cust_flag = (
+        cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", (F.col("r_name") == "ASIA").alias("is_asia"))
+    )
+    orders_flag = orders.join(
+        F.broadcast(cust_flag), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", F.year("o_orderdate").alias("o_year"), "is_asia")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        li.join(orders_flag, li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("r_name") == "ASIA", rev).otherwise(0.0))
-                / F.sum(rev),
+                F.sum(F.when(F.col("is_asia"), rev).otherwise(0.0)) / F.sum(rev),
                 6,
             ).alias("asia_share"),
             F.round(F.sum(rev), 4).alias("total_revenue"),

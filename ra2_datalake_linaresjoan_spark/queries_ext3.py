@@ -184,7 +184,7 @@ def q_late_line_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
@@ -346,7 +346,9 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = li.select(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("is_late"),
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "is_late"
+        ),
     )
     per_supp = pairs.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("is_late").alias("supp_late"),

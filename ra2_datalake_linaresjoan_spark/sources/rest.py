@@ -41,19 +41,63 @@ def normalize_response(payload, endpoint: str) -> list[dict]:
     return []
 
 
-def http_fetcher(base_url: str, timeout: int = 30) -> FetchFn:
-    """Production fetcher over urllib (no extra deps)."""
+def retrying(
+    fetch: FetchFn,
+    retries: int = 3,
+    backoff_sec: float = 0.5,
+    on_exhausted: str = "raise",
+) -> FetchFn:
+    """Wrap any fetcher with bounded retry + exponential backoff.
+
+    The reference silently truncates the table on a transient page failure
+    (``extractor_polymarket.py:134``, SURVEY §2.11-6) — this engine makes
+    page loss observable instead: after ``retries`` attempts the wrapper
+    either re-raises (``on_exhausted="raise"``, default — the job fails
+    loudly) or emits a poison record (``on_exhausted="poison"``: a single
+    ``{"_error", "_endpoint", "_offset"}`` row rides through the normal
+    pipeline so downstream can quarantine and count losses). A silently
+    shorter table is never an outcome.
+    """
+    import time
+
+    if on_exhausted not in ("raise", "poison"):
+        raise ValueError(f"on_exhausted must be 'raise' or 'poison': {on_exhausted!r}")
+
+    def fetch_with_retry(endpoint: str, offset: int, limit: int) -> list[dict]:
+        last: Exception | None = None
+        for attempt in range(retries):
+            try:
+                return fetch(endpoint, offset, limit)
+            except Exception as exc:  # noqa: BLE001 — transport errors are opaque
+                last = exc
+                if attempt < retries - 1:
+                    time.sleep(backoff_sec * (2**attempt))
+        if on_exhausted == "poison":
+            return [{"_error": repr(last), "_endpoint": endpoint, "_offset": offset}]
+        raise RuntimeError(
+            f"page fetch failed after {retries} attempts: {endpoint} offset={offset}"
+        ) from last
+
+    return fetch_with_retry
+
+
+def http_fetcher(
+    base_url: str,
+    timeout: int = 30,
+    retries: int = 3,
+    backoff_sec: float = 0.5,
+    on_exhausted: str = "raise",
+) -> FetchFn:
+    """Production fetcher over urllib (no extra deps), with bounded retry —
+    never swallows a failed page into an empty list."""
     from urllib.request import urlopen
 
     def fetch(endpoint: str, offset: int, limit: int) -> list[dict]:
         url = f"{base_url}/{endpoint}?limit={limit}&offset={offset}"
-        try:
-            with urlopen(url, timeout=timeout) as resp:
-                return normalize_response(json.loads(resp.read()), endpoint)
-        except Exception:
-            return []
+        with urlopen(url, timeout=timeout) as resp:
+            return normalize_response(json.loads(resp.read()), endpoint)
 
-    return fetch
+    return retrying(fetch, retries=retries, backoff_sec=backoff_sec, on_exhausted=on_exhausted)
 
 
 def extract_endpoint(

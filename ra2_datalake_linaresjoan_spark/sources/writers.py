@@ -125,6 +125,15 @@ def compact(spark, src: str, dest: str, fmt: str = "parquet", target_file_mb: in
     Hadoop FileSystem API (scheme-agnostic: file://, s3a://, hdfs://),
     not a row-count guess. Returns the output file count.
     """
+    import os
+
+    # overwrite-into-self would delete the input mid-scan (the read is
+    # lazy): refuse up front rather than destroy the data being compacted
+    if os.path.abspath(src.removeprefix("file:")) == os.path.abspath(
+        dest.removeprefix("file:")
+    ):
+        raise ValueError(f"compact: dest must differ from src ({src!r}); stage elsewhere and rename")
+
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(src)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())

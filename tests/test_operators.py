@@ -214,3 +214,21 @@ def test_hll_sketch_rollup(spark, sf_dir):
     ).collect()[0]["approx_n"]
     exact = orders.select("o_custkey").distinct().count()
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_salted_join_deterministic_with_salt_cols(spark):
+    """Hash-derived salt: same input → same salt assignment on every run
+    (stable under task retry), and join results match the unsalted join."""
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.operators.skew import salted_join
+
+    big = spark.range(2000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("row_id")
+    )
+    small = spark.range(3).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    out1 = salted_join(big, small, "k", salt=8, salt_cols=["row_id"])
+    out2 = salted_join(big, small, "k", salt=8, salt_cols=["row_id"])
+    assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
+    expected = big.join(small, "k").count()
+    assert out1.count() == expected

@@ -149,14 +149,28 @@ def test_scd2_single_shuffle_for_both_windows(spark, sf_dir):
 
 
 def test_pagerank_iterations_reuse_cached_edges(spark, sf_dir):
-    """PageRank: iterations must reuse the cached transition table instead
-    of rebuilding the fact-scan subtree — the final plan shows in-memory
-    relation scans, and the raw lineitem scan appears at most once."""
+    """PageRank: the iterations run once against the cached transition
+    table and the result is localCheckpoint-materialized (cache released,
+    no executor-memory accumulation across calls) — so the plan the caller
+    collects is a checkpointed-RDD scan with NO parquet rescans of the
+    fact table."""
     plan = _plan(spark, sf_dir, "nation_pagerank")
-    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "ExistingRDD" in plan
     li_scans = [
         l
         for l in plan.splitlines()
         if "Scan parquet" in l and "lineitem" in l
     ]
-    assert len(li_scans) <= 2
+    assert len(li_scans) == 0
+
+
+def test_market_share_single_shuffle_join(spark, sf_dir):
+    """Q8 shape: the customer→nation→region chain must collapse into
+    broadcast joins so lineitem⋈orders is the ONLY shuffle join, and the
+    fact scans are column-pruned to what the aggregate needs."""
+    plan = _plan(spark, sf_dir, "market_share")
+    tree = plan.split("\n\n")[0]  # node tree (details repeat node names)
+    assert tree.count("BroadcastHashJoin") >= 3
+    assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") <= 1
+    li_read = [l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l]
+    assert li_read and "l_shipdate" not in li_read[0] and "l_partkey" not in li_read[0]
