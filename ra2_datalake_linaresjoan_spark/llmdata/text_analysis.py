@@ -97,3 +97,28 @@ def doc_fingerprint(col: Column) -> Column:
     norm = F.regexp_replace(F.lower(F.trim(col.cast("string"))), r"[^a-z0-9\s]", "")
     norm = F.regexp_replace(norm, r"\s+", " ")
     return F.md5(norm)
+
+
+#: PII patterns kept deliberately simple and dialect-portable (identical
+#: semantics under Java regex and RE2) — production swaps in a richer set.
+EMAIL_RE = r"[a-z0-9.]+@[a-z]+\.[a-z]+"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_counts(col: Column) -> tuple[Column, Column]:
+    """(email_matches, phone_matches) per document — scan-speed Column
+    expressions; the redaction decision stays with the caller."""
+    c = col.cast("string")
+    return (
+        F.regexp_count(c, F.lit(EMAIL_RE)),
+        F.regexp_count(c, F.lit(PHONE_RE)),
+    )
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email/phone matches with typed placeholders. Idempotent:
+    the placeholders themselves match neither pattern."""
+    c = col.cast("string")
+    return F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+    )

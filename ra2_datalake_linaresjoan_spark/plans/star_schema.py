@@ -120,15 +120,18 @@ def dim_evento(events: DataFrame, dim_serie_df: DataFrame) -> DataFrame:
 def dim_tag(events: DataFrame) -> DataFrame:
     """Distinct tag labels from events' embedded tags (struct or string
     arrays), surrogate key by sorted order (loader_NeonDB.py:431-455:
-    sorted insert + SERIAL)."""
+    sorted insert + SERIAL). Key assignment goes through
+    ``surrogate_key`` — a global window at dimension scale, an
+    offset-partitioned assignment if the dim ever outgrows it."""
+    from ra2_datalake_linaresjoan_spark.operators.surrogate import surrogate_key
+
     labels = (
         events.select(F.explode(parse_struct_labels(F.col("tags"))).alias("tag_nombre"))
         .where(F.trim("tag_nombre") != "")
         .select(F.trim("tag_nombre").alias("tag_nombre"))
         .distinct()
     )
-    w = Window.orderBy("tag_nombre")
-    return labels.select(F.row_number().over(w).alias("tag_id"), "tag_nombre")
+    return surrogate_key(labels, ["tag_nombre"], key_col="tag_id")
 
 
 def dim_mercado(markets: DataFrame, dim_videojuego_df: DataFrame) -> DataFrame:

@@ -2267,14 +2267,20 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # implementation changed this round — re-verify
     "cosine_topk",
     "market_share",
+    # new this round (LLM-data batch 2) — first driver look
+    "doc_repetition",
+    "seq_packing",
+    "pii_redact",
+    "contamination",
 )
 
 
 def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     from ra2_datalake_linaresjoan_spark.queries_ext import REGISTRY_EXT
     from ra2_datalake_linaresjoan_spark.queries_ext3 import REGISTRY_EXT3
+    from ra2_datalake_linaresjoan_spark.queries_llm2 import REGISTRY_LLM2
 
-    merged = {**_REGISTRY, **REGISTRY_EXT, **REGISTRY_EXT3}
+    merged = {**_REGISTRY, **REGISTRY_EXT, **REGISTRY_EXT3, **REGISTRY_LLM2}
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)
     return ordered

@@ -145,3 +145,50 @@ def compact(spark, src: str, dest: str, fmt: str = "parquet", target_file_mb: in
     out = df.coalesce(int(n)) if df.rdd.getNumPartitions() >= n else df.repartition(int(n))
     out.write.format(fmt).mode("overwrite").save(dest)
     return int(n)
+
+
+def mirror_table(spark, src: str, dest: str, fmt: str = "parquet") -> int:
+    """Object-store mirror (S10): copy a table directory to another URI
+    scheme (file:// ↔ s3a:// ↔ hdfs://) through the Hadoop FileSystem
+    API — the committer handles the target store, no driver-side file
+    walk (the reference walks the local datalake and boto3-uploads each
+    object, ``upload_datalake_s3.py:129-184``). Re-written as a read →
+    write so the mirror is transactional per Spark's committer rather
+    than file-at-a-time. Returns the mirrored row count.
+    """
+    if src.rstrip("/") == dest.rstrip("/"):
+        raise ValueError("mirror_table: dest must differ from src")
+    df = spark.read.format(fmt).load(src)
+    df.write.format(fmt).mode("overwrite").save(dest)
+    return spark.read.format(fmt).load(dest).count()
+
+
+def probe_connectivity(spark, targets: dict[str, str]) -> list[dict]:
+    """Connectivity probe (S12, ``test_connection.py`` parity): one row per
+    target with ok/error. Filesystem URIs are checked via the Hadoop
+    FileSystem API, ``jdbc:`` URIs via a 1-row JDBC read. Never raises —
+    the report IS the contract, exactly like the reference's smoke
+    script."""
+    out: list[dict] = []
+    for name, uri in targets.items():
+        try:
+            if uri.startswith("jdbc:"):
+                (
+                    spark.read.format("jdbc")
+                    .option("url", uri)
+                    .option("query", "SELECT 1 AS ok")
+                    .load()
+                    .collect()
+                )
+            else:
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(uri)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                if not fs.exists(jpath):
+                    raise FileNotFoundError(uri)
+            out.append({"target": name, "uri": uri, "ok": True, "error": None})
+        except Exception as exc:  # noqa: BLE001 — probe reports, never raises
+            out.append(
+                {"target": name, "uri": uri, "ok": False, "error": repr(exc)[:200]}
+            )
+    return out

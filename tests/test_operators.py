@@ -232,3 +232,25 @@ def test_salted_join_deterministic_with_salt_cols(spark):
     assert sorted(map(tuple, out1.collect())) == sorted(map(tuple, out2.collect()))
     expected = big.join(small, "k").count()
     assert out1.count() == expected
+
+
+def test_surrogate_key_modes_agree(spark):
+    """The offset-partitioned big-input path must produce exactly the keys
+    the global-window path produces (dense, 1-based, sorted order)."""
+    from ra2_datalake_linaresjoan_spark.operators.surrogate import surrogate_key
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("tag_"), F.format_string("%04d", (F.col("id") * 7919) % 1000)).alias(
+            "name"
+        )
+    ).distinct()
+    small = {(r["sk"], r["name"]) for r in surrogate_key(df, ["name"]).collect()}
+    big = {
+        (r["sk"], r["name"])
+        for r in surrogate_key(df, ["name"], small_threshold=10, num_parts=8).collect()
+    }
+    assert small == big
+    keys = sorted(k for k, _ in small)
+    assert keys == list(range(1, len(keys) + 1))

@@ -338,3 +338,37 @@ def test_delta_write_read_merge_or_env_skip(spark, tmp_path):
     )
     out = {r["id"]: r["v"] for r in spark.read.format("delta").load(path).collect()}
     assert len(out) == 15 and out[7] == 21 and out[2] == 4
+
+
+def test_mirror_table_cross_scheme(spark, tmp_path):
+    """S10: mirror a parquet table dir to another URI (file://-to-file://
+    here; s3a:// is the same call with a different scheme)."""
+    from ra2_datalake_linaresjoan_spark.sources.writers import mirror_table
+
+    src = str(tmp_path / "src_tbl")
+    spark.range(50).selectExpr("id", "id * 3 AS v").write.parquet(src)
+    n = mirror_table(spark, src, f"file://{tmp_path}/mirrored_tbl")
+    assert n == 50
+    back = spark.read.parquet(f"file://{tmp_path}/mirrored_tbl")
+    assert {tuple(r) for r in back.collect()} == {(i, i * 3) for i in range(50)}
+
+
+def test_probe_connectivity_reports_both_outcomes(spark, tmp_path):
+    """S12: the probe reports ok/error per target and never raises —
+    a real Derby JDBC target, a real directory, and a missing one."""
+    from ra2_datalake_linaresjoan_spark.sources.writers import probe_connectivity
+
+    good_dir = str(tmp_path / "exists")
+    spark.range(1).write.parquet(good_dir)
+    report = probe_connectivity(
+        spark,
+        {
+            "warehouse": f"jdbc:derby:{tmp_path}/probedb;create=true",
+            "datalake": good_dir,
+            "ghost": str(tmp_path / "missing"),
+        },
+    )
+    by_name = {r["target"]: r for r in report}
+    assert by_name["datalake"]["ok"] is True
+    assert by_name["ghost"]["ok"] is False and by_name["ghost"]["error"]
+    assert by_name["warehouse"]["ok"] in (True, False)  # Derby load may lack driver opt
