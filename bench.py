@@ -39,6 +39,11 @@ HEADLINE = [
     "asof_join",
     "interval_join",
     "market_share",
+    # LLM-data pipeline additions (round 2): hygiene + composition families
+    "contamination",
+    "pii_redact",
+    "domain_mixture",
+    "cluster_tightness",
 ]
 
 

@@ -2272,6 +2272,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "seq_packing",
     "pii_redact",
     "contamination",
+    # new this round (LLM-data batch 3) — first driver look
+    "domain_mixture",
+    "heavy_hitter_words",
+    "cluster_tightness",
+    "approx_distinct_guarantee",
 )
 
 
@@ -2279,8 +2284,9 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext import REGISTRY_EXT
     from ra2_datalake_linaresjoan_spark.queries_ext3 import REGISTRY_EXT3
     from ra2_datalake_linaresjoan_spark.queries_llm2 import REGISTRY_LLM2
+    from ra2_datalake_linaresjoan_spark.queries_llm3 import REGISTRY_LLM3
 
-    merged = {**_REGISTRY, **REGISTRY_EXT, **REGISTRY_EXT3, **REGISTRY_LLM2}
+    merged = {**_REGISTRY, **REGISTRY_EXT, **REGISTRY_EXT3, **REGISTRY_LLM2, **REGISTRY_LLM3}
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)
     return ordered

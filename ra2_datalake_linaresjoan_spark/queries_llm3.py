@@ -1,0 +1,242 @@
+"""LLM-data-pipeline queries, batch 3: domain mixture weights, per-shard
+heavy hitters, embedding cluster tightness, sketch-accuracy contract.
+
+Covers the corpus-composition side of a pretraining pipeline (what to
+sample, what dominates each shard, how coherent embedding clusters are)
+the same way batch 2 covered the hygiene side (dedup, PII, packing,
+contamination). Every step is engine-portable arithmetic so each query
+carries an exact DuckDB oracle.
+
+Reference parity: extends the reference's summary-statistics surface
+(``transformer_data.py:596-618`` distributions, ``validator_warehouse.py``
+statistics) to the corpus-curation operations SURVEY's driver mandate
+adds on top.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# shared reader: routes `events` through the nanos-timestamp-safe helper
+from ra2_datalake_linaresjoan_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# domain_mixture — temperature-scaled sampling weights per (lang, source)
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.5  # temperature exponent: 1.0 = proportional, 0 = uniform
+
+
+def q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture: sampling weight per (lang, source)
+    shard ∝ n_docs^alpha, normalized — the standard up/down-weighting used
+    to balance pretraining corpora (alpha<1 boosts small domains). The
+    normalizer is a 1-row broadcast aggregate joined back, not a global
+    window: two tiny shuffles total, both post-aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    shard = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    raw = F.pow(F.col("n_docs").cast("double"), F.lit(_MIX_ALPHA))
+    total = shard.agg(F.sum(raw).alias("_total"))
+    return (
+        shard.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_chars",
+            F.round(raw / F.col("_total"), 6).alias("mix_weight"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+SQL_DOMAIN_MIXTURE = """
+WITH shard AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars
+  FROM documents GROUP BY lang, source
+)
+SELECT lang, source, n_docs, n_chars,
+       round(pow(n_docs, 0.5) / (SELECT sum(pow(n_docs, 0.5)) FROM shard), 6)
+         AS mix_weight
+FROM shard ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitter_words — per-lang top-5 words by document frequency
+# ---------------------------------------------------------------------------
+
+
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language heavy hitters: top-5 words by DOCUMENT frequency (how
+    many distinct docs contain the word — the dedup/boilerplate signal,
+    robust to within-doc repetition). Inverted-index shape: explode →
+    distinct (lang, doc, word) → count → rank within lang. Deterministic
+    tiebreak on the word itself."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "lang",
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word"),
+        )
+        .filter(F.length("word") >= 3)
+        .distinct()
+    )
+    df_ = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), "word")
+    return (
+        df_.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "word", "doc_freq", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+SQL_HEAVY_HITTER_WORDS = """
+WITH words AS (
+  SELECT DISTINCT lang, doc_id, t.word
+  FROM documents,
+       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+  WHERE length(t.word) >= 3
+), df AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS doc_freq
+  FROM words GROUP BY lang, word
+), ranked AS (
+  SELECT lang, word, doc_freq,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, word) AS rk
+  FROM df
+)
+SELECT lang, word, doc_freq, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 5 ORDER BY lang, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# cluster_tightness — per-label centroid norm + mean cosine-to-centroid
+# ---------------------------------------------------------------------------
+
+
+def q_cluster_tightness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cluster quality: per label, the centroid's L2 norm and the
+    mean cosine of members to their centroid (1.0 = perfectly coherent
+    cluster; → 0 = random). The grouped-vector-mean is a posexplode →
+    (label, pos) aggregate — linear, shuffle on (label, pos), never a
+    driver collect; centroids then flow back through a broadcast join.
+
+    This is the curation signal used for cluster-based pruning/balancing
+    (e.g., SemDeDup-style embedding clustering) re-expressed as pure
+    DataFrame ops."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("pos", "val_f"),
+    ).select("vec_id", "label", "pos", F.col("val_f").cast("double").alias("val"))
+
+    cent = emb.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
+    cnorm = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("centroid_norm")
+    )
+    per_vec = (
+        emb.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("val") * F.col("cval")).alias("dot"),
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vnorm"),
+        )
+    )
+    return (
+        per_vec.join(F.broadcast(cnorm), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.first("centroid_norm"), 4).alias("centroid_norm"),
+            F.round(
+                F.avg(F.col("dot") / (F.col("vnorm") * F.col("centroid_norm"))), 4
+            ).alias("avg_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_CLUSTER_TIGHTNESS = """
+WITH ex AS (
+  SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), cent AS (
+  SELECT label, i, avg(val) AS cval FROM ex GROUP BY label, i
+), cn AS (
+  SELECT label, sqrt(sum(cval * cval)) AS centroid_norm FROM cent GROUP BY label
+), per_vec AS (
+  SELECT ex.label, ex.vec_id,
+         sum(ex.val * cent.cval) AS dot,
+         sqrt(sum(ex.val * ex.val)) AS vnorm
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.i = cent.i
+  GROUP BY ex.label, ex.vec_id
+)
+SELECT p.label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(any_value(cn.centroid_norm), 4) AS centroid_norm,
+       round(avg(p.dot / (p.vnorm * cn.centroid_norm)), 4) AS avg_cos_to_centroid
+FROM per_vec p JOIN cn ON p.label = cn.label
+GROUP BY p.label ORDER BY p.label
+"""
+
+
+# ---------------------------------------------------------------------------
+# approx_distinct_guarantee — HLL sketch accuracy contract vs exact
+# ---------------------------------------------------------------------------
+
+
+def q_approx_distinct_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy contract: per event_type, the exact distinct-user
+    count alongside a boolean asserting the HLL++ estimate
+    (``approx_count_distinct``, rsd=0.01) landed within 5% of exact. The
+    oracle pins the exact count and expects the flag TRUE — verifying the
+    mergeable-sketch path an interactive 100-TB dashboard would actually
+    serve (exact countDistinct is the verification co-pilot, not the
+    product)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_APPROX_DISTINCT_GUARANTEE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+REGISTRY_LLM3: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
+    "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTER_WORDS),
+    "cluster_tightness": (q_cluster_tightness, SQL_CLUSTER_TIGHTNESS),
+    "approx_distinct_guarantee": (
+        q_approx_distinct_guarantee,
+        SQL_APPROX_DISTINCT_GUARANTEE,
+    ),
+}

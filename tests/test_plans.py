@@ -174,3 +174,30 @@ def test_market_share_single_shuffle_join(spark, sf_dir):
     assert tree.count("SortMergeJoin") + tree.count("ShuffledHashJoin") <= 1
     li_read = [l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l]
     assert li_read and "l_shipdate" not in li_read[0] and "l_partkey" not in li_read[0]
+
+
+def test_cluster_tightness_centroids_broadcast(spark, sf_dir):
+    """The grouped-vector-mean (tiny: labels × dims rows) must flow back to
+    the exploded vectors through broadcast joins — the member side never
+    shuffles on (label, pos)."""
+    plan = _plan(spark, sf_dir, "cluster_tightness")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in tree
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
+
+
+def test_domain_mixture_normalizer_broadcast(spark, sf_dir):
+    """The 1-row normalizer aggregate joins back via broadcast-nested-loop
+    (1 row × shards — constant cost), never a cartesian of data-sized
+    inputs, and the document scan reads only the 3 needed columns."""
+    plan = _plan(spark, sf_dir, "domain_mixture")
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read and "doc_id" not in read
+
+
+def test_heavy_hitter_words_ranks_within_lang(spark, sf_dir):
+    """The top-5 ranking must window-partition by lang (no global-order
+    single-partition window on the word counts)."""
+    plan = _plan(spark, sf_dir, "heavy_hitter_words")
+    assert "hashpartitioning(lang" in plan
