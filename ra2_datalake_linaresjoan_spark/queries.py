@@ -2264,9 +2264,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_lsh",
     "ann_ivf",
     "multimodal_features",
-    # implementation changed this round — re-verify
-    "cosine_topk",
-    "market_share",
     # new this round (LLM-data batch 2) — first driver look
     "doc_repetition",
     "seq_packing",
@@ -2277,6 +2274,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_words",
     "cluster_tightness",
     "approx_distinct_guarantee",
+    # implementation changed this round — re-verify (already green in r1,
+    # so these ride LAST: if the driver samples a prefix, the never-verified
+    # queries above must win the slots)
+    "cosine_topk",
+    "market_share",
 )
 
 
