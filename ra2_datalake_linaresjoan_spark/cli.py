@@ -90,10 +90,36 @@ def run_pipeline(
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--base", required=True, help="lake root (bronze/<entity> parquet)")
+    ap.add_argument("--base", help="lake root (bronze/<entity> parquet)")
     ap.add_argument("--report", default=None, help="write the JSON report here")
+    ap.add_argument(
+        "--query",
+        default=None,
+        help="run one registered query by name against --sf-dir and print it "
+        "(use --query list to enumerate)",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default="/root/testdata/sf0.01",
+        help="table directory for --query (parquet per table)",
+    )
     args = ap.parse_args()
 
+    if args.query:
+        from ra2_datalake_linaresjoan_spark import queries as q
+
+        registry = q.queries()
+        if args.query == "list":
+            print("\n".join(sorted(registry)))
+            return
+        if args.query not in registry:
+            raise SystemExit(f"unknown query {args.query!r}; try --query list")
+        spark = get_spark(app_name=f"ra2_query_{args.query}")
+        registry[args.query](spark, args.sf_dir).show(50, truncate=False)
+        return
+
+    if not args.base:
+        raise SystemExit("--base is required unless --query is given")
     spark = get_spark(app_name="ra2_pipeline")
     frames = {}
     for entity in ("markets", "events", "series"):

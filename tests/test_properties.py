@@ -73,3 +73,35 @@ def test_dedup_survivor_invariant_under_shuffle(spark, seed):
     df = spark.createDataFrame(rows, "id int, ts int, payload string").repartition(7)
     out = {r["id"]: r["payload"] for r in dedup_keep_newest(df, ["id"], "ts").collect()}
     assert out == {k: f"{k}:3" for k in range(5)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31))
+def test_pack_sequences_invariants(spark, seed):
+    """Packing invariants: a row's bin equals (tokens-before-it) div
+    capacity, and — when every doc fits in a context window (the real
+    pipeline truncates longer ones first) — bins within a shard are dense
+    from 0. Oversize docs would legitimately skip bins, which the formula
+    assertion still covers."""
+    from ra2_datalake_linaresjoan_spark.llmdata.packing import pack_sequences
+
+    rnd = random.Random(seed)
+    cap = 100
+    rows = [
+        (shard, i, rnd.randint(1, cap))
+        for shard in ("a", "b")
+        for i in range(rnd.randint(1, 40))
+    ]
+    df = spark.createDataFrame(rows, "shard string, doc_id int, tokens long")
+    got = pack_sequences(df, "doc_id", "tokens", cap, shard_cols=["shard"]).collect()
+    by_shard: dict[str, list] = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["bin_id"] == cum // cap, (shard, r)
+            cum += r["tokens"]
+        bins = sorted({r["bin_id"] for r in rs})
+        assert bins == list(range(bins[-1] + 1))

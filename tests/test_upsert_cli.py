@@ -79,3 +79,25 @@ def test_sql_surface(spark, sf_dir):
                       clean_series(spark.createDataFrame(SERIES, SERIES_COLS)))
     checks = validate_gold_sql(spark, gold)
     assert checks and all(checks.values()), checks
+
+
+def test_cli_query_runner(spark, monkeypatch, capsys):
+    """`--query list` enumerates the registry; `--query <name>` runs one
+    query against --sf-dir and prints it (the user-facing front door to
+    every registered operator)."""
+    import sys
+
+    from ra2_datalake_linaresjoan_spark import cli
+
+    monkeypatch.setattr(sys, "argv", ["cli", "--query", "list"])
+    cli.main()
+    names = capsys.readouterr().out.split()
+    assert "pricing_summary" in names and len(names) >= 90
+
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["cli", "--query", "domain_mixture", "--sf-dir", "/root/testdata/sf0.001"],
+    )
+    cli.main()
+    assert "mix_weight" in capsys.readouterr().out
