@@ -2274,6 +2274,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_words",
     "cluster_tightness",
     "approx_distinct_guarantee",
+    # new this round (relational batch 4) — first driver look
+    "gapfill_daily_events",
+    "unpivot_nation_metrics",
+    "trailing_week_revenue",
     # implementation changed this round — re-verify (already green in r1,
     # so these ride LAST: if the driver samples a prefix, the never-verified
     # queries above must win the slots)
@@ -2286,9 +2290,17 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext import REGISTRY_EXT
     from ra2_datalake_linaresjoan_spark.queries_ext3 import REGISTRY_EXT3
     from ra2_datalake_linaresjoan_spark.queries_llm2 import REGISTRY_LLM2
+    from ra2_datalake_linaresjoan_spark.queries_ext4 import REGISTRY_EXT4
     from ra2_datalake_linaresjoan_spark.queries_llm3 import REGISTRY_LLM3
 
-    merged = {**_REGISTRY, **REGISTRY_EXT, **REGISTRY_EXT3, **REGISTRY_LLM2, **REGISTRY_LLM3}
+    merged = {
+        **_REGISTRY,
+        **REGISTRY_EXT,
+        **REGISTRY_EXT3,
+        **REGISTRY_EXT4,
+        **REGISTRY_LLM2,
+        **REGISTRY_LLM3,
+    }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)
     return ordered

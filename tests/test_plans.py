@@ -201,3 +201,20 @@ def test_heavy_hitter_words_ranks_within_lang(spark, sf_dir):
     single-partition window on the word counts)."""
     plan = _plan(spark, sf_dir, "heavy_hitter_words")
     assert "hashpartitioning(lang" in plan
+
+
+def test_gapfill_spine_broadcast_single_fact_shuffle(spark, sf_dir):
+    """The date-spine grid (days × types) must broadcast into the LEFT
+    join, and the events fact must aggregate before joining — so the raw
+    fact shuffles exactly once regardless of spine length."""
+    plan = _plan(spark, sf_dir, "gapfill_daily_events")
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_trailing_week_window_partitioned(spark, sf_dir):
+    """The RANGE window must run partitioned by priority on the
+    post-aggregation daily table — no unpartitioned global window."""
+    plan = _plan(spark, sf_dir, "trailing_week_revenue")
+    assert "hashpartitioning(o_orderpriority" in plan
