@@ -218,3 +218,25 @@ def test_trailing_week_window_partitioned(spark, sf_dir):
     post-aggregation daily table — no unpartitioned global window."""
     plan = _plan(spark, sf_dir, "trailing_week_revenue")
     assert "hashpartitioning(o_orderpriority" in plan
+
+
+def test_seq_packing_window_partitioned_by_shard(spark, sf_dir):
+    """Packing's running sum must be a per-shard window (partitioned by
+    lang) — never a global ordered window over the corpus."""
+    plan = _plan(spark, sf_dir, "seq_packing")
+    assert "hashpartitioning(lang" in plan
+    # no single-partition exchange anywhere in the plan
+    assert "SinglePartition" not in plan
+
+
+def test_pii_redact_is_scan_plus_one_shuffle(spark, sf_dir):
+    """PII count/redact are Column expressions: the whole query is a scan
+    plus exactly one aggregation exchange (lang groupBy)."""
+    plan = _plan(spark, sf_dir, "pii_redact")
+    tree = plan.split("\n\n")[0]
+    # one partial->final agg exchange + the presentation orderBy's range
+    # exchange — nothing else (no join, no window, no extra shuffle)
+    assert tree.count("Exchange") <= 2
+    # pure Column expressions: no join, window, or Python-worker node
+    assert "Join" not in tree and "Window" not in tree
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
