@@ -297,3 +297,39 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp"))
     keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
     return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def incremental_dedup(
+    new_batch: DataFrame, corpus: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Continuous-ingest dedup: survivors of ``new_batch`` against an
+    already-ingested ``corpus`` — drop batch docs whose content
+    fingerprint already exists in the corpus (LEFT ANTI on the md5
+    fingerprint), then keep the min-id doc per fingerprint within the
+    batch itself.
+
+    100-TB shape: the corpus side reduces to a distinct fingerprint
+    column (32-byte strings — in production a standing fingerprint store,
+    not a rescan), the anti join shuffles on the fingerprint hash, and
+    the within-batch window partitions by fingerprint. Nothing touches
+    the driver; cost is |batch| + |fingerprint store|, never their
+    product. Extends the reference's snapshot-only dedup
+    (``spark_cleaner.py:108-114`` newest-wins within one extract) to the
+    across-loads case its ON CONFLICT inserts approximate
+    (``loader_NeonDB.py:370``)."""
+    from pyspark.sql import Window
+
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import doc_fingerprint
+
+    nb = new_batch.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
+    seen = (
+        corpus.select(doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+        .distinct()
+    )
+    fresh = nb.join(seen, "fingerprint", "left_anti")
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -2278,6 +2278,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gapfill_daily_events",
     "unpivot_nation_metrics",
     "trailing_week_revenue",
+    "incremental_dedup",
     # implementation changed this round — re-verify (already green in r1,
     # so these ride LAST: if the driver samples a prefix, the never-verified
     # queries above must win the slots)

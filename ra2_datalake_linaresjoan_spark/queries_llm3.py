@@ -231,7 +231,72 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental_dedup — new-batch-vs-corpus fingerprint dedup (continuous ingest)
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: the standing corpus is docs with
+    doc_id % 10 != 9; the new batch simulates a re-crawl — the fresh
+    docs (doc_id % 10 == 9), plus re-ingested copies of corpus docs
+    (doc_id % 20 == 4, re-keyed +1_000_000 — must be dropped by the
+    corpus anti-join), plus second copies of the fresh docs (re-keyed
+    +2_000_000 — must be dropped by the within-batch window). Per-lang
+    batch size vs survivors; survivors == the fresh docs exactly."""
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 9)
+    fresh = docs.filter(F.col("doc_id") % 10 == 9)
+    recrawl = corpus.filter(F.col("doc_id") % 20 == 4).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    batch_dup = fresh.withColumn("doc_id", F.col("doc_id") + 2_000_000)
+    batch = fresh.unionByName(recrawl).unionByName(batch_dup)
+    kept = incremental_dedup(batch, corpus, "doc_id", "text")
+    return (
+        batch.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+        .join(
+            kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")),
+            "lang",
+            "left",
+        )
+        .select("lang", "n_batch", F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+SQL_INCREMENTAL_DEDUP = r"""
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
+  FROM documents
+), batch AS (
+  SELECT doc_id, lang, fingerprint FROM fp WHERE doc_id % 10 = 9
+  UNION ALL
+  SELECT doc_id + 1000000, lang, fingerprint FROM fp WHERE doc_id % 10 <> 9 AND doc_id % 20 = 4
+  UNION ALL
+  SELECT doc_id + 2000000, lang, fingerprint FROM fp WHERE doc_id % 10 = 9
+), corpus AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 9
+), kept AS (
+  SELECT * FROM batch
+  WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+)
+SELECT b.lang,
+       CAST(count(*) AS BIGINT) AS n_batch,
+       CAST(coalesce(any_value(k.n), 0) AS BIGINT) AS n_kept
+FROM batch b
+LEFT JOIN (SELECT lang, count(*) AS n FROM kept GROUP BY lang) k ON b.lang = k.lang
+GROUP BY b.lang ORDER BY b.lang
+"""
+
+
 REGISTRY_LLM3: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTER_WORDS),
     "cluster_tightness": (q_cluster_tightness, SQL_CLUSTER_TIGHTNESS),
