@@ -1,0 +1,99 @@
+"""Scale probe: measure how the hot operators behave when the corpus grows
+10× — evidence for SCALE.md's linearity claims, not a benchmark the driver
+runs.
+
+Method: read the sf0.1 documents table (~5 K docs), then synthesize a 10×
+corpus by unioning 10 id-shifted copies WITH per-copy text salting (a copy
+index token appended) so near-dup candidate generation isn't flooded by
+10 exact copies of every doc — the probe measures throughput scaling, not
+a pathological 100%-duplicate corpus. Each operator is timed at 1× and
+10×; linear scaling shows as a time ratio ≈ 10 (sub-linear is better —
+fixed overheads amortize).
+
+Run: python tools/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from ra2_datalake_linaresjoan_spark.session import get_spark
+
+
+def scaled_docs(docs: DataFrame, copies: int) -> DataFrame:
+    n = docs.select(F.max("doc_id")).first()[0] + 1
+    k = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("k")
+    return docs.select("*", k).select(
+        (F.col("doc_id") + F.col("k") * n).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" copytok"), F.col("k")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def probe(spark, docs: DataFrame) -> dict[str, float]:
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+    )
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        pii_counts,
+        quality_score,
+    )
+
+    docs = docs.localCheckpoint()  # isolate op cost from the synth-union cost
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    timed("exact_dedup", lambda: exact_dedup(docs, "doc_id", "text").count())
+    timed(
+        "minhash_lsh",
+        lambda: minhash_lsh_candidates(docs, "doc_id", "text").count(),
+    )
+    e, p = pii_counts(F.col("text"))
+    timed(
+        "pii_scan",
+        lambda: docs.select(F.sum(e + p)).first(),
+    )
+    timed(
+        "quality_score",
+        lambda: docs.select(F.avg(quality_score(F.col("text")))).first(),
+    )
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale_probe")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    probe(spark, scaled_docs(docs, 1))  # warm-up: JVM, codegen, Arrow workers
+    base = probe(spark, scaled_docs(docs, 1))
+    big = probe(spark, scaled_docs(docs, 10))
+    report = {
+        "sf_dir": sf_dir,
+        "rows_1x": docs.count(),
+        "t_1x": base,
+        "t_10x": big,
+        "scale_ratio": {
+            k: round(big[k] / base[k], 2) if base[k] > 0 else None for k in base
+        },
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
