@@ -2279,6 +2279,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "unpivot_nation_metrics",
     "trailing_week_revenue",
     "incremental_dedup",
+    "multimodal_frames",
     # implementation changed this round — re-verify (already green in r1,
     # so these ride LAST: if the driver samples a prefix, the never-verified
     # queries above must win the slots)

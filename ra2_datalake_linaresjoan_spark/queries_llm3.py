@@ -295,8 +295,59 @@ GROUP BY b.lang ORDER BY b.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal_frames — 1:N frame sampling over binary payloads (exact oracle)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real mapInPandas 1:N operator
+    (``llmdata/multimodal.sample_frames``): each payload yields up to 4
+    deterministic byte-slice "frames" (the stub decode — byte math is
+    engine-portable, so unlike a real ffmpeg kernel it oracles exactly).
+    Output one row per frame with its byte length and an md5 over the hex
+    encoding (hex() is case-identical in Spark and DuckDB; DuckDB's md5
+    only takes VARCHAR, so both sides hash the hex string)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    frames = sample_frames(media, every_n=10, max_frames=4)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.octet_length("frame").alias("n_bytes"),
+        F.md5(F.hex(F.col("frame"))).alias("frame_md5"),
+    ).orderBy("media_id", "frame_idx")
+
+
+SQL_MULTIMODAL_FRAMES = r"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         hex(encode(text)) AS payload_hex,
+         octet_length(encode(text)) AS len
+  FROM documents
+), p AS (
+  SELECT media_id, payload_hex, len,
+         greatest(len // 10, 1) AS step,
+         least(4, greatest(len // greatest(len // 10, 1), 1)) AS n_frames
+  FROM m
+)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       CAST(length(substring(payload_hex, i * step * 2 + 1, step * 2)) // 2 AS INT)
+         AS n_bytes,
+       md5(substring(payload_hex, i * step * 2 + 1, step * 2)) AS frame_md5
+FROM p, unnest(range(0, n_frames)) AS t(i)
+ORDER BY media_id, frame_idx
+"""
+
+
 REGISTRY_LLM3: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTER_WORDS),
     "cluster_tightness": (q_cluster_tightness, SQL_CLUSTER_TIGHTNESS),
