@@ -2280,6 +2280,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "trailing_week_revenue",
     "incremental_dedup",
     "multimodal_frames",
+    "multimodal_resize",
+    "udtf_char_shingles",
     # implementation changed this round — re-verify (already green in r1,
     # so these ride LAST: if the driver samples a prefix, the never-verified
     # queries above must win the slots)

@@ -345,9 +345,93 @@ ORDER BY media_id, frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal_resize — stub resize kernel parity (truncate/pad byte math)
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize through the real mapInPandas kernel
+    (``llmdata/multimodal.resize_images``): the stub decode
+    truncates/zero-pads each payload to the deterministic
+    ``width*height/64`` target (224×224 → 784 bytes), so the Arrow
+    batching, 1:1 schema contract, and byte math all oracle exactly —
+    hex/md5 parity like ``multimodal_frames``."""
+    from ra2_datalake_linaresjoan_spark.llmdata.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    resized = resize_images(media, width=224, height=224)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5(F.hex(F.col("payload"))).alias("payload_md5"),
+    ).orderBy("media_id")
+
+
+SQL_MULTIMODAL_RESIZE = r"""
+SELECT doc_id AS media_id,
+       CAST(224 AS INT) AS width, CAST(224 AS INT) AS height,
+       CAST(784 AS INT) AS n_bytes,
+       md5(rpad(substring(hex(encode(text)), 1, 784 * 2), 784 * 2, '00'))
+         AS payload_md5
+FROM documents ORDER BY media_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# udtf_char_shingles — Python UDTF lateral join on the driver-verified surface
+# ---------------------------------------------------------------------------
+
+
+def q_udtf_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character shingling through the Python UDTF lateral join
+    (``llmdata/udtfs.CharShingles`` — the Spark 4 table-function escape
+    hatch for imperative row generation). Top-3 5-char shingles per
+    language by frequency, deterministic tiebreak — pinning the
+    UDTF path itself under the DuckDB oracle, not just a unit test."""
+    from ra2_datalake_linaresjoan_spark.llmdata.udtfs import shingle_table
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    sh = shingle_table(docs, "text", 5)
+    counts = sh.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "shingle")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "shingle", "n", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+SQL_UDTF_CHAR_SHINGLES = r"""
+WITH sh AS (
+  SELECT lang, substring(lower(text), i, 5) AS shingle
+  FROM documents, unnest(range(1, length(lower(text)) - 3)) AS t(i)
+  WHERE length(lower(text)) >= 5
+), counts AS (
+  SELECT lang, shingle, CAST(count(*) AS BIGINT) AS n
+  FROM sh GROUP BY lang, shingle
+), ranked AS (
+  SELECT lang, shingle, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, shingle) AS rk
+  FROM counts
+)
+SELECT lang, shingle, n, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= 3 ORDER BY lang, rk
+"""
+
+
 REGISTRY_LLM3: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "udtf_char_shingles": (q_udtf_char_shingles, SQL_UDTF_CHAR_SHINGLES),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTER_WORDS),
     "cluster_tightness": (q_cluster_tightness, SQL_CLUSTER_TIGHTNESS),
