@@ -2282,6 +2282,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_frames",
     "multimodal_resize",
     "udtf_char_shingles",
+    "udaf_centroids",
     # implementation changed this round — re-verify (already green in r1,
     # so these ride LAST: if the driver samples a prefix, the never-verified
     # queries above must win the slots)

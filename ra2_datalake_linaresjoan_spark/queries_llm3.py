@@ -427,11 +427,56 @@ FROM ranked WHERE rk <= 3 ORDER BY lang, rk
 """
 
 
+# ---------------------------------------------------------------------------
+# udaf_centroids — GROUPED_AGG pandas UDAF on the driver-verified surface
+# ---------------------------------------------------------------------------
+
+
+def q_udaf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid through the GROUPED_AGG pandas UDAF
+    (``llmdata/udafs.embedding_centroid`` — Arrow ships each group's
+    vectors to one numpy reduction). Output is the centroid's L2 norm
+    and first-dimension value, so the whole UDAF tier (the last UDF tier
+    without a driver-verified query) is pinned against the exact
+    unnest-and-average oracle."""
+    from ra2_datalake_linaresjoan_spark.llmdata.udafs import embedding_centroid
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # GROUPED_AGG pandas UDFs cannot mix with JVM aggregates in one agg —
+    # counts come from a separate (cheap) agg joined back
+    cent = emb.groupBy("label").agg(embedding_centroid(F.col("embedding")).alias("c"))
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    ssq = F.aggregate("c", F.lit(0.0), lambda acc, x: acc + x * x)
+    return cent.join(counts, "label").select(
+        "label",
+        "n_vecs",
+        F.round(F.sqrt(ssq), 4).alias("centroid_norm"),
+        F.round(F.element_at("c", 1), 4).alias("c0"),
+    ).orderBy("label")
+
+
+SQL_UDAF_CENTROIDS = """
+WITH ex AS (
+  SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS val
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+), cent AS (
+  SELECT label, i, avg(val) AS cval FROM ex GROUP BY label, i
+)
+SELECT label,
+       CAST((SELECT count(*) FROM embeddings e WHERE e.label = cent.label) AS BIGINT)
+         AS n_vecs,
+       round(sqrt(sum(cval * cval)), 4) AS centroid_norm,
+       round(max(CASE WHEN i = 1 THEN cval END), 4) AS c0
+FROM cent GROUP BY label ORDER BY label
+"""
+
+
 REGISTRY_LLM3: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "udtf_char_shingles": (q_udtf_char_shingles, SQL_UDTF_CHAR_SHINGLES),
+    "udaf_centroids": (q_udaf_centroids, SQL_UDAF_CENTROIDS),
     "domain_mixture": (q_domain_mixture, SQL_DOMAIN_MIXTURE),
     "heavy_hitter_words": (q_heavy_hitter_words, SQL_HEAVY_HITTER_WORDS),
     "cluster_tightness": (q_cluster_tightness, SQL_CLUSTER_TIGHTNESS),
