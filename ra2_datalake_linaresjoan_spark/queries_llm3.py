@@ -1,10 +1,14 @@
 """LLM-data-pipeline queries, batch 3: domain mixture weights, per-shard
-heavy hitters, embedding cluster tightness, sketch-accuracy contract.
+heavy hitters, embedding cluster tightness, sketch-accuracy contract,
+continuous-ingest dedup, multimodal frame/resize kernels, and the
+Python-UDTF + pandas-UDAF tiers.
 
 Covers the corpus-composition side of a pretraining pipeline (what to
 sample, what dominates each shard, how coherent embedding clusters are)
 the same way batch 2 covered the hygiene side (dedup, PII, packing,
-contamination). Every step is engine-portable arithmetic so each query
+contamination), then pins the remaining execution tiers (mapInPandas
+kernels, UDTF lateral joins, GROUPED_AGG UDAFs) under the same exact
+oracles. Every step is engine-portable arithmetic so each query
 carries an exact DuckDB oracle.
 
 Reference parity: extends the reference's summary-statistics surface

@@ -247,10 +247,11 @@ def test_surrogate_key_modes_agree(spark):
         )
     ).distinct()
     small = {(r["sk"], r["name"]) for r in surrogate_key(df, ["name"]).collect()}
-    big = {
-        (r["sk"], r["name"])
-        for r in surrogate_key(df, ["name"], small_threshold=10, num_parts=8).collect()
-    }
+    big_df = surrogate_key(df, ["name"], small_threshold=10, num_parts=8)
+    big = {(r["sk"], r["name"]) for r in big_df.collect()}
     assert small == big
+    # the big-input path must not funnel through one partition anywhere
+    plan = big_df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
     keys = sorted(k for k, _ in small)
     assert keys == list(range(1, len(keys) + 1))
