@@ -628,7 +628,11 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("is_asia"), rev).otherwise(0.0)) / F.sum(rev),
                 6,
             ).alias("asia_share"),
-            F.round(F.sum(rev), 4).alias("total_revenue"),
+            # billion-scale sums round at 2, not 4: at sf0.1 the total is
+            # ~4.6e9 and 4 decimals (14 significant digits) sits at
+            # double-precision's summation-order noise floor — verified to
+            # diverge between engines at sf0.1, match at 2 decimals
+            F.round(F.sum(rev), 2).alias("total_revenue"),
         )
         .orderBy("o_year")
     )
@@ -638,7 +642,7 @@ SQL_MARKET_SHARE = """
 SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
        round(sum(CASE WHEN r_name = 'ASIA' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
              / sum(l_extendedprice * (1 - l_discount)), 6) AS asia_share,
-       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
