@@ -2287,6 +2287,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_resize",
     "udtf_char_shingles",
     "udaf_centroids",
+    # new this round (relational batch 5) — first driver look
+    "stats_moments",
+    "mad_outliers",
+    "fuzzy_join",
     # implementation changed this round — re-verify (already green in r1,
     # so these ride LAST: if the driver samples a prefix, the never-verified
     # queries above must win the slots)
@@ -2300,6 +2304,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext3 import REGISTRY_EXT3
     from ra2_datalake_linaresjoan_spark.queries_llm2 import REGISTRY_LLM2
     from ra2_datalake_linaresjoan_spark.queries_ext4 import REGISTRY_EXT4
+    from ra2_datalake_linaresjoan_spark.queries_ext5 import REGISTRY_EXT5
     from ra2_datalake_linaresjoan_spark.queries_llm3 import REGISTRY_LLM3
 
     merged = {
@@ -2307,6 +2312,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT,
         **REGISTRY_EXT3,
         **REGISTRY_EXT4,
+        **REGISTRY_EXT5,
         **REGISTRY_LLM2,
         **REGISTRY_LLM3,
     }

@@ -1,0 +1,221 @@
+"""Fifth batch of registered queries + DuckDB oracles: statistical
+aggregates, robust outlier detection, and a blocking+verify fuzzy join.
+
+Three operator families the engine had not yet put on the verified
+surface: second-moment statistics (corr / covar / stddev / var — Spark's
+built-in sample-convention aggregates), median-absolute-deviation
+anomaly flagging (the robust-statistics shape a data-quality monitor
+runs), and record linkage via token blocking with Levenshtein verify —
+the scalable fuzzy-join pattern (never all-pairs: an inverted-index
+equi-join proposes candidates, the edit-distance only scores those).
+
+Same contract as `queries.py`: identical aliases both sides, doubles
+rounded so summation-order noise can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# stats_moments — corr / covar_samp / stddev_samp / var_samp per group
+# ---------------------------------------------------------------------------
+
+
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per return flag: Pearson correlation and
+    sample covariance between quantity and price, plus sample
+    stddev/variance of price — all JVM-side mergeable aggregates (one
+    partial+final hash agg, scan speed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_STATS_MOMENTS = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_extendedprice), 2) AS stddev_price,
+       round(var_samp(l_quantity), 4) AS var_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers — median-absolute-deviation anomaly flags per group
+# ---------------------------------------------------------------------------
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per order priority: median and MAD
+    (median absolute deviation) of the order total, then the count of
+    orders beyond 3 MADs — the data-quality monitor shape that, unlike
+    z-scores, a few extreme rows can't poison. Two grouped exact
+    percentiles with a broadcast join-back between them; at 100 TB the
+    drop-in is ``percentile_approx`` (t-digest, one pass, mergeable)."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("_med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        "_med",
+        F.abs(F.col("o_totalprice") - F.col("_med")).alias("_adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.first("_med"), 4).alias("median_price"),
+            F.round(F.first("_mad"), 4).alias("mad_price"),
+            F.sum(
+                (F.abs(F.col("o_totalprice") - F.col("_med")) > 3 * F.col("_mad"))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
+  FROM orders GROUP BY o_orderpriority
+), dev AS (
+  SELECT o.o_orderpriority, o.o_totalprice, med.m,
+         abs(o.o_totalprice - med.m) AS adev
+  FROM orders o JOIN med USING (o_orderpriority)
+), mad AS (
+  SELECT o_orderpriority, quantile_cont(adev, 0.5) AS d
+  FROM dev GROUP BY o_orderpriority
+)
+SELECT dev.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(any_value(dev.m), 4) AS median_price,
+       round(any_value(mad.d), 4) AS mad_price,
+       CAST(sum(CASE WHEN abs(dev.o_totalprice - dev.m) > 3 * mad.d
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (o_orderpriority)
+GROUP BY dev.o_orderpriority
+ORDER BY dev.o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_join — token-blocking + Levenshtein-verify record linkage
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: a probe catalog of name VARIANTS (every 100th part,
+    words reversed — 'red widget' → 'widget red') matched back against
+    the part table WITHOUT all-pairs work: an inverted-index equi-join
+    on name tokens proposes candidate pairs (blocking), token-Jaccard +
+    Levenshtein score only those candidates (verify). Matches = full
+    token overlap. Per probe: candidates seen, matches, best (minimum)
+    edit distance among matches."""
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_name").alias("name")
+    )
+    probe = (
+        parts.filter(F.col("p_partkey") % 100 == 0)
+        .select(
+            F.col("p_partkey").alias("probe_key"),
+            F.concat_ws(" ", F.reverse(F.split("name", " "))).alias("variant"),
+        )
+    )
+    p_tok = parts.select(
+        "p_partkey", "name", F.explode(F.split("name", " ")).alias("tok")
+    )
+    b_tok = probe.select(
+        "probe_key", "variant", F.explode(F.split("variant", " ")).alias("tok")
+    )
+    shared = (
+        b_tok.join(p_tok, "tok")
+        .groupBy("probe_key", "variant", "p_partkey", "name")
+        .agg(F.countDistinct("tok").alias("n_shared"))
+    )
+    n_b = F.size(F.split("variant", " "))
+    n_p = F.size(F.split("name", " "))
+    jacc = F.col("n_shared") / (n_b + n_p - F.col("n_shared"))
+    scored = shared.select(
+        "probe_key",
+        "p_partkey",
+        jacc.alias("jacc"),
+        F.levenshtein("variant", "name").alias("lev"),
+    )
+    return (
+        scored.groupBy("probe_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("jacc") >= 1.0).cast("long")).alias("n_matches"),
+            F.min(F.when(F.col("jacc") >= 1.0, F.col("lev"))).alias("best_lev"),
+        )
+        .orderBy("probe_key")
+    )
+
+
+SQL_FUZZY_JOIN = """
+WITH parts AS (
+  SELECT p_partkey, p_name AS name FROM part
+), probe AS (
+  SELECT p_partkey AS probe_key,
+         array_to_string(list_reverse(string_split(name, ' ')), ' ') AS variant
+  FROM parts WHERE p_partkey % 100 = 0
+), p_tok AS (
+  SELECT p_partkey, name, unnest(string_split(name, ' ')) AS tok FROM parts
+), b_tok AS (
+  SELECT probe_key, variant, unnest(string_split(variant, ' ')) AS tok FROM probe
+), shared AS (
+  SELECT b.probe_key, b.variant, p.p_partkey, p.name,
+         count(DISTINCT b.tok) AS n_shared
+  FROM b_tok b JOIN p_tok p USING (tok)
+  GROUP BY b.probe_key, b.variant, p.p_partkey, p.name
+), scored AS (
+  SELECT probe_key, p_partkey,
+         n_shared * 1.0 / (len(string_split(variant, ' '))
+                           + len(string_split(name, ' ')) - n_shared) AS jacc,
+         levenshtein(variant, name) AS lev
+  FROM shared
+)
+SELECT probe_key,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN jacc >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+       min(CASE WHEN jacc >= 1.0 THEN lev END) AS best_lev
+FROM scored
+GROUP BY probe_key
+ORDER BY probe_key
+"""
+
+
+REGISTRY_EXT5: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "stats_moments": (q_stats_moments, SQL_STATS_MOMENTS),
+    "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
+    "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
+}
