@@ -2291,6 +2291,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stats_moments",
     "mad_outliers",
     "fuzzy_join",
+    "table_profile",
     # implementation changed this round — re-verify (already green in r1,
     # so these ride LAST: if the driver samples a prefix, the never-verified
     # queries above must win the slots)

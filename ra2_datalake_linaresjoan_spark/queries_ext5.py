@@ -214,8 +214,78 @@ ORDER BY probe_key
 """
 
 
+# ---------------------------------------------------------------------------
+# table_profile — per-column profiling summary (nulls / distincts / range)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary: one row per profiled column of ``orders``
+    with row count, null count, distinct count, and min/max rendered as
+    strings — the reference's volumetry/validator statistics
+    (``validator_warehouse.py:166-248``) generalized into the standard
+    profiler shape. ONE wide aggregate computes every metric in a single
+    scan (no per-column count() storm — SURVEY §7.4.7), then a ``stack``
+    melts the wide row."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            "_n AS n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)",
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+        .orderBy("column_name")
+    )
+
+
+SQL_TABLE_PROFILE = """
+WITH w AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS s_dist,
+         CAST(min(o_orderstatus) AS VARCHAR) AS s_min, CAST(max(o_orderstatus) AS VARCHAR) AS s_max,
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS p_dist,
+         CAST(min(o_orderpriority) AS VARCHAR) AS p_min, CAST(max(o_orderpriority) AS VARCHAR) AS p_max,
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS c_dist,
+         CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
+         CAST(count(DISTINCT o_totalprice) AS BIGINT) AS t_dist,
+         CAST(min(o_totalprice) AS VARCHAR) AS t_min, CAST(max(o_totalprice) AS VARCHAR) AS t_max
+  FROM orders
+)
+SELECT 'o_custkey' AS column_name, n_rows, c_nulls AS n_nulls, c_dist AS n_distinct,
+       c_min AS min_value, c_max AS max_value FROM w
+UNION ALL
+SELECT 'o_orderpriority', n_rows, p_nulls, p_dist, p_min, p_max FROM w
+UNION ALL
+SELECT 'o_orderstatus', n_rows, s_nulls, s_dist, s_min, s_max FROM w
+UNION ALL
+SELECT 'o_totalprice', n_rows, t_nulls, t_dist, t_min, t_max FROM w
+ORDER BY column_name
+"""
+
+
 REGISTRY_EXT5: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "stats_moments": (q_stats_moments, SQL_STATS_MOMENTS),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
 }

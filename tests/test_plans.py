@@ -240,3 +240,21 @@ def test_pii_redact_is_scan_plus_one_shuffle(spark, sf_dir):
     # pure Column expressions: no join, window, or Python-worker node
     assert "Join" not in tree and "Window" not in tree
     assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
+
+
+def test_fuzzy_join_blocks_never_cartesian(spark, sf_dir):
+    """The fuzzy join must stay blocking+verify: candidate pairs come from
+    an equi-join on tokens — no cartesian or nested-loop pairing of the
+    two name sets anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "fuzzy_join")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_table_profile_single_scan(spark, sf_dir):
+    """The profiler must compute every per-column metric in ONE scan of
+    orders (SURVEY §7.4.7: no count() storm)."""
+    plan = _plan(spark, sf_dir, "table_profile")
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l and "orders" in l]
+    assert len(scans) <= 2  # tree + detail repeat of the single node
