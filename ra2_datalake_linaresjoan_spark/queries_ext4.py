@@ -32,8 +32,9 @@ def q_gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed range (built with ``sequence``/``explode`` from a 1-row
     min/max aggregate — no driver round-trip), LEFT-joined to the daily
     aggregate; missing days get 0 events and carry the last observed
-    daily mean value forward (LOCF via ``last(ignorenulls)`` over a
-    per-type window). The spine side is tiny (days × types) and
+    daily max value forward (LOCF via ``last(ignorenulls)`` over a
+    per-type window; max, unlike a summed mean, is bit-exact under any
+    aggregation order — no float tie-breaking across engines). The spine side is tiny (days × types) and
     broadcast; the fact is aggregated before the join, so the heavy
     table shuffles exactly once."""
     ev = _t(spark, sf_dir, "events")
@@ -41,7 +42,7 @@ def q_gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
     )
     bounds = ev.agg(
         F.min(F.to_date(F.date_trunc("DAY", F.col("ts")))).alias("d0"),
@@ -63,7 +64,7 @@ def q_gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "day",
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.last("avg_value", ignorenulls=True).over(w).alias("locf_avg_value"),
+            F.last("max_value", ignorenulls=True).over(w).alias("locf_max_value"),
         )
         .orderBy("event_type", "day")
     )
@@ -73,7 +74,7 @@ SQL_GAPFILL_DAILY_EVENTS = """
 WITH daily AS (
   SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
          CAST(count(*) AS BIGINT) AS n_events,
-         round(avg(value), 4) AS avg_value
+         round(max(value), 4) AS max_value
   FROM events GROUP BY 1, 2
 ), spine AS (
   SELECT CAST(unnest(generate_series(
@@ -86,9 +87,9 @@ WITH daily AS (
 )
 SELECT g.event_type, g.day,
        COALESCE(d.n_events, 0) AS n_events,
-       last_value(d.avg_value IGNORE NULLS) OVER (
+       last_value(d.max_value IGNORE NULLS) OVER (
          PARTITION BY g.event_type ORDER BY g.day
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_value
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_max_value
 FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
 ORDER BY g.event_type, g.day
 """

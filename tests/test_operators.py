@@ -255,3 +255,46 @@ def test_surrogate_key_modes_agree(spark):
     assert "SinglePartition" not in plan
     keys = sorted(k for k, _ in small)
     assert keys == list(range(1, len(keys) + 1))
+
+
+def test_zorder_tightens_both_dimensions(spark, tmp_path):
+    """Z-ordered files must have tighter per-file min/max ranges than a
+    single-column sort on BOTH filter dimensions — measured from the
+    actual parquet row-group statistics the scan pruner uses."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.operators.zorder import write_zordered
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+    )
+    z_path = str(tmp_path / "zorder")
+    s_path = str(tmp_path / "xsort")
+    write_zordered(df, z_path, ["x", "y"], n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.parquet(s_path)
+    )
+
+    def avg_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(
+                    [md.schema.column(i).name for i in range(md.num_columns)].index(col)
+                ).statistics
+                spans.append(st.max - st.min)
+        return sum(spans) / len(spans)
+
+    # x-sorted files: near-perfect x clustering, y nearly spans the domain
+    assert avg_span(s_path, "x") < 30
+    assert avg_span(s_path, "y") > 150
+    # z-ordered files: BOTH dimensions clustered well below full domain
+    assert avg_span(z_path, "x") < 120
+    assert avg_span(z_path, "y") < 120
