@@ -2292,6 +2292,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mad_outliers",
     "fuzzy_join",
     "table_profile",
+    "full_outer_reconcile",
     # implementation changed this round — re-verify (already green in r1,
     # so these ride LAST: if the driver samples a prefix, the never-verified
     # queries above must win the slots)

@@ -283,9 +283,68 @@ ORDER BY column_name
 """
 
 
+# ---------------------------------------------------------------------------
+# full_outer_reconcile — FULL OUTER join reconciliation of two daily feeds
+# ---------------------------------------------------------------------------
+
+
+def q_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed reconciliation via FULL OUTER join: daily order counts vs daily
+    event counts joined on the calendar day, classifying each day as
+    matched / orders-only / events-only (the two feeds cover disjoint
+    eras, so both outer sides are exercised for real). The join runs on
+    two post-aggregation daily tables — the facts shuffle once each into
+    their aggregates, never into the join."""
+    orders = _t(spark, sf_dir, "orders")
+    ev = _t(spark, sf_dir, "events")
+    o_daily = orders.groupBy(
+        F.to_date(F.date_trunc("DAY", F.col("o_orderdate"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    e_daily = ev.groupBy(
+        F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    both = o_daily.join(e_daily, "day", "full_outer")
+    status = (
+        F.when(F.col("n_orders").isNotNull() & F.col("n_events").isNotNull(), "matched")
+        .when(F.col("n_orders").isNotNull(), "orders_only")
+        .otherwise("events_only")
+    )
+    return (
+        both.groupBy(status.alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.coalesce("n_orders", F.lit(0))).alias("orders"),
+            F.sum(F.coalesce("n_events", F.lit(0))).alias("events"),
+        )
+        .orderBy("status")
+    )
+
+
+SQL_FULL_OUTER_RECONCILE = """
+WITH o_daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+), e_daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT CASE WHEN n_orders IS NOT NULL AND n_events IS NOT NULL THEN 'matched'
+            WHEN n_orders IS NOT NULL THEN 'orders_only'
+            ELSE 'events_only' END AS status,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(COALESCE(n_orders, 0)) AS BIGINT) AS orders,
+       CAST(sum(COALESCE(n_events, 0)) AS BIGINT) AS events
+FROM o_daily FULL OUTER JOIN e_daily USING (day)
+GROUP BY 1 ORDER BY status
+"""
+
+
 REGISTRY_EXT5: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "stats_moments": (q_stats_moments, SQL_STATS_MOMENTS),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "full_outer_reconcile": (q_full_outer_reconcile, SQL_FULL_OUTER_RECONCILE),
 }
