@@ -53,29 +53,46 @@ def run_pipeline(
     m = enrich_gaming_markets(gaming_market_filter(clean_markets(markets)))
     ev, se = clean_events(events), clean_series(series)
 
-    gold = build_gold(spark, m, ev, se)
-    if gold_path:
-        write_gold(gold, gold_path)
-        gold = {
-            name: spark.read.parquet(os.path.join(gold_path, name)) for name in gold
-        }
+    # the validator + volumetry + summary fire ~20 separate actions over
+    # these frames; without materialization each action would re-derive the
+    # whole silver lineage (a count() storm, SURVEY §7.4.7). Persisted
+    # writes materialize via the parquet round-trip; the in-memory path
+    # caches instead (released in the finally below).
+    cached = []
+    if not gold_path:
+        m = m.cache()
+        cached.append(m)
 
-    report = validate_gold(gold)
-    if not report.ok:
-        raise RuntimeError(f"gold integrity failed: {report.orphans}")
+    try:
+        gold = build_gold(spark, m, ev, se)
+        if gold_path:
+            write_gold(gold, gold_path)
+            gold = {
+                name: spark.read.parquet(os.path.join(gold_path, name)) for name in gold
+            }
+        else:
+            for df in gold.values():
+                cached.append(df.cache())
 
-    vol = volumetry_report(
-        {"markets": m, "events": ev, "series": se},
-        {
-            "markets_per_event": (
-                gold["fact_mercado_evento_gaming"],
-                "evento_id",
-                "mercado_id",
-            ),
-            "events_per_tag": (gold["fact_evento_tag_gaming"], "tag_id", "evento_id"),
-        },
-    )
-    summary = [r.asDict() for r in gaming_summary(m).collect()]
+        report = validate_gold(gold)
+        if not report.ok:
+            raise RuntimeError(f"gold integrity failed: {report.orphans}")
+
+        vol = volumetry_report(
+            {"markets": m, "events": ev, "series": se},
+            {
+                "markets_per_event": (
+                    gold["fact_mercado_evento_gaming"],
+                    "evento_id",
+                    "mercado_id",
+                ),
+                "events_per_tag": (gold["fact_evento_tag_gaming"], "tag_id", "evento_id"),
+            },
+        )
+        summary = [r.asDict() for r in gaming_summary(m).collect()]
+    finally:
+        for df in cached:
+            df.unpersist()
     return {
         "validation": {
             "counts": report.counts,
