@@ -2293,6 +2293,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fuzzy_join",
     "table_profile",
     "full_outer_reconcile",
+    "map_ops",
     # implementation changed this round — re-verify (already green in r1,
     # so these ride LAST: if the driver samples a prefix, the never-verified
     # queries above must win the slots)

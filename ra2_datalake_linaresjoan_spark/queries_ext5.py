@@ -341,10 +341,55 @@ GROUP BY 1 ORDER BY status
 """
 
 
+# ---------------------------------------------------------------------------
+# map_ops — map-typed column functions on the verified surface
+# ---------------------------------------------------------------------------
+
+
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed operators (SURVEY §2.8 notes the reference has none —
+    the engine exposes Spark's natively): per user, build a
+    ``map<event_type, count>`` via ``map_from_entries(collect_list(...))``
+    then consume it with ``map_keys`` / ``element_at`` / ``size``. The
+    oracle pins the flattened semantics (map internals are engine-local;
+    the contract is what comes out)."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.size("m").alias("n_types"),
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("clicks"),
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("types_csv"),
+    ).orderBy("user_id")
+
+
+SQL_MAP_OPS = """
+WITH per_type AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       CAST(count(*) AS INT) AS n_types,
+       CAST(COALESCE(max(CASE WHEN event_type = 'click' THEN n END), 0) AS BIGINT)
+         AS clicks,
+       string_agg(event_type, ',' ORDER BY event_type) AS types_csv
+FROM per_type
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 REGISTRY_EXT5: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "stats_moments": (q_stats_moments, SQL_STATS_MOMENTS),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
     "fuzzy_join": (q_fuzzy_join, SQL_FUZZY_JOIN),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "full_outer_reconcile": (q_full_outer_reconcile, SQL_FULL_OUTER_RECONCILE),
+    "map_ops": (q_map_ops, SQL_MAP_OPS),
 }
