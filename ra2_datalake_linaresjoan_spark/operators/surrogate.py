@@ -39,9 +39,16 @@ def surrogate_key(
         w = Window.orderBy(*cols)
         return df.select(F.row_number().over(w).alias(key_col), *df.columns)
 
+    # pin the range partitioning: the counts pass and the final numbering
+    # pass must see IDENTICAL partition boundaries — RangePartitioner
+    # samples the input to pick them, and recomputing the sample across two
+    # jobs is an assumption, not a guarantee. persist() makes both passes
+    # read the same materialized partitioning (disk-spillable; released
+    # before return).
     parts = df.repartitionByRange(num_parts, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    parts = parts.persist()
     counts = {r["_pid"]: r["c"] for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -54,10 +61,16 @@ def surrogate_key(
         )
     )
     w = Window.partitionBy("_pid").orderBy(*cols)
-    return (
+    out = (
         parts.join(off_df, "_pid")
         .select(
             (F.row_number().over(w) + F.col("_off")).alias(key_col),
             *[c for c in df.columns],
         )
     )
+    # materialize the assignment, then release the pinned partitioning —
+    # repeated surrogate_key calls must not accumulate cached blocks
+    # (same discipline as pagerank's transition-table cache)
+    out = out.localCheckpoint()
+    parts.unpersist()
+    return out
