@@ -139,7 +139,13 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on name tokens proposes candidate pairs (blocking), token-Jaccard +
     Levenshtein score only those candidates (verify). Matches = full
     token overlap. Per probe: candidates seen, matches, best (minimum)
-    edit distance among matches."""
+    edit distance among matches.
+
+    Scale note: blocking on raw tokens is skew-prone — a token appearing
+    in 1% of a 100-TB corpus pairs everything containing it. Production
+    blocking drops high-document-frequency tokens first (keep only
+    discriminative tokens; the standard recall/cost dial) — one extra
+    token-DF aggregate + semi-join before the block, same plan shape."""
     parts = _t(spark, sf_dir, "part").select(
         "p_partkey", F.col("p_name").alias("name")
     )
