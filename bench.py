@@ -44,6 +44,11 @@ HEADLINE = [
     "pii_redact",
     "domain_mixture",
     "cluster_tightness",
+    # time-series / statistics / linkage families (round 2)
+    "gapfill_daily_events",
+    "trailing_week_revenue",
+    "stats_moments",
+    "fuzzy_join",
 ]
 
 
