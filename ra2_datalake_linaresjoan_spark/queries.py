@@ -2294,6 +2294,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "table_profile",
     "full_outer_reconcile",
     "map_ops",
+    "funnel_steps",
+    "cohort_retention",
     # implementation changed this round — re-verify (already green in r1,
     # so these ride LAST: if the driver samples a prefix, the never-verified
     # queries above must win the slots)

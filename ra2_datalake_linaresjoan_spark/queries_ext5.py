@@ -391,6 +391,111 @@ GROUP BY user_id ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# funnel_steps — strict-order event funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel: per user, the first 'view', the first 'click'
+    AFTER that view, the first 'purchase' AFTER that click — then one
+    summary row of step conversion counts. Each step is a grouped min
+    over a semi-filtered fact with the prior step broadcast back (steps
+    are user-count-sized aggregates, tiny next to the fact): the
+    path-analysis shape funnels/attribution run at warehouse scale."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t1.select(F.lit("1_view").alias("step"), "user_id")
+        .unionByName(t2.select(F.lit("2_click_after_view").alias("step"), "user_id"))
+        .unionByName(t3.select(F.lit("3_purchase_after_click").alias("step"), "user_id"))
+        .groupBy("step")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("step")
+    )
+
+
+SQL_FUNNEL_STEPS = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t_view
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+  GROUP BY e.user_id
+)
+SELECT step, CAST(n_users AS BIGINT) AS n_users FROM (
+  SELECT '1_view' AS step, count(DISTINCT user_id) AS n_users FROM t1
+  UNION ALL
+  SELECT '2_click_after_view', count(DISTINCT user_id) FROM t2
+  UNION ALL
+  SELECT '3_purchase_after_click', count(DISTINCT user_id) FROM t3
+)
+ORDER BY step
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort_retention — first-seen cohorts x day-offset activity
+# ---------------------------------------------------------------------------
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, counted on
+    each later activity day as an offset from their cohort day — the
+    triangle every growth dashboard draws. Two shuffles total (first-day
+    agg, cohort×offset agg); the cohort map joins back via broadcast."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("DAY", F.col("ts"))).alias("day")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(datediff('day', c.cohort_day, e.day) AS INT) AS day_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ev e JOIN cohort c ON e.user_id = c.user_id
+GROUP BY 1, 2 ORDER BY cohort_day, day_offset
+"""
+
+
 REGISTRY_EXT5: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "stats_moments": (q_stats_moments, SQL_STATS_MOMENTS),
     "mad_outliers": (q_mad_outliers, SQL_MAD_OUTLIERS),
@@ -398,4 +503,6 @@ REGISTRY_EXT5: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | N
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "full_outer_reconcile": (q_full_outer_reconcile, SQL_FULL_OUTER_RECONCILE),
     "map_ops": (q_map_ops, SQL_MAP_OPS),
+    "funnel_steps": (q_funnel_steps, SQL_FUNNEL_STEPS),
+    "cohort_retention": (q_cohort_retention, SQL_COHORT_RETENTION),
 }
