@@ -2237,10 +2237,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "promo_revenue",
     "large_volume_customers",
     "returned_item_customers",
-    "running_totals",
-    "moving_avg_events",
-    "first_last_events",
-    "percentrank_parts",
     "pivot_user_events",
     "cube_orders",
     "sources_by_lang",
@@ -2278,24 +2274,31 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_words",
     "cluster_tightness",
     "approx_distinct_guarantee",
+    # novel execution tiers — highest driver-verification value
+    "multimodal_frames",
+    "udtf_char_shingles",
+    "udaf_centroids",
+    "incremental_dedup",
+    "fuzzy_join",
     # new this round (relational batch 4) — first driver look
     "gapfill_daily_events",
     "unpivot_nation_metrics",
     "trailing_week_revenue",
-    "incremental_dedup",
-    "multimodal_frames",
     "multimodal_resize",
-    "udtf_char_shingles",
-    "udaf_centroids",
     # new this round (relational batch 5) — first driver look
     "stats_moments",
     "mad_outliers",
-    "fuzzy_join",
     "table_profile",
     "full_outer_reconcile",
     "map_ops",
     "funnel_steps",
     "cohort_retention",
+    # simple window shapes — demoted below the novel tiers (local replica
+    # coverage is convincing for these; they re-queue for round 3)
+    "running_totals",
+    "moving_avg_events",
+    "first_last_events",
+    "percentrank_parts",
     # implementation changed this round — re-verify (already green in r1,
     # so these ride LAST: if the driver samples a prefix, the never-verified
     # queries above must win the slots)
