@@ -1,13 +1,10 @@
-"""Fifth batch of registered queries + DuckDB oracles: statistical
-aggregates, robust outlier detection, and a blocking+verify fuzzy join.
-
-Three operator families the engine had not yet put on the verified
-surface: second-moment statistics (corr / covar / stddev / var — Spark's
-built-in sample-convention aggregates), median-absolute-deviation
-anomaly flagging (the robust-statistics shape a data-quality monitor
-runs), and record linkage via token blocking with Levenshtein verify —
-the scalable fuzzy-join pattern (never all-pairs: an inverted-index
-equi-join proposes candidates, the edit-distance only scores those).
+"""Fifth batch of registered queries + DuckDB oracles — the operator
+families the engine had not yet put on the verified surface:
+second-moment statistics (corr / covar / stddev / var), robust MAD
+outlier flagging, record linkage via token blocking + Levenshtein verify
+(never all-pairs), one-scan table profiling, FULL OUTER feed
+reconciliation, map-typed column functions, strict-order funnels, and
+cohort retention.
 
 Same contract as `queries.py`: identical aliases both sides, doubles
 rounded so summation-order noise can't flip the value hash.
