@@ -53,9 +53,10 @@ def cosine_topk(
     """Exact brute-force cosine top-k: (query_id, neighbor_id, cos_sim).
 
     Physical strategies, identical results:
-    - ``auto`` (default): one cheap ``count()`` on the corpus; if it is
-      within ``MAX_COLLECT_ROWS`` use the numpy matmul path, else fall back
-      to the collect-free broadcast-join expression plan. No data-sized
+    - ``auto`` (default): a capped count (``limit(N+1).count()`` — the
+      guard job stops scanning at the threshold); if the corpus is within
+      ``MAX_COLLECT_ROWS`` use the numpy matmul path, else fall back to
+      the collect-free broadcast-join expression plan. No data-sized
       driver collect is ever reachable on an unbounded corpus.
     - ``numpy`` (opt-in): corpus collected once into a broadcast float64
       matrix; queries stream through ``mapInPandas`` and each Arrow batch
@@ -70,7 +71,8 @@ def cosine_topk(
     results are deterministic and engine-portable. Self-matches excluded.
     """
     if method == "auto":
-        method = "numpy" if corpus.count() <= MAX_COLLECT_ROWS else "expr"
+        small = corpus.limit(MAX_COLLECT_ROWS + 1).count() <= MAX_COLLECT_ROWS
+        method = "numpy" if small else "expr"
     if method == "numpy":
         return _cosine_topk_numpy(queries, corpus, id_col, vec_col, k, round_digits)
     q = queries.select(
@@ -157,13 +159,19 @@ def cosine_neardup_pairs(
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim ≥ t),
     id_a < id_b.
 
-    ``auto`` (default) size-guards exactly like ``cosine_topk``: a corpus
-    beyond ``MAX_COLLECT_ROWS`` takes the collect-free broadcast-join
-    expression plan; a bounded corpus takes the broadcast-matrix
-    mapInPandas path (one matmul per Arrow batch, keep only pairs with the
-    larger partner id — dedup for free, no shuffle). For corpora beyond
-    broadcast size entirely, LSH-bucket first (``lsh_bucket_ann``) and
-    verify candidates.
+    ``auto`` (default) size-guards with a capped count (``limit(N+1)`` so
+    the guard job never scans past the threshold): a bounded corpus takes
+    the broadcast-matrix mapInPandas path (one matmul per Arrow batch, keep
+    only pairs with the larger partner id — dedup for free, no shuffle); a
+    corpus beyond ``MAX_COLLECT_ROWS`` routes to LSH-bucketed candidate
+    generation + exact-cosine verify (``method="lsh"``) — per-bucket joins
+    only, never an all-pairs comparison and never a table-sized broadcast.
+    The LSH path is candidate-complete only up to bucket recall (tunable
+    via ``planes``/``tables``); at the corpus sizes that trigger it, exact
+    all-pairs is not a viable plan on any engine, so approximate-with-
+    verified-scores is the honest contract. ``method="expr"`` (opt-in)
+    keeps the exact non-equi self-join plan WITHOUT a broadcast hint —
+    Spark picks the join strategy, the caller accepts O(n²) evaluation.
     """
     from collections.abc import Iterator
 
@@ -171,7 +179,34 @@ def cosine_neardup_pairs(
     import pandas as pd
 
     if method == "auto":
-        method = "numpy" if df.count() <= MAX_COLLECT_ROWS else "expr"
+        small = df.limit(MAX_COLLECT_ROWS + 1).count() <= MAX_COLLECT_ROWS
+        method = "numpy" if small else "lsh"
+    if method == "lsh":
+        dim = len(df.select(vec_col).first()[0])
+        b = _bucket_ids(df, id_col, vec_col, "_bid", dim, planes=8, tables=4, seed=42)
+        cand = (
+            b.alias("l")
+            .join(b.alias("r"), ["tbl", "bucket"])
+            .filter(F.col("l._bid") < F.col("r._bid"))
+            .select(F.col("l._bid").alias("id_a"), F.col("r._bid").alias("id_b"))
+            .distinct()
+        )
+        av = df.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("_av")
+        )
+        bv = df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("_bv")
+        )
+        return (
+            cand.join(av, "id_a")
+            .join(bv, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(cosine(F.col("_av"), F.col("_bv")), round_digits).alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+        )
     if method == "expr":
         left = df.select(
             F.col(id_col).alias("id_a"),
@@ -182,7 +217,7 @@ def cosine_neardup_pairs(
             F.col(vec_col).cast("array<double>").alias("_bv"),
         )
         return (
-            left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))
+            left.join(right, F.col("id_a") < F.col("id_b"))
             .select(
                 "id_a",
                 "id_b",
@@ -395,6 +430,37 @@ def _hyperplane(dim: int, plane_idx: int, seed: int) -> list[float]:
     return [1.0 if rnd.random() < 0.5 else -1.0 for _ in range(dim)]
 
 
+def _bucket_ids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    dim: int,
+    planes: int,
+    tables: int,
+    seed: int,
+) -> DataFrame:
+    """(id, tbl, bucket) rows: each vector's ``planes``-bit sign bucket in
+    each of ``tables`` hyperplane tables — the shared LSH bucketing used by
+    ``lsh_bucket_ann`` and the scale path of ``cosine_neardup_pairs``."""
+    v = F.col(vec_col).cast("array<double>")
+    table_cols = []
+    for t in range(tables):
+        bits = None
+        for p in range(planes):
+            plane = F.array(*[F.lit(x) for x in _hyperplane(dim, t * planes + p, seed)])
+            bit = F.when(_dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, p)
+            bits = term if bits is None else bits.bitwiseXOR(term)
+        table_cols.append(bits)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(F.array(*table_cols)).alias("tbl", "bucket"),
+    )
+
+
 def lsh_bucket_ann(
     queries: DataFrame,
     corpus: DataFrame,
@@ -417,22 +483,7 @@ def lsh_bucket_ann(
     """
 
     def bucketed(df: DataFrame, out_id: str) -> DataFrame:
-        v = F.col(vec_col).cast("array<double>")
-        table_cols = []
-        for t in range(tables):
-            bits = None
-            for p in range(planes):
-                plane = F.array(*[F.lit(x) for x in _hyperplane(dim, t * planes + p, seed)])
-                bit = F.when(_dot(v, plane) >= 0, F.lit(1).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                term = F.shiftleft(bit, p)
-                bits = term if bits is None else bits.bitwiseXOR(term)
-            table_cols.append(bits)
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.posexplode(F.array(*table_cols)).alias("tbl", "bucket"),
-        )
+        return _bucket_ids(df, id_col, vec_col, out_id, dim, planes, tables, seed)
 
     # Candidate dedup moves ONLY the id pair through the exchange — the
     # embedding arrays are re-joined after distinct so the shuffle payload

@@ -29,14 +29,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table is written with nanosecond parquet timestamps, which
-    Spark's vectorized reader rejects; read nanos as long and convert to a
-    microsecond timestamp with integer division (a float division would lose
-    precision on ~1.7e18 epoch-nanos)."""
+    """The events table's parquet timestamp physical type has varied across
+    testdata generations (nanos in early rounds, micros-NTZ now), so
+    normalize every variant to TIMESTAMP_LTZ whose epoch-micros equal the
+    stored wall-clock value interpreted as UTC — the representation every
+    downstream `unix_micros`/window query assumes, and the one DuckDB's
+    naive-timestamp oracle reads. Session tz is pinned to UTC so the
+    NTZ→LTZ cast is a bit-exact reinterpretation, not a zone shift."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # nanos read as long
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -2225,67 +2232,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # no driver row at all in CORRECTNESS_r01 (registry positions > 50)
-    "cosine_neardup",
-    "asof_join",
-    "interval_join",
-    "sentiment_lexicon",
-    "jsonish_arrays_parity",
-    "pipeline_parity",
-    "order_priority_exists",
-    "customer_distribution",
-    "promo_revenue",
-    "large_volume_customers",
-    "returned_item_customers",
-    "pivot_user_events",
-    "cube_orders",
-    "sources_by_lang",
-    "hash_sample_docs",
-    "tfidf_top_terms",
-    "neardup_components",
-    "props_variant",
+    # -- round-3 rotation, regenerated from CORRECTNESS_r01+r02 ------------
+    # the only two hash-mismatches ever recorded (r2): the oracle SQL left a
+    # windowed integer sum un-cast, so DuckDB realized it as HUGEINT /
+    # decimal128 and the driver's type-realization-sensitive value hash
+    # diverged even though every Python value compared equal. Both oracles
+    # now CAST ... AS BIGINT; re-verify first.
     "session_islands",
-    "grouping_sets_orders",
-    "forecast_revenue",
-    "volume_shipping",
-    "product_type_profit",
-    "late_line_priority",
-    "top_supplier",
-    "supplier_variety",
-    "discounted_revenue",
-    "waiting_suppliers",
-    "dormant_customers",
-    "time_bucket_rollup",
-    "scd2_user_state",
-    "stratified_sample_docs",
-    "nation_pagerank",
-    # had a driver row but err=no_oracle in r1 — oracles added this round
-    "simhash_neardup",
-    "ann_lsh",
-    "ann_ivf",
-    "multimodal_features",
-    # new this round (LLM-data batch 2) — first driver look
-    "doc_repetition",
     "seq_packing",
-    "pii_redact",
-    "contamination",
-    # new this round (LLM-data batch 3) — first driver look
-    "domain_mixture",
-    "heavy_hitter_words",
-    "cluster_tightness",
-    "approx_distinct_guarantee",
-    # novel execution tiers — highest driver-verification value
-    "multimodal_frames",
-    "udtf_char_shingles",
-    "udaf_centroids",
-    "incremental_dedup",
-    "fuzzy_join",
-    # new this round (relational batch 4) — first driver look
+    # never driver-verified (no row in r1 or r2 — the 50-row cutoff)
     "gapfill_daily_events",
     "unpivot_nation_metrics",
     "trailing_week_revenue",
     "multimodal_resize",
-    # new this round (relational batch 5) — first driver look
     "stats_moments",
     "mad_outliers",
     "table_profile",
@@ -2293,17 +2252,36 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "map_ops",
     "funnel_steps",
     "cohort_retention",
-    # simple window shapes — demoted below the novel tiers (local replica
-    # coverage is convincing for these; they re-queue for round 3)
     "running_totals",
     "moving_avg_events",
     "first_last_events",
     "percentrank_parts",
-    # implementation changed this round — re-verify (already green in r1,
-    # so these ride LAST: if the driver samples a prefix, the never-verified
-    # queries above must win the slots)
+    # new in round 3 (relational batch 6 + LLM-data batch 4) — first look
+    "median_orders",
+    "latest_event_argmax",
+    "nation_share_window",
+    "cumulative_unique_users",
+    "watermark_late_audit",
+    "doc_chunking",
+    "bigram_vocab",
+    "embedding_quantize",
+    "dedup_survivors",
+    "quota_sample_docs",
+    "token_length_buckets",
+    # implementation changed in round 3 (ADVICE fixes) — re-verify
+    "fuzzy_join",
+    "cosine_neardup",
     "cosine_topk",
-    "market_share",
+    # events-path queries: the testdata generation switched the events
+    # timestamp physical type (nanos -> micros-NTZ) between r2 and r3 and
+    # the readers were reworked for it — re-verify the heaviest users
+    "asof_join",
+    "interval_join",
+    "event_sessionization",
+    "tumbling_windows",
+    "sliding_windows",
+    "window_dedup",
+    "date_dim",
 )
 
 
@@ -2314,6 +2292,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext4 import REGISTRY_EXT4
     from ra2_datalake_linaresjoan_spark.queries_ext5 import REGISTRY_EXT5
     from ra2_datalake_linaresjoan_spark.queries_llm3 import REGISTRY_LLM3
+    from ra2_datalake_linaresjoan_spark.queries_ext6 import REGISTRY_EXT6
+    from ra2_datalake_linaresjoan_spark.queries_llm4 import REGISTRY_LLM4
 
     merged = {
         **_REGISTRY,
@@ -2321,8 +2301,10 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT3,
         **REGISTRY_EXT4,
         **REGISTRY_EXT5,
+        **REGISTRY_EXT6,
         **REGISTRY_LLM2,
         **REGISTRY_LLM3,
+        **REGISTRY_LLM4,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -57,9 +57,14 @@ def q_gapfill_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # hint the BUILD side: for a LEFT OUTER join only the right side can
+    # host the broadcast hash table (build-left is illegal for left outer,
+    # so a hint on the spine would be silently ignored and the plan would
+    # ride on autoBroadcast of `daily` — fine until the aggregate outgrows
+    # the threshold, then a surprise sort-merge join)
     return (
-        F.broadcast(spine)
-        .join(daily, ["event_type", "day"], "left")
+        spine
+        .join(F.broadcast(daily), ["event_type", "day"], "left")
         .select(
             "event_type",
             "day",

@@ -135,7 +135,10 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the part table WITHOUT all-pairs work: an inverted-index equi-join
     on name tokens proposes candidate pairs (blocking), token-Jaccard +
     Levenshtein score only those candidates (verify). Matches = full
-    token overlap. Per probe: candidates seen, matches, best (minimum)
+    DISTINCT-token overlap (Jaccard over token SETS — both the shared
+    count and the denominator use distinct tokens, so names with a
+    repeated word still reach jacc = 1.0 against their reordered
+    variant). Per probe: candidates seen, matches, best (minimum)
     edit distance among matches.
 
     Scale note: blocking on raw tokens is skew-prone — a token appearing
@@ -164,8 +167,8 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_key", "variant", "p_partkey", "name")
         .agg(F.countDistinct("tok").alias("n_shared"))
     )
-    n_b = F.size(F.split("variant", " "))
-    n_p = F.size(F.split("name", " "))
+    n_b = F.size(F.array_distinct(F.split("variant", " ")))
+    n_p = F.size(F.array_distinct(F.split("name", " ")))
     jacc = F.col("n_shared") / (n_b + n_p - F.col("n_shared"))
     scored = shared.select(
         "probe_key",
@@ -202,8 +205,8 @@ WITH parts AS (
   GROUP BY b.probe_key, b.variant, p.p_partkey, p.name
 ), scored AS (
   SELECT probe_key, p_partkey,
-         n_shared * 1.0 / (len(string_split(variant, ' '))
-                           + len(string_split(name, ' ')) - n_shared) AS jacc,
+         n_shared * 1.0 / (len(list_distinct(string_split(variant, ' ')))
+                           + len(list_distinct(string_split(name, ' '))) - n_shared) AS jacc,
          levenshtein(variant, name) AS lev
   FROM shared
 )

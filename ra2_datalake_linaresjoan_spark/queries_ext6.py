@@ -1,0 +1,271 @@
+"""Relational queries, batch 6 (round 3): exact grouped percentiles,
+argmax-by-composite-order (max_by), ratio-to-parent window shares,
+cumulative-distinct growth curves, and a watermark lateness audit.
+
+Each shape is one the reference's PostgreSQL validation layer could express
+(percentile_cont / arg_max / window shares are stock warehouse idioms —
+cf. ``validator_warehouse.py`` statistics queries) re-planned Spark-first:
+aggregates before windows, windows only over post-aggregation row counts,
+never a data-sized single-partition exchange. Every query carries an exact
+DuckDB oracle; windowed integer sums are CAST to BIGINT in the SQL (DuckDB
+realizes them as HUGEINT otherwise — the round-2 driver-hash lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# median_orders — exact grouped percentiles (median + p90)
+# ---------------------------------------------------------------------------
+
+
+def q_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-priority order-value percentiles: median and p90 via
+    ``percentile`` (exact, linear interpolation — matches DuckDB's
+    ``quantile_cont``), alongside the count. Exact percentiles sort within
+    each group; at 100 TB swap in ``approx_percentile`` (t-digest sketch,
+    mergeable map-side) — the query shape is identical, which is why the
+    exact variant is the oracle-pinned one."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_MEDIAN_ORDERS = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# latest_event_argmax — max_by with a composite (ts, event_id) order
+# ---------------------------------------------------------------------------
+
+
+def q_latest_event_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user latest event via ``max_by`` over a composite (ts, event_id)
+    struct — the argmax formulation of what ``window_dedup`` does with
+    row_number. One aggregate with a map-side partial (Spark picks
+    SortAggregate because the ordering key is a struct, but the partial
+    combine still collapses each partition to one row per user before the
+    single key shuffle): at 100 TB this moves one row per (partition ×
+    user) instead of every event, which rank-and-filter cannot do. The
+    event_id tiebreak makes the argmax total, so results are
+    engine-portable."""
+    ev = _t(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", ordkey).alias("last_event_type"),
+            F.max_by("value", ordkey).alias("last_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_LATEST_EVENT_ARGMAX = """
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_event_type,
+       value AS last_value,
+       CAST(n_events AS BIGINT) AS n_events
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation_share_window — ratio-to-parent via window over a pre-aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_nation_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's customer order revenue: the
+    fact is aggregated to (region, nation) FIRST (one shuffle over the big
+    table), then the region total is a window sum over the 25-row
+    aggregate — the ratio-to-parent idiom. The window never sees fact-table
+    row counts, so the single-partition-per-region exchange is bounded by
+    the dimension's cardinality at any data scale."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    per_nation = (
+        orders.join(cust.select("c_custkey", "c_nationkey"),
+                    orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat.select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg.select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum("o_totalprice").alias("_rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return (
+        per_nation.select(
+            "r_name",
+            "n_name",
+            F.round("_rev", 2).alias("revenue"),
+            F.round(F.col("_rev") / F.sum("_rev").over(w), 6).alias("region_share"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+SQL_NATION_SHARE_WINDOW = """
+WITH per_nation AS (
+  SELECT r_name, n_name, sum(o_totalprice) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       round(rev, 2) AS revenue,
+       round(rev / sum(rev) OVER (PARTITION BY r_name), 6) AS region_share
+FROM per_nation
+ORDER BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# cumulative_unique_users — distinct-growth curve without expanding windows
+# ---------------------------------------------------------------------------
+
+
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cumulative distinct users: the naive form (COUNT(DISTINCT)
+    over an expanding window) re-scans every prefix; the scale form used
+    here maps each user to their FIRST-SEEN day (one shuffle on user_id),
+    counts first-appearances per day, and takes a running sum over the
+    tiny per-day series — linear in the fact, window over ~days rows
+    only. The running sum is CAST to BIGINT in the oracle (HUGEINT
+    otherwise — the r2 driver-hash lesson)."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.select(
+            F.col("first_day").alias("day"),
+            "n_new_users",
+            F.sum("n_new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_CUMULATIVE_UNIQUE_USERS = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT first_day, CAST(count(*) AS BIGINT) AS n_new_users
+  FROM first_seen GROUP BY first_day
+)
+SELECT first_day AS day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY first_day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM per_day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# watermark_late_audit — how late do events arrive, per type?
+# ---------------------------------------------------------------------------
+
+
+def q_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-watermark sizing audit on the batch table: an event is
+    "late" if it is >30 min older than the maximum event time already seen
+    in its type's arrival order (event_id = arrival sequence). The running
+    max uses a PRECEDING-only frame so each row is judged against strictly
+    earlier arrivals. This is exactly the statistic that justifies a
+    ``withWatermark`` delay: late_ratio at 30 min ≈ the data you would
+    drop with that watermark."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seen_max_us = F.max(F.unix_micros("ts")).over(w)
+    late = (
+        (seen_max_us - F.unix_micros("ts")) > F.lit(30 * 60 * 1_000_000)
+    ).cast("long")
+    return (
+        ev.select("event_type", F.coalesce(late, F.lit(0)).alias("_late"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_late").alias("n_late"),
+            F.round(F.sum("_late") / F.count(F.lit(1)), 6).alias("late_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_WATERMARK_LATE_AUDIT = """
+WITH flagged AS (
+  SELECT event_type,
+         CASE WHEN max(epoch_us(ts)) OVER (
+                PARTITION BY event_type ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              - epoch_us(ts) > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS late
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       round(sum(late) * 1.0 / count(*), 6) AS late_ratio
+FROM flagged
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+REGISTRY_EXT6 = {
+    "median_orders": (q_median_orders, SQL_MEDIAN_ORDERS),
+    "latest_event_argmax": (q_latest_event_argmax, SQL_LATEST_EVENT_ARGMAX),
+    "nation_share_window": (q_nation_share_window, SQL_NATION_SHARE_WINDOW),
+    "cumulative_unique_users": (
+        q_cumulative_unique_users,
+        SQL_CUMULATIVE_UNIQUE_USERS,
+    ),
+    "watermark_late_audit": (q_watermark_late_audit, SQL_WATERMARK_LATE_AUDIT),
+}

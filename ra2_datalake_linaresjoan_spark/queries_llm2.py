@@ -115,7 +115,7 @@ WITH tok AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
   FROM tok
 )
-SELECT lang, cum_before // 2048 AS bin_id,
+SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS bin_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(tokens) AS BIGINT) AS bin_tokens
 FROM cum GROUP BY lang, bin_id ORDER BY lang, bin_id

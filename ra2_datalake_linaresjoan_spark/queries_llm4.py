@@ -1,0 +1,348 @@
+"""LLM-data-pipeline queries, batch 4 (round 3): RAG-style document
+chunking, bigram vocabulary induction, int8 embedding quantization error,
+end-to-end dedup survivor accounting, deterministic per-shard quota
+sampling, and token-length batching histograms.
+
+Batch 2 covered corpus hygiene (dedup, PII, packing, contamination) and
+batch 3 corpus composition (mixture weights, heavy hitters, cluster
+tightness); this batch covers the SERVING/prep side: how documents become
+retrieval chunks, how a tokenizer's vocab is seeded, how embeddings
+compress, and how batches pad. All arithmetic is engine-portable (integer
+math, md5 fingerprints, element-wise double ops with identical evaluation
+order), so every query carries an exact DuckDB oracle; aggregates over
+chunk/bigram sets are order-independent (counts, sums, min/max of md5
+hex), never a position-dependent concatenation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark.queries import _t
+
+_CHUNK = 64  # chars per chunk
+_STRIDE = 48  # chunk stride (overlap = _CHUNK - _STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# doc_chunking — fixed-size overlapping chunks (RAG ingestion shape)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking: every document explodes into
+    64-char chunks on a 48-char stride (1-based substring starts
+    1, 49, 97, ... ≤ length). The explode is linear in corpus bytes and
+    happens BEFORE any shuffle — the only exchange is the final per-lang
+    aggregate. Chunk content is pinned order-independently via min/max of
+    the per-chunk md5 (hex compares identically in both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(_STRIDE)
+    )
+    chunks = docs.select(
+        "lang",
+        F.explode(starts).alias("start"),
+        F.col("text"),
+    ).select("lang", F.substring("text", F.col("start"), _CHUNK).alias("chunk"))
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.length("chunk")).alias("chunk_chars"),
+            F.min(F.md5(F.col("chunk").cast("binary"))).alias("min_chunk_md5"),
+            F.max(F.md5(F.col("chunk").cast("binary"))).alias("max_chunk_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DOC_CHUNKING = f"""
+WITH chunks AS (
+  SELECT lang, substr(text, CAST(s.start AS INT), {_CHUNK}) AS chunk
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, greatest(length(text), 1),
+                                              {_STRIDE})) AS start) s
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(length(chunk)) AS BIGINT) AS chunk_chars,
+       min(md5(chunk)) AS min_chunk_md5,
+       max(md5(chunk)) AS max_chunk_md5
+FROM chunks
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# bigram_vocab — top word bigrams per language (vocab induction seed)
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 word bigrams per language by document frequency-weighted
+    count: adjacent word pairs built with a zero-shuffle array transform
+    (no self-join on position — the classic n-gram-via-join anti-pattern
+    re-expressed as ``transform(sequence(...))`` inside the row), then one
+    count shuffle and a per-lang top-k window over the counted (small)
+    result. Deterministic (count DESC, bigram ASC) ranking."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 2),"
+            " i -> split(text, ' ')[i] || ' ' || split(text, ' ')[i + 1])"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counted = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .orderBy("lang", "rk")
+    )
+
+
+SQL_BIGRAM_VOCAB = """
+WITH words AS (
+  SELECT lang, string_split(text, ' ') AS ws FROM documents
+), bigrams AS (
+  SELECT lang, unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM words WHERE len(ws) >= 2
+), counted AS (
+  SELECT lang, bigram, CAST(count(*) AS BIGINT) AS cnt
+  FROM bigrams GROUP BY lang, bigram
+)
+SELECT lang, bigram, cnt,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY cnt DESC, bigram ASC) AS BIGINT) AS rk
+FROM counted
+QUALIFY rk <= 10
+ORDER BY lang, rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize — int8 scalar quantization reconstruction error
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization quality per label cluster: each vector is
+    quantized with its own scale (127 / max|v|), reconstructed, and the
+    per-vector MSE averaged per label. Entirely element-wise Column
+    lambdas (transform/aggregate) — no UDF, no shuffle before the final
+    small aggregate; the evaluation order inside each vector is the array
+    order in BOTH engines, so per-vector error is bit-identical and the
+    per-label mean only averages ~hundreds of values (noise ≪ rounding)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    absmax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.lit(127.0) / absmax
+    err2 = F.aggregate(
+        F.transform(v, lambda x: F.pow(x - F.round(x * scale) / scale, F.lit(2.0))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = emb.select(
+        "label", (err2 / F.size("embedding")).alias("_mse")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("_mse"), 8).alias("avg_mse"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH v AS (
+  SELECT label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), scaled AS (
+  SELECT label, vec,
+         127.0 / list_aggregate(list_transform(vec, x -> abs(x)), 'max') AS scale
+  FROM v
+), per_vec AS (
+  SELECT label,
+         list_aggregate(list_transform(vec,
+             x -> pow(x - round(x * scale) / scale, 2.0)), 'sum')
+           / len(vec) AS mse
+  FROM scaled
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(mse), 8) AS avg_mse
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_survivors — end-to-end exact-dedup accounting per language
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup survivor accounting: documents fingerprinted by
+    md5(text), survivor = min doc_id per fingerprint (the same
+    deterministic-survivor contract as ``llmdata.dedup.exact_dedup``),
+    then per-lang totals / survivors / removed. One shuffle on the
+    fingerprint, one on lang — both unavoidable and both map-side
+    combined. The removed count is the dedup rate a crawl round reports."""
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    survivors = exact_dedup(docs, text_col="text", id_col="doc_id")
+    total = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_survivors"))
+    return (
+        total.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_survivors", F.lit(0)).alias("n_survivors"),
+            (F.col("n_docs") - F.coalesce("n_survivors", F.lit(0))).alias("n_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DEDUP_SURVIVORS = """
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# quota_sample_docs — deterministic per-shard quota (exact-N) sampling
+# ---------------------------------------------------------------------------
+
+_QUOTA = 50
+
+
+def q_quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N quota sampling per language: rank documents by
+    md5(doc_id) — a stable, data-independent pseudo-random order — and
+    keep the first 50 per lang. Complements ``stratified_sample_docs``
+    (hash-THRESHOLD sampling: exact expected rate, no window) with the
+    exact-COUNT contract (needs a per-shard top-k, here via window; at
+    100 TB per-shard rank over a hash is still the standard quota plan —
+    the window partitions by shard, not globally)."""
+    docs = _t(spark, sf_dir, "documents")
+    tagged = docs.select(
+        "lang", "n_chars", F.md5(F.col("doc_id").cast("string").cast("binary")).alias("_h")
+    )
+    w = Window.partitionBy("lang").orderBy("_h")
+    picked = tagged.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _QUOTA
+    )
+    return (
+        picked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("_h").alias("first_hash"),
+            F.max("_h").alias("last_hash"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_QUOTA_SAMPLE_DOCS = f"""
+WITH tagged AS (
+  SELECT lang, n_chars, md5(CAST(doc_id AS VARCHAR)) AS h,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+       min(h) AS first_hash,
+       max(h) AS last_hash
+FROM tagged
+WHERE rk <= {_QUOTA}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_length_buckets — padding-efficiency histogram
+# ---------------------------------------------------------------------------
+
+_BUCKET_W = 50
+
+
+def q_token_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batching histogram: documents bucketed by whitespace token count
+    (width-50 buckets), with per-bucket doc count, token totals, and the
+    min/max length inside the bucket — the statistic that sizes padded
+    batch waste (tokens_max*n - tokens_sum per bucket ≈ pad cost). Pure
+    scan + one aggregate; integer arithmetic end to end."""
+    from ra2_datalake_linaresjoan_spark.llmdata.packing import whitespace_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = whitespace_tokens("text").cast("long")
+    return (
+        docs.select((toks / _BUCKET_W).cast("long").alias("bucket"), toks.alias("t"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("tokens_sum"),
+            F.min("t").alias("tokens_min"),
+            F.max("t").alias("tokens_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_TOKEN_LENGTH_BUCKETS = rf"""
+WITH tok AS (
+  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+  FROM documents
+)
+SELECT CAST(t // {_BUCKET_W} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS tokens_sum,
+       CAST(min(t) AS BIGINT) AS tokens_min,
+       CAST(max(t) AS BIGINT) AS tokens_max
+FROM tok
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+REGISTRY_LLM4 = {
+    "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
+    "bigram_vocab": (q_bigram_vocab, SQL_BIGRAM_VOCAB),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "quota_sample_docs": (q_quota_sample_docs, SQL_QUOTA_SAMPLE_DOCS),
+    "token_length_buckets": (q_token_length_buckets, SQL_TOKEN_LENGTH_BUCKETS),
+}

@@ -135,8 +135,21 @@ def bronze_ingest(
     page_size: int = 500,
 ) -> DataFrame:
     """Full bronze recipe: distributed fetch → from_json with the entity
-    contract → one row per record with typed columns."""
+    contract → one row per record with typed columns, PLUS pass-through
+    ``_error``/``_offset`` columns (null on healthy rows).
+
+    Poison records from ``retrying(on_exhausted="poison")`` carry only
+    ``{"_error", "_endpoint", "_offset"}`` — under the entity schema alone
+    they would parse to an all-NULL row, indistinguishable from a malformed
+    record, which would silently defeat the loss-observability contract.
+    Parsing the raw column a second time with the poison schema keeps the
+    failure visible on the typed surface: quarantine with
+    ``df.filter(col("_error").isNotNull())``, count losses per offset, and
+    drop the two columns once the page range is re-fetched."""
     from pyspark.sql import functions as F
 
     raw = extract_endpoint(spark, endpoint, fetch_page, total_pages, page_size)
-    return raw.select(F.from_json("raw", schema).alias("r")).select("r.*")
+    poison = F.from_json("raw", "_error string, _offset long").alias("p")
+    return raw.select(F.from_json("raw", schema).alias("r"), poison).select(
+        "r.*", "p._error", "p._offset"
+    )

@@ -58,7 +58,11 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             n += len(pdf)
             total += float(pdf["value"].sum())
             if len(pdf):
-                last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+                # unit-safe: Arrow may hand pandas datetime64[ns] OR [us]
+                # depending on the source timestamp type — a raw int64 view
+                # would be off by 1000× on one of them
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                last_us = max(last_us, int(ts_us.max()))
         state.update((n, total, last_us))
         yield pd.DataFrame(
             {

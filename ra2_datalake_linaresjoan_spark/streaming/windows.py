@@ -19,31 +19,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Explicit schema for the events stream. ``ts`` arrives as epoch-nanos
-#: (the driver's parquet writes TIMESTAMP(NANOS), which Spark reads as
-#: long under nanosAsLong) and is normalized to a microsecond timestamp.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, path: str) -> T.StructType:
+    """A stream needs its schema up front; derive it from a one-off batch
+    scan of the same path so the stream tracks whatever physical timestamp
+    type the current testdata generation writes (nanos-as-long in early
+    rounds, micros-NTZ now). Forcing a LongType over a micros column would
+    silently read micros as if they were nanos — a 1000× precision loss."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema
 
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over the events parquet directory/file."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).format("parquet")
+    """File-source stream over the events parquet directory/file, with
+    ``ts`` normalized to a UTC microsecond TIMESTAMP exactly like the batch
+    reader (``queries._events``) so stream and batch plans agree bit-for-bit."""
+    schema = _events_raw_schema(spark, path)
+    reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.load(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":  # nanos read as long
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_agg(

