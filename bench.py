@@ -49,6 +49,10 @@ HEADLINE = [
     "trailing_week_revenue",
     "stats_moments",
     "fuzzy_join",
+    # round 3: argmax aggregation, RAG chunking, exact percentiles
+    "latest_event_argmax",
+    "doc_chunking",
+    "median_orders",
 ]
 
 

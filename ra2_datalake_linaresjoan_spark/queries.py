@@ -2268,6 +2268,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_survivors",
     "quota_sample_docs",
     "token_length_buckets",
+    "nation_triangles",
+    "ewma_daily_value",
+    "daily_trend_slope",
     # implementation changed in round 3 (ADVICE fixes) — re-verify
     "fuzzy_join",
     "cosine_neardup",

@@ -259,6 +259,198 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# nation_triangles — triangle counting on a derived trade graph
+# ---------------------------------------------------------------------------
+
+
+def q_nation_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count on the nation trade graph (undirected edge = some
+    order links a customer nation to a DIFFERENT supplier nation through a
+    lineitem). The heavy part — deriving distinct edges from the fact —
+    is one multi-join pass with broadcast dims and a distinct over ≤
+    |nations|² pairs; the triangle join then runs on the tiny canonical
+    (a<b) edge list with the standard a<b<c closed-wedge formulation, so
+    each triangle counts exactly once. At web-graph scale the same plan
+    holds with degree-ordered edge direction (orient low→high degree) —
+    the canonical ordering here IS that trick with node id as the proxy."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # reduce EARLY: resolve supplier nation with a broadcast before any
+    # shuffle, then collapse the fact to distinct (orderkey, supp-nation) —
+    # ≤ |orders|·|nations| rows with a map-side-combinable distinct — so the
+    # orderkey shuffle join moves the reduced set, not raw lineitems
+    order_sn = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", F.col("s_nationkey").alias("sn"))
+        .distinct()
+    )
+    pairs = (
+        order_sn.join(orders, order_sn.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_nationkey").alias("cn"), "sn")
+        .filter(F.col("cn") != F.col("sn"))
+    )
+    edges = (
+        pairs.select(
+            F.least("cn", "sn").alias("a"), F.greatest("cn", "sn").alias("b")
+        )
+        .distinct()
+        # the edge list is referenced 4x below (e1/e2/e3 + stats); without a
+        # lineage cut each reference would re-run the full fact join —
+        # localCheckpoint materializes the <=|nations|^2 rows exactly once
+        .localCheckpoint()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = edges.agg(
+        F.countDistinct(F.col("a")).alias("_na"),
+        F.count(F.lit(1)).alias("n_edges"),
+    )
+    return stats.crossJoin(tri).select("n_edges", "n_triangles")
+
+
+SQL_NATION_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT least(c_nationkey, s_nationkey) AS a,
+                  greatest(c_nationkey, s_nationkey) AS b
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT)
+        FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+                      JOIN pairs e3 ON e1.a = e3.a AND e2.b = e3.b)
+         AS n_triangles
+"""
+
+
+# ---------------------------------------------------------------------------
+# ewma_daily_value — exponentially weighted moving average over a daily series
+# ---------------------------------------------------------------------------
+
+_EWMA_DECAY = 0.5
+
+
+def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA of daily mean event value per type. The recursive definition
+    is re-expressed in closed form — ewma(d) = Σ decay^(d-d') · v(d') /
+    Σ decay^(d-d') over d' ≤ d — which is a (day × earlier-day) self-join
+    PER TYPE over the post-aggregation daily series (≤ days² tiny rows),
+    never over raw events: the fact is reduced first, the quadratic part
+    touches only the series. SQL window frames cannot express the
+    recursion; the closed form is the engine-portable formulation."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.avg("value").alias("v"))
+    cur = daily.select("event_type", F.col("day").alias("d"))
+    hist = daily.select(
+        F.col("event_type").alias("et2"), F.col("day").alias("d2"), "v"
+    )
+    weighted = (
+        cur.join(
+            hist,
+            (F.col("event_type") == F.col("et2")) & (F.col("d2") <= F.col("d")),
+        )
+        .select(
+            "event_type",
+            "d",
+            F.pow(F.lit(_EWMA_DECAY), F.datediff("d", "d2")).alias("w"),
+            "v",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("v")) / F.sum("w"), 4).alias("ewma_value")
+        )
+    )
+    return weighted.orderBy("event_type", "d")
+
+
+SQL_EWMA_DAILY_VALUE = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT c.event_type, c.day AS d,
+       round(sum(pow({_EWMA_DECAY}, date_diff('day', h.day, c.day)) * h.v)
+             / sum(pow({_EWMA_DECAY}, date_diff('day', h.day, c.day))), 4)
+         AS ewma_value
+FROM daily c
+JOIN daily h ON h.event_type = c.event_type AND h.day <= c.day
+GROUP BY c.event_type, c.day
+ORDER BY c.event_type, d
+"""
+
+
+# ---------------------------------------------------------------------------
+# daily_trend_slope — linear-regression aggregates (regr_* family)
+# ---------------------------------------------------------------------------
+
+
+def q_daily_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear trend of daily event counts: OLS slope / intercept /
+    R² via the built-in regression aggregates over (epoch-day, count)
+    points — single partial+final aggregate over the daily series, the
+    sketch-style shape that needs no sort and merges map-side at any
+    scale. x is the absolute epoch day: slope is shift-invariant, so no
+    per-group min-day join is needed."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pts = daily.select(
+        "event_type",
+        F.datediff("day", F.lit("1970-01-01").cast("date")).cast("double").alias("x"),
+        F.col("n").cast("double").alias("y"),
+    )
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+            F.round(F.regr_intercept("y", "x"), 4).alias("intercept"),
+            F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DAILY_TREND_SLOPE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+), pts AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '1970-01-01', day) AS DOUBLE) AS x,
+         CAST(n AS DOUBLE) AS y
+  FROM daily
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 4) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM pts
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 REGISTRY_EXT6 = {
     "median_orders": (q_median_orders, SQL_MEDIAN_ORDERS),
     "latest_event_argmax": (q_latest_event_argmax, SQL_LATEST_EVENT_ARGMAX),
@@ -268,4 +460,7 @@ REGISTRY_EXT6 = {
         SQL_CUMULATIVE_UNIQUE_USERS,
     ),
     "watermark_late_audit": (q_watermark_late_audit, SQL_WATERMARK_LATE_AUDIT),
+    "nation_triangles": (q_nation_triangles, SQL_NATION_TRIANGLES),
+    "ewma_daily_value": (q_ewma_daily_value, SQL_EWMA_DAILY_VALUE),
+    "daily_trend_slope": (q_daily_trend_slope, SQL_DAILY_TREND_SLOPE),
 }

@@ -136,9 +136,11 @@ ORDER BY lang, rk
 
 
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Int8 scalar quantization quality per label cluster: each vector is
-    quantized with its own scale (127 / max|v|), reconstructed, and the
-    per-vector MSE averaged per label. Entirely element-wise Column
+    """Int8 scalar quantization QUALITY per label cluster (the error side
+    of what ``quantize_embeddings`` in the core registry emits as
+    quantized values): each vector is quantized with its own scale
+    (127 / max|v|), reconstructed, and the per-vector MSE averaged per
+    label. Entirely element-wise Column
     lambdas (transform/aggregate) — no UDF, no shuffle before the final
     small aggregate; the evaluation order inside each vector is the array
     order in BOTH engines, so per-vector error is bit-identical and the

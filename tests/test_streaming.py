@@ -160,3 +160,42 @@ def test_stream_static_enrich_broadcasts(spark, events_stream):
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     assert out.count() == n_events
     assert out.filter(F.col("type_label").isNull()).count() == 0
+
+
+def test_foreach_batch_merge_sink_idempotent(spark, events_dir, tmp_path):
+    """foreachBatch MERGE sink: an update-mode aggregation streamed into a
+    keyed parquet table must converge to the batch aggregate, and
+    re-processing the same data (simulated redelivery with a fresh
+    checkpoint) must leave the table unchanged — idempotence is what turns
+    at-least-once delivery into exactly-once table state."""
+    from ra2_datalake_linaresjoan_spark.queries import _events
+    from ra2_datalake_linaresjoan_spark.streaming.foreach_sink import (
+        stream_merge_sink,
+    )
+
+    out = str(tmp_path / "user_totals")
+
+    def totals(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+
+    def run(checkpoint: str):
+        qy = stream_merge_sink(
+            totals(read_events_stream(spark, events_dir)),
+            out,
+            keys=["user_id"],
+            checkpoint_dir=str(tmp_path / checkpoint),
+        )
+        qy.awaitTermination(120)
+
+    run("cp1")
+    batch = totals(_events(spark, SF))
+    cols = ["user_id", "n_events", "total_value"]
+    first = _rows(spark.read.parquet(out), cols)
+    assert first == _rows(batch, cols)
+
+    # redelivery: same source, fresh checkpoint -> same rows, no duplicates
+    run("cp2")
+    assert _rows(spark.read.parquet(out), cols) == first
