@@ -2271,6 +2271,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "nation_triangles",
     "ewma_daily_value",
     "daily_trend_slope",
+    "psi_drift",
+    "purchase_attribution",
     # implementation changed in round 3 (ADVICE fixes) — re-verify
     "fuzzy_join",
     "cosine_neardup",

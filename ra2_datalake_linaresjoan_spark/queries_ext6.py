@@ -451,6 +451,151 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# psi_drift — population-stability-index data-quality monitor
+# ---------------------------------------------------------------------------
+
+_PSI_BIN_W = 50.0  # fixed value-bin width: engine-portable, no quantile job
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI (population stability index) of the event-value distribution,
+    per day vs the FIRST day as reference: Σ (p−q)·ln(p/q) over fixed
+    width-50 value bins. The ML-monitoring statistic that flags feature
+    drift before a model degrades. Plan: one (day, bin) count aggregate
+    over the fact, the reference day's distribution broadcast back — the
+    quadratic part is |days|×|bins| tiny rows. Laplace-smoothed
+    (+1 per bin) so empty bins never divide by zero, matching formula on
+    both engines."""
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") / _PSI_BIN_W).cast("long").alias("bin"),
+    )
+    day_bin = binned.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("n"))
+    first_day = day_bin.agg(F.min("day").alias("_d0"))
+    # smoothed per-day totals need the full bin universe per day: build the
+    # (day × bin) grid from the distinct sets so missing bins count as 0
+    days = day_bin.select("day").distinct()
+    bins = day_bin.select("bin").distinct()
+    grid = days.crossJoin(F.broadcast(bins))
+    filled = (
+        grid.join(day_bin, ["day", "bin"], "left")
+        .select("day", "bin", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    tot = filled.groupBy("day").agg(F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("_nb"))
+    p = (
+        filled.join(tot, "day")
+        .select(
+            "day",
+            "bin",
+            ((F.col("n") + 1) / (F.col("_tot") + F.col("_nb"))).alias("p"),
+        )
+    )
+    ref = (
+        p.join(F.broadcast(first_day), p.day == F.col("_d0"))
+        .select(F.col("bin").alias("_rbin"), F.col("p").alias("q"))
+    )
+    return (
+        p.join(F.broadcast(ref), p.bin == F.col("_rbin"))
+        .groupBy("day")
+        .agg(
+            F.round(
+                F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+            ).alias("psi")
+        )
+        .orderBy("day")
+    )
+
+
+SQL_PSI_DRIFT = f"""
+WITH binned AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(floor(value / {_PSI_BIN_W}) AS BIGINT) AS bin
+  FROM events
+), day_bin AS (
+  SELECT day, bin, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY day, bin
+), grid AS (
+  SELECT d.day, b.bin
+  FROM (SELECT DISTINCT day FROM day_bin) d
+  CROSS JOIN (SELECT DISTINCT bin FROM day_bin) b
+), filled AS (
+  SELECT g.day, g.bin, COALESCE(db.n, 0) AS n
+  FROM grid g LEFT JOIN day_bin db ON g.day = db.day AND g.bin = db.bin
+), tot AS (
+  SELECT day, CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS nb
+  FROM filled GROUP BY day
+), p AS (
+  SELECT f.day, f.bin, (f.n + 1) * 1.0 / (t.tot + t.nb) AS p
+  FROM filled f JOIN tot t ON f.day = t.day
+), ref AS (
+  SELECT bin, p AS q FROM p WHERE day = (SELECT min(day) FROM day_bin)
+)
+SELECT p.day,
+       round(sum((p.p - r.q) * ln(p.p / r.q)), 6) AS psi
+FROM p JOIN ref r ON p.bin = r.bin
+GROUP BY p.day
+ORDER BY p.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# purchase_attribution — last-touch attribution via as-of semantics
+# ---------------------------------------------------------------------------
+
+
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent click/view AT OR BEFORE the purchase time (as-of
+    backward join through the engine's union+carry-forward ``asof_join``
+    — one shuffle, no per-row range scan), then attribution counts per
+    touch type. The composition query that exercises the as-of operator
+    inside a larger plan rather than as a leaf."""
+    from ra2_datalake_linaresjoan_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", "ts", F.col("event_type").alias("touch_type")
+    )
+    attributed = asof_join(
+        purchases,
+        touches,
+        on="ts",
+        by="user_id",
+        value_cols=["touch_type"],
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce("touch_type_asof", F.lit("unattributed")).alias("touch_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("touch_type")
+    )
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, ts, event_type AS touch_type
+  FROM events WHERE event_type IN ('click', 'view')
+), attributed AS (
+  SELECT p.event_id, t.touch_type
+  FROM purchases p
+  ASOF LEFT JOIN touches t
+    ON p.user_id = t.user_id AND t.ts <= p.ts
+)
+SELECT COALESCE(touch_type, 'unattributed') AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM attributed
+GROUP BY 1
+ORDER BY touch_type
+"""
+
+
 REGISTRY_EXT6 = {
     "median_orders": (q_median_orders, SQL_MEDIAN_ORDERS),
     "latest_event_argmax": (q_latest_event_argmax, SQL_LATEST_EVENT_ARGMAX),
@@ -463,4 +608,6 @@ REGISTRY_EXT6 = {
     "nation_triangles": (q_nation_triangles, SQL_NATION_TRIANGLES),
     "ewma_daily_value": (q_ewma_daily_value, SQL_EWMA_DAILY_VALUE),
     "daily_trend_slope": (q_daily_trend_slope, SQL_DAILY_TREND_SLOPE),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "purchase_attribution": (q_purchase_attribution, SQL_PURCHASE_ATTRIBUTION),
 }

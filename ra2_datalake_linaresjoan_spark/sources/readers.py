@@ -42,6 +42,25 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **options) 
     return spark.read.format(fmt).options(**options).load(path)
 
 
+def read_table_evolved(spark: SparkSession, path: str, **options) -> DataFrame:
+    """Read a parquet table whose files span SCHEMA GENERATIONS (a bronze
+    dir appended to while the upstream API grew columns): ``mergeSchema``
+    unions every file footer's schema, so old files surface the new
+    columns as NULL instead of being silently projected away or failing.
+
+    Scale note: schema merging reads every file footer at planning time —
+    fine for a bronze landing zone (thousands of files), wrong for a
+    100 TB silver table, which should carry ONE authoritative schema (the
+    medallion promotion step is exactly where the merge cost is paid once
+    and then frozen)."""
+    return (
+        spark.read.format("parquet")
+        .option("mergeSchema", "true")
+        .options(**options)
+        .load(path)
+    )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:

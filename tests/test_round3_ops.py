@@ -1,0 +1,81 @@
+"""Invariant tests for the round-3 operator additions — properties the
+DuckDB oracles can't express (they mirror the formula; these pin the
+formula's meaning)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunking_counts_match_python_reference(spark):
+    """Chunk count per doc == len(range(1, max(len,1)+1, stride)) — the
+    Spark explode must produce exactly the chunks a sequential chunker
+    would, including the empty-text and exact-multiple edge cases."""
+    texts = ["", "x", "a" * 47, "b" * 48, "c" * 49, "d" * 64, "e" * 96, "f" * 200]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(48))
+    got = dict(
+        df.select("id", F.size(starts).alias("n")).collect()
+    )
+    for i, t in enumerate(texts):
+        expect = len(range(1, max(len(t), 1) + 1, 48))
+        assert got[i] == expect, (i, len(t), got[i], expect)
+
+
+def test_psi_zero_on_reference_day(spark):
+    """PSI of the reference day against itself is exactly 0 — the
+    distribution-identity anchor of the drift statistic."""
+    rows = q.queries()["psi_drift"](spark, SF).collect()
+    assert rows, "psi_drift returned nothing"
+    first = min(r["day"] for r in rows)
+    by_day = {r["day"]: r["psi"] for r in rows}
+    assert by_day[first] == 0.0
+    # PSI is non-negative for every day (sum of (p-q)ln(p/q) terms)
+    assert all(r["psi"] >= 0 for r in rows)
+
+
+def test_ewma_bounded_by_daily_series(spark):
+    """EWMA is a convex combination of daily means — it must lie within
+    [min(v), max(v)] of its type's daily series."""
+    from ra2_datalake_linaresjoan_spark.queries import _events
+
+    ev = _events(spark, SF)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("v"))
+        .groupBy("event_type")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    )
+    bounds = {r["event_type"]: (r["lo"], r["hi"]) for r in daily.collect()}
+    for r in q.queries()["ewma_daily_value"](spark, SF).collect():
+        lo, hi = bounds[r["event_type"]]
+        assert lo - 1e-4 <= r["ewma_value"] <= hi + 1e-4, (r, lo, hi)
+
+
+def test_attribution_totals_match_purchase_count(spark):
+    """Every purchase is attributed exactly once (touch or
+    'unattributed') — the as-of left join must be 1:1 on purchases."""
+    from ra2_datalake_linaresjoan_spark.queries import _events
+
+    n_purchases = _events(spark, SF).filter(F.col("event_type") == "purchase").count()
+    rows = q.queries()["purchase_attribution"](spark, SF).collect()
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
+
+
+def test_triangle_count_sane(spark):
+    """Triangles can't exceed C(n,3) over the touched nations, and every
+    triangle needs 3 edges."""
+    row = q.queries()["nation_triangles"](spark, SF).collect()[0]
+    e, t = row["n_edges"], row["n_triangles"]
+    assert e >= 0 and t >= 0
+    if t:
+        assert e >= 3
+        # a graph with e edges has at most e*(e-1)/6-ish triangles; use the
+        # loose but exact bound C(e, 3) >= t? no — use edge bound e^1.5/6
+        assert t <= math.comb(e, 3)

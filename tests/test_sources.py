@@ -400,3 +400,21 @@ def test_probe_connectivity_reports_both_outcomes(spark, tmp_path):
     assert by_name["datalake"]["ok"] is True
     assert by_name["ghost"]["ok"] is False and by_name["ghost"]["error"]
     assert by_name["warehouse"]["ok"] in (True, False)  # Derby load may lack driver opt
+
+
+def test_read_table_evolved_merges_schema_generations(spark, tmp_path):
+    """Appending files with a GROWN schema to a bronze dir must stay
+    readable: mergeSchema surfaces the new column as NULL on old files —
+    never a silent projection loss, never a read failure."""
+    from ra2_datalake_linaresjoan_spark.sources.readers import read_table_evolved
+
+    d = str(tmp_path / "bronze")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(d)
+
+    df = read_table_evolved(spark, d)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 0.5
