@@ -132,40 +132,61 @@ FROM ranked WHERE rk <= 5 ORDER BY lang, rk
 def q_cluster_tightness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cluster quality: per label, the centroid's L2 norm and the
     mean cosine of members to their centroid (1.0 = perfectly coherent
-    cluster; → 0 = random). The grouped-vector-mean is a posexplode →
-    (label, pos) aggregate — linear, shuffle on (label, pos), never a
-    driver collect; centroids then flow back through a broadcast join.
+    cluster; → 0 = random). The grouped-vector-mean is ONE posexplode →
+    (label, pos) aggregate re-packed into per-label centroid arrays
+    (linear, the only exploded shuffle); member cosines are then array
+    lambdas against the broadcast centroid — the fact is never exploded
+    or shuffled a second time (round-3 re-plan: the earlier shape joined
+    the exploded fact on (label, pos) twice).
 
     This is the curation signal used for cluster-based pruning/balancing
     (e.g., SemDeDup-style embedding clustering) re-expressed as pure
     DataFrame ops."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.posexplode(F.col("embedding")).alias("pos", "val_f"),
-    ).select("vec_id", "label", "pos", F.col("val_f").cast("double").alias("val"))
-
-    cent = emb.groupBy("label", "pos").agg(F.avg("val").alias("cval"))
-    cnorm = cent.groupBy("label").agg(
-        F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("centroid_norm")
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    per_vec = (
-        emb.join(F.broadcast(cent), ["label", "pos"])
-        .groupBy("label", "vec_id")
+    exploded = base.select(
+        "label", F.posexplode(F.col("v")).alias("pos", "val")
+    )
+    # pass 1 (the only exploded shuffle): per-(label, pos) mean -> re-packed
+    # into one centroid ARRAY per label, ordered by pos
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy("label")
         .agg(
-            F.sum(F.col("val") * F.col("cval")).alias("dot"),
-            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vnorm"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s.cval,
+            ).alias("cvec")
+        )
+    )
+    # pass 2: centroids (labels x dims, tiny) broadcast back; dot and norms
+    # are array lambdas over the ORIGINAL vector column — no second explode,
+    # no (label, pos) join, fact touched with zero extra shuffles
+    dot = F.aggregate(
+        F.zip_with("v", "cvec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    vnorm = F.sqrt(
+        F.aggregate(F.transform("v", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform("cvec", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
         )
     )
     return (
-        per_vec.join(F.broadcast(cnorm), "label")
+        base.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            cnorm.alias("centroid_norm"),
+            (dot / (vnorm * cnorm)).alias("_cos"),
+        )
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.round(F.first("centroid_norm"), 4).alias("centroid_norm"),
-            F.round(
-                F.avg(F.col("dot") / (F.col("vnorm") * F.col("centroid_norm"))), 4
-            ).alias("avg_cos_to_centroid"),
+            F.round(F.avg("_cos"), 4).alias("avg_cos_to_centroid"),
         )
         .orderBy("label")
     )

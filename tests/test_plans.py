@@ -177,12 +177,14 @@ def test_market_share_single_shuffle_join(spark, sf_dir):
 
 
 def test_cluster_tightness_centroids_broadcast(spark, sf_dir):
-    """The grouped-vector-mean (tiny: labels × dims rows) must flow back to
-    the exploded vectors through broadcast joins — the member side never
-    shuffles on (label, pos)."""
+    """The centroid table (tiny: one array row per label) must flow back to
+    the member vectors through a broadcast join on label, and the fact must
+    be exploded/shuffled only once (the centroid pass) — member cosines are
+    array lambdas, so exactly one Generate and one BroadcastHashJoin."""
     plan = _plan(spark, sf_dir, "cluster_tightness")
     tree = plan.split("\n\n")[0]
-    assert tree.count("BroadcastHashJoin") >= 2
+    assert tree.count("BroadcastHashJoin") == 1
+    assert tree.count("Generate") == 1  # single posexplode pass
     assert "SortMergeJoin" not in tree
     assert "CartesianProduct" not in tree and "BroadcastNestedLoopJoin" not in tree
 
