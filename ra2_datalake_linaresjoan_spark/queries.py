@@ -2273,6 +2273,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "daily_trend_slope",
     "psi_drift",
     "purchase_attribution",
+    "quality_curriculum",
     # implementation changed in round 3 (ADVICE fixes) — re-verify
     "fuzzy_join",
     "cosine_neardup",

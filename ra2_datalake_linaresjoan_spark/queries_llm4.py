@@ -340,6 +340,81 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# quality_curriculum — decile binning by quality score, no global window
+# ---------------------------------------------------------------------------
+
+
+def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/quality-pruning bins: documents bucketed into quality
+    DECILES with per-bin counts and char mass — the statistic behind
+    "train on the top-k% by quality" schedules. Scale shape: decile
+    boundaries come from ONE 1-row exact-percentile aggregate (swap in
+    ``approx_percentile`` at 100 TB, identical plan) broadcast back;
+    each doc's bin is `#thresholds below score` via an array lambda —
+    no global ntile window, no single-partition sort of the corpus."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("n_chars", quality_score(F.col("text")).alias("s"))
+    qs = ", ".join(str(q / 10) for q in range(1, 10))
+    thresholds = scored.agg(F.expr(f"percentile(s, array({qs}))").alias("_thr"))
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .select(
+            F.size(F.filter("_thr", lambda t: F.col("s") > t))
+            .cast("long")
+            .alias("decile"),
+            "s",
+            "n_chars",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("s"), 6).alias("avg_quality"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("decile")
+    )
+
+
+SQL_QUALITY_CURRICULUM = r"""
+WITH feat AS (
+  SELECT n_chars,
+         CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         regexp_replace(text, '\s', '', 'g') AS nospace,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM documents
+), comp AS (
+  SELECT n_chars,
+         least(n_tok / 200.0, 1.0) AS len_score,
+         CASE WHEN length(nospace) = 0 THEN 0.0
+              ELSE length(regexp_replace(nospace, '[A-Za-z0-9_]', '', 'g')) * 1.0 / length(nospace)
+         END AS p,
+         CASE WHEN len(words) = 0 THEN 0.0
+              ELSE len(list_filter(words, x -> list_contains(['the','a','of','and','is'], x))) * 1.0 / len(words)
+         END AS sw
+  FROM feat
+), scored AS (
+  SELECT n_chars,
+         round(0.4 * len_score + 0.3 * (1.0 - p)
+               + 0.3 * (CASE WHEN sw >= 0.02 AND sw <= 0.6 THEN 1.0 ELSE 0.5 END), 6) AS s
+  FROM comp
+), thr AS (
+  SELECT quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS arr
+  FROM scored
+)
+SELECT CAST(len(list_filter(thr.arr, t -> scored.s > t)) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(scored.s), 6) AS avg_quality,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM scored CROSS JOIN thr
+GROUP BY 1
+ORDER BY decile
+"""
+
+
 REGISTRY_LLM4 = {
     "doc_chunking": (q_doc_chunking, SQL_DOC_CHUNKING),
     "bigram_vocab": (q_bigram_vocab, SQL_BIGRAM_VOCAB),
@@ -347,4 +422,5 @@ REGISTRY_LLM4 = {
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "quota_sample_docs": (q_quota_sample_docs, SQL_QUOTA_SAMPLE_DOCS),
     "token_length_buckets": (q_token_length_buckets, SQL_TOKEN_LENGTH_BUCKETS),
+    "quality_curriculum": (q_quality_curriculum, SQL_QUALITY_CURRICULUM),
 }
