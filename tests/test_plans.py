@@ -271,8 +271,8 @@ def test_latest_event_argmax_no_window_no_sort(spark, sf_dir):
     assert "Window" not in tree
     # struct ordering keys make Spark pick SortAggregate; the scale property
     # is the partial (map-side) aggregate before the single key shuffle
-    assert "partial_max_by" in plan.lower() or "partial" in plan.lower()
-    assert tree.count("Exchange hashpartitioning") <= 1
+    assert "partial_max_by" in plan
+    assert plan.count("hashpartitioning(user_id") == 1
 
 
 def test_doc_chunking_explode_before_single_shuffle(spark, sf_dir):
