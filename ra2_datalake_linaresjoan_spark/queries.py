@@ -2274,6 +2274,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "psi_drift",
     "purchase_attribution",
     "quality_curriculum",
+    "brand_pareto",
+    "winsorized_value_stats",
     # implementation changed in round 3 (ADVICE fixes) — re-verify
     "fuzzy_join",
     "cosine_neardup",

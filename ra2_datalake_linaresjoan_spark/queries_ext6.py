@@ -596,6 +596,139 @@ ORDER BY touch_type
 """
 
 
+# ---------------------------------------------------------------------------
+# brand_pareto — revenue concentration (how many parts make 80%?)
+# ---------------------------------------------------------------------------
+
+
+def q_brand_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration per brand: the number of parts (descending by
+    revenue) needed to cover 80% of the brand's lineitem revenue, plus the
+    concentration ratio n80/n_parts. The cumulative-share window runs over
+    the post-aggregation (brand, part) table PARTITIONED BY BRAND — the
+    window's partition size is the brand's catalog slice, never the fact.
+    Rank ties are impossible (part key is unique within the aggregate).
+    Revenue compares happen on values rounded to cents so the 80% cut
+    falls identically in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    )
+    w_cum = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("rev").desc(), F.col("p_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("p_brand")
+    ranked = per_part.select(
+        "p_brand",
+        (F.sum("rev").over(w_cum) / F.sum("rev").over(w_tot)).alias("cum_share"),
+    )
+    return (
+        ranked.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum((F.col("cum_share") < 0.8).cast("long")) + 1).alias("n80"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n80",
+            F.round(F.col("n80") / F.col("n_parts"), 6).alias("concentration"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SQL_BRAND_PARETO = """
+WITH per_part AS (
+  SELECT p_brand, p_partkey, round(sum(l_extendedprice), 2) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+), ranked AS (
+  SELECT p_brand,
+         sum(rev) OVER (PARTITION BY p_brand
+                        ORDER BY rev DESC, p_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(rev) OVER (PARTITION BY p_brand) AS cum_share
+  FROM per_part
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN cum_share < 0.8 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n80,
+       round((sum(CASE WHEN cum_share < 0.8 THEN 1 ELSE 0 END) + 1) * 1.0
+             / count(*), 6) AS concentration
+FROM ranked
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorized_value_stats — robust mean via percentile clamping
+# ---------------------------------------------------------------------------
+
+
+def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics per event type: values clamped to the type's
+    [p5, p95] before averaging — the robust-mean recipe that keeps a few
+    fat-fingered outliers from dragging a monitoring metric. Thresholds
+    come from one exact-percentile aggregate per type (tiny) joined back
+    broadcast; the clamp is a pure Column expression. Complements
+    ``mad_outliers`` (which FLAGS outliers) by showing the trimmed
+    estimate itself."""
+    ev = _t(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("_lo"),
+        F.expr("percentile(value, 0.95)").alias("_hi"),
+    )
+    clamped = (
+        ev.join(F.broadcast(thr), "event_type")
+        .select(
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")).alias("_w"),
+        )
+    )
+    return (
+        clamped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg("_w"), 4).alias("winsorized_mean"),
+            F.round(F.sum((F.col("value") != F.col("_w")).cast("long")) / F.count(F.lit(1)), 6)
+            .alias("clamped_ratio"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_WINSORIZED_VALUE_STATS = """
+WITH thr AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+), clamped AS (
+  SELECT e.event_type, e.value,
+         least(greatest(e.value, t.lo), t.hi) AS w
+  FROM events e JOIN thr t ON e.event_type = t.event_type
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 4) AS raw_mean,
+       round(avg(w), 4) AS winsorized_mean,
+       round(sum(CASE WHEN value <> w THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS clamped_ratio
+FROM clamped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 REGISTRY_EXT6 = {
     "median_orders": (q_median_orders, SQL_MEDIAN_ORDERS),
     "latest_event_argmax": (q_latest_event_argmax, SQL_LATEST_EVENT_ARGMAX),
@@ -610,4 +743,6 @@ REGISTRY_EXT6 = {
     "daily_trend_slope": (q_daily_trend_slope, SQL_DAILY_TREND_SLOPE),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "purchase_attribution": (q_purchase_attribution, SQL_PURCHASE_ATTRIBUTION),
+    "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
+    "winsorized_value_stats": (q_winsorized_value_stats, SQL_WINSORIZED_VALUE_STATS),
 }
