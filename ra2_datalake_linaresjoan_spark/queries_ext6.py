@@ -472,7 +472,15 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         F.floor(F.col("value") / _PSI_BIN_W).cast("long").alias("bin"),
     )
-    day_bin = binned.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("n"))
+    # day_bin (≤ days × bins rows) feeds five downstream frames (grid,
+    # totals, reference day, smoothed p, final join); without a lineage cut
+    # each one would re-scan and re-aggregate the fact — materialize the
+    # tiny aggregate exactly once
+    day_bin = (
+        binned.groupBy("day", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     first_day = day_bin.agg(F.min("day").alias("_d0"))
     # smoothed per-day totals need the full bin universe per day: build the
     # (day × bin) grid from the distinct sets so missing bins count as 0
