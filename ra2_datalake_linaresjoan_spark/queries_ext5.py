@@ -399,34 +399,49 @@ GROUP BY user_id ORDER BY user_id
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-order funnel: per user, the first 'view', the first 'click'
     AFTER that view, the first 'purchase' AFTER that click — then one
-    summary row of step conversion counts. Each step is a grouped min
-    over a semi-filtered fact with the prior step broadcast back (steps
-    are user-count-sized aggregates, tiny next to the fact): the
-    path-analysis shape funnels/attribution run at warehouse scale."""
+    summary row of step conversion counts.
+
+    ONE scan and ONE shuffle (round-3 re-plan; the earlier shape scanned
+    the fact once per step with broadcast join-backs): a single per-user
+    aggregate collects the first view plus the click/purchase event-time
+    arrays, and the strict-order mins are array lambdas over that row.
+    Per-user state is bounded by that user's click/purchase counts — the
+    standard in-memory contract of warehouse funnel analysis (a user with
+    millions of clicks is bot traffic you filtered earlier)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t_view")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("_clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("_purchases"),
     )
-    t2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(t1), "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    t_click = F.array_min(
+        F.filter("_clicks", lambda t: F.col("t_view").isNotNull() & (t > F.col("t_view")))
     )
-    t3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(t2), "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    with_click = per_user.select("t_view", t_click.alias("t_click"), "_purchases")
+    steps = with_click.select(
+        "t_view",
+        "t_click",
+        F.array_min(
+            F.filter(
+                "_purchases",
+                lambda t: F.col("t_click").isNotNull() & (t > F.col("t_click")),
+            )
+        ).alias("t_purchase"),
+    )
+    counts = steps.agg(
+        F.count("t_view").alias("n1"),
+        F.count("t_click").alias("n2"),
+        F.count("t_purchase").alias("n3"),
     )
     return (
-        t1.select(F.lit("1_view").alias("step"), "user_id")
-        .unionByName(t2.select(F.lit("2_click_after_view").alias("step"), "user_id"))
-        .unionByName(t3.select(F.lit("3_purchase_after_click").alias("step"), "user_id"))
-        .groupBy("step")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        counts.selectExpr(
+            "stack(3, '1_view', n1, '2_click_after_view', n2,"
+            " '3_purchase_after_click', n3) AS (step, n_users)"
+        )
         .orderBy("step")
     )
 
