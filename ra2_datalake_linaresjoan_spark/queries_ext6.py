@@ -212,23 +212,46 @@ ORDER BY day
 def q_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-watermark sizing audit on the batch table: an event is
     "late" if it is >30 min older than the maximum event time already seen
-    in its type's arrival order (event_id = arrival sequence). The running
-    max uses a PRECEDING-only frame so each row is judged against strictly
-    earlier arrivals. This is exactly the statistic that justifies a
-    ``withWatermark`` delay: late_ratio at 30 min ≈ the data you would
-    drop with that watermark."""
-    ev = _t(spark, sf_dir, "events")
-    w = (
+    in its type's arrival order (event_id = arrival sequence), judged
+    against strictly earlier arrivals. This is exactly the statistic that
+    justifies a ``withWatermark`` delay: late_ratio at 30 min ≈ the data
+    you would drop with that watermark.
+
+    Scale shape — two-phase prefix max: a naive per-type ordered window
+    puts each type's ENTIRE history in one partition (5 types = 5 working
+    partitions at any data size). Instead, arrival order is chunked into
+    id-range buckets; phase 1 computes each bucket's max event time (a
+    normal hash aggregate), phase 2 takes the running max over the tiny
+    (type, bucket) table, broadcasts it back, and each row's seen-max is
+    greatest(prefix-max of earlier buckets, running max within its own
+    bucket) — the per-partition window now covers one bucket, not one
+    type, so parallelism is |types| × |buckets| and grows with the data."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.unix_micros("ts").alias("_us")
+    )
+    bucketed = ev.withColumn("_bkt", F.expr("event_id div 10000"))
+    bkt_max = bucketed.groupBy("event_type", "_bkt").agg(F.max("_us").alias("_bmax"))
+    w_bkt = (
         Window.partitionBy("event_type")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = bkt_max.select(
+        "event_type", "_bkt", F.max("_bmax").over(w_bkt).alias("_prefix_max")
+    )
+    w_in = (
+        Window.partitionBy("event_type", "_bkt")
         .orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    seen_max_us = F.max(F.unix_micros("ts")).over(w)
-    late = (
-        (seen_max_us - F.unix_micros("ts")) > F.lit(30 * 60 * 1_000_000)
-    ).cast("long")
+    seen_max = F.greatest(
+        F.coalesce(F.max("_us").over(w_in), F.lit(None).cast("long")),
+        F.col("_prefix_max"),
+    )
+    late = ((seen_max - F.col("_us")) > F.lit(30 * 60 * 1_000_000)).cast("long")
     return (
-        ev.select("event_type", F.coalesce(late, F.lit(0)).alias("_late"))
+        bucketed.join(F.broadcast(prefix), ["event_type", "_bkt"])
+        .select("event_type", F.coalesce(late, F.lit(0)).alias("_late"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

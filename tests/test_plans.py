@@ -312,3 +312,14 @@ def test_quantize_is_pure_projection_plus_agg(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "ArrowEvalPython" not in tree and "BatchEvalPython" not in tree
     assert "Join" not in tree
+
+
+def test_watermark_audit_windows_are_bucketed(spark, sf_dir):
+    """The prefix-max must never put a whole event_type in one window
+    partition: the per-row window partitions by (event_type, bucket) and
+    only the tiny per-bucket aggregate windows by event_type alone."""
+    plan = _plan(spark, sf_dir, "watermark_late_audit")
+    assert "hashpartitioning(event_type" in plan
+    # the data-sized window keys on the bucket too
+    assert plan.count("hashpartitioning(event_type#") >= 1
+    assert "_bkt" in plan
