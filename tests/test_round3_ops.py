@@ -79,3 +79,25 @@ def test_triangle_count_sane(spark):
         # a graph with e edges has at most e*(e-1)/6-ish triangles; use the
         # loose but exact bound C(e, 3) >= t? no — use edge bound e^1.5/6
         assert t <= math.comb(e, 3)
+
+
+def test_observe_metrics_on_query(spark):
+    """Spark's Observation API: row-level metrics collected as a side
+    effect of one action, no second scan — the engine's hook for the
+    reference's volumetry-style counters inside production jobs."""
+    from pyspark.sql import Observation
+
+    ev = q.queries()["latest_event_argmax"](spark, SF)
+    obs = Observation("audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_events").alias("events_total"),
+    )
+    observed.collect()
+    got = obs.get
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum("n_events").alias("events_total")
+    ).collect()[0]
+    assert got["rows"] == direct["rows"]
+    assert got["events_total"] == direct["events_total"]
