@@ -2276,6 +2276,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_curriculum",
     "brand_pareto",
     "winsorized_value_stats",
+    "trade_reachability",
+    "top_orders_lateral",
     # implementation changed in round 3 (ADVICE fixes) — re-verify
     "fuzzy_join",
     "cosine_neardup",

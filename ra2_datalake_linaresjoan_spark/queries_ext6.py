@@ -760,6 +760,135 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# trade_reachability — native recursive CTE (Spark 4) BFS over the trade graph
+# ---------------------------------------------------------------------------
+
+
+def q_trade_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability from nation 0 over the DIRECTED trade graph
+    (customer-nation → supplier-nation edges derived with the same early
+    broadcast-reduce as ``nation_triangles``), via Spark 4's native
+    WITH RECURSIVE — the declarative sibling of the engine's iterative
+    operators (`nation_pagerank`, `neardup_components`), which remain the
+    scale path when per-iteration checkpointing is needed. Hops are
+    bounded (≤ 6) so UNION-dedup terminates on cyclic graphs; min hops
+    per node is taken after the recursion, making the result
+    path-independent and engine-portable."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    order_sn = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_orderkey", F.col("s_nationkey").alias("dst"))
+        .distinct()
+    )
+    edges = (
+        order_sn.join(orders, order_sn.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_nationkey").alias("src"), "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges.createOrReplaceTempView("_trade_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, hops) AS (
+          SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+          UNION ALL
+          SELECT e.dst AS node, r.hops + 1 AS hops
+          FROM reach r JOIN _trade_edges e ON e.src = r.node
+          WHERE r.hops < 3
+        )
+        SELECT CAST(node AS BIGINT) AS nationkey,
+               CAST(min(hops) AS BIGINT) AS min_hops
+        FROM reach
+        GROUP BY node
+        ORDER BY nationkey
+        """
+    )
+
+
+SQL_TRADE_REACHABILITY = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE c_nationkey <> s_nationkey
+), reach(node, hops) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst AS node, r.hops + 1 AS hops
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hops < 3
+)
+SELECT CAST(node AS BIGINT) AS nationkey,
+       CAST(min(hops) AS BIGINT) AS min_hops
+FROM reach
+GROUP BY node
+ORDER BY nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# top_orders_lateral — correlated LATERAL subquery top-k per group
+# ---------------------------------------------------------------------------
+
+
+def q_top_orders_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per customer through a correlated LATERAL subquery —
+    the SQL-standard alternative to the row_number window for top-k per
+    group (Catalyst rewrites the correlated limit into a ranked join, so
+    the physical plan stays set-based — no per-customer re-execution).
+    Summarized per market segment so the verified result is stable:
+    customers with orders, and the total of their top-2 order values."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cust.createOrReplaceTempView("_lat_customer")
+    orders.createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+               CAST(count(*) AS BIGINT) AS n_top_orders,
+               round(sum(t.o_totalprice), 2) AS top2_revenue
+        FROM _lat_customer c,
+             LATERAL (
+               SELECT o_orderkey, o_totalprice
+               FROM _lat_orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+               LIMIT 2
+             ) t
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )
+
+
+SQL_TOP_ORDERS_LATERAL = """
+SELECT c.c_mktsegment,
+       CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+       CAST(count(*) AS BIGINT) AS n_top_orders,
+       round(sum(t.o_totalprice), 2) AS top2_revenue
+FROM customer c,
+     LATERAL (
+       SELECT o_orderkey, o_totalprice
+       FROM orders o
+       WHERE o.o_custkey = c.c_custkey
+       ORDER BY o_totalprice DESC, o_orderkey ASC
+       LIMIT 2
+     ) t
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
 REGISTRY_EXT6 = {
     "median_orders": (q_median_orders, SQL_MEDIAN_ORDERS),
     "latest_event_argmax": (q_latest_event_argmax, SQL_LATEST_EVENT_ARGMAX),
@@ -776,4 +905,6 @@ REGISTRY_EXT6 = {
     "purchase_attribution": (q_purchase_attribution, SQL_PURCHASE_ATTRIBUTION),
     "brand_pareto": (q_brand_pareto, SQL_BRAND_PARETO),
     "winsorized_value_stats": (q_winsorized_value_stats, SQL_WINSORIZED_VALUE_STATS),
+    "trade_reachability": (q_trade_reachability, SQL_TRADE_REACHABILITY),
+    "top_orders_lateral": (q_top_orders_lateral, SQL_TOP_ORDERS_LATERAL),
 }
