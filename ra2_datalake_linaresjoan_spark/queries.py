@@ -2303,6 +2303,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext5 import REGISTRY_EXT5
     from ra2_datalake_linaresjoan_spark.queries_llm3 import REGISTRY_LLM3
     from ra2_datalake_linaresjoan_spark.queries_ext6 import REGISTRY_EXT6
+    from ra2_datalake_linaresjoan_spark.queries_ext7 import REGISTRY_EXT7
     from ra2_datalake_linaresjoan_spark.queries_llm4 import REGISTRY_LLM4
 
     merged = {
@@ -2312,6 +2313,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT4,
         **REGISTRY_EXT5,
         **REGISTRY_EXT6,
+        **REGISTRY_EXT7,
         **REGISTRY_LLM2,
         **REGISTRY_LLM3,
         **REGISTRY_LLM4,
