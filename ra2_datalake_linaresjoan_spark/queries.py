@@ -2305,6 +2305,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext6 import REGISTRY_EXT6
     from ra2_datalake_linaresjoan_spark.queries_ext7 import REGISTRY_EXT7
     from ra2_datalake_linaresjoan_spark.queries_llm4 import REGISTRY_LLM4
+    from ra2_datalake_linaresjoan_spark.queries_llm5 import REGISTRY_LLM5
 
     merged = {
         **_REGISTRY,
@@ -2317,6 +2318,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_LLM2,
         **REGISTRY_LLM3,
         **REGISTRY_LLM4,
+        **REGISTRY_LLM5,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)
