@@ -82,3 +82,97 @@ def test_running_totals_v2_match_batch(spark, events_dir):
         assert s["n_events"] == r["n_events"], r["user_id"]
         assert abs(s["total_value"] - r["total_value"]) < 1e-6
         assert s["last_ts_us"] == r["last_ts_us"]
+
+
+def test_session_close_on_timeout_gap_and_timer(spark, tmp_path):
+    """Timer-driven sessionization (streaming/timers.py): gap closes emit
+    eagerly in-batch; idle sessions close via event-time timers once the
+    watermark passes last+gap. Three files processed one per micro-batch
+    build a fully deterministic scenario:
+
+      file 0: u1 @ t0, t0+10m   | u2 @ t0, t0+5m
+      file 1: u1 @ t0+10h, +5m  | u3 @ t0+20h
+      file 2: u4 @ t0+40h       (advances the watermark so timers fire)
+
+    Expected: u1's first session closes 'gap' during batch 1; u2's session
+    and u1's second session close 'timeout' once the watermark (t0+19h
+    after batch 1) is evaluated in batch 2; u3/u4 may close only via a
+    trailing no-data batch (implementation-dependent) so they are asserted
+    loosely."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ra2_datalake_linaresjoan_spark.streaming.timers import (
+        session_close_on_timeout,
+    )
+    from ra2_datalake_linaresjoan_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    t0 = pd.Timestamp("2024-03-01 00:00:00")
+    m, h = pd.Timedelta("1 minute"), pd.Timedelta("1 hour")
+
+    def write(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / name))
+        os.utime(tmp_path / name, (mtime, mtime))
+
+    write("00.parquet", [
+        (1, t0, 1, "view", 1.0, "{}"),
+        (2, t0 + 10 * m, 1, "view", 2.0, "{}"),
+        (3, t0, 2, "view", 4.0, "{}"),
+        (4, t0 + 5 * m, 2, "view", 8.0, "{}"),
+    ], 1_000_000)
+    write("01.parquet", [
+        (5, t0 + 10 * h, 1, "view", 16.0, "{}"),
+        (6, t0 + 10 * h + 5 * m, 1, "view", 32.0, "{}"),
+        (7, t0 + 20 * h, 3, "view", 64.0, "{}"),
+    ], 1_000_100)
+    write("02.parquet", [
+        (8, t0 + 40 * h, 4, "view", 128.0, "{}"),
+    ], 1_000_200)
+
+    stream = read_events_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    out = run_to_memory(
+        session_close_on_timeout(stream, gap_minutes=360, watermark="1 hour"),
+        "t_timer_sessions",
+        spark,
+        output_mode="append",
+    ).collect()
+
+    def us(ts):
+        return int(ts.value // 1000)
+
+    rows = {(r["user_id"], r["session_start_us"]): r for r in out}
+    assert len(rows) == len(out), "duplicate session emissions"
+
+    gap_rows = [r for r in out if r["closed_by"] == "gap"]
+    assert [(r["user_id"], r["session_start_us"], r["session_last_us"],
+             r["n_events"], r["total_value"]) for r in gap_rows] == [
+        (1, us(t0), us(t0 + 10 * m), 2, 3.0)
+    ]
+
+    u2 = rows[(2, us(t0))]
+    assert u2["closed_by"] == "timeout"
+    assert (u2["session_last_us"], u2["n_events"], u2["total_value"]) == (
+        us(t0 + 5 * m), 2, 12.0)
+
+    u1b = rows[(1, us(t0 + 10 * h))]
+    assert u1b["closed_by"] == "timeout"
+    assert (u1b["session_last_us"], u1b["n_events"], u1b["total_value"]) == (
+        us(t0 + 10 * h + 5 * m), 2, 48.0)
+
+    # u3/u4 sessions close only if a trailing no-data batch runs its timers
+    for uid, start, last, total in [(3, t0 + 20 * h, t0 + 20 * h, 64.0),
+                                    (4, t0 + 40 * h, t0 + 40 * h, 128.0)]:
+        r = rows.get((uid, us(start)))
+        if r is not None:
+            assert r["closed_by"] == "timeout"
+            assert (r["session_last_us"], r["n_events"], r["total_value"]) == (
+                us(last), 1, total)
