@@ -53,6 +53,12 @@ HEADLINE = [
     "latest_event_argmax",
     "doc_chunking",
     "median_orders",
+    # round 4: disjunctive-predicate join, mergeable distinct sketches,
+    # span dedup, semantic clustering
+    "bracket_revenue",
+    "bitmap_exact_distinct",
+    "span_dedup",
+    "semantic_kmeans",
 ]
 
 

@@ -2232,66 +2232,71 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-3 rotation, regenerated from CORRECTNESS_r01+r02 ------------
-    # the only two hash-mismatches ever recorded (r2): the oracle SQL left a
-    # windowed integer sum un-cast, so DuckDB realized it as HUGEINT /
-    # decimal128 and the driver's type-realization-sensitive value hash
-    # diverged even though every Python value compared equal. Both oracles
-    # now CAST ... AS BIGINT; re-verify first.
-    "session_islands",
-    "seq_packing",
-    # never driver-verified (no row in r1 or r2 — the 50-row cutoff)
-    "gapfill_daily_events",
-    "unpivot_nation_metrics",
-    "trailing_week_revenue",
-    "multimodal_resize",
-    "stats_moments",
-    "mad_outliers",
-    "table_profile",
-    "full_outer_reconcile",
-    "map_ops",
-    "funnel_steps",
-    "cohort_retention",
-    "running_totals",
-    "moving_avg_events",
-    "first_last_events",
-    "percentrank_parts",
-    # new in round 3 (relational batch 6 + LLM-data batch 4) — first look
-    "median_orders",
-    "latest_event_argmax",
-    "nation_share_window",
-    "cumulative_unique_users",
-    "watermark_late_audit",
-    "doc_chunking",
-    "bigram_vocab",
-    "embedding_quantize",
-    "dedup_survivors",
-    "quota_sample_docs",
-    "token_length_buckets",
-    "nation_triangles",
-    "ewma_daily_value",
-    "daily_trend_slope",
-    "psi_drift",
-    "purchase_attribution",
-    "quality_curriculum",
-    "brand_pareto",
-    "winsorized_value_stats",
-    "trade_reachability",
-    "top_orders_lateral",
-    # implementation changed in round 3 (ADVICE fixes) — re-verify
-    "fuzzy_join",
-    "cosine_neardup",
-    "cosine_topk",
-    # events-path queries: the testdata generation switched the events
-    # timestamp physical type (nanos -> micros-NTZ) between r2 and r3 and
-    # the readers were reworked for it — re-verify the heaviest users
-    "asof_join",
-    "interval_join",
-    "event_sessionization",
-    "tumbling_windows",
-    "sliding_windows",
-    "window_dedup",
-    "date_dim",
+    # -- round-4 rotation --------------------------------------------------
+    # Regenerated from CORRECTNESS_r01+r02 plus the presumed round-3 gate
+    # coverage (the r3 prefix was exactly the 50 names the earlier files
+    # lacked; no CORRECTNESS_r03.json was delivered to the repo). 12 new
+    # round-4 queries lead (never driver-verified), then the 38 queries
+    # whose only green row is round 1 — the oldest signal — so after this
+    # round every registered query has a driver row within 3 rounds.
+    # new in round 4: relational batch 7
+    "bracket_revenue",
+    "promo_part_suppliers",
+    "nation_value_threshold",
+    "bitmap_exact_distinct",
+    "hll_daily_union",
+    "burst_1h_max",
+    "decimal_exact_money",
+    # new in round 4: relational batch 8
+    "dq_checks",
+    "snapshot_diff",
+    "bpe_pair_merge",
+    # new in round 4: LLM-data batch 5
+    "span_dedup",
+    "semantic_kmeans",
+    "semantic_prune",
+    "hard_negative_mining",
+    "unigram_logprob_filter",
+    # round-1-only verification (stale since r1) — re-verify
+    "event_type_top10",
+    "conditional_agg",
+    "count_distinct",
+    "revenue_by_nation",
+    "shipping_priority",
+    "semi_join",
+    "anti_join_orphans",
+    "broadcast_brand_revenue",
+    "avg_max_group",
+    "bucket_histogram",
+    "ratio_stats",
+    "small_qty_revenue",
+    "above_avg_balance",
+    "market_share",
+    "doc_token_stats",
+    "doc_quality",
+    "lang_id_confusion",
+    "exact_dedup_docs",
+    "ngram_jaccard",
+    "minhash_lsh",
+    "multimodal_bytes",
+    "regex_filter_docs",
+    "curate_corpus",
+    "json_props",
+    "volumetry",
+    "cheapest_supplier",
+    "percentiles",
+    "quantize_embeddings",
+    "argmax_events",
+    "lag_gaps",
+    "rank_parts",
+    "ntile_quartiles",
+    "rollup_orders",
+    "set_ops",
+    "normalize_numeric_parity",
+    # (normalize_boolean_parity / clean_string_parity / classifier_parity
+    # spilled past the 50-row window when batch 8 landed — they are
+    # data-independent string parity checks, stable since r1; rotate them
+    # into the round-5 prefix.)
 )
 
 
@@ -2304,6 +2309,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_llm3 import REGISTRY_LLM3
     from ra2_datalake_linaresjoan_spark.queries_ext6 import REGISTRY_EXT6
     from ra2_datalake_linaresjoan_spark.queries_ext7 import REGISTRY_EXT7
+    from ra2_datalake_linaresjoan_spark.queries_ext8 import REGISTRY_EXT8
     from ra2_datalake_linaresjoan_spark.queries_llm4 import REGISTRY_LLM4
     from ra2_datalake_linaresjoan_spark.queries_llm5 import REGISTRY_LLM5
 
@@ -2315,6 +2321,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT5,
         **REGISTRY_EXT6,
         **REGISTRY_EXT7,
+        **REGISTRY_EXT8,
         **REGISTRY_LLM2,
         **REGISTRY_LLM3,
         **REGISTRY_LLM4,

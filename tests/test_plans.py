@@ -323,3 +323,61 @@ def test_watermark_audit_windows_are_bucketed(spark, sf_dir):
     # the data-sized window keys on the bucket too
     assert plan.count("hashpartitioning(event_type#") >= 1
     assert "_bkt" in plan
+
+
+def test_bracket_revenue_derived_predicates_pushed(spark, sf_dir):
+    """Q19 shape: the derived part-side disjunction prunes the build before
+    the join (broadcast, never sort-merge) and the derived quantity
+    superset reaches the lineitem scan as a pushed filter."""
+    plan = _plan(spark, sf_dir, "bracket_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "LessThanOrEqual(l_quantity,30" in plan
+
+
+def test_bitmap_distinct_no_expand_two_shuffles(spark, sf_dir):
+    """The bitmap plan must aggregate (type, bucket) partials map-side and
+    never fall back to the COUNT(DISTINCT) Expand: two hash exchanges
+    (bucket agg + final type agg) plus the output sort, zero joins."""
+    plan = _plan(spark, sf_dir, "bitmap_exact_distinct")
+    assert "Expand" not in plan
+    assert "Join" not in plan
+    assert plan.count("partial_bitmap_construct_agg") >= 1  # map-side partial
+    assert plan.count("hashpartitioning") == 2
+
+
+def test_burst_window_partitioned_by_user(spark, sf_dir):
+    """The RANGE window must shuffle by user — a global interval window
+    would single-partition the corpus."""
+    plan = _plan(spark, sf_dir, "burst_1h_max")
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan.split("Window")[0]
+
+
+def test_span_dedup_survivor_agg_no_window(spark, sf_dir):
+    """Span survivors come from one groupBy(span) min-struct aggregate —
+    no span-level window (the oracle's row_number formulation would
+    single-partition nothing here, but the engine plan must not sort
+    span-level rows globally)."""
+    plan = _plan(spark, sf_dir, "span_dedup")
+    assert "Window" not in plan
+    assert "hashpartitioning(span" in plan
+
+
+def test_semantic_kmeans_centroids_broadcast_k_rows(spark, sf_dir):
+    """Assignments must be broadcast nested-loop joins against the k-row
+    centroid sets — never a shuffled vec-by-vec join — and the only
+    sort-merge-joinable shape (none) stays absent."""
+    plan = _plan(spark, sf_dir, "semantic_kmeans")
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decimal_money_stays_decimal_to_the_sum(spark, sf_dir):
+    """The money path must aggregate in decimal (exact), only casting to
+    bigint after the sum — a double anywhere in the sum would reintroduce
+    summation-order drift."""
+    plan = _plan(spark, sf_dir, "decimal_exact_money")
+    assert "sum(rev" in plan and "decimal" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
