@@ -2232,14 +2232,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-4 rotation --------------------------------------------------
-    # Regenerated from CORRECTNESS_r01+r02 plus the presumed round-3 gate
-    # coverage (the r3 prefix was exactly the 50 names the earlier files
-    # lacked; no CORRECTNESS_r03.json was delivered to the repo). 12 new
-    # round-4 queries lead (never driver-verified), then the 38 queries
-    # whose only green row is round 1 — the oldest signal — so after this
-    # round every registered query has a driver row within 3 rounds.
-    # new in round 4: relational batch 7
+    # -- round-3 rotation (corrected) -------------------------------------
+    # The presumed mid-round "round-3 gate" never ran: only CORRECTNESS_r01
+    # and _r02 exist (50 rows each, the first 50 queries() entries in
+    # insertion order). Exactly 51 registered queries therefore have NO
+    # driver row at all — every query added after the round-2 registry
+    # freeze. All 51 lead this prefix so the round-3 gate converts them;
+    # one (multimodal_resize, already pinned by an exact byte-math oracle
+    # locally) spills to round 4 along with the round-1-stale re-verifies.
+    # never driver-verified: relational batches 5-8
     "bracket_revenue",
     "promo_part_suppliers",
     "nation_value_threshold",
@@ -2247,17 +2248,53 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_daily_union",
     "burst_1h_max",
     "decimal_exact_money",
-    # new in round 4: relational batch 8
     "dq_checks",
     "snapshot_diff",
     "bpe_pair_merge",
-    # new in round 4: LLM-data batch 5
+    "running_totals",
+    "moving_avg_events",
+    "first_last_events",
+    "percentrank_parts",
+    "gapfill_daily_events",
+    "unpivot_nation_metrics",
+    "trailing_week_revenue",
+    "stats_moments",
+    "mad_outliers",
+    "table_profile",
+    "full_outer_reconcile",
+    "map_ops",
+    "funnel_steps",
+    "cohort_retention",
+    "median_orders",
+    "latest_event_argmax",
+    "nation_share_window",
+    "cumulative_unique_users",
+    "watermark_late_audit",
+    "nation_triangles",
+    "ewma_daily_value",
+    "daily_trend_slope",
+    "psi_drift",
+    "purchase_attribution",
+    "brand_pareto",
+    "winsorized_value_stats",
+    "trade_reachability",
+    "top_orders_lateral",
+    # never driver-verified: LLM-data batches 4-5
     "span_dedup",
     "semantic_kmeans",
     "semantic_prune",
     "hard_negative_mining",
     "unigram_logprob_filter",
-    # round-1-only verification (stale since r1) — re-verify
+    "doc_chunking",
+    "bigram_vocab",
+    "embedding_quantize",
+    "dedup_survivors",
+    "quota_sample_docs",
+    "token_length_buckets",
+    "quality_curriculum",
+    "multimodal_resize",
+    # round-1-stale re-verifies fill any window past 50; rotate the rest
+    # (r02-only tail + any round-4 additions) into the round-4 prefix.
     "event_type_top10",
     "conditional_agg",
     "count_distinct",
@@ -2293,10 +2330,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_orders",
     "set_ops",
     "normalize_numeric_parity",
-    # (normalize_boolean_parity / clean_string_parity / classifier_parity
-    # spilled past the 50-row window when batch 8 landed — they are
-    # data-independent string parity checks, stable since r1; rotate them
-    # into the round-5 prefix.)
 )
 
 
@@ -2310,6 +2343,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext6 import REGISTRY_EXT6
     from ra2_datalake_linaresjoan_spark.queries_ext7 import REGISTRY_EXT7
     from ra2_datalake_linaresjoan_spark.queries_ext8 import REGISTRY_EXT8
+    from ra2_datalake_linaresjoan_spark.queries_ext9 import REGISTRY_EXT9
     from ra2_datalake_linaresjoan_spark.queries_llm4 import REGISTRY_LLM4
     from ra2_datalake_linaresjoan_spark.queries_llm5 import REGISTRY_LLM5
 
@@ -2322,6 +2356,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT6,
         **REGISTRY_EXT7,
         **REGISTRY_EXT8,
+        **REGISTRY_EXT9,
         **REGISTRY_LLM2,
         **REGISTRY_LLM3,
         **REGISTRY_LLM4,
