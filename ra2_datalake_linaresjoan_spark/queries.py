@@ -2235,11 +2235,24 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- round-3 rotation (corrected) -------------------------------------
     # The presumed mid-round "round-3 gate" never ran: only CORRECTNESS_r01
     # and _r02 exist (50 rows each, the first 50 queries() entries in
-    # insertion order). Exactly 51 registered queries therefore have NO
-    # driver row at all — every query added after the round-2 registry
-    # freeze. All 51 lead this prefix so the round-3 gate converts them;
-    # one (multimodal_resize, already pinned by an exact byte-math oracle
-    # locally) spills to round 4 along with the round-1-stale re-verifies.
+    # insertion order), leaving every query added after the round-2
+    # registry freeze with NO driver row. This round's 11 brand-new
+    # queries lead (least-tested), then the never-driver-verified batches
+    # 5-8; the window of ~50 covers the new 11 + 39 of those, spilling
+    # the LLM-batch-4/5 tail (all locally pinned by exact oracles for two
+    # rounds) to the round-4 prefix together with round-1-stale names.
+    # new this round (batch 9 + LLM batch 6) — least-tested, lead the gate
+    "ohlc_bars",
+    "linear_interp_gaps",
+    "markov_transitions",
+    "k_anonymity",
+    "zorder_layout",
+    "event_rate_anomaly",
+    "spmm_topics",
+    "bloom_dedup",
+    "bpe_encode",
+    "corpus_datacard",
+    "pca_power_iteration",
     # never driver-verified: relational batches 5-8
     "bracket_revenue",
     "promo_part_suppliers",
@@ -2346,6 +2359,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext9 import REGISTRY_EXT9
     from ra2_datalake_linaresjoan_spark.queries_llm4 import REGISTRY_LLM4
     from ra2_datalake_linaresjoan_spark.queries_llm5 import REGISTRY_LLM5
+    from ra2_datalake_linaresjoan_spark.queries_llm6 import REGISTRY_LLM6
 
     merged = {
         **_REGISTRY,
@@ -2361,6 +2375,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_LLM3,
         **REGISTRY_LLM4,
         **REGISTRY_LLM5,
+        **REGISTRY_LLM6,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)
