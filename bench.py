@@ -59,6 +59,12 @@ HEADLINE = [
     "bitmap_exact_distinct",
     "span_dedup",
     "semantic_kmeans",
+    # round 3 cont.: OHLC downsampling, Bloom pre-dedup, integer PCA,
+    # Z-order layout
+    "ohlc_bars",
+    "bloom_dedup",
+    "pca_power_iteration",
+    "zorder_layout",
 ]
 
 

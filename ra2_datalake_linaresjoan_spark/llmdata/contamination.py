@@ -28,8 +28,13 @@ def contaminated_ids(
     """Distinct train-doc ids sharing ≥1 word n-gram with the benchmark."""
     train_sh = shingles(train, id_col, text_col, n)
     bench_sh = shingles(bench, id_col, text_col, n).select("shingle").distinct()
+    # benchmark shingle sets are held-out-eval-sized (orders of magnitude
+    # smaller than train) — broadcast so the train shingle stream is
+    # filtered map-side and only surviving ids reach the distinct shuffle
     return (
-        train_sh.join(bench_sh, "shingle", "left_semi").select(id_col).distinct()
+        train_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
     )
 
 
@@ -40,16 +45,22 @@ def contamination_report(
     text_col: str,
     n: int = 5,
 ) -> DataFrame:
-    """One-row summary: train size, contaminated count, contamination rate."""
-    import math
+    """One-row summary: train size, contaminated count, contamination rate.
 
-    n_train = train.select(id_col).distinct().count()
-    n_cont = contaminated_ids(train, bench, id_col, text_col, n).count()
-    # half-away-from-zero rounding (SQL round semantics, not Python's
-    # banker's rounding) so the report matches engine-side arithmetic
-    rate = math.floor(n_cont / n_train * 1e6 + 0.5) / 1e6 if n_train else 0.0
-    spark = train.sparkSession
-    return spark.createDataFrame(
-        [(n_train, n_cont, rate)],
-        "n_train long, n_contaminated long, contamination_rate double",
+    Fully lazy — the two counts are 1-row aggregates cross-joined in ONE
+    plan (no eager driver-side ``count()`` actions at build time), and the
+    rate is engine-side ``round`` (half-away-from-zero in both Spark and
+    DuckDB, unlike Python's banker's rounding)."""
+    n_train = train.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_train")
+    )
+    n_cont = contaminated_ids(train, bench, id_col, text_col, n).agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return n_train.crossJoin(n_cont).select(
+        "n_train",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_train"), 6).alias(
+            "contamination_rate"
+        ),
     )
