@@ -2253,6 +2253,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_encode",
     "corpus_datacard",
     "pca_power_iteration",
+    "skyline_pareto",
+    "approx_quantile_guarantee",
+    "vocab_oov_rate",
+    "split_leakage_audit",
+    "emb_norm_outliers",
     # never driver-verified: relational batches 5-8
     "bracket_revenue",
     "promo_part_suppliers",
@@ -2360,6 +2365,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_llm4 import REGISTRY_LLM4
     from ra2_datalake_linaresjoan_spark.queries_llm5 import REGISTRY_LLM5
     from ra2_datalake_linaresjoan_spark.queries_llm6 import REGISTRY_LLM6
+    from ra2_datalake_linaresjoan_spark.queries_ext10 import REGISTRY_EXT10
+    from ra2_datalake_linaresjoan_spark.queries_llm7 import REGISTRY_LLM7
 
     merged = {
         **_REGISTRY,
@@ -2376,6 +2383,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_LLM4,
         **REGISTRY_LLM5,
         **REGISTRY_LLM6,
+        **REGISTRY_EXT10,
+        **REGISTRY_LLM7,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -1,0 +1,166 @@
+"""Relational batch 10 (round 3 continuation): skyline (Pareto frontier)
+computation and a rank-error contract for sketch-based quantiles.
+
+- ``skyline_pareto`` finds the non-dominated set of parts on
+  (minimize price, maximize size) with two windows over integer keys —
+  a RANGE frame for strictly-cheaper competitors and a per-price
+  partition max for equal-price competitors — never the O(n²)
+  dominance self-join. Money is compared in exact integer cents.
+- ``approx_quantile_guarantee`` pins the contract of
+  ``approx_percentile`` (Greenwald-Khanna): the estimate's EXACT rank
+  must lie within ±accuracy⁻¹·n of the target rank. Like
+  ``hll_daily_union``, the oracle verifies the exact quantities and the
+  guarantee booleans — the correct way to oracle an approximate
+  operator whose exact output is layout-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# skyline_pareto — non-dominated frontier via two windows
+# ---------------------------------------------------------------------------
+
+
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts: minimize retail price, maximize size.
+    A part is dominated iff some other part has (price ≤, size ≥) with at
+    least one strict. Two window passes decide it without a self-join:
+    (1) max size among STRICTLY cheaper parts — ``RANGE UNBOUNDED
+    PRECEDING .. 1 PRECEDING`` over integer cents, one global sort that
+    at 100 TB becomes a rangeBetween over a range-partitioned sort
+    (Spark's SortExec is externally spillable; the frontier itself is
+    tiny); (2) max size among SAME-price parts (partition max) —
+    dominated iff a strictly larger same-price part exists (identical
+    (price, size) pairs do not dominate each other under standard
+    skyline semantics). Output = frontier rows ordered by price; all
+    integer comparisons."""
+    part = _t(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    g = p.select(
+        "p_partkey",
+        "price_cents",
+        "size",
+        F.max("size").over(w_cheaper).alias("max_size_cheaper"),
+        F.max("size").over(w_same).alias("max_size_same"),
+    )
+    dominated = (
+        (
+            F.col("max_size_cheaper").isNotNull()
+            & (F.col("max_size_cheaper") >= F.col("size"))
+        )
+        | (F.col("max_size_same") > F.col("size"))
+    )
+    return (
+        g.filter(~dominated)
+        .select("p_partkey", "price_cents", "size")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+SQL_SKYLINE_PARETO = """
+WITH p AS (
+  SELECT p_partkey,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+), g AS (
+  SELECT p_partkey, price_cents, size,
+         max(size) OVER (ORDER BY price_cents
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS max_size_cheaper,
+         max(size) OVER (PARTITION BY price_cents) AS max_size_same
+  FROM p
+)
+SELECT p_partkey, price_cents, size
+FROM g
+WHERE NOT ((max_size_cheaper IS NOT NULL AND max_size_cheaper >= size)
+           OR (max_size_same > size))
+ORDER BY price_cents, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# approx_quantile_guarantee — rank-error contract for approx_percentile
+# ---------------------------------------------------------------------------
+
+_AQ_ACC = 1000  # Greenwald-Khanna accuracy: rank error <= n / _AQ_ACC
+
+
+def q_approx_quantile_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy contract for sketch-based quantiles: per order-priority,
+    ``approx_percentile(o_totalprice, {0.5, 0.9}, 1000)`` must land
+    within ±n/1000 of the target RANK. The query computes each
+    estimate's exact rank (a count ≤ comparison re-aggregated from the
+    same scan — no sort) and emits the guarantee booleans plus the exact
+    group sizes; the oracle verifies sizes exactly and pins the booleans
+    TRUE — the estimate itself is partition-layout-dependent and
+    therefore NOT part of the contract (cf. ``hll_daily_union``). At
+    100 TB the sketch is the only viable grouped-quantile plan: fixed
+    memory per group, single pass, mergeable partials."""
+    ords = _t(spark, sf_dir, "orders")
+    est = ords.groupBy("o_orderpriority").agg(
+        F.expr(
+            f"approx_percentile(o_totalprice, array(0.5, 0.9), {_AQ_ACC})"
+        ).alias("est"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ranks = (
+        ords.join(
+            F.broadcast(
+                est.select(
+                    "o_orderpriority",
+                    F.col("est")[0].alias("e50"),
+                    F.col("est")[1].alias("e90"),
+                    "n",
+                )
+            ),
+            "o_orderpriority",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.first("n").alias("n"),
+            F.sum((F.col("o_totalprice") <= F.col("e50")).cast("long")).alias("r50"),
+            F.sum((F.col("o_totalprice") <= F.col("e90")).cast("long")).alias("r90"),
+        )
+    )
+    tol = (F.col("n") / _AQ_ACC) + 1
+    return ranks.select(
+        "o_orderpriority",
+        "n",
+        (F.abs(F.col("r50") - 0.5 * F.col("n")) <= tol).alias("p50_within_rank_tol"),
+        (F.abs(F.col("r90") - 0.9 * F.col("n")) <= tol).alias("p90_within_rank_tol"),
+    ).orderBy("o_orderpriority")
+
+
+SQL_APPROX_QUANTILE_GUARANTEE = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       TRUE AS p50_within_rank_tol,
+       TRUE AS p90_within_rank_tol
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+REGISTRY_EXT10 = {
+    "skyline_pareto": (q_skyline_pareto, SQL_SKYLINE_PARETO),
+    "approx_quantile_guarantee": (
+        q_approx_quantile_guarantee,
+        SQL_APPROX_QUANTILE_GUARANTEE,
+    ),
+}
