@@ -381,3 +381,75 @@ def test_decimal_money_stays_decimal_to_the_sum(spark, sf_dir):
     plan = _plan(spark, sf_dir, "decimal_exact_money")
     assert "sum(rev" in plan and "decimal" in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# -- round-3 continuation batches (9/10, LLM 6/7) ---------------------------
+
+
+def test_ohlc_bars_is_one_aggregate_no_window(spark, sf_dir):
+    """OHLC must come from min_by/max_by partial aggregation — a window
+    formulation would sort every partition of the fact table."""
+    plan = _plan(spark, sf_dir, "ohlc_bars")
+    assert "Window" not in plan
+    assert "min_by" in plan and "max_by" in plan
+
+
+def test_skyline_single_scan_no_join(spark, sf_dir):
+    """The Pareto frontier is two window passes over ONE scan — any join
+    node means the O(n²) dominance formulation crept back in."""
+    plan = _plan(spark, sf_dir, "skyline_pareto")
+    for node in ("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert node not in plan
+    # node tree only — the formatted detail section repeats each node
+    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+
+
+def test_event_rate_anomaly_window_partitioned(spark, sf_dir):
+    """Trailing-window stats must partition by event_type over the daily
+    aggregate — never a global (SinglePartition) window."""
+    plan = _plan(spark, sf_dir, "event_rate_anomaly")
+    assert "hashpartitioning(event_type" in plan
+
+
+def test_markov_window_partitioned_by_user(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "markov_transitions")
+    assert "hashpartitioning(user_id" in plan
+    assert "BroadcastHashJoin" in plan  # row-normalizer join
+
+
+def test_spmm_projection_matrix_broadcasts(spark, sf_dir):
+    """B (vocabulary-sized) must be the broadcast side of the SpMM join."""
+    plan = _plan(spark, sf_dir, "spmm_topics")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_bit_table_broadcasts(spark, sf_dir):
+    """The Bloom bit-position set (≤2^16 rows) must broadcast against the
+    probe stream; nothing in the membership path may sort-merge."""
+    plan = _plan(spark, sf_dir, "bloom_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pca_reads_checkpoint_not_parquet(spark, sf_dir):
+    """All six matrix-vector join-aggregates must read the localCheckpointed
+    quantized matrix — zero parquet rescans in the iterated plan."""
+    plan = _plan(spark, sf_dir, "pca_power_iteration")
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_vocab_oov_vocab_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "vocab_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_emb_norm_outlier_thresholds_broadcast(spark, sf_dir):
+    """Label-level median/MAD thresholds are label-sized — they must come
+    back to the norms as broadcasts, never a shuffle join."""
+    plan = _plan(spark, sf_dir, "emb_norm_outliers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
