@@ -296,9 +296,12 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings quantize to x = round(e·1000); each step computes
     s = X·v (row dots, one join-aggregate), then w = Xᵀ·s (a second
     join-aggregate keyed by dimension — the SpMM pattern), then
-    re-quantizes v ← trunc(w·1024 / max|w|) so magnitudes stay bounded
-    (|terms| ≤ 525·1024·64·n ≪ 2^63). v is 64 rows — always a broadcast;
-    X is scanned once per multiply, never collected. Output: the 64
+    re-quantizes v ← trunc(w·1024 / max|w|) so magnitudes stay bounded:
+    |s_row| ≤ dim·525·1024 ≈ 3.4e7, and the Xᵀs accumulation adds
+    ≤ 525·|s| ≈ 1.8e10 per row — exact in int64 up to ~5×10^8 vectors.
+    Beyond that, accumulate w in DECIMAL(38,0) (mergeable, still exact)
+    or pre-scale s by another power of two. v is 64 rows — always a
+    broadcast; X is scanned once per multiply, never collected. Output: the 64
     (dim, v) components — bit-identical across engines, no float
     tolerance anywhere."""
     emb = _t(spark, sf_dir, "embeddings")
