@@ -107,6 +107,41 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def chained_daily_rollup(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Chained (multi-stateful) windowed aggregation — Spark 3.4+'s
+    window-on-window: hourly count per event_type rolls up into daily
+    totals INSIDE the same streaming query via ``window_time`` (the
+    event-time column of a window aggregate output), so the daily state
+    sees hourly rows, never raw events. Both stateful operators share one
+    watermark lineage; output mode must be append (complete is undefined
+    over multiple stateful operators). At scale this is the streaming
+    rollup hierarchy (minute → hour → day) with state per tier bounded
+    by the tier's cardinality, not the event rate."""
+    hourly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "n_hours",
+        )
+    )
+
+
 def run_to_memory(
     df: DataFrame, query_name: str, spark: SparkSession, output_mode: str = "complete"
 ) -> DataFrame:

@@ -199,3 +199,83 @@ def test_foreach_batch_merge_sink_idempotent(spark, events_dir, tmp_path):
     # redelivery: same source, fresh checkpoint -> same rows, no duplicates
     run("cp2")
     assert _rows(spark.read.parquet(out), cols) == first
+
+
+def test_rocksdb_state_store_tumbling_equals_batch(spark, events_dir):
+    """Large-state posture: the same tumbling aggregation must run (and
+    match batch) on the RocksDB state store provider — the provider a
+    1000-executor deployment uses so streaming state spills to local SSD
+    instead of living on the JVM heap. Skips only if this build lacks the
+    bundled RocksDB native library."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        stream = read_events_stream(spark, events_dir)
+        try:
+            out = run_to_memory(tumbling_agg(stream), "t_rocksdb", spark)
+        except Exception as exc:  # pragma: no cover — env-dependent
+            pytest.skip(f"RocksDB state store unavailable: {exc}")
+        batch = q.q_tumbling_windows(spark, SF)
+        cols = batch.columns
+        assert _rows(out.select(cols), cols) == _rows(batch, cols)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_chained_window_rollup_equals_batch(spark, events_dir):
+    """Window-on-window (two stateful operators in one query): the daily
+    rollup of hourly counts computed INSIDE the stream (via window_time)
+    must equal the batch day/type aggregate. Append mode — the only
+    defined mode over chained stateful operators — emits a window when
+    the watermark passes it; availableNow over a bounded source flushes
+    everything."""
+    from ra2_datalake_linaresjoan_spark.streaming.windows import (
+        chained_daily_rollup,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    out = run_to_memory(
+        chained_daily_rollup(stream), "t_chained", spark, output_mode="append"
+    )
+    batch_events = spark.read.parquet(f"{SF}/events.parquet")
+    # batch oracle: hour counts -> day rollup (same two-level shape)
+    hourly = (
+        batch_events.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            "event_type",
+            "n_events",
+            "n_hours",
+        )
+    )
+    # append emits only windows the final watermark (max ts - 2h) has
+    # passed — the still-open last day correctly stays in state
+    cutoff = batch_events.agg(
+        F.max(F.col("ts").cast("timestamp")) - F.expr("INTERVAL 2 HOURS")
+    ).collect()[0][0]
+    closed = daily.filter(
+        F.col("day_start") + F.expr("INTERVAL 1 DAY") <= F.lit(cutoff)
+    )
+    cols = ["day_start", "event_type", "n_events", "n_hours"]
+    assert _rows(out.select(cols), cols) == _rows(closed, cols)
+    assert out.count() > 0
