@@ -2258,6 +2258,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_oov_rate",
     "split_leakage_audit",
     "emb_norm_outliers",
+    "feature_store_pit",
+    "bellman_ford_routes",
+    "edit_distance_match",
+    "l_diversity",
     # never driver-verified: relational batches 5-8
     "bracket_revenue",
     "promo_part_suppliers",
@@ -2366,6 +2370,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_llm5 import REGISTRY_LLM5
     from ra2_datalake_linaresjoan_spark.queries_llm6 import REGISTRY_LLM6
     from ra2_datalake_linaresjoan_spark.queries_ext10 import REGISTRY_EXT10
+    from ra2_datalake_linaresjoan_spark.queries_ext11 import REGISTRY_EXT11
     from ra2_datalake_linaresjoan_spark.queries_llm7 import REGISTRY_LLM7
 
     merged = {
@@ -2384,6 +2389,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_LLM5,
         **REGISTRY_LLM6,
         **REGISTRY_EXT10,
+        **REGISTRY_EXT11,
         **REGISTRY_LLM7,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
