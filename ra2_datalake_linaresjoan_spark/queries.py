@@ -2262,6 +2262,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bellman_ford_routes",
     "edit_distance_match",
     "l_diversity",
+    "ngram_novelty",
+    "cross_source_dups",
     # never driver-verified: relational batches 5-8
     "bracket_revenue",
     "promo_part_suppliers",
@@ -2372,6 +2374,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext10 import REGISTRY_EXT10
     from ra2_datalake_linaresjoan_spark.queries_ext11 import REGISTRY_EXT11
     from ra2_datalake_linaresjoan_spark.queries_llm7 import REGISTRY_LLM7
+    from ra2_datalake_linaresjoan_spark.queries_llm8 import REGISTRY_LLM8
 
     merged = {
         **_REGISTRY,
@@ -2391,6 +2394,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT10,
         **REGISTRY_EXT11,
         **REGISTRY_LLM7,
+        **REGISTRY_LLM8,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)
