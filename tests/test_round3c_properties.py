@@ -6,8 +6,6 @@ numpy linear algebra, or the mathematical definition itself."""
 
 from __future__ import annotations
 
-import itertools
-
 import numpy as np
 from pyspark.sql import functions as F
 

@@ -71,6 +71,63 @@ def probe(spark, docs: DataFrame) -> dict[str, float]:
         "quality_score",
         lambda: docs.select(F.avg(quality_score(F.col("text")))).first(),
     )
+
+    # Bloom membership (batch-vs-corpus pre-dedup): bit-set build +
+    # broadcast probe — the incremental-ingest hot path
+    def bloom():
+        h = docs.select(F.md5("text").alias("h"))
+        bits = (
+            h.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.conv(F.substring("h", 1 + 8 * j, 8), 16, 10).cast(
+                                "long"
+                            )
+                            % 65536
+                            for j in range(3)
+                        ]
+                    )
+                ).alias("bit")
+            )
+            .distinct()
+        )
+        probe_bits = docs.filter(F.col("doc_id") % 10 == 3).select(
+            F.md5("text").alias("h")
+        )
+        probe_bits = probe_bits.select(
+            "h",
+            F.explode(
+                F.array(
+                    *[
+                        F.conv(F.substring("h", 1 + 8 * j, 8), 16, 10).cast("long")
+                        % 65536
+                        for j in range(3)
+                    ]
+                )
+            ).alias("bit"),
+        )
+        probe_bits.join(F.broadcast(bits), "bit").groupBy("h").count().count()
+
+    timed("bloom_membership", bloom)
+
+    # span-level dedup shuffle (16-word windows → min-struct survivor)
+    def spans():
+        w = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        sh = docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size({w}) - 15, 1)),"
+                    " i -> concat_ws(' ', slice({w}, i, 16)))".format(
+                        w="split(trim(lower(text)), '\\\\s+')"
+                    )
+                )
+            ).alias("span"),
+        )
+        sh.groupBy("span").agg(F.min("doc_id")).count()
+
+    timed("span_group", spans)
     return out
 
 
