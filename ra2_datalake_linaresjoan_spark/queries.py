@@ -2264,6 +2264,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "l_diversity",
     "ngram_novelty",
     "cross_source_dups",
+    "join_cardinality",
     # never driver-verified: relational batches 5-8
     "bracket_revenue",
     "promo_part_suppliers",

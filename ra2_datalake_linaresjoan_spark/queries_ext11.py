@@ -323,9 +323,63 @@ FROM classes
 """
 
 
+# ---------------------------------------------------------------------------
+# join_cardinality — join-size computation without the join
+# ---------------------------------------------------------------------------
+
+
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size statistics the optimizer way: |lineitem ⋈ orders| on the
+    order key is Σ_k n_l(k)·n_o(k) over the per-key count vectors — two
+    count aggregates and a key join of COUNT ROWS, never the join's
+    output rows. Alongside: matched-key count, max per-key fan-out, and
+    the skew ratio (max product / mean product, the quantity that
+    predicts whether AQE skew-splitting will trigger). This is how a
+    planner (or a pre-flight data audit) sizes a shuffle before paying
+    for it; the oracle pins it against DuckDB's identical arithmetic —
+    and it must equal the true join count by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    ords = _t(spark, sf_dir, "orders")
+    a = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = ords.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    per_key = a.join(b, "k").select("k", (F.col("na") * F.col("nb")).alias("prod"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.sum("prod").alias("join_rows"),
+        F.max("prod").alias("max_key_fanout"),
+        F.round(
+            F.max("prod") / (F.sum("prod") / F.count(F.lit(1))), 4
+        ).alias("skew_ratio"),
+    )
+
+
+SQL_JOIN_CARDINALITY = """
+WITH a AS (
+  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS na
+  FROM lineitem GROUP BY 1
+), b AS (
+  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS nb
+  FROM orders GROUP BY 1
+), per_key AS (
+  SELECT k, na * nb AS prod FROM a JOIN b USING (k)
+)
+SELECT CAST(count(*) AS BIGINT) AS matched_keys,
+       CAST(sum(prod) AS BIGINT) AS join_rows,
+       CAST(max(prod) AS BIGINT) AS max_key_fanout,
+       round(max(prod) / (sum(prod) / CAST(count(*) AS DOUBLE)), 4)
+         AS skew_ratio
+FROM per_key
+"""
+
+
 REGISTRY_EXT11 = {
     "feature_store_pit": (q_feature_store_pit, SQL_FEATURE_STORE_PIT),
     "bellman_ford_routes": (q_bellman_ford_routes, SQL_BELLMAN_FORD_ROUTES),
     "edit_distance_match": (q_edit_distance_match, SQL_EDIT_DISTANCE_MATCH),
     "l_diversity": (q_l_diversity, SQL_L_DIVERSITY),
+    "join_cardinality": (q_join_cardinality, SQL_JOIN_CARDINALITY),
 }
