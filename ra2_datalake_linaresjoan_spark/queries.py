@@ -2236,12 +2236,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # The presumed mid-round "round-3 gate" never ran: only CORRECTNESS_r01
     # and _r02 exist (50 rows each, the first 50 queries() entries in
     # insertion order), leaving every query added after the round-2
-    # registry freeze with NO driver row. This round's 11 brand-new
-    # queries lead (least-tested), then the never-driver-verified batches
-    # 5-8; the window of ~50 covers the new 11 + 39 of those, spilling
-    # the LLM-batch-4/5 tail (all locally pinned by exact oracles for two
-    # rounds) to the round-4 prefix together with round-1-stale names.
-    # new this round (batch 9 + LLM batch 6) — least-tested, lead the gate
+    # registry freeze with NO driver row. This round's 23 brand-new
+    # queries (batches 9-11, LLM 6-8) lead — least-tested — then the
+    # never-driver-verified batches 5-8; a 50-row window covers the new
+    # 23 plus 27 of those, spilling the remainder (all locally pinned by
+    # exact oracles at three scale factors) to the round-4 prefix
+    # together with the round-1-stale re-verifies.
+    # new this round — least-tested, lead the gate
     "ohlc_bars",
     "linear_interp_gaps",
     "markov_transitions",
