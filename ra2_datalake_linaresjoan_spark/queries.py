@@ -2266,6 +2266,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ngram_novelty",
     "cross_source_dups",
     "join_cardinality",
+    "time_travel_scd2",
+    "linear_attribution",
     # never driver-verified: relational batches 5-8
     "bracket_revenue",
     "promo_part_suppliers",
@@ -2375,6 +2377,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_llm6 import REGISTRY_LLM6
     from ra2_datalake_linaresjoan_spark.queries_ext10 import REGISTRY_EXT10
     from ra2_datalake_linaresjoan_spark.queries_ext11 import REGISTRY_EXT11
+    from ra2_datalake_linaresjoan_spark.queries_ext12 import REGISTRY_EXT12
     from ra2_datalake_linaresjoan_spark.queries_llm7 import REGISTRY_LLM7
     from ra2_datalake_linaresjoan_spark.queries_llm8 import REGISTRY_LLM8
 
@@ -2395,6 +2398,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_LLM6,
         **REGISTRY_EXT10,
         **REGISTRY_EXT11,
+        **REGISTRY_EXT12,
         **REGISTRY_LLM7,
         **REGISTRY_LLM8,
     }
