@@ -38,6 +38,8 @@ NEW_QUERIES = [
     "ngram_novelty",
     "cross_source_dups",
     "join_cardinality",
+    "time_travel_scd2",
+    "linear_attribution",
 ]
 
 
