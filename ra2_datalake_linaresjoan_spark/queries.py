@@ -2268,6 +2268,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_cardinality",
     "time_travel_scd2",
     "linear_attribution",
+    "ab_test_readout",
+    "ks_distance",
     # never driver-verified: relational batches 5-8
     "bracket_revenue",
     "promo_part_suppliers",
@@ -2378,6 +2380,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext10 import REGISTRY_EXT10
     from ra2_datalake_linaresjoan_spark.queries_ext11 import REGISTRY_EXT11
     from ra2_datalake_linaresjoan_spark.queries_ext12 import REGISTRY_EXT12
+    from ra2_datalake_linaresjoan_spark.queries_ext13 import REGISTRY_EXT13
     from ra2_datalake_linaresjoan_spark.queries_llm7 import REGISTRY_LLM7
     from ra2_datalake_linaresjoan_spark.queries_llm8 import REGISTRY_LLM8
 
@@ -2399,6 +2402,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT10,
         **REGISTRY_EXT11,
         **REGISTRY_EXT12,
+        **REGISTRY_EXT13,
         **REGISTRY_LLM7,
         **REGISTRY_LLM8,
     }

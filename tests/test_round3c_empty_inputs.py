@@ -40,6 +40,8 @@ NEW_QUERIES = [
     "join_cardinality",
     "time_travel_scd2",
     "linear_attribution",
+    "ab_test_readout",
+    "ks_distance",
 ]
 
 
