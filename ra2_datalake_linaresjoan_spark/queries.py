@@ -2270,6 +2270,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "linear_attribution",
     "ab_test_readout",
     "ks_distance",
+    "code_switch_score",
+    "tokenizer_fertility",
     # never driver-verified: relational batches 5-8
     "bracket_revenue",
     "promo_part_suppliers",
@@ -2383,6 +2385,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext13 import REGISTRY_EXT13
     from ra2_datalake_linaresjoan_spark.queries_llm7 import REGISTRY_LLM7
     from ra2_datalake_linaresjoan_spark.queries_llm8 import REGISTRY_LLM8
+    from ra2_datalake_linaresjoan_spark.queries_llm9 import REGISTRY_LLM9
 
     merged = {
         **_REGISTRY,
@@ -2405,6 +2408,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT13,
         **REGISTRY_LLM7,
         **REGISTRY_LLM8,
+        **REGISTRY_LLM9,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -42,6 +42,8 @@ NEW_QUERIES = [
     "linear_attribution",
     "ab_test_readout",
     "ks_distance",
+    "code_switch_score",
+    "tokenizer_fertility",
 ]
 
 
