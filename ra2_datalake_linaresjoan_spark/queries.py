@@ -2272,6 +2272,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ks_distance",
     "code_switch_score",
     "tokenizer_fertility",
+    "association_rules",
+    "fingerprint_cluster_histogram",
+    "funnel_time_to_convert",
     # never driver-verified: relational batches 5-8
     "bracket_revenue",
     "promo_part_suppliers",
@@ -2383,6 +2386,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext11 import REGISTRY_EXT11
     from ra2_datalake_linaresjoan_spark.queries_ext12 import REGISTRY_EXT12
     from ra2_datalake_linaresjoan_spark.queries_ext13 import REGISTRY_EXT13
+    from ra2_datalake_linaresjoan_spark.queries_ext14 import REGISTRY_EXT14
     from ra2_datalake_linaresjoan_spark.queries_llm7 import REGISTRY_LLM7
     from ra2_datalake_linaresjoan_spark.queries_llm8 import REGISTRY_LLM8
     from ra2_datalake_linaresjoan_spark.queries_llm9 import REGISTRY_LLM9
@@ -2406,6 +2410,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT11,
         **REGISTRY_EXT12,
         **REGISTRY_EXT13,
+        **REGISTRY_EXT14,
         **REGISTRY_LLM7,
         **REGISTRY_LLM8,
         **REGISTRY_LLM9,

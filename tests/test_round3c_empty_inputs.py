@@ -44,6 +44,9 @@ NEW_QUERIES = [
     "ks_distance",
     "code_switch_score",
     "tokenizer_fertility",
+    "association_rules",
+    "fingerprint_cluster_histogram",
+    "funnel_time_to_convert",
 ]
 
 
