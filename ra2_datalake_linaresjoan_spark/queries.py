@@ -2275,6 +2275,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "association_rules",
     "fingerprint_cluster_histogram",
     "funnel_time_to_convert",
+    "exact_corr_moments",
     # never driver-verified: relational batches 5-8
     "bracket_revenue",
     "promo_part_suppliers",

@@ -233,6 +233,71 @@ FROM lat
 """
 
 
+# ---------------------------------------------------------------------------
+# exact_corr_moments — Pearson r from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+def q_exact_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pearson correlation between document length (chars)
+    and vocabulary breadth (distinct words) computed from EXACT integer
+    moments (n, Σx, Σy, Σxy, Σx², Σy²) — the five sums are BIGINT
+    aggregates (partition-order-invariant, unlike a float ``corr()``
+    whose partial accumulations drift per partitioning), and r is one
+    in-row IEEE expression over them, rounded at 6 dp. The same
+    partial+final shape ``regr_slope`` uses, hardened for cross-engine
+    hashing. Moment magnitudes: x ≤ ~10³, y ≤ ~10², n ≤ corpus size —
+    Σx² ≤ n·10⁶ stays exact in int64 to ~10¹² docs."""
+    docs = _t(spark, sf_dir, "documents")
+    xy = docs.select(
+        "lang",
+        F.col("n_chars").alias("x"),
+        F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("y"),
+    )
+    m = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return m.select(
+        "lang",
+        "n",
+        F.round(num / den, 6).alias("pearson_r"),
+    ).orderBy("lang")
+
+
+SQL_EXACT_CORR_MOMENTS = """
+WITH xy AS (
+  SELECT lang, n_chars AS x,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+  FROM documents
+), m AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy GROUP BY lang
+)
+SELECT lang, n,
+       round((n * sxy - sx * sy)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+FROM m ORDER BY lang
+"""
+
+
 REGISTRY_EXT14 = {
     "association_rules": (q_association_rules, SQL_ASSOCIATION_RULES),
     "fingerprint_cluster_histogram": (
@@ -240,4 +305,5 @@ REGISTRY_EXT14 = {
         SQL_FINGERPRINT_CLUSTER_HISTOGRAM,
     ),
     "funnel_time_to_convert": (q_funnel_time_to_convert, SQL_FUNNEL_TIME_TO_CONVERT),
+    "exact_corr_moments": (q_exact_corr_moments, SQL_EXACT_CORR_MOMENTS),
 }

@@ -47,6 +47,7 @@ NEW_QUERIES = [
     "association_rules",
     "fingerprint_cluster_histogram",
     "funnel_time_to_convert",
+    "exact_corr_moments",
 ]
 
 
