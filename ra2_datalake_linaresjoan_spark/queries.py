@@ -2236,10 +2236,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # The presumed mid-round "round-3 gate" never ran: only CORRECTNESS_r01
     # and _r02 exist (50 rows each, the first 50 queries() entries in
     # insertion order), leaving every query added after the round-2
-    # registry freeze with NO driver row. This round's 23 brand-new
-    # queries (batches 9-11, LLM 6-8) lead — least-tested — then the
+    # registry freeze with NO driver row. This round's 33 brand-new
+    # queries (batches 9-14, LLM 6-9) lead — least-tested — then the
     # never-driver-verified batches 5-8; a 50-row window covers the new
-    # 23 plus 27 of those, spilling the remainder (all locally pinned by
+    # 33 plus 17 of those, spilling the remainder (all locally pinned by
     # exact oracles at three scale factors) to the round-4 prefix
     # together with the round-1-stale re-verifies.
     # new this round — least-tested, lead the gate
