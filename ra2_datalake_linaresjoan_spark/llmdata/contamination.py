@@ -50,7 +50,9 @@ def contamination_report(
     Fully lazy — the two counts are 1-row aggregates cross-joined in ONE
     plan (no eager driver-side ``count()`` actions at build time), and the
     rate is engine-side ``round`` (half-away-from-zero in both Spark and
-    DuckDB, unlike Python's banker's rounding)."""
+    DuckDB, unlike Python's banker's rounding). An EMPTY train set reports
+    ``contamination_rate = 0.0`` (the pre-lazy contract), not the NULL
+    that a bare engine-side division by zero would produce."""
     n_train = train.select(id_col).distinct().agg(
         F.count(F.lit(1)).alias("n_train")
     )
@@ -60,7 +62,10 @@ def contamination_report(
     return n_train.crossJoin(n_cont).select(
         "n_train",
         "n_contaminated",
-        F.round(F.col("n_contaminated") / F.col("n_train"), 6).alias(
-            "contamination_rate"
-        ),
+        F.when(
+            F.col("n_train") > 0,
+            F.round(F.col("n_contaminated") / F.col("n_train"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("contamination_rate"),
     )

@@ -2232,68 +2232,28 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-3 rotation (corrected) -------------------------------------
-    # The presumed mid-round "round-3 gate" never ran: only CORRECTNESS_r01
-    # and _r02 exist (50 rows each, the first 50 queries() entries in
-    # insertion order), leaving every query added after the round-2
-    # registry freeze with NO driver row. This round's 33 brand-new
-    # queries (batches 9-14, LLM 6-9) lead — least-tested — then the
-    # never-driver-verified batches 5-8; a 50-row window covers the new
-    # 33 plus 17 of those, spilling the remainder (all locally pinned by
-    # exact oracles at three scale factors) to the round-4 prefix
-    # together with the round-1-stale re-verifies.
-    # new this round — least-tested, lead the gate
-    "ohlc_bars",
-    "linear_interp_gaps",
-    "markov_transitions",
-    "k_anonymity",
-    "zorder_layout",
-    "event_rate_anomaly",
-    "spmm_topics",
+    # -- round-4 rotation ------------------------------------------------
+    # CORRECTNESS_r03 verified exactly the previous first 50 (all green);
+    # cumulative driver coverage r1-r3 = 146/180. This prefix leads with:
+    #   1. the two stale round-2 FAILs whose HUGEINT oracle fix (56ab0f0)
+    #      has never been driver-confirmed,
+    #   2. the three queries whose implementation changed this round
+    #      (contamination empty-train 0.0 contract, bloom_dedup
+    #      collision-free probe ids, skyline_pareto pre-aggregated
+    #      price-cardinality global window),
+    #   3. all 34 queries with no driver row in any round,
+    #   4. round-4 additions (least-tested, inserted as they land),
+    #   5. round-1-stale re-verifies, then round-2-stale.
+    # A 50-row driver window covers 1-3 fully (39 entries), taking
+    # cumulative coverage to 180/180 of the pre-round-4 registry.
+    # stale round-2 FAILs, fix never driver-confirmed
+    "session_islands",
+    "seq_packing",
+    # implementation changed this round
+    "contamination",
     "bloom_dedup",
-    "bpe_encode",
-    "corpus_datacard",
-    "pca_power_iteration",
     "skyline_pareto",
-    "approx_quantile_guarantee",
-    "vocab_oov_rate",
-    "split_leakage_audit",
-    "emb_norm_outliers",
-    "feature_store_pit",
-    "bellman_ford_routes",
-    "edit_distance_match",
-    "l_diversity",
-    "ngram_novelty",
-    "cross_source_dups",
-    "join_cardinality",
-    "time_travel_scd2",
-    "linear_attribution",
-    "ab_test_readout",
-    "ks_distance",
-    "code_switch_score",
-    "tokenizer_fertility",
-    "association_rules",
-    "fingerprint_cluster_histogram",
-    "funnel_time_to_convert",
-    "exact_corr_moments",
-    # never driver-verified: relational batches 5-8
-    "bracket_revenue",
-    "promo_part_suppliers",
-    "nation_value_threshold",
-    "bitmap_exact_distinct",
-    "hll_daily_union",
-    "burst_1h_max",
-    "decimal_exact_money",
-    "dq_checks",
-    "snapshot_diff",
-    "bpe_pair_merge",
-    "running_totals",
-    "moving_avg_events",
-    "first_last_events",
-    "percentrank_parts",
-    "gapfill_daily_events",
-    "unpivot_nation_metrics",
-    "trailing_week_revenue",
+    # never driver-verified in r1-r3
     "stats_moments",
     "mad_outliers",
     "table_profile",
@@ -2315,7 +2275,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "winsorized_value_stats",
     "trade_reachability",
     "top_orders_lateral",
-    # never driver-verified: LLM-data batches 4-5
     "span_dedup",
     "semantic_kmeans",
     "semantic_prune",
@@ -2329,8 +2288,19 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "token_length_buckets",
     "quality_curriculum",
     "multimodal_resize",
-    # round-1-stale re-verifies fill any window past 50; rotate the rest
-    # (r02-only tail + any round-4 additions) into the round-4 prefix.
+    # -- round-4 additions (LLM batch 10 + relational batch 15) ----------
+    "bm25_topk",
+    "cms_heavy_hitters",
+    "domain_balance_weights",
+    "waterfill_allocation",
+    "canonical_text_dedup",
+    "char_entropy_filter",
+    "training_shard_assign",
+    "hapax_rate",
+    "event_trigram_paths",
+    "revenue_decile_lift",
+    "dow_seasonality",
+    # round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
     "count_distinct",
@@ -2366,6 +2336,65 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rollup_orders",
     "set_ops",
     "normalize_numeric_parity",
+    "pricing_summary",
+    "top_orders",
+    "window_dedup",
+    "date_dim",
+    "cosine_topk",
+    "tumbling_windows",
+    "sliding_windows",
+    "event_sessionization",
+    "normalize_boolean_parity",
+    "clean_string_parity",
+    "classifier_parity",
+    # round-2-stale re-verifies
+    "simhash_neardup",
+    "ann_lsh",
+    "ann_ivf",
+    "multimodal_features",
+    "cosine_neardup",
+    "asof_join",
+    "interval_join",
+    "sentiment_lexicon",
+    "jsonish_arrays_parity",
+    "pipeline_parity",
+    "order_priority_exists",
+    "customer_distribution",
+    "promo_revenue",
+    "large_volume_customers",
+    "returned_item_customers",
+    "pivot_user_events",
+    "cube_orders",
+    "sources_by_lang",
+    "hash_sample_docs",
+    "tfidf_top_terms",
+    "neardup_components",
+    "props_variant",
+    "grouping_sets_orders",
+    "forecast_revenue",
+    "volume_shipping",
+    "product_type_profit",
+    "late_line_priority",
+    "top_supplier",
+    "supplier_variety",
+    "discounted_revenue",
+    "waiting_suppliers",
+    "dormant_customers",
+    "time_bucket_rollup",
+    "scd2_user_state",
+    "stratified_sample_docs",
+    "nation_pagerank",
+    "fuzzy_join",
+    "doc_repetition",
+    "pii_redact",
+    "incremental_dedup",
+    "multimodal_frames",
+    "udtf_char_shingles",
+    "udaf_centroids",
+    "domain_mixture",
+    "heavy_hitter_words",
+    "cluster_tightness",
+    "approx_distinct_guarantee",
 )
 
 
@@ -2391,6 +2420,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_llm7 import REGISTRY_LLM7
     from ra2_datalake_linaresjoan_spark.queries_llm8 import REGISTRY_LLM8
     from ra2_datalake_linaresjoan_spark.queries_llm9 import REGISTRY_LLM9
+    from ra2_datalake_linaresjoan_spark.queries_llm10 import REGISTRY_LLM10
+    from ra2_datalake_linaresjoan_spark.queries_ext15 import REGISTRY_EXT15
 
     merged = {
         **_REGISTRY,
@@ -2415,6 +2446,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_LLM7,
         **REGISTRY_LLM8,
         **REGISTRY_LLM9,
+        **REGISTRY_LLM10,
+        **REGISTRY_EXT15,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -30,32 +30,40 @@ from ra2_datalake_linaresjoan_spark.queries import _t
 def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier of parts: minimize retail price, maximize size.
     A part is dominated iff some other part has (price ≤, size ≥) with at
-    least one strict. Two window passes decide it without a self-join:
-    (1) max size among STRICTLY cheaper parts — ``RANGE UNBOUNDED
-    PRECEDING .. 1 PRECEDING`` over integer cents, one global sort that
-    at 100 TB becomes a rangeBetween over a range-partitioned sort
-    (Spark's SortExec is externally spillable; the frontier itself is
-    tiny); (2) max size among SAME-price parts (partition max) —
-    dominated iff a strictly larger same-price part exists (identical
-    (price, size) pairs do not dominate each other under standard
-    skyline semantics). Output = frontier rows ordered by price; all
-    integer comparisons."""
+    least one strict. Scale shape: first a distributed shuffle aggregate
+    collapses the data to ONE row per price (max size at that price) —
+    the only pass over the full table — then a single global window over
+    that *price-cardinality-sized* aggregate computes the running "max
+    size among strictly cheaper prices" (``ROWS UNBOUNDED PRECEDING ..
+    1 PRECEDING``; one row per price makes it equivalent to the RANGE
+    frame over raw rows). Spark executes a partition-less window in one
+    task, so keeping its input at price cardinality (≈10⁴–10⁵ distinct
+    cents values, independent of row count) is what makes the plan safe
+    at 100 TB. The per-price maxima then join back to the parts (AQE
+    picks broadcast when the price table is small). Dominated iff a
+    strictly-cheaper price offers ≥ size, or a same-price part is
+    strictly larger (identical (price, size) pairs do not dominate each
+    other under standard skyline semantics). Output = frontier rows
+    ordered by price; all integer comparisons."""
     part = _t(spark, sf_dir, "part")
     p = part.select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
         F.col("p_size").cast("long").alias("size"),
     )
+    per_price = p.groupBy("price_cents").agg(F.max("size").alias("max_size_same"))
     w_cheaper = (
-        Window.orderBy("price_cents").rangeBetween(Window.unboundedPreceding, -1)
+        Window.orderBy("price_cents").rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_same = Window.partitionBy("price_cents")
-    g = p.select(
+    pp = per_price.withColumn(
+        "max_size_cheaper", F.max("max_size_same").over(w_cheaper)
+    )
+    g = p.join(pp, "price_cents").select(
         "p_partkey",
         "price_cents",
         "size",
-        F.max("size").over(w_cheaper).alias("max_size_cheaper"),
-        F.max("size").over(w_same).alias("max_size_same"),
+        "max_size_cheaper",
+        "max_size_same",
     )
     dominated = (
         (

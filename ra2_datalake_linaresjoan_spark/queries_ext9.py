@@ -392,8 +392,13 @@ FROM z GROUP BY 1 ORDER BY z_bucket
 
 def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily event-rate anomaly detection: per event_type, compare each
-    day's count against the trailing 7 FULL days' mean/std and flag
-    |z| > 2. The variance inputs (Σc, Σc², n) are EXACT integer window
+    day's count against the trailing 7 OBSERVED (day, type) rows'
+    mean/std and flag |z| > 2. "Observed": a day with zero events for a
+    type is absent from the daily aggregate, so the ``ROWS -7..-1``
+    frame can span more than 7 calendar days across activity gaps —
+    a count-of-active-days baseline, not a calendar-dense one (densify
+    on a date spine first, as ``linear_interp_gaps`` does, if zero-days
+    must drag the mean down). The variance inputs (Σc, Σc², n) are EXACT integer window
     sums over the tiny post-aggregate daily table; mean/std/z are in-row
     IEEE arithmetic (division + ``sqrt`` — both correctly-rounded ops,
     so bit-identical across engines) rounded at 4 dp. Never a

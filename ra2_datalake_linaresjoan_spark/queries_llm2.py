@@ -231,8 +231,10 @@ WITH w AS (
 )
 SELECT CAST((SELECT count(*) FROM train_ids) AS BIGINT) AS n_train,
        CAST((SELECT count(*) FROM cont) AS BIGINT) AS n_contaminated,
-       round((SELECT count(*) FROM cont) * 1.0
-             / (SELECT count(*) FROM train_ids), 6) AS contamination_rate
+       CASE WHEN (SELECT count(*) FROM train_ids) > 0
+            THEN round((SELECT count(*) FROM cont) * 1.0
+                       / (SELECT count(*) FROM train_ids), 6)
+            ELSE 0.0 END AS contamination_rate
 """
 
 

@@ -51,7 +51,11 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     *candidate* duplicate when ALL its positions are set; the exact
     fingerprint join then resolves truth. Reports candidates / true
     duplicates / false positives / the measured FP rate (the quantity
-    that sizes m and k in production). The bit table is
+    that sizes m and k in production). Perturbed probes take the
+    synthetic id ``-doc_id - 1`` — strictly negative, so it can never
+    collide with a redelivered probe's real (non-negative) id at ANY
+    corpus scale (an additive offset would collide once doc_id reached
+    the offset). The bit table is
     position-distinct (≤ 2^16 rows regardless of corpus size) and
     broadcasts; only candidates reach the exact join — the standing
     corpus is never rescanned per batch."""
@@ -71,7 +75,7 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").alias("btext")
     ).unionByName(
         docs.filter(F.col("doc_id") % 10 == 7).select(
-            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            (-F.col("doc_id") - 1).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" v2")).alias("btext"),
         )
     )
@@ -125,7 +129,7 @@ WITH corpus AS (
 ), batch AS (
   SELECT doc_id, text AS btext FROM documents WHERE doc_id % 10 = 3
   UNION ALL
-  SELECT doc_id + 10000000, text || ' v2' FROM documents WHERE doc_id % 10 = 7
+  SELECT -doc_id - 1, text || ' v2' FROM documents WHERE doc_id % 10 = 7
 ), probes AS (
   SELECT doc_id, md5(btext) AS h,
          CAST(concat('0x', substr(md5(btext), 1, 8)) AS BIGINT) % {_BLOOM_M} AS p0,

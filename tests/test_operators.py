@@ -332,3 +332,59 @@ def test_zorder_tightens_both_dimensions(spark, tmp_path):
     # z-ordered files: BOTH dimensions clustered well below full domain
     assert avg_span(z_path, "x") < 120
     assert avg_span(z_path, "y") < 120
+
+
+def test_zorder_quantile_path_no_window(spark, tmp_path):
+    """Above the exact threshold, zorder_key must bucket via sampled
+    quantile boundaries (Bucketizer binary search) — no global window,
+    no single-partition stage anywhere in the plan — while still
+    clustering both dimensions in the written row-group stats."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.operators.zorder import (
+        write_zordered,
+        zorder_key,
+    )
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+    )
+    keyed = zorder_key(df, ["x", "y"], exact_threshold=1_000)
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+
+    z_path = str(tmp_path / "zorder_q")
+    write_zordered(df, z_path, ["x", "y"], n_files=16, exact_threshold=1_000)
+
+    def avg_span(path, col):
+        spans = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names.index(col)).statistics
+                spans.append(st.max - st.min)
+        return sum(spans) / len(spans)
+
+    assert avg_span(z_path, "x") < 120
+    assert avg_span(z_path, "y") < 120
+
+
+def test_zorder_quantile_path_rejects_non_numeric(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.operators.zorder import zorder_key
+
+    df = spark.range(5_000).select(
+        F.col("id").alias("x"), F.concat(F.lit("s"), F.col("id")).alias("name")
+    )
+    with pytest.raises(ValueError, match="numeric"):
+        zorder_key(df, ["x", "name"], exact_threshold=1_000)
+    # small input still takes the exact ntile path for any orderable type
+    assert "_zorder" in zorder_key(df.limit(100), ["x", "name"]).columns

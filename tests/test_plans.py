@@ -394,15 +394,25 @@ def test_ohlc_bars_is_one_aggregate_no_window(spark, sf_dir):
     assert "min_by" in plan and "max_by" in plan
 
 
-def test_skyline_single_scan_no_join(spark, sf_dir):
-    """The Pareto frontier is two window passes over ONE scan — any join
-    node means the O(n²) dominance formulation crept back in."""
+def test_skyline_window_input_is_price_cardinality(spark, sf_dir):
+    """The Pareto frontier's single global window must run over the
+    per-price AGGREGATE (price-cardinality rows), never the raw parts —
+    the pre-aggregate is what makes the partition-less WindowExec safe
+    at scale. An O(n²) dominance self-join (cartesian / nested-loop)
+    must never appear; the equi join-back of the tiny per-price table
+    is the intended shape."""
     plan = _plan(spark, sf_dir, "skyline_pareto")
-    for node in ("BroadcastHashJoin", "SortMergeJoin", "CartesianProduct",
-                 "BroadcastNestedLoopJoin"):
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert node not in plan
-    # node tree only — the formatted detail section repeats each node
-    assert plan.split("\n\n")[0].count("Scan parquet") == 1
+    tree = plan.split("\n\n")[0]
+    # in the tree, the Window node's child chain down to its scan must
+    # pass through a HashAggregate — i.e. the window input is the
+    # per-price aggregate, not raw part rows
+    w_idx = tree.index("Window")
+    seg = tree[w_idx : tree.index("Scan parquet", w_idx)]
+    assert "HashAggregate" in seg
+    # the price-cardinality table is the broadcast side of the join-back
+    assert "BroadcastHashJoin" in tree
 
 
 def test_event_rate_anomaly_window_partitioned(spark, sf_dir):
@@ -453,3 +463,29 @@ def test_emb_norm_outlier_thresholds_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "emb_norm_outliers")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_event_trigram_paths_window_partitioned(spark, sf_dir):
+    """The lead/lead2 window must partition by user_id — a global
+    (SinglePartition) sequence window would serialize the clickstream."""
+    plan = _plan(spark, sf_dir, "event_trigram_paths")
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_bm25_stats_broadcast(spark, sf_dir):
+    """BM25's df and collection stats must broadcast back onto the
+    postings — a shuffle join against a ≤|terms|-row table is wrong."""
+    plan = _plan(spark, sf_dir, "bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_char_entropy_is_scan_shaped(spark, sf_dir):
+    """Entropy is an in-row expression: no shuffle (Exchange) other than
+    the final presentation sort, no Window, no Generate (explode)."""
+    plan = _plan(spark, sf_dir, "char_entropy_filter")
+    tree = plan.split("\n\n")[0]
+    assert "Generate" not in tree
+    assert "Window" not in tree
+    # only the orderBy's range exchange is allowed
+    assert tree.count("Exchange") <= 1

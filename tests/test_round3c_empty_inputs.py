@@ -48,7 +48,20 @@ NEW_QUERIES = [
     "fingerprint_cluster_histogram",
     "funnel_time_to_convert",
     "exact_corr_moments",
+    # round-4 additions: queries whose implementation changed (the
+    # contamination lazy rewrite's empty-train contract is exactly what
+    # this suite exists to pin)
+    "contamination",
 ]
+
+
+def test_contamination_empty_train_rate_is_zero(spark, empty_sf):
+    """The lazy rewrite must keep the pre-lazy contract: an empty train
+    set reports contamination_rate 0.0, not NULL (bare engine-side
+    division by zero yields NULL in both Spark and DuckDB)."""
+    row = q.queries()["contamination"](spark, empty_sf).collect()[0]
+    assert row["n_train"] == 0
+    assert row["contamination_rate"] == 0.0
 
 
 @pytest.fixture(scope="module")
