@@ -2300,6 +2300,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "event_trigram_paths",
     "revenue_decile_lift",
     "dow_seasonality",
+    # batch-2 additions land past the 50-row window; they lead round 5
+    "kl_divergence_sources",
+    "bigram_lm_perplexity",
+    "tfidf_cosine_pairs",
+    "robust_scaler_embeddings",
+    "chi2_independence",
+    "nation_jaccard",
+    "zipf_fit",
+    "gini_spend",
     # round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2422,6 +2431,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_llm9 import REGISTRY_LLM9
     from ra2_datalake_linaresjoan_spark.queries_llm10 import REGISTRY_LLM10
     from ra2_datalake_linaresjoan_spark.queries_ext15 import REGISTRY_EXT15
+    from ra2_datalake_linaresjoan_spark.queries_llm11 import REGISTRY_LLM11
+    from ra2_datalake_linaresjoan_spark.queries_ext16 import REGISTRY_EXT16
 
     merged = {
         **_REGISTRY,
@@ -2448,6 +2459,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_LLM9,
         **REGISTRY_LLM10,
         **REGISTRY_EXT15,
+        **REGISTRY_LLM11,
+        **REGISTRY_EXT16,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

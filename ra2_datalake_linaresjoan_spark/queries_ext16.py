@@ -1,0 +1,292 @@
+"""Relational batch 16 (round 4): independence testing, graph-set
+similarity, power-law fitting, and inequality measurement.
+
+- ``chi2_independence`` — Pearson chi-square test of event_type ×
+  weekday independence: observed cells and both marginals are exact
+  integer aggregates (7×|types| + |types| + 7 rows); expected counts
+  and the statistic are in-row IEEE arithmetic over that tiny table.
+- ``nation_jaccard`` — set similarity between nations over the parts
+  their suppliers ship: the classic co-occurrence/Jaccard engine. The
+  only data-sized operations are distinct (nation, part) extraction and
+  a part-keyed equi self-join; the output space is nation-pair-bounded
+  (≤ 25·24/2 rows at any data size).
+- ``zipf_fit`` — per-language Zipf exponent by closed-form least
+  squares of ln(freq) on ln(rank) over the full vocabulary. The rank
+  window partitions by language over the VOCABULARY aggregate, and the
+  regression is five aggregate sums — no iteration, no driver math.
+- ``gini_spend`` — exact Gini coefficient of customer spend from the
+  rank formula ``(2·Σ rank·x)/(n·Σx) − (n+1)/n`` in exact integer
+  cents. Like ``revenue_decile_lift`` the global rank window runs over
+  the per-customer aggregate (documented inherent cost; the 100-TB
+  variant buckets by approxQuantile boundaries and loses exactness).
+  Σ rank·cents stays < 2⁶³ through ~10⁸ customers; the DECIMAL(38,0)
+  escape applies beyond.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# chi2_independence — Pearson chi-square of event_type × ISO weekday
+# ---------------------------------------------------------------------------
+
+
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row chi-square independence report: statistic (4 dp), degrees
+    of freedom, cell count, N. Marginals broadcast onto the cell table;
+    all counts exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", ((F.dayofweek(F.to_date("ts")) + 5) % 7 + 1).alias("iso_dow")
+    )
+    cells = base.groupBy("event_type", "iso_dow").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    row_m = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("row_n"))
+    col_m = base.groupBy("iso_dow").agg(F.count(F.lit(1)).alias("col_n"))
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    joined = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "iso_dow")
+        .crossJoin(F.broadcast(n))
+    )
+    exp = F.col("row_n") * F.col("col_n") / F.col("n")
+    contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
+    return joined.agg(
+        F.first("n").alias("n_events"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("iso_dow") - 1)
+        ).alias("dof"),
+        F.round(F.sum(contrib), 4).alias("chi2"),
+    )
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH base AS (
+  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_dow FROM events
+), cells AS (
+  SELECT event_type, iso_dow, CAST(count(*) AS BIGINT) AS obs
+  FROM base GROUP BY 1, 2
+), row_m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS row_n FROM base GROUP BY 1
+), col_m AS (
+  SELECT iso_dow, CAST(count(*) AS BIGINT) AS col_n FROM base GROUP BY 1
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+SELECT CAST(any_value(n.n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST((count(DISTINCT cells.event_type) - 1)
+            * (count(DISTINCT cells.iso_dow) - 1) AS BIGINT) AS dof,
+       round(sum((obs - row_n * col_n / CAST(n.n AS DOUBLE))
+                 * (obs - row_n * col_n / CAST(n.n AS DOUBLE))
+                 / (row_n * col_n / CAST(n.n AS DOUBLE))), 4) AS chi2
+FROM cells JOIN row_m USING (event_type) JOIN col_m USING (iso_dow) CROSS JOIN n
+"""
+
+
+# ---------------------------------------------------------------------------
+# nation_jaccard — co-occurrence set similarity over supplied parts
+# ---------------------------------------------------------------------------
+
+
+def q_nation_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 nation pairs by Jaccard similarity of the part sets their
+    suppliers ship. Distinct (nation, part) extraction → part-keyed
+    self-join for intersections → nation-pair-bounded output. Supplier
+    and nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    np_ = (
+        li.select("l_suppkey", "l_partkey")
+        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "l_partkey")
+        .distinct()
+        # materialize once: the (nation, part) set feeds three consumers
+        # (sizes + both self-join sides) — without this the lineitem⋈dims
+        # subtree re-scans the fact table per consumer
+        .localCheckpoint()
+    )
+    sizes = np_.groupBy("nation").agg(F.count(F.lit(1)).alias("n_parts"))
+    inter = (
+        np_.alias("a")
+        .join(np_.alias("b"), "l_partkey")
+        .filter(F.col("a.nation") < F.col("b.nation"))
+        .groupBy(F.col("a.nation").alias("n1"), F.col("b.nation").alias("n2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("nation", "n1")
+                               .withColumnRenamed("n_parts", "a_parts")), "n1")
+        .join(F.broadcast(sizes.withColumnRenamed("nation", "n2")
+                          .withColumnRenamed("n_parts", "b_parts")), "n2")
+        .select(
+            "n1",
+            "n2",
+            "n_inter",
+            F.round(
+                F.col("n_inter")
+                / (F.col("a_parts") + F.col("b_parts") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "n1", "n2")
+        .limit(20)
+    )
+
+
+SQL_NATION_JACCARD = """
+WITH np AS (
+  SELECT DISTINCT n.n_name AS nation, l.l_partkey
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+), sizes AS (
+  SELECT nation, CAST(count(*) AS BIGINT) AS n_parts FROM np GROUP BY nation
+), inter AS (
+  SELECT a.nation AS n1, b.nation AS n2, CAST(count(*) AS BIGINT) AS n_inter
+  FROM np a JOIN np b ON a.l_partkey = b.l_partkey AND a.nation < b.nation
+  GROUP BY 1, 2
+)
+SELECT n1, n2, n_inter,
+       round(n_inter * 1.0 / (sa.n_parts + sb.n_parts - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.nation = n1
+JOIN sizes sb ON sb.nation = n2
+ORDER BY jaccard DESC, n1, n2
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit — per-language Zipf exponent (closed-form least squares)
+# ---------------------------------------------------------------------------
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per language: least-squares slope of ln(freq) on
+    ln(rank) across the whole vocabulary (slope ≈ −1 for natural
+    Zipfian text). Rank window partitions by language over the
+    vocabulary aggregate; the fit is five sums — no iteration."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "word")
+    xy = wc.select(
+        "lang",
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = xy.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n_vocab") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n_vocab") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return agg.select(
+        "lang", "n_vocab", F.round(slope, 4).alias("zipf_slope")
+    ).orderBy("lang")
+
+
+SQL_ZIPF_FIT = """
+WITH wc AS (
+  SELECT lang, t.word, CAST(count(*) AS BIGINT) AS freq
+  FROM documents,
+       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+  WHERE t.word <> ''
+  GROUP BY lang, t.word
+), xy AS (
+  SELECT lang,
+         ln(CAST(row_number() OVER (PARTITION BY lang ORDER BY freq DESC, word)
+                 AS DOUBLE)) AS x,
+         ln(CAST(freq AS DOUBLE)) AS y
+  FROM wc
+), agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_vocab,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM xy GROUP BY lang
+)
+SELECT lang, n_vocab,
+       round((n_vocab * sxy - sx * sy) / (n_vocab * sxx - sx * sx), 4)
+         AS zipf_slope
+FROM agg
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# gini_spend — exact Gini coefficient of customer spend
+# ---------------------------------------------------------------------------
+
+
+def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row exact Gini of per-customer spend (integer cents, rank
+    formula). Ascending rank with customer-key tiebreak makes the
+    statistic deterministic under equal totals."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per_cust.select(
+        "cents", F.row_number().over(w).cast("long").alias("rk")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            (2.0 * F.sum(F.col("rk") * F.col("cents")))
+            / (F.count(F.lit(1)) * F.sum("cents"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_GINI_SPEND = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cents,
+         CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rk
+  FROM per_cust
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       round((2.0 * CAST(sum(rk * cents) AS BIGINT)) / (count(*) * CAST(sum(cents) AS BIGINT))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""
+
+
+REGISTRY_EXT16: dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
+] = {
+    "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
+    "nation_jaccard": (q_nation_jaccard, SQL_NATION_JACCARD),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+    "gini_spend": (q_gini_spend, SQL_GINI_SPEND),
+}

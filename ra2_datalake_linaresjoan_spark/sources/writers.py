@@ -23,7 +23,7 @@ def write_table(
     partition_by: list[str] | None = None,
     **options,
 ) -> None:
-    """Generic sink: parquet/delta/csv/json to any URI (file://, s3a://…).
+    """Generic sink: parquet/delta/csv/json/orc to any URI (file://, s3a://…).
 
     ``mode='overwrite'`` with ``overwriteSchema`` mirrors the reference's
     Delta overwrite+schema-overwrite bronze writes

@@ -489,3 +489,17 @@ def test_char_entropy_is_scan_shaped(spark, sf_dir):
     assert "Window" not in tree
     # only the orderBy's range exchange is allowed
     assert tree.count("Exchange") <= 1
+
+
+def test_nation_jaccard_dims_broadcast(spark, sf_dir):
+    """Supplier/nation dims must broadcast onto lineitem; the only
+    data-sized shuffle join is the part-keyed self-join of the distinct
+    (nation, part) table."""
+    plan = _plan(spark, sf_dir, "nation_jaccard")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_lm_window_partitioned_by_doc(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "bigram_lm_perplexity")
+    assert "hashpartitioning(doc_id" in plan

@@ -25,6 +25,15 @@ ROUND4_QUERIES = [
     "event_trigram_paths",
     "revenue_decile_lift",
     "dow_seasonality",
+    # batch 2 (LLM batch 11 + relational batch 16)
+    "kl_divergence_sources",
+    "bigram_lm_perplexity",
+    "tfidf_cosine_pairs",
+    "robust_scaler_embeddings",
+    "chi2_independence",
+    "nation_jaccard",
+    "zipf_fit",
+    "gini_spend",
 ]
 
 

@@ -1,0 +1,144 @@
+"""Semantic invariants of the round-4 operators — properties the oracle
+parity check cannot express (it only proves Spark == DuckDB, not that
+both are RIGHT). Each test pins a mathematical contract of the operator
+on real testdata."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ra2_datalake_linaresjoan_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_waterfill_conserves_budget_and_caps(spark):
+    """Water-filling must (a) never allocate past a source's capacity,
+    (b) spend the whole budget when budget ≤ Σ caps, (c) saturate
+    exactly the sources whose capacity is below the waterline."""
+    rows = q.queries()["waterfill_allocation"](spark, SF).collect()
+    assert rows
+    total_cap = sum(r["cap"] for r in rows)
+    budget = math.floor(total_cap * 0.6)
+    for r in rows:
+        assert r["alloc_tokens"] <= r["cap"] + 1e-6
+        assert (r["alloc_tokens"] >= r["cap"] - 0.01) == r["saturated"]
+    # conservation: rounded per-source allocations sum to the budget
+    # within n_sources cents of rounding slack
+    assert abs(sum(r["alloc_tokens"] for r in rows) - budget) <= len(rows) * 0.01
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min sketches overestimate, never underestimate — the min
+    over depth rows is still the sum of the word's own count plus
+    non-negative collision mass."""
+    rows = q.queries()["cms_heavy_hitters"](spark, SF).collect()
+    assert rows
+    assert all(r["n_est"] >= r["n_exact"] for r in rows)
+    assert all(r["overestimate"] == r["n_est"] - r["n_exact"] for r in rows)
+
+
+def test_char_entropy_bounds(spark):
+    """0 ≤ H ≤ ln(alphabet size): character entropy can never exceed
+    the uniform bound over the observed alphabet."""
+    df = q.queries()["char_entropy_filter"](spark, SF)
+    rows = df.collect()
+    assert rows
+    for r in rows[:50]:
+        assert -1e-9 <= r["char_entropy"] <= math.log(128) + 1e-9
+
+
+def test_gini_in_unit_interval(spark):
+    row = q.queries()["gini_spend"](spark, SF).collect()[0]
+    assert 0.0 <= row["gini"] < 1.0
+
+
+def test_revenue_deciles_partition_and_monotone(spark):
+    """Deciles must cover all customers, revenue shares sum to 1, and
+    cumulative share is monotone with decile 1 the largest spender
+    bucket (ntile ordered desc)."""
+    rows = sorted(
+        q.queries()["revenue_decile_lift"](spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    shares = [r["revenue_share"] for r in rows]
+    assert shares[0] == max(shares)
+    cums = [r["cum_share"] for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-6
+
+
+def test_bm25_scores_positive_and_ranked(spark):
+    rows = q.queries()["bm25_topk"](spark, SF).collect()
+    assert rows
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_kl_nonnegative(spark):
+    """KL(P‖Q) ≥ 0 (Gibbs) — a negative value means the implementation
+    is not a divergence."""
+    rows = q.queries()["kl_divergence_sources"](spark, SF).collect()
+    assert rows
+    assert all(r["kl_nats"] >= -1e-4 for r in rows)
+
+
+def test_canonical_dedup_catches_noisy_reingest(spark):
+    """Every noisy re-ingested doc (uppercased + punctuation) must land
+    in a group with its original: groups == count of doc_id % 7 == 0
+    docs (absent organic canonical dups, each group has exactly 2
+    members and a NEGATIVE keeper id)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_sevens = docs.filter("doc_id % 7 = 0").count()
+    rows = q.queries()["canonical_text_dedup"](spark, SF).collect()
+    assert len(rows) == n_sevens
+    assert all(r["n_copies"] == 2 and r["keeper_id"] < 0 for r in rows)
+
+
+def test_jaccard_bounds_and_symmetric_pairs(spark):
+    rows = q.queries()["nation_jaccard"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["n1"] < r["n2"]
+
+
+def test_zipf_slope_negative(spark):
+    """Rank-frequency slope must be negative for any text where
+    frequencies decrease with rank."""
+    rows = q.queries()["zipf_fit"](spark, SF).collect()
+    assert rows
+    assert all(r["zipf_slope"] < 0 for r in rows)
+
+
+def test_chi2_nonnegative_dof(spark):
+    row = q.queries()["chi2_independence"](spark, SF).collect()[0]
+    assert row["chi2"] >= 0
+    assert row["dof"] > 0
+    assert row["n_cells"] <= row["n_events"]
+
+
+def test_shard_assign_covers_all_docs(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = q.queries()["training_shard_assign"](spark, SF).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(0 <= r["shard"] < 16 for r in rows)
+
+
+def test_trigram_path_count_consistency(spark):
+    """Total trigram occurrences = Σ_user max(0, n_events_user - 2);
+    the top-20 cannot exceed that total."""
+    ev_counts = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    total_trigrams = sum(max(0, r["count"] - 2) for r in ev_counts)
+    rows = q.queries()["event_trigram_paths"](spark, SF).collect()
+    assert sum(r["n_paths"] for r in rows) <= total_trigrams

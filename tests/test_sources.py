@@ -418,3 +418,34 @@ def test_read_table_evolved_merges_schema_generations(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in df.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 0.5
+
+
+def test_orc_sink_roundtrip(spark, tmp_path):
+    """ORC sink (columnar alternative to parquet — Spark ships the
+    reader/writer natively): full-fidelity roundtrip through the same
+    generic write_table used for parquet/csv/delta."""
+    from ra2_datalake_linaresjoan_spark.sources.writers import write_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, -0.25)], ["id", "txt", "x"]
+    )
+    p = str(tmp_path / "orc_out")
+    write_table(df, p, fmt="orc")
+    back = spark.read.orc(p)
+    rows = {r["id"]: (r["txt"], r["x"]) for r in back.collect()}
+    assert rows == {1: ("a", 1.5), 2: (None, -0.25)}
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    """JSON-lines sink roundtrip (the report/export format the
+    reference's volumetry path emits)."""
+    from ra2_datalake_linaresjoan_spark.sources.writers import write_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None)], ["id", "txt"]
+    )
+    p = str(tmp_path / "json_out")
+    write_table(df, p, fmt="json")
+    back = spark.read.schema("id bigint, txt string").json(p)
+    rows = {r["id"]: r["txt"] for r in back.collect()}
+    assert rows == {1: "a", 2: None}
