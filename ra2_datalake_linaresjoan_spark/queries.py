@@ -2309,6 +2309,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "nation_jaccard",
     "zipf_fit",
     "gini_spend",
+    "winnow_fingerprints",
+    "chunk_overlap_audit",
     # round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2433,6 +2435,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext15 import REGISTRY_EXT15
     from ra2_datalake_linaresjoan_spark.queries_llm11 import REGISTRY_LLM11
     from ra2_datalake_linaresjoan_spark.queries_ext16 import REGISTRY_EXT16
+    from ra2_datalake_linaresjoan_spark.queries_llm12 import REGISTRY_LLM12
 
     merged = {
         **_REGISTRY,
@@ -2461,6 +2464,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT15,
         **REGISTRY_LLM11,
         **REGISTRY_EXT16,
+        **REGISTRY_LLM12,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -437,19 +437,15 @@ ORDER BY canon_fp
 _ENTROPY_MIN = 3.0  # nats
 
 
-def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document character-entropy quality screen (low entropy ⇒
-    repetitive/degenerate text — the classic cheap garbage detector).
-    Entropy is ONE in-row Column expression: sorted distinct chars,
-    per-char counts via filter/size, a single float fold in
-    deterministic (sorted) order — no explode, no shuffle, corpus
-    scanned exactly once. Flags docs below 3.0 nats."""
-    docs = _t(spark, sf_dir, "documents")
+def char_entropy_col():
+    """Rounded per-row character entropy of ``text`` as a pure Column
+    expression (see ``q_char_entropy_filter`` for the contract); shared
+    with the scale probe."""
     # the length(text) > 0 guard matters: Spark's sequence(1, 0) is the
     # DESCENDING [1, 0], not empty, so the expression must never run on
     # zero-length text (DuckDB's range(1, 1) is empty — the engines
     # would disagree without the shared guard)
-    ent = F.expr(
+    return F.expr(
         """
         case when length(text) = 0 then 0.0 else
         round(-aggregate(
@@ -467,6 +463,17 @@ def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         end
         """
     )
+
+
+def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy quality screen (low entropy ⇒
+    repetitive/degenerate text — the classic cheap garbage detector).
+    Entropy is ONE in-row Column expression: sorted distinct chars,
+    per-char counts via filter/size, a single float fold in
+    deterministic (sorted) order — no explode, no shuffle, corpus
+    scanned exactly once. Flags docs below 3.0 nats."""
+    docs = _t(spark, sf_dir, "documents")
+    ent = char_entropy_col()
     return docs.select(
         "doc_id",
         "lang",

@@ -34,6 +34,9 @@ ROUND4_QUERIES = [
     "nation_jaccard",
     "zipf_fit",
     "gini_spend",
+    # batch 3 (LLM batch 12)
+    "winnow_fingerprints",
+    "chunk_overlap_audit",
 ]
 
 

@@ -142,3 +142,29 @@ def test_trigram_path_count_consistency(spark):
     total_trigrams = sum(max(0, r["count"] - 2) for r in ev_counts)
     rows = q.queries()["event_trigram_paths"](spark, SF).collect()
     assert sum(r["n_paths"] for r in rows) <= total_trigrams
+
+
+def test_winnow_guarantee_shared_substring(spark, tmp_path):
+    """Winnowing's contract: two documents sharing a substring of length
+    ≥ k + w - 1 (= 11 chars) MUST share at least one fingerprint."""
+    shared = "zqxwvutsrqpo"  # 12 chars, unlikely elsewhere
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "aaaa bbbb cccc " + shared + " dddd eeee", "en", "s0", 40),
+            (2, "ffff gggg " + shared + " hhhh iiii jjjj", "en", "s0", 40),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(d + "/documents.parquet")
+    rows = q.queries()["winnow_fingerprints"](spark, d).collect()
+    assert any(r["d1"] == 1 and r["d2"] == 2 and r["n_shared_fps"] >= 1 for r in rows)
+
+
+def test_chunk_overlap_detected_covers_expected(spark):
+    """Content detection must find every positionally-adjacent overlap
+    (the chunker's invariant); extras are accidental key collisions or
+    cross-doc boilerplate."""
+    row = q.queries()["chunk_overlap_audit"](spark, SF).collect()[0]
+    assert row["n_expected"] > 0
+    assert row["n_detected"] >= row["n_expected"]
+    assert row["n_cross_doc"] <= row["n_detected"] - 0

@@ -128,6 +128,66 @@ def probe(spark, docs: DataFrame) -> dict[str, float]:
         sh.groupBy("span").agg(F.min("doc_id")).count()
 
     timed("span_group", spans)
+
+    # round-4 hot operators ------------------------------------------------
+
+    # canonicalization-class dedup: in-row normalize + one fingerprint
+    # shuffle (same shape as exact dedup)
+    def canon():
+        key = F.md5(F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " ")))
+        docs.select(key.alias("fp")).groupBy("fp").count().count()
+
+    timed("canonical_fp", canon)
+
+    # character entropy: pure in-row fold, zero shuffles — should scale
+    # as a plain scan (ratio ≈ copies)
+    def entropy():
+        from ra2_datalake_linaresjoan_spark.queries_llm10 import char_entropy_col
+
+        docs.select(F.avg(char_entropy_col())).first()
+
+    timed("char_entropy", entropy)
+
+    # count-min sketch build: postings → vocab counts → D×W cell sums
+    def cms():
+        words = docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        ).filter(F.length("word") >= 3)
+        wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+        for j in range(3):
+            (
+                wc.select(
+                    (
+                        F.conv(F.substring(F.md5("word"), 1 + 8 * j, 8), 16, 10)
+                        .cast("long")
+                        % 1024
+                    ).alias("cell"),
+                    "n",
+                )
+                .groupBy("cell")
+                .agg(F.sum("n"))
+                .count()
+            )
+
+    timed("cms_build", cms)
+
+    # BM25 scoring for a fixed 3-term query: postings + per-doc length
+    # + term stats joins
+    def bm25():
+        tok = docs.select(
+            "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        ).filter(F.col("word") != "")
+        dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        tf = (
+            tok.filter(F.col("word").isin("spark", "query", "window"))
+            .groupBy("doc_id", "word")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        tf.join(dl, "doc_id").groupBy("doc_id").agg(
+            F.sum(F.col("tf") / (F.col("tf") + 1.2 * F.col("dl")))
+        ).count()
+
+    timed("bm25_score", bm25)
     return out
 
 
