@@ -1,0 +1,84 @@
+"""Streaming sketch maintenance: a count-min sketch kept up to date by
+Structured Streaming's own aggregation state store.
+
+The trick that makes this scale-safe: a CMS is a (depth × width) grid of
+counters, and streaming aggregation state is keyed storage — so keying
+the running aggregate by (depth, cell) makes the state store ITSELF the
+sketch, bounded at D·W keys no matter how many events flow through.
+No watermark is needed for state-size control (the classic unbounded-
+keys hazard of complete/update aggregations does not apply when the key
+domain is hash-bounded); output mode ``update`` emits only touched
+cells per micro-batch.
+
+Batch parity: the same cell expression over a batch frame produces the
+identical sketch (asserted in ``tests/test_streaming.py``), so the batch
+``cms_heavy_hitters`` audit can read a sketch a stream maintained — the
+mergeable-sketch property that lets ingest and analytics share one
+structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CMS_W = 1024
+CMS_D = 3
+
+
+def _cell(col: Column, depth: int, width: int = CMS_W) -> Column:
+    """Engine-portable hash row: md5 hex slice ``depth`` mod width (the
+    same family bloom_dedup / cms_heavy_hitters use)."""
+    return (
+        F.conv(F.substring(F.md5(col), 1 + 8 * depth, 8), 16, 10).cast("long")
+        % width
+    )
+
+
+def cms_cells(df: DataFrame, key_col: str, width: int = CMS_W, depth: int = CMS_D) -> DataFrame:
+    """Explode each row into its ``depth`` (depth, cell) sketch
+    increments. Works identically on batch and streaming frames."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("depth"), _cell(F.col(key_col), j, width).alias("cell")
+            )
+            for j in range(depth)
+        ]
+    )
+    return df.select(F.explode(rows).alias("dc")).select("dc.depth", "dc.cell")
+
+
+def streaming_cms(
+    stream: DataFrame, key_col: str, width: int = CMS_W, depth: int = CMS_D
+) -> DataFrame:
+    """Running count-min sketch over a stream: groupBy (depth, cell)
+    running counts — state bounded at depth·width keys by construction.
+    Pair with ``outputMode("update")`` (or complete for full-sketch
+    snapshots to a memory sink)."""
+    return (
+        cms_cells(stream, key_col, width, depth)
+        .groupBy("depth", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str,
+                 width: int = CMS_W, depth: int = CMS_D) -> DataFrame:
+    """Point-estimate lookups against a materialized sketch: min over
+    depth rows of the probed cells. ``cells`` is ≤ depth·width rows and
+    broadcasts; output one row per probe key."""
+    probe_cells = probes.select(
+        key_col,
+        *[_cell(F.col(key_col), j, width).alias(f"c{j}") for j in range(depth)],
+    )
+    est = None
+    for j in range(depth):
+        cj = cells.filter(F.col("depth") == j).select(
+            F.col("cell").alias(f"c{j}"), F.col("n").alias(f"n{j}")
+        )
+        est = (probe_cells if est is None else est).join(F.broadcast(cj), f"c{j}")
+    return est.select(
+        key_col,
+        F.least(*[F.col(f"n{j}") for j in range(depth)]).alias("n_est"),
+    )

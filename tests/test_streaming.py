@@ -279,3 +279,44 @@ def test_chained_window_rollup_equals_batch(spark, events_dir):
     cols = ["day_start", "event_type", "n_events", "n_hours"]
     assert _rows(out.select(cols), cols) == _rows(closed, cols)
     assert out.count() > 0
+
+
+def test_streaming_cms_matches_batch_sketch(spark, events_stream):
+    """The stream-maintained count-min sketch must be IDENTICAL to the
+    batch-built sketch over the same data (mergeable-sketch property:
+    micro-batch partials combine to the exact grid), and its state key
+    domain is depth*width-bounded by construction."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        CMS_D,
+        CMS_W,
+        cms_cells,
+        cms_estimate,
+        streaming_cms,
+    )
+
+    out = run_to_memory(
+        streaming_cms(events_stream, "event_type"), "t_cms", spark
+    )
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    expected = (
+        cms_cells(batch, "event_type")
+        .groupBy("depth", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _rows(out, ["depth", "cell", "n"]) == _rows(
+        expected, ["depth", "cell", "n"]
+    )
+    assert out.count() <= CMS_D * CMS_W
+
+    # point estimates from the streamed sketch >= exact counts
+    probes = batch.select("event_type").distinct()
+    est = {
+        r["event_type"]: r["n_est"]
+        for r in cms_estimate(out, probes, "event_type").collect()
+    }
+    exact = {
+        r["event_type"]: r["cnt"]
+        for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
