@@ -4,9 +4,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a count() action (materializes the full plan; no
-driver-side collect of data). Timings are per-query wall clock after a
-session warm-up query.
+Each query is forced with a noop-sink write (format("noop") — every row of
+every column is computed and discarded JVM-side; no driver-side collect).
+count() is NOT used: Catalyst prunes all columns under a count, so a
+pure-projection query (e.g. the in-row entropy screen) would measure a
+column-less scan instead of its real cost — the round-4 scale probe caught
+exactly this masking a 30× expression slowdown. Timings are per-query wall
+clock after a session warm-up query.
 """
 
 from __future__ import annotations
@@ -111,7 +115,9 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            registry[name](spark, sf_dir).count()
+            registry[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
@@ -125,6 +131,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_runs": 2,
+                "action": "noop_write",
                 "canary_numpy_matmul_sec": canary_numpy,
                 "canary_spark_warmup_sec": canary_warmup,
             }
