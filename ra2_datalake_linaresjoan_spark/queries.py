@@ -2311,6 +2311,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "gini_spend",
     "winnow_fingerprints",
     "chunk_overlap_audit",
+    "dedup_threshold_sweep",
+    "stratified_split_assign",
+    "padding_waste_sweep",
+    "skew_diagnosis",
     # round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2436,6 +2440,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_llm11 import REGISTRY_LLM11
     from ra2_datalake_linaresjoan_spark.queries_ext16 import REGISTRY_EXT16
     from ra2_datalake_linaresjoan_spark.queries_llm12 import REGISTRY_LLM12
+    from ra2_datalake_linaresjoan_spark.queries_llm13 import REGISTRY_LLM13
+    from ra2_datalake_linaresjoan_spark.queries_ext17 import REGISTRY_EXT17
 
     merged = {
         **_REGISTRY,
@@ -2465,6 +2471,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_LLM11,
         **REGISTRY_EXT16,
         **REGISTRY_LLM12,
+        **REGISTRY_LLM13,
+        **REGISTRY_EXT17,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -201,9 +201,73 @@ FROM n_chunks CROSS JOIN expected CROSS JOIN det
 """
 
 
+_SWEEP_TS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold cost/benefit curve: for τ ∈ {0.5 … 0.9}, how
+    many 3-gram-Jaccard pairs clear τ and how many documents the
+    min-id-survivor rule would drop. ONE pass computes the pair
+    Jaccards (shared-shingle inverted-index join, bounded like
+    ``ngram_jaccard``); the sweep is an in-row threshold explode over
+    the tiny pair table — five dedup jobs' planning numbers for the
+    price of one. The drop count uses the curation convention (a doc
+    drops when a smaller-id partner exists at ≥ τ)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=min(_SWEEP_TS))
+    swept = pairs.select(
+        "jaccard",
+        "doc_b",
+        F.explode(F.array(*[F.lit(t) for t in _SWEEP_TS])).alias("threshold"),
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    return (
+        swept.groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("doc_b").alias("n_docs_dropped"),
+        )
+        .orderBy("threshold")
+    )
+
+
+SQL_DEDUP_THRESHOLD_SWEEP = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
+  FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+  WHERE len(words) >= 3
+), cnt AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), jac AS (
+  SELECT doc_b, round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 6) AS jaccard
+  FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+), swept AS (
+  -- ::DOUBLE[]: a bare decimal literal list realizes as DECIMAL(2,1),
+  -- which the driver's type-realization-sensitive hash rejects
+  SELECT t.threshold, jaccard, doc_b
+  FROM jac CROSS JOIN (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]::DOUBLE[])
+                         AS threshold) t
+  WHERE jaccard >= t.threshold
+)
+SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_b) AS BIGINT) AS n_docs_dropped
+FROM swept
+GROUP BY threshold
+ORDER BY threshold
+"""
+
+
 REGISTRY_LLM12: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "chunk_overlap_audit": (q_chunk_overlap_audit, SQL_CHUNK_OVERLAP_AUDIT),
+    "dedup_threshold_sweep": (q_dedup_threshold_sweep, SQL_DEDUP_THRESHOLD_SWEEP),
 }

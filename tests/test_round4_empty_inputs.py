@@ -37,6 +37,11 @@ ROUND4_QUERIES = [
     # batch 3 (LLM batch 12)
     "winnow_fingerprints",
     "chunk_overlap_audit",
+    "dedup_threshold_sweep",
+    # batch 4 (LLM batch 13 + relational batch 17)
+    "stratified_split_assign",
+    "padding_waste_sweep",
+    "skew_diagnosis",
 ]
 
 

@@ -168,3 +168,57 @@ def test_chunk_overlap_detected_covers_expected(spark):
     assert row["n_expected"] > 0
     assert row["n_detected"] >= row["n_expected"]
     assert row["n_cross_doc"] <= row["n_detected"] - 0
+
+
+def test_split_assign_partitions_corpus(spark):
+    """Splits must cover every doc exactly once per language, shares sum
+    to 1, and the hash assignment is deterministic across runs."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = q.queries()["stratified_split_assign"](spark, SF).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], 0.0)
+        by_lang[r["lang"]] += r["observed_share"]
+    assert all(abs(s - 1.0) < 1e-4 for s in by_lang.values())
+    again = q.queries()["stratified_split_assign"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_padding_sweep_conservation_and_monotone(spark):
+    """tokens_kept + tokens_truncated must equal the corpus total at
+    every L, and kept/utilization move monotonically with L."""
+    rows = sorted(
+        q.queries()["padding_waste_sweep"](spark, SF).collect(),
+        key=lambda r: r["max_len"],
+    )
+    totals = {r["max_len"]: r["tokens_kept"] + r["tokens_truncated"] for r in rows}
+    assert len(set(totals.values())) == 1  # same corpus total at every L
+    kept = [r["tokens_kept"] for r in rows]
+    assert kept == sorted(kept)
+    for r in rows:
+        assert 0.0 < r["utilization"] <= 1.0
+        assert r["padding_waste"] == r["n_docs"] * r["max_len"] - r["tokens_kept"]
+
+
+def test_skew_diagnosis_invariants(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    rows = {r["table_name"]: r for r in q.queries()["skew_diagnosis"](spark, SF).collect()}
+    assert rows["lineitem"]["n_rows"] == li.count()
+    for r in rows.values():
+        assert r["skew_factor"] >= 1.0
+        assert r["max_freq"] >= r["p99_freq"] >= 0
+        assert r["n_keys"] <= r["n_rows"]
+
+
+def test_dedup_sweep_monotone_in_threshold(spark):
+    """Raising the threshold can only shrink both the pair set and the
+    dropped-doc set."""
+    rows = sorted(
+        q.queries()["dedup_threshold_sweep"](spark, SF).collect(),
+        key=lambda r: r["threshold"],
+    )
+    pairs = [r["n_pairs"] for r in rows]
+    dropped = [r["n_docs_dropped"] for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert dropped == sorted(dropped, reverse=True)
