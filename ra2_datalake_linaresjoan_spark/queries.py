@@ -2242,10 +2242,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #      collision-free probe ids, skyline_pareto pre-aggregated
     #      price-cardinality global window),
     #   3. all 34 queries with no driver row in any round,
-    #   4. round-4 additions (least-tested, inserted as they land),
+    #   4. round-4 additions: batch 1 (LLM 10 + ext 15, 11 queries)
+    #      completes the 50-row window at positions 40-50; batches 2-4
+    #      (LLM 11-13 + ext 16-17, 14 queries) sit at positions 51-64
+    #      and lead the round-5 rotation,
     #   5. round-1-stale re-verifies, then round-2-stale.
-    # A 50-row driver window covers 1-3 fully (39 entries), taking
-    # cumulative coverage to 180/180 of the pre-round-4 registry.
+    # A 50-row driver window covers 1-3 fully (39 entries) plus the 11
+    # batch-1 additions, taking cumulative coverage to 180/180 of the
+    # pre-round-4 registry (final registry: 205 queries / 205 oracles).
     # stale round-2 FAILs, fix never driver-confirmed
     "session_islands",
     "seq_packing",

@@ -222,3 +222,25 @@ def test_dedup_sweep_monotone_in_threshold(spark):
     dropped = [r["n_docs_dropped"] for r in rows]
     assert pairs == sorted(pairs, reverse=True)
     assert dropped == sorted(dropped, reverse=True)
+
+
+def test_winnow_recall_of_exact_neardups(spark):
+    """Winnowing's candidate ranking must recover the exact-Jaccard
+    near-duplicate pairs: at sf0.001 the top-20 shared-fingerprint
+    pairs should contain well over half of the exact 3-gram-Jaccard
+    >= 0.8 pairs (the guarantee makes misses possible only when a pair
+    ranks below the cap, not invisible)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+    }
+    assert exact
+    winnow = {
+        (r["d1"], r["d2"])
+        for r in q.queries()["winnow_fingerprints"](spark, SF).collect()
+    }
+    cap = min(len(winnow), len(exact))
+    assert len(exact & winnow) >= 0.6 * cap
