@@ -3,11 +3,13 @@
 Images/audio/video ride through the lakehouse as ``binary`` columns with a
 struct of metadata (modality, mime, width/height/duration…). The Spark-side
 plumbing — schema, partition-friendly batch shape, Arrow-batched
-``mapInPandas`` UDF signatures — is real and tested; the actual
-decode/resize/frame-sample kernels are STUBBED (this container has no
-image/audio libs): ``decode_stub=True`` produces deterministic fake
-features, ``decode_stub=False`` raises NotImplementedError where a real
-Pillow/ffmpeg call would go.
+``mapInPandas`` UDF signatures — is real and tested. Decode kernels come in
+three modes: ``decode_mode="numpy"`` is a REAL decoder for uncompressed
+image formats (binary PPM / 24-bit BMP via ``numpy_codecs`` — exact
+pixels, pure numpy, no Pillow needed); ``"stub"`` (default) produces
+deterministic fake features for formats the container cannot decode; and
+``decode_stub=False`` raises NotImplementedError where a Pillow/ffmpeg
+call would go (JPEG/PNG/video remain library-gated).
 """
 
 from __future__ import annotations
@@ -78,29 +80,51 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def extract_features(
-    media: DataFrame, dim: int = 8, decode_stub: bool = True
+    media: DataFrame,
+    dim: int = 8,
+    decode_stub: bool = True,
+    decode_mode: str | None = None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     ``mapInPandas`` — the real 100-TB shape: executors stream Arrow record
     batches, Python touches each payload once, output schema is fixed.
 
-    With ``decode_stub=False`` this is where a real decoder
-    (PIL.Image.open / av.open) would run; it raises NotImplementedError
-    here because the container has no media libraries.
+    ``decode_mode``:
+    - ``"stub"`` (default, = ``decode_stub=True``): deterministic fake
+      features from byte statistics.
+    - ``"numpy"``: REAL decode for uncompressed image formats (binary
+      PPM / 24-bit BMP — ``llmdata.numpy_codecs``, no Pillow needed);
+      features are actual per-channel means/stds + a luminance
+      histogram. Compressed formats raise.
+    - ``"real"`` (= ``decode_stub=False``): where PIL/av would run;
+      raises NotImplementedError — the container has no media libs.
     """
+    mode = decode_mode or ("stub" if decode_stub else "real")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if mode == "numpy":
+            from ra2_datalake_linaresjoan_spark.llmdata.numpy_codecs import (
+                decode_image,
+                image_features,
+            )
         for pdf in batches:
-            if not decode_stub:
+            if mode == "real":
                 raise NotImplementedError(
                     "real media decode requires Pillow/ffmpeg — not in this container"
                 )
+            if mode == "numpy":
+                feats = [
+                    image_features(decode_image(bytes(p), m["mime"]))
+                    for p, m in zip(pdf["payload"], pdf["meta"])
+                ]
+            else:
+                feats = [_fake_feature(p, dim) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": [m["modality"] for m in pdf["meta"]],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
-                    "feature": [_fake_feature(p, dim) for p in pdf["payload"]],
+                    "feature": feats,
                 }
             )
 
@@ -126,25 +150,44 @@ FRAME_SCHEMA = T.StructType(
 
 
 def resize_images(
-    media: DataFrame, width: int = 224, height: int = 224, decode_stub: bool = True
+    media: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    decode_stub: bool = True,
+    decode_mode: str | None = None,
 ) -> DataFrame:
     """Image resize over binary payloads (mapInPandas, Arrow-batched).
 
-    Real implementation = PIL ``Image.open(...).resize(...)`` per payload;
-    stubbed here (no Pillow in container) by truncating/padding bytes to a
-    deterministic ``width*height``-proportional size so the schema,
-    batching, and downstream contracts are fully exercised.
+    ``decode_mode="numpy"`` is a REAL resize for uncompressed formats:
+    PPM/BMP decode → nearest-neighbor index-map resize → PPM re-encode
+    (``llmdata.numpy_codecs``, exact pixels, no Pillow). The default
+    stub truncates/pads bytes to a deterministic size so schema,
+    batching, and downstream contracts stay exercised for formats the
+    container cannot decode; ``decode_stub=False`` raises where a PIL
+    resize would run.
     """
+    mode = decode_mode or ("stub" if decode_stub else "real")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if mode == "numpy":
+            from ra2_datalake_linaresjoan_spark.llmdata.numpy_codecs import (
+                decode_image,
+                encode_ppm,
+                resize_nearest,
+            )
         target = width * height // 64  # deterministic stub payload size
         for pdf in batches:
-            if not decode_stub:
+            if mode == "real":
                 raise NotImplementedError("real resize requires Pillow")
             out = []
             for p in pdf["payload"]:
                 b = bytes(p or b"")
-                out.append(b[:target].ljust(target, b"\0"))
+                if mode == "numpy":
+                    out.append(
+                        encode_ppm(resize_nearest(decode_image(b), width, height))
+                    )
+                else:
+                    out.append(b[:target].ljust(target, b"\0"))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
