@@ -2319,6 +2319,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_split_assign",
     "padding_waste_sweep",
     "skew_diagnosis",
+    "multimodal_real_decode",
     # round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",

@@ -136,9 +136,130 @@ ORDER BY max_len
 """
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode verified end-to-end: every 5th doc_id seeds a
+    deterministic 4×4 RGB image (pixel (y,x,c) = (doc_id·31 + y·16 +
+    x·4 + c) mod 256), which the UDF encodes to binary PPM, decodes
+    back through the REAL numpy codec, nearest-neighbor-resizes to 2×2
+    (pixel-center rows/cols 1 and 3), and summarizes as 10 features per
+    image state (3 channel means, 3 channel stds, 4 luminance-bin
+    shares). Because the pixels are a closed-form function of doc_id,
+    the DuckDB oracle reproduces the expected features WITHOUT any
+    decoding — so a hash match proves the encode→decode→resize pixel
+    path is exact, not just schema-compatible. Stds use the
+    sum-of-squares formula and means/counts are exact integers; the
+    only float-order divergence (16-term std sums) sits ~1e-10 below
+    the 6-dp round. Arrow-batched mapInPandas, one scan, output is
+    (doc, kind, feature) grain."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ra2_datalake_linaresjoan_spark.llmdata.numpy_codecs import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+
+    def _feats(arr) -> list[float]:
+        flat = [
+            (float(arr[y, x, 0]), float(arr[y, x, 1]), float(arr[y, x, 2]))
+            for y in range(arr.shape[0])
+            for x in range(arr.shape[1])
+        ]
+        n = len(flat)
+        out = []
+        for c in range(3):
+            s = sum(p[c] for p in flat)
+            s2 = sum(p[c] * p[c] for p in flat)
+            out.append(s / n)
+            out.append((s2 / n - (s / n) ** 2) ** 0.5)
+        means = [out[0], out[2], out[4]]
+        stds = [out[1], out[3], out[5]]
+        bins = [0, 0, 0, 0]
+        for r, g, b in flat:
+            luma = 0.299 * r + 0.587 * g + 0.114 * b
+            bins[min(3, int(luma * 4 / 255.000000001))] += 1
+        return means + stds + [bc / n for bc in bins]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, kinds, idxs, vals = [], [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                arr = np.fromfunction(
+                    lambda y, x, c: (did * 31 + y * 16 + x * 4 + c) % 256,
+                    (4, 4, 3),
+                    dtype=np.int64,
+                ).astype(np.uint8)
+                dec = decode_image(encode_ppm(arr))
+                small = resize_nearest(dec, 2, 2)
+                for kind, img in (("full", dec), ("resized", small)):
+                    for i, v in enumerate(_feats(img)):
+                        ids.append(did)
+                        kinds.append(kind)
+                        idxs.append(i)
+                        vals.append(round(v, 6))
+            yield pd.DataFrame(
+                {"doc_id": ids, "kind": kinds, "feat_idx": idxs, "val": vals}
+            )
+
+    return (
+        sel.mapInPandas(run, schema="doc_id long, kind string, feat_idx int, val double")
+        .orderBy("doc_id", "kind", "feat_idx")
+    )
+
+
+SQL_MULTIMODAL_REAL_DECODE = """
+WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+px AS (
+  SELECT s.doc_id, y.y, x.x,
+         CAST((s.doc_id * 31 + y.y * 16 + x.x * 4 + 0) % 256 AS DOUBLE) AS r,
+         CAST((s.doc_id * 31 + y.y * 16 + x.x * 4 + 1) % 256 AS DOUBLE) AS g,
+         CAST((s.doc_id * 31 + y.y * 16 + x.x * 4 + 2) % 256 AS DOUBLE) AS b
+  FROM sel s
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS y) y
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS x) x
+), base AS (
+  SELECT doc_id, 'full' AS kind, r, g, b FROM px
+  UNION ALL
+  SELECT doc_id, 'resized', r, g, b FROM px WHERE y IN (1, 3) AND x IN (1, 3)
+), lumad AS (
+  SELECT *, least(CAST(floor((0.299 * r + 0.587 * g + 0.114 * b) * 4
+                             / 255.000000001) AS INT), 3) AS bin
+  FROM base
+), agg AS (
+  SELECT doc_id, kind,
+         avg(r) AS m0, avg(g) AS m1, avg(b) AS m2,
+         sqrt(avg(r * r) - avg(r) * avg(r)) AS s0,
+         sqrt(avg(g * g) - avg(g) * avg(g)) AS s1,
+         sqrt(avg(b * b) - avg(b) * avg(b)) AS s2,
+         sum(CASE WHEN bin = 0 THEN 1.0 ELSE 0 END) / count(*) AS h0,
+         sum(CASE WHEN bin = 1 THEN 1.0 ELSE 0 END) / count(*) AS h1,
+         sum(CASE WHEN bin = 2 THEN 1.0 ELSE 0 END) / count(*) AS h2,
+         sum(CASE WHEN bin = 3 THEN 1.0 ELSE 0 END) / count(*) AS h3
+  FROM lumad
+  GROUP BY doc_id, kind
+)
+SELECT doc_id, kind, CAST(t.feat_idx AS INT) AS feat_idx,
+       round(CASE t.feat_idx
+         WHEN 0 THEN m0 WHEN 1 THEN m1 WHEN 2 THEN m2
+         WHEN 3 THEN s0 WHEN 4 THEN s1 WHEN 5 THEN s2
+         WHEN 6 THEN h0 WHEN 7 THEN h1 WHEN 8 THEN h2 ELSE h3 END, 6) AS val
+FROM agg CROSS JOIN (SELECT unnest(range(0, 10)) AS feat_idx) t
+ORDER BY doc_id, kind, feat_idx
+"""
+
+
 REGISTRY_LLM13: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
     "stratified_split_assign": (q_stratified_split_assign, SQL_STRATIFIED_SPLIT_ASSIGN),
     "padding_waste_sweep": (q_padding_waste_sweep, SQL_PADDING_WASTE_SWEEP),
+    "multimodal_real_decode": (q_multimodal_real_decode, SQL_MULTIMODAL_REAL_DECODE),
 }

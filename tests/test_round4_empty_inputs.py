@@ -42,6 +42,7 @@ ROUND4_QUERIES = [
     "stratified_split_assign",
     "padding_waste_sweep",
     "skew_diagnosis",
+    "multimodal_real_decode",
 ]
 
 
