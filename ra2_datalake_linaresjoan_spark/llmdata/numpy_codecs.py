@@ -124,3 +124,74 @@ def decode_image(payload: bytes, mime: str | None = None) -> np.ndarray:
     raise NotImplementedError(
         f"compressed format not decodable without Pillow (mime={mime!r})"
     )
+
+
+# --- audio: RIFF/WAVE PCM ---------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM-16 → (int16 array of shape (n_samples, channels),
+    sample_rate). Walks the chunk list properly (fmt/data may be
+    preceded by LIST/fact chunks); only uncompressed PCM-16 decodes."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError("only uncompressed PCM-16 supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    return samples.reshape(-1, channels).copy(), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) int16 → RIFF/WAVE PCM-16 bytes."""
+    arr = np.ascontiguousarray(samples, dtype="<i2")
+    n, ch = arr.shape
+    body = arr.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+
+
+def audio_features(samples: np.ndarray) -> list[float]:
+    """Per-channel mean, RMS, zero-crossing rate (strict sign product
+    < 0 between consecutive samples), and peak |amplitude| — the cheap
+    audio screens (silence/clipping/DC-offset detectors). Channel-major
+    feature order."""
+    f = samples.astype(np.float64)
+    out: list[float] = []
+    n = f.shape[0]
+    for c in range(f.shape[1]):
+        x = f[:, c]
+        out.append(x.mean())
+        out.append(float(np.sqrt((x * x).mean())))
+        out.append(
+            float((x[:-1] * x[1:] < 0).sum() / (n - 1)) if n > 1 else 0.0
+        )
+        out.append(float(np.abs(x).max()) if n else 0.0)
+    return out

@@ -2320,6 +2320,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "padding_waste_sweep",
     "skew_diagnosis",
     "multimodal_real_decode",
+    "audio_real_decode",
     # round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",

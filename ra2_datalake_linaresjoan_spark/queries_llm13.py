@@ -256,10 +256,88 @@ ORDER BY doc_id, kind, feat_idx
 """
 
 
+def q_audio_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode verified end-to-end (the WAV sibling of
+    ``multimodal_real_decode``): every 3rd doc_id seeds 32 deterministic
+    stereo PCM-16 samples (sample (i, ch) = (doc_id·7 + i·3 + ch) mod
+    201 − 100), encoded to RIFF/WAVE, decoded back through the REAL
+    numpy codec, and summarized channel-major as mean / RMS /
+    zero-crossing rate (strict sign product < 0) / peak — the
+    silence/clipping/DC screens an audio curation pass runs. The DuckDB
+    oracle reproduces the expected features in closed form from doc_id
+    WITHOUT decoding, so a hash match proves the WAV encode→decode
+    sample path is exact. Integer sums keep mean/RMS/peak bit-stable;
+    6-dp round."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ra2_datalake_linaresjoan_spark.llmdata.numpy_codecs import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, vals = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                s = np.fromfunction(
+                    lambda i, ch: (did * 7 + i * 3 + ch) % 201 - 100,
+                    (32, 2),
+                    dtype=np.int64,
+                ).astype(np.int16)
+                dec, sr = decode_wav(encode_wav(s, 16_000))
+                assert sr == 16_000
+                for i, v in enumerate(audio_features(dec)):
+                    ids.append(did)
+                    idxs.append(i)
+                    vals.append(round(v, 6))
+            yield pd.DataFrame({"doc_id": ids, "feat_idx": idxs, "val": vals})
+
+    return sel.mapInPandas(
+        run, schema="doc_id long, feat_idx int, val double"
+    ).orderBy("doc_id", "feat_idx")
+
+
+SQL_AUDIO_REAL_DECODE = """
+WITH sel AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+smp AS (
+  SELECT s.doc_id, i.i, ch.ch,
+         CAST((s.doc_id * 7 + i.i * 3 + ch.ch) % 201 - 100 AS DOUBLE) AS x
+  FROM sel s
+  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i
+  CROSS JOIN (SELECT unnest(range(0, 2)) AS ch) ch
+), lagd AS (
+  SELECT *, lead(x) OVER (PARTITION BY doc_id, ch ORDER BY i) AS nxt FROM smp
+), agg AS (
+  SELECT doc_id, ch,
+         avg(x) AS mean_x,
+         sqrt(avg(x * x)) AS rms,
+         sum(CASE WHEN nxt IS NOT NULL AND x * nxt < 0 THEN 1.0 ELSE 0 END)
+           / (count(*) - 1) AS zcr,
+         max(abs(x)) AS peak
+  FROM lagd GROUP BY doc_id, ch
+)
+SELECT doc_id, CAST(ch * 4 + f.k AS INT) AS feat_idx,
+       round(CASE f.k WHEN 0 THEN mean_x WHEN 1 THEN rms
+                      WHEN 2 THEN zcr ELSE peak END, 6) AS val
+FROM agg CROSS JOIN (SELECT unnest(range(0, 4)) AS k) f
+ORDER BY doc_id, feat_idx
+"""
+
+
 REGISTRY_LLM13: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
     "stratified_split_assign": (q_stratified_split_assign, SQL_STRATIFIED_SPLIT_ASSIGN),
     "padding_waste_sweep": (q_padding_waste_sweep, SQL_PADDING_WASTE_SWEEP),
     "multimodal_real_decode": (q_multimodal_real_decode, SQL_MULTIMODAL_REAL_DECODE),
+    "audio_real_decode": (q_audio_real_decode, SQL_AUDIO_REAL_DECODE),
 }

@@ -137,3 +137,43 @@ def test_spark_numpy_decode_features_and_resize(spark):
         out = decode_ppm(bytes(resized[mid]["payload"]))
         assert out.shape == (4, 4, 3)
         assert np.array_equal(out, resize_nearest(img, 4, 4))
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    from ra2_datalake_linaresjoan_spark.llmdata.numpy_codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = (np.arange(16, dtype=np.int16).reshape(8, 2) - 8).astype(np.int16)
+    raw = encode_wav(s, 16_000)
+    dec, sr = decode_wav(raw)
+    assert sr == 16_000 and np.array_equal(dec, s)
+    # an extra LIST chunk before fmt/data must be skipped, odd sizes padded
+    extra = b"RIFF" + (len(raw) - 8 + 12).to_bytes(4, "little") + b"WAVE"
+    extra += b"LIST" + (3).to_bytes(4, "little") + b"abc\0"  # odd size + pad
+    extra += raw[12:]
+    dec2, sr2 = decode_wav(extra)
+    assert sr2 == 16_000 and np.array_equal(dec2, s)
+
+
+def test_audio_features_known_values():
+    from ra2_datalake_linaresjoan_spark.llmdata.numpy_codecs import audio_features
+
+    s = np.array([[100, 0], [-100, 0], [100, 0], [-100, 0]], dtype=np.int16)
+    f = audio_features(s)
+    # ch0: mean 0, rms 100, zcr 3/3 = 1.0, peak 100; ch1: silence
+    assert f[0] == 0.0 and f[1] == 100.0 and f[2] == 1.0 and f[3] == 100.0
+    assert f[4] == 0.0 and f[5] == 0.0 and f[6] == 0.0 and f[7] == 0.0
+
+
+def test_wav_rejects_non_pcm():
+    from ra2_datalake_linaresjoan_spark.llmdata.numpy_codecs import (
+        decode_wav,
+        encode_wav,
+    )
+
+    raw = bytearray(encode_wav(np.zeros((4, 1), dtype=np.int16), 8000))
+    raw[20:22] = (3).to_bytes(2, "little")  # IEEE float format tag
+    with pytest.raises(ValueError, match="PCM-16"):
+        decode_wav(bytes(raw))

@@ -43,6 +43,7 @@ ROUND4_QUERIES = [
     "padding_waste_sweep",
     "skew_diagnosis",
     "multimodal_real_decode",
+    "audio_real_decode",
 ]
 
 
