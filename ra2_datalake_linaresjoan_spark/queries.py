@@ -2321,6 +2321,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_diagnosis",
     "multimodal_real_decode",
     "audio_real_decode",
+    "vocab_coverage_curve",
     # round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",

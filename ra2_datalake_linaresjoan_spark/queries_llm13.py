@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ra2_datalake_linaresjoan_spark.queries import _t
@@ -341,3 +341,81 @@ REGISTRY_LLM13: dict[
     "multimodal_real_decode": (q_multimodal_real_decode, SQL_MULTIMODAL_REAL_DECODE),
     "audio_real_decode": (q_audio_real_decode, SQL_AUDIO_REAL_DECODE),
 }
+
+
+_COV_TS = (0.5, 0.9, 0.95, 0.99)
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest top-k vocabulary whose
+    cumulative occurrence share reaches 50/90/95/99% of all tokens —
+    the first number a tokenizer-vocabulary plan reads (how big must
+    the vocab be before <unk> is rare). One postings aggregate, a rank
+    + running-sum window over the VOCABULARY table (corpus-size-
+    independent input, the documented bounded global window), then an
+    in-row threshold explode and a min-rank aggregate. Exact integer
+    counts; shares at 6 dp."""
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "word")
+    ranked = wc.select(
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    total = wc.agg(F.sum("n").alias("total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "rk",
+            "cum",
+            "total",
+            F.explode(F.array(*[F.lit(t) for t in _COV_TS])).alias("threshold"),
+        )
+        .filter(F.col("cum") >= F.col("threshold") * F.col("total"))
+        .groupBy("threshold")
+        .agg(
+            F.min("rk").alias("vocab_k"),
+            F.round(F.min_by("cum", "rk") / F.first("total"), 6).alias(
+                "covered_share"
+            ),
+        )
+        .orderBy("threshold")
+    )
+
+
+SQL_VOCAB_COVERAGE_CURVE = r"""
+WITH wc AS (
+  SELECT t.word, CAST(count(*) AS BIGINT) AS n
+  FROM documents,
+       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+  WHERE t.word <> ''
+  GROUP BY t.word
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, word) AS rk,
+         CAST(sum(n) OVER (ORDER BY n DESC, word
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM wc
+), total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM wc),
+swept AS (
+  SELECT t.threshold, rk, cum, total.total
+  FROM ranked CROSS JOIN total
+  CROSS JOIN (SELECT unnest([0.5, 0.9, 0.95, 0.99]::DOUBLE[]) AS threshold) t
+  WHERE cum >= t.threshold * total.total
+)
+SELECT threshold,
+       CAST(min(rk) AS BIGINT) AS vocab_k,
+       round(min_by(cum, rk) * 1.0 / any_value(total), 6) AS covered_share
+FROM swept
+GROUP BY threshold
+ORDER BY threshold
+"""
+
+REGISTRY_LLM13["vocab_coverage_curve"] = (
+    q_vocab_coverage_curve,
+    SQL_VOCAB_COVERAGE_CURVE,
+)

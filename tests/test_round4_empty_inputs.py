@@ -44,6 +44,7 @@ ROUND4_QUERIES = [
     "skew_diagnosis",
     "multimodal_real_decode",
     "audio_real_decode",
+    "vocab_coverage_curve",
 ]
 
 
