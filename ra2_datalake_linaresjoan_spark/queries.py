@@ -2322,6 +2322,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "multimodal_real_decode",
     "audio_real_decode",
     "vocab_coverage_curve",
+    "session_survival_curve",
+    "dup_inflation_by_source",
     # round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2449,6 +2451,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_llm12 import REGISTRY_LLM12
     from ra2_datalake_linaresjoan_spark.queries_llm13 import REGISTRY_LLM13
     from ra2_datalake_linaresjoan_spark.queries_ext17 import REGISTRY_EXT17
+    from ra2_datalake_linaresjoan_spark.queries_ext18 import REGISTRY_EXT18
 
     merged = {
         **_REGISTRY,
@@ -2480,6 +2483,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_LLM12,
         **REGISTRY_LLM13,
         **REGISTRY_EXT17,
+        **REGISTRY_EXT18,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

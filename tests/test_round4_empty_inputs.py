@@ -45,6 +45,8 @@ ROUND4_QUERIES = [
     "multimodal_real_decode",
     "audio_real_decode",
     "vocab_coverage_curve",
+    "session_survival_curve",
+    "dup_inflation_by_source",
 ]
 
 

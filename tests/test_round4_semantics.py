@@ -244,3 +244,28 @@ def test_winnow_recall_of_exact_neardups(spark):
     }
     cap = min(len(winnow), len(exact))
     assert len(exact & winnow) >= 0.6 * cap
+
+
+def test_survival_curve_monotone(spark):
+    """Raising the duration threshold can only shrink the surviving set;
+    shares live in [0, 1]."""
+    rows = sorted(
+        q.queries()["session_survival_curve"](spark, SF).collect(),
+        key=lambda r: r["threshold_min"],
+    )
+    assert rows
+    surv = [r["n_surviving"] for r in rows]
+    assert surv == sorted(surv, reverse=True)
+    assert all(0.0 <= r["survival_share"] <= 1.0 for r in rows)
+    assert len({r["n_sessions_total"] for r in rows}) == 1
+
+
+def test_dup_inflation_consistent_with_exact_dedup(spark):
+    """Σ copies across sources must equal total docs minus distinct
+    fingerprints (the exact-dedup survivor count)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    n_fps = docs.selectExpr("md5(text) AS fp").distinct().count()
+    rows = q.queries()["dup_inflation_by_source"](spark, SF).collect()
+    assert sum(r["n_copies"] for r in rows) == n_docs - n_fps
+    assert sum(r["n_docs"] for r in rows) == n_docs
