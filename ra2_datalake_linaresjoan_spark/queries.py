@@ -2324,6 +2324,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_coverage_curve",
     "session_survival_curve",
     "dup_inflation_by_source",
+    "ngram_entropy_rate",
+    "inter_event_time_dist",
     # round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2452,6 +2454,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_llm13 import REGISTRY_LLM13
     from ra2_datalake_linaresjoan_spark.queries_ext17 import REGISTRY_EXT17
     from ra2_datalake_linaresjoan_spark.queries_ext18 import REGISTRY_EXT18
+    from ra2_datalake_linaresjoan_spark.queries_ext19 import REGISTRY_EXT19
 
     merged = {
         **_REGISTRY,
@@ -2484,6 +2487,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_LLM13,
         **REGISTRY_EXT17,
         **REGISTRY_EXT18,
+        **REGISTRY_EXT19,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -47,6 +47,9 @@ ROUND4_QUERIES = [
     "vocab_coverage_curve",
     "session_survival_curve",
     "dup_inflation_by_source",
+    # batch 19 (round-4 close)
+    "ngram_entropy_rate",
+    "inter_event_time_dist",
 ]
 
 

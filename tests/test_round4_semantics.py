@@ -269,3 +269,19 @@ def test_dup_inflation_consistent_with_exact_dedup(spark):
     rows = q.queries()["dup_inflation_by_source"](spark, SF).collect()
     assert sum(r["n_copies"] for r in rows) == n_docs - n_fps
     assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_conditional_entropy_never_exceeds_unigram(spark):
+    """Conditioning never increases entropy: H(w2|w1) <= H(w) per
+    language, both nonnegative."""
+    rows = q.queries()["ngram_entropy_rate"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["bigram_cond_entropy"] <= r["unigram_entropy"] + 1e-9
+
+
+def test_inter_event_percentiles_ordered(spark):
+    rows = q.queries()["inter_event_time_dist"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["p50_s"] <= r["p90_s"] <= r["p99_s"]
