@@ -113,8 +113,13 @@ def extract_features(
                     "real media decode requires Pillow/ffmpeg — not in this container"
                 )
             if mode == "numpy":
+                # null/empty payloads (schema allows them) degrade to the
+                # all-zero feature (image_features' 6+4-dim shape) instead
+                # of crashing the decoder, matching the stub path's tolerance
                 feats = [
                     image_features(decode_image(bytes(p), m["mime"]))
+                    if p is not None and len(p) > 0
+                    else [0.0] * 10
                     for p, m in zip(pdf["payload"], pdf["meta"])
                 ]
             else:
@@ -183,9 +188,19 @@ def resize_images(
             for p in pdf["payload"]:
                 b = bytes(p or b"")
                 if mode == "numpy":
-                    out.append(
-                        encode_ppm(resize_nearest(decode_image(b), width, height))
-                    )
+                    if not b:
+                        # null/empty payload: emit a black target-size image
+                        # (keeps the 1:1 row contract; stub path tolerates
+                        # empties the same way)
+                        import numpy as np
+
+                        out.append(
+                            encode_ppm(np.zeros((height, width, 3), dtype=np.uint8))
+                        )
+                    else:
+                        out.append(
+                            encode_ppm(resize_nearest(decode_image(b), width, height))
+                        )
                 else:
                     out.append(b[:target].ljust(target, b"\0"))
             yield pd.DataFrame(

@@ -64,15 +64,27 @@ def zorder_key(
     bits: int = 8,
     exact_threshold: int = DEFAULT_EXACT_THRESHOLD,
     rel_err: float = 0.001,
+    known_rows: int | None = None,
 ) -> DataFrame:
     """Add a ``_zorder`` column interleaving ``bits`` rank-bits per column.
 
     Sort/repartitionByRange on ``_zorder`` before writing to cluster the
     files in all of ``cols`` at once. Strategy (exact ntile vs sampled
     quantile buckets) is size-guarded — see module docstring.
+
+    NOT a lazy builder: the size guard runs a capped ``limit(N+1).count()``
+    job at call time, and the quantile path additionally runs one
+    ``approxQuantile`` job per column — each call re-pays the input scan
+    (cache the input if calling repeatedly) and streaming DataFrames are
+    not supported. Pass ``known_rows`` (an already-known or estimated row
+    count, e.g. from write metrics or a prior count) to skip the probe
+    job; ``known_rows=2**63`` forces the scalable quantile path outright.
     """
     n_buckets = 1 << bits
-    small = df.limit(exact_threshold + 1).count() <= exact_threshold
+    if known_rows is not None:
+        small = known_rows <= exact_threshold
+    else:
+        small = df.limit(exact_threshold + 1).count() <= exact_threshold
     out = df
     bucket_cols: list[Column] = []
     if small:

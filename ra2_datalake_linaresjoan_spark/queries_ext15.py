@@ -84,17 +84,44 @@ LIMIT 20
 # ---------------------------------------------------------------------------
 
 
-def q_revenue_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_revenue_decile_lift(
+    spark: SparkSession, sf_dir: str, exact_threshold: int = 1_000_000
+) -> DataFrame:
     """Customer spend deciles with revenue share and cumulative share.
-    Exact integer cents end to end; decile assignment tiebreaks on
-    customer key so equal totals land deterministically."""
+    Exact integer cents end to end.
+
+    Size-guarded decile assignment (the ``operators/zorder.py`` pattern):
+    up to ``exact_threshold`` customers, an exact ``ntile(10)`` window
+    with a customer-key tie-break lands equal totals deterministically —
+    this is the oracle-parity path the driver checks at sf0.01. Above
+    the threshold a partition-less window over the per-customer
+    aggregate would push billions of rows through one task, so decile
+    boundaries come from ``approxQuantile`` (distributed sketch, one
+    pass) and rows bucket against the broadcast splits with a when-chain
+    — no WindowExec over data-sized input. The quantile path is
+    rank-approximate under heavy ties (decile populations follow value
+    boundaries, not exact tenths); shares remain exact for the reported
+    buckets. The guard itself is a capped ``limit(N+1).count()`` probe —
+    one extra aggregation job at call time."""
     orders = _t(spark, sf_dir, "orders")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), "o_custkey")
+    small = per_cust.limit(exact_threshold + 1).count() <= exact_threshold
+    if small:
+        w = Window.orderBy(F.desc("cents"), "o_custkey")
+        assigned = per_cust.withColumn("decile", F.ntile(10).over(w))
+    else:
+        # decile 1 = top spenders: bucket by descending value boundaries
+        probs = [i / 10 for i in range(1, 10)]
+        qs = per_cust.stat.approxQuantile("cents", probs, 0.0001)
+        # qs ascending: qs[8] = 90th pct. decile = 1 + #boundaries >= cents
+        dec = F.lit(1)
+        for q in qs:
+            dec = dec + (F.col("cents") < F.lit(q)).cast("int")
+        assigned = per_cust.withColumn("decile", dec)
     deciles = (
-        per_cust.withColumn("decile", F.ntile(10).over(w))
+        assigned
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

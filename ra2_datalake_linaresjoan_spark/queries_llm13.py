@@ -350,11 +350,24 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve: the smallest top-k vocabulary whose
     cumulative occurrence share reaches 50/90/95/99% of all tokens —
     the first number a tokenizer-vocabulary plan reads (how big must
-    the vocab be before <unk> is rare). One postings aggregate, a rank
-    + running-sum window over the VOCABULARY table (corpus-size-
-    independent input, the documented bounded global window), then an
-    in-row threshold explode and a min-rank aggregate. Exact integer
-    counts; shares at 6 dp."""
+    the vocab be before <unk> is rare).
+
+    Scale shape — count-bucket rank aggregation, NOT a per-word window:
+    web-scale vocabulary is heavy-tailed and grows with the corpus
+    (typos/URLs/ids), so ranking every distinct word in one global
+    window is a corpus-sized single task. Instead words are grouped by
+    their occurrence count n into buckets (n, #words, mass); since the
+    distinct counts c₁>c₂>… satisfy Σcᵢ ≤ total_tokens, there are at
+    most √(2·total_tokens) buckets — the global window runs over THAT
+    provably bounded table (~3M rows even at 10¹³ tokens). Within a
+    bucket all words have equal count, so the rank where cumulative
+    mass crosses a threshold is closed-form:
+    m = ceil((t·total − mass_before)/n), vocab_k = words_before + m,
+    covered = mass_before + m·n — identical to the per-word running sum
+    (the per-word tie-break can't matter when counts are equal). The
+    DuckDB oracle keeps the per-word formulation, so parity checks the
+    two formulations against each other. Exact integer counts; shares
+    at 6 dp."""
     docs = _t(spark, sf_dir, "documents")
     wc = (
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
@@ -362,30 +375,37 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), "word")
-    ranked = wc.select(
-        F.row_number().over(w).alias("rk"),
-        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    buckets = wc.groupBy("n").agg(F.count(F.lit(1)).alias("n_words"))
+    w = Window.orderBy(F.desc("n")).rowsBetween(Window.unboundedPreceding, -1)
+    b = buckets.select(
+        "n",
+        "n_words",
+        (F.col("n") * F.col("n_words")).alias("mass"),
+        F.coalesce(F.sum("n_words").over(w), F.lit(0)).alias("words_before"),
+        F.coalesce(F.sum(F.col("n") * F.col("n_words")).over(w), F.lit(0)).alias(
+            "mass_before"
+        ),
     )
-    total = wc.agg(F.sum("n").alias("total"))
-    return (
-        ranked.crossJoin(F.broadcast(total))
+    total = buckets.agg(F.sum(F.col("n") * F.col("n_words")).alias("total"))
+    need = F.col("threshold") * F.col("total")
+    swept = (
+        b.crossJoin(F.broadcast(total))
         .select(
-            "rk",
-            "cum",
-            "total",
-            F.explode(F.array(*[F.lit(t) for t in _COV_TS])).alias("threshold"),
+            "*", F.explode(F.array(*[F.lit(t) for t in _COV_TS])).alias("threshold")
         )
-        .filter(F.col("cum") >= F.col("threshold") * F.col("total"))
-        .groupBy("threshold")
-        .agg(
-            F.min("rk").alias("vocab_k"),
-            F.round(F.min_by("cum", "rk") / F.first("total"), 6).alias(
-                "covered_share"
-            ),
+        .filter(
+            (F.col("mass_before") < need)
+            & (F.col("mass_before") + F.col("mass") >= need)
         )
-        .orderBy("threshold")
     )
+    m = F.ceil((need - F.col("mass_before")) / F.col("n"))
+    return swept.select(
+        "threshold",
+        (F.col("words_before") + m).alias("vocab_k"),
+        F.round(
+            (F.col("mass_before") + m * F.col("n")) / F.col("total"), 6
+        ).alias("covered_share"),
+    ).orderBy("threshold")
 
 
 SQL_VOCAB_COVERAGE_CURVE = r"""

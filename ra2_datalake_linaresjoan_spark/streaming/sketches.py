@@ -67,18 +67,27 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str,
                  width: int = CMS_W, depth: int = CMS_D) -> DataFrame:
     """Point-estimate lookups against a materialized sketch: min over
     depth rows of the probed cells. ``cells`` is ≤ depth·width rows and
-    broadcasts; output one row per probe key."""
+    broadcasts; output one row per probe key.
+
+    Left joins with a 0-coalesce per depth: a probe key hashing to a
+    cell the sketch never touched (a never-seen key, or a partial
+    update-mode snapshot) still returns a row — its missing cell
+    contributes count 0, so ``least`` yields the correct CMS estimate
+    (0 for fully unseen keys) instead of the row silently vanishing
+    from an inner join."""
     probe_cells = probes.select(
         key_col,
         *[_cell(F.col(key_col), j, width).alias(f"c{j}") for j in range(depth)],
     )
-    est = None
+    est = probe_cells
     for j in range(depth):
         cj = cells.filter(F.col("depth") == j).select(
             F.col("cell").alias(f"c{j}"), F.col("n").alias(f"n{j}")
         )
-        est = (probe_cells if est is None else est).join(F.broadcast(cj), f"c{j}")
+        est = est.join(F.broadcast(cj), f"c{j}", "left")
     return est.select(
         key_col,
-        F.least(*[F.col(f"n{j}") for j in range(depth)]).alias("n_est"),
+        F.least(
+            *[F.coalesce(F.col(f"n{j}"), F.lit(0)) for j in range(depth)]
+        ).alias("n_est"),
     )

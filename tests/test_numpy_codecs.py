@@ -139,6 +139,45 @@ def test_spark_numpy_decode_features_and_resize(spark):
         assert np.array_equal(out, resize_nearest(img, 4, 4))
 
 
+def test_spark_numpy_decode_tolerates_null_and_empty_payloads(spark):
+    """Null/empty payloads (the schema allows both) must degrade like the
+    stub path instead of crashing the numpy decoder: zero features from
+    extract_features, a black target-size image from resize_images."""
+    from ra2_datalake_linaresjoan_spark.llmdata.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    img = _checker()
+    meta = ("image", "image/x-portable-pixmap", 2, 2, None)
+    rows = [
+        (1, bytearray(encode_ppm(img)), meta),
+        (2, None, meta),
+        (3, bytearray(b""), meta),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {
+        r["media_id"]: r for r in extract_features(media, decode_mode="numpy").collect()
+    }
+    assert feats[1]["feature"] == pytest.approx(image_features(img))
+    for mid in (2, 3):
+        assert feats[mid]["feature"] == [0.0] * 10
+        assert feats[mid]["n_bytes"] == 0
+
+    resized = {
+        r["media_id"]: r
+        for r in resize_images(media, 4, 4, decode_mode="numpy").collect()
+    }
+    assert np.array_equal(
+        decode_ppm(bytes(resized[1]["payload"])), resize_nearest(img, 4, 4)
+    )
+    for mid in (2, 3):
+        out = decode_ppm(bytes(resized[mid]["payload"]))
+        assert out.shape == (4, 4, 3) and not out.any()
+
+
 def test_wav_roundtrip_and_chunk_walk():
     from ra2_datalake_linaresjoan_spark.llmdata.numpy_codecs import (
         decode_wav,

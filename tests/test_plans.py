@@ -254,6 +254,58 @@ def test_fuzzy_join_blocks_never_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in tree
 
 
+def test_fuzzy_join_candidates_bounded_by_rarest_token(spark, sf_dir):
+    """Rarest-token (prefix-filter) blocking must keep recall for exact
+    matches (every reversed variant still finds its source part) while
+    proposing far fewer candidates than raw-token blocking would — the
+    documented df-aware skew fix."""
+    from ra2_datalake_linaresjoan_spark.queries_ext5 import q_fuzzy_join
+
+    rows = q_fuzzy_join(spark, sf_dir).collect()
+    assert len(rows) > 0
+    # recall pin: a full-overlap match exists for every probe
+    assert all(r["n_matches"] >= 1 for r in rows)
+    assert all(r["best_lev"] is not None for r in rows)
+    # rarest-token blocking: one blocking key per record, so candidates
+    # per probe are bounded by the largest rarest-token cohort (~df of
+    # the rarest token), below the several-hundred-per-probe a raw
+    # shared-any-token block proposes even on TPC-H's tiny ~92-word
+    # name vocabulary (at web-scale vocab the gap is orders of magnitude)
+    n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    assert all(r["n_candidates"] < n_parts / 5 for r in rows)
+
+
+def test_cosine_neardup_auto_large_path_no_broadcast_no_nlj(spark, sf_dir, monkeypatch):
+    """Pin the 100-TB contract of cosine_neardup_pairs: when the corpus
+    exceeds MAX_COLLECT_ROWS the auto route must take the LSH-bucketed
+    path whose plan has NO nested-loop/cartesian pairing and NO
+    explicit broadcast of the embeddings table. With the size-based
+    auto-broadcast threshold disabled, any Broadcast* node left in the
+    plan could only come from a code-side hint — there must be none."""
+    from ra2_datalake_linaresjoan_spark.llmdata import similarity
+
+    monkeypatch.setattr(similarity, "MAX_COLLECT_ROWS", 10)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = similarity.cosine_neardup_pairs(
+            emb, id_col="vec_id", vec_col="embedding", threshold=0.9
+        )
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        tree = plan.split("\n\n")[0]
+        assert "BroadcastNestedLoopJoin" not in tree
+        assert "CartesianProduct" not in tree
+        assert "BroadcastExchange" not in tree
+        assert "ArrowEvalPython" not in tree  # LSH path is pure JVM
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_table_profile_single_scan(spark, sf_dir):
     """The profiler must compute every per-column metric in ONE scan of
     orders (SURVEY §7.4.7: no count() storm)."""

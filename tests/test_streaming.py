@@ -320,3 +320,29 @@ def test_streaming_cms_matches_batch_sketch(spark, events_stream):
     }
     assert set(est) == set(exact)
     assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_cms_estimate_unseen_probe_returns_zero(spark):
+    """A probe key absent from the stream must still produce a row: its
+    untouched cells coalesce to 0, so the min-over-depths estimate is 0
+    (or a small collision count), never a silently dropped row."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        cms_cells,
+        cms_estimate,
+    )
+
+    seen = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    cells = (
+        cms_cells(seen, "k")
+        .groupBy("depth", "cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen-key-xyz",)], ["k"]
+    )
+    est = {r["k"]: r["n_est"] for r in cms_estimate(cells, probes, "k").collect()}
+    assert set(est) == {"a", "never-seen-key-xyz"}
+    assert est["a"] >= 2
+    # 3 independent 8-hex-digit hashes over a 2-key stream: a collision in
+    # every depth is ~impossible, so the unseen key estimates exactly 0
+    assert est["never-seen-key-xyz"] == 0
