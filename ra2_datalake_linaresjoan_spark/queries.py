@@ -2232,79 +2232,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-4 rotation ------------------------------------------------
-    # CORRECTNESS_r03 verified exactly the previous first 50 (all green);
-    # cumulative driver coverage r1-r3 = 146/180. This prefix leads with:
-    #   1. the two stale round-2 FAILs whose HUGEINT oracle fix (56ab0f0)
-    #      has never been driver-confirmed,
-    #   2. the three queries whose implementation changed this round
-    #      (contamination empty-train 0.0 contract, bloom_dedup
-    #      collision-free probe ids, skyline_pareto pre-aggregated
-    #      price-cardinality global window),
-    #   3. all 34 queries with no driver row in any round,
-    #   4. round-4 additions: batch 1 (LLM 10 + ext 15, 11 queries)
-    #      completes the 50-row window at positions 40-50; batches 2-4
-    #      (LLM 11-13 + ext 16-17, 14 queries) sit at positions 51-64
-    #      and lead the round-5 rotation,
-    #   5. round-1-stale re-verifies, then round-2-stale.
-    # A 50-row driver window covers 1-3 fully (39 entries) plus the 11
-    # batch-1 additions, taking cumulative coverage to 180/180 of the
-    # pre-round-4 registry (final registry: 205 queries / 205 oracles).
-    # stale round-2 FAILs, fix never driver-confirmed
-    "session_islands",
-    "seq_packing",
-    # implementation changed this round
-    "contamination",
-    "bloom_dedup",
-    "skyline_pareto",
-    # never driver-verified in r1-r3
-    "stats_moments",
-    "mad_outliers",
-    "table_profile",
-    "full_outer_reconcile",
-    "map_ops",
-    "funnel_steps",
-    "cohort_retention",
-    "median_orders",
-    "latest_event_argmax",
-    "nation_share_window",
-    "cumulative_unique_users",
-    "watermark_late_audit",
-    "nation_triangles",
-    "ewma_daily_value",
-    "daily_trend_slope",
-    "psi_drift",
-    "purchase_attribution",
-    "brand_pareto",
-    "winsorized_value_stats",
-    "trade_reachability",
-    "top_orders_lateral",
-    "span_dedup",
-    "semantic_kmeans",
-    "semantic_prune",
-    "hard_negative_mining",
-    "unigram_logprob_filter",
-    "doc_chunking",
-    "bigram_vocab",
-    "embedding_quantize",
-    "dedup_survivors",
-    "quota_sample_docs",
-    "token_length_buckets",
-    "quality_curriculum",
-    "multimodal_resize",
-    # -- round-4 additions (LLM batch 10 + relational batch 15) ----------
-    "bm25_topk",
-    "cms_heavy_hitters",
-    "domain_balance_weights",
-    "waterfill_allocation",
-    "canonical_text_dedup",
-    "char_entropy_filter",
-    "training_shard_assign",
-    "hapax_rate",
-    "event_trigram_paths",
-    "revenue_decile_lift",
-    "dow_seasonality",
-    # batch-2 additions land past the 50-row window; they lead round 5
+    # -- round-5 rotation ------------------------------------------------
+    # CORRECTNESS_r04 verified exactly the previous first 50 (50/50 green,
+    # no err); cumulative driver coverage r1-r4 = 191/212, and the 21
+    # queries below are the only ones never driver-checked (they sat at
+    # positions 50-70 last round, just outside the window). This prefix
+    # leads with:
+    #   1. all 21 never-driver-checked queries (round-4 batches 2-4:
+    #      LLM 11-13 + ext 16-19),
+    #   2. the queries whose implementation changed this round
+    #      (fuzzy_join rarest-token blocking, revenue_decile_lift
+    #      size-guarded deciles; vocab_coverage_curve also changed but
+    #      is already in group 1),
+    #   3. round-5 additions (new queries — never checked by definition),
+    #   4. round-1-stale re-verifies (last driver-confirmed in r1), then
+    #      round-2-stale, then the round-4-confirmed set (freshest last).
+    # A 50-row driver window covers groups 1-3 fully plus the stalest r1
+    # re-verifies, taking cumulative driver coverage to 212-of-212 of the
+    # pre-round-5 registry. ROUND-END CHECKLIST: re-audit this list after
+    # every added batch — the first 50 names must be exactly
+    # never-checked + changed + new + stalest.
+    # 1. never driver-verified in r1-r4
     "kl_divergence_sources",
     "bigram_lm_perplexity",
     "tfidf_cosine_pairs",
@@ -2326,7 +2274,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dup_inflation_by_source",
     "ngram_entropy_rate",
     "inter_event_time_dist",
-    # round-1-stale re-verifies
+    # 2. implementation changed this round
+    "fuzzy_join",
+    "revenue_decile_lift",
+    # 3. round-5 additions
+    # (inserted here as batches land)
+    # 4. round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
     "count_distinct",
@@ -2410,7 +2363,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_user_state",
     "stratified_sample_docs",
     "nation_pagerank",
-    "fuzzy_join",
     "doc_repetition",
     "pii_redact",
     "incremental_dedup",
@@ -2421,6 +2373,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_words",
     "cluster_tightness",
     "approx_distinct_guarantee",
+    # 5. round-4-confirmed (freshest driver rows — re-verify last)
+    "session_islands",
+    "seq_packing",
+    "contamination",
+    "bloom_dedup",
+    "skyline_pareto",
+    "stats_moments",
+    "mad_outliers",
+    "table_profile",
+    "full_outer_reconcile",
+    "map_ops",
+    "funnel_steps",
+    "cohort_retention",
+    "median_orders",
+    "latest_event_argmax",
+    "nation_share_window",
+    "cumulative_unique_users",
+    "watermark_late_audit",
+    "nation_triangles",
+    "ewma_daily_value",
+    "daily_trend_slope",
+    "psi_drift",
+    "purchase_attribution",
+    "brand_pareto",
+    "winsorized_value_stats",
+    "trade_reachability",
+    "top_orders_lateral",
+    "span_dedup",
+    "semantic_kmeans",
+    "semantic_prune",
+    "hard_negative_mining",
+    "unigram_logprob_filter",
+    "doc_chunking",
+    "bigram_vocab",
+    "embedding_quantize",
+    "dedup_survivors",
+    "quota_sample_docs",
+    "token_length_buckets",
+    "quality_curriculum",
+    "multimodal_resize",
+    "bm25_topk",
+    "cms_heavy_hitters",
+    "domain_balance_weights",
+    "waterfill_allocation",
+    "canonical_text_dedup",
+    "char_entropy_filter",
+    "training_shard_assign",
+    "hapax_rate",
+    "event_trigram_paths",
+    "dow_seasonality",
 )
 
 
