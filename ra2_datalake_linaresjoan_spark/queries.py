@@ -2278,7 +2278,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "fuzzy_join",
     "revenue_decile_lift",
     # 3. round-5 additions
-    # (inserted here as batches land)
+    "benford_digits",
+    "cusum_changepoint",
+    "decayed_event_counts",
+    "encoding_advisor",
+    "interval_union_coverage",
+    "degree_assortativity",
     # 4. round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2457,6 +2462,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext17 import REGISTRY_EXT17
     from ra2_datalake_linaresjoan_spark.queries_ext18 import REGISTRY_EXT18
     from ra2_datalake_linaresjoan_spark.queries_ext19 import REGISTRY_EXT19
+    from ra2_datalake_linaresjoan_spark.queries_ext20 import REGISTRY_EXT20
 
     merged = {
         **_REGISTRY,
@@ -2490,6 +2496,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT17,
         **REGISTRY_EXT18,
         **REGISTRY_EXT19,
+        **REGISTRY_EXT20,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

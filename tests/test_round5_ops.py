@@ -1,0 +1,118 @@
+"""Semantic invariants + empty-input robustness for the round-5 batches."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+ROUND5_QUERIES = [
+    "benford_digits",
+    "cusum_changepoint",
+    "decayed_event_counts",
+    "encoding_advisor",
+    "interval_union_coverage",
+    "degree_assortativity",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf_r5")
+    for f in os.listdir(SF):
+        if f.endswith(".parquet"):
+            df = spark.read.parquet(os.path.join(SF, f))
+            df.limit(0).write.mode("overwrite").parquet(str(d / f))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ROUND5_QUERIES)
+def test_round5_query_survives_empty_tables(spark, empty_sf, name):
+    n = q.queries()[name](spark, empty_sf).count()
+    assert n >= 0
+
+
+def test_benford_shares_form_distributions(spark, sf_dir):
+    rows = q.queries()["benford_digits"](spark, sf_dir).collect()
+    assert [r["digit"] for r in rows] == sorted(r["digit"] for r in rows)
+    assert set(r["digit"] for r in rows) <= set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-4
+    # Benford expectation over the digits present sums to <= 1 (== 1 when
+    # all nine digits appear)
+    assert sum(r["benford_share"] for r in rows) <= 1.0 + 1e-9
+    assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_cusum_peak_dominates_every_prefix(spark, sf_dir):
+    """cusum_max must equal the true max over prefix deviations — recompute
+    per type from the daily counts in plain Python."""
+    out = {
+        r["event_type"]: r
+        for r in q.queries()["cusum_changepoint"](spark, sf_dir).collect()
+    }
+    ev = q._t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], []).append((r["day"], r["n"]))
+    for et, series in by_type.items():
+        series.sort()
+        tot = sum(n for _, n in series)
+        nd = len(series)
+        cum, best, best_day = 0, -1, None
+        for i, (day, n) in enumerate(series, start=1):
+            cum += n
+            s = abs(cum * nd - i * tot)
+            if s > best:
+                best, best_day = s, day
+        assert out[et]["n_days"] == nd
+        assert out[et]["change_day"] == best_day
+        assert out[et]["cusum_max"] == pytest.approx(best / nd, abs=1e-4)
+
+
+def test_decayed_counts_bounded_by_raw(spark, sf_dir):
+    rows = q.queries()["decayed_event_counts"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r["decayed_count"] <= r["n_events"]
+        assert 0 < r["freshness"] <= 1.0
+
+
+def test_encoding_advisor_rules(spark, sf_dir):
+    rows = {
+        r["colname"]: r for r in q.queries()["encoding_advisor"](spark, sf_dir).collect()
+    }
+    # flag columns: tiny domains -> dictionary+RLE
+    assert rows["l_returnflag"]["advice"] == "dictionary+rle"
+    assert rows["l_linestatus"]["advice"] == "dictionary+rle"
+    for r in rows.values():
+        assert 1 <= r["n_distinct"] <= r["n_rows"]
+        assert 0 < r["top_share"] <= 1.0
+
+
+def test_interval_union_never_exceeds_sum_of_lengths(spark, sf_dir):
+    """Union coverage per order is <= the sum of interval lengths and >=
+    the longest single interval — checked through the aggregate: avg
+    coverage must be positive and max >= avg."""
+    rows = q.queries()["interval_union_coverage"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["avg_coverage_days"] > 0
+        assert r["max_coverage_days"] >= r["avg_coverage_days"]
+        assert r["avg_islands"] >= 1.0
+
+
+def test_assortativity_is_a_correlation(spark, sf_dir):
+    r = q.queries()["degree_assortativity"](spark, sf_dir).collect()[0]
+    assert r["n_edges"] > 0
+    assert -1.0 <= r["assortativity"] <= 1.0
+    assert r["avg_cust_degree"] > 0 and r["avg_supp_degree"] > 0
