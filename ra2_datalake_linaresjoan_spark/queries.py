@@ -2284,6 +2284,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "encoding_advisor",
     "interval_union_coverage",
     "degree_assortativity",
+    "boilerplate_blocks",
+    "containment_pairs",
+    "auc_quality_score",
+    "pmi_phrases",
+    "weighted_sample_topk",
+    "hill_tail_index",
     # 4. round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2463,6 +2469,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext18 import REGISTRY_EXT18
     from ra2_datalake_linaresjoan_spark.queries_ext19 import REGISTRY_EXT19
     from ra2_datalake_linaresjoan_spark.queries_ext20 import REGISTRY_EXT20
+    from ra2_datalake_linaresjoan_spark.queries_llm14 import REGISTRY_LLM14
 
     merged = {
         **_REGISTRY,
@@ -2497,6 +2504,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT18,
         **REGISTRY_EXT19,
         **REGISTRY_EXT20,
+        **REGISTRY_LLM14,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -18,6 +18,13 @@ ROUND5_QUERIES = [
     "encoding_advisor",
     "interval_union_coverage",
     "degree_assortativity",
+    # LLM batch 14
+    "boilerplate_blocks",
+    "containment_pairs",
+    "auc_quality_score",
+    "pmi_phrases",
+    "weighted_sample_topk",
+    "hill_tail_index",
 ]
 
 
@@ -116,3 +123,76 @@ def test_assortativity_is_a_correlation(spark, sf_dir):
     assert r["n_edges"] > 0
     assert -1.0 <= r["assortativity"] <= 1.0
     assert r["avg_cust_degree"] > 0 and r["avg_supp_degree"] > 0
+
+
+def test_boilerplate_blocks_detects_repeats(spark, sf_dir):
+    rows = q.queries()["boilerplate_blocks"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert sum(r["n_boilerplate"] for r in rows) > 0
+    for r in rows:
+        assert 0 <= r["n_boilerplate"] <= r["n_blocks"]
+        assert 0.0 <= r["boilerplate_share"] <= 1.0
+        assert r["n_docs_hit"] <= r["n_blocks"]
+
+
+def test_containment_is_a_ratio_and_sorted(spark, sf_dir):
+    rows = q.queries()["containment_pairs"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    vals = [r["containment"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        assert 0.6 <= r["containment"] <= 1.0
+        assert r["n_shared"] >= 1
+        assert r["doc_a"] != r["doc_b"]
+
+
+def test_auc_constant_score_is_half(spark, tmp_path):
+    """The bucket-aggregated rank-sum must give the textbook tie credit:
+    a constant score can't rank anything, so AUC == 0.5 exactly."""
+    d = str(tmp_path / "docs_const")
+    spark.createDataFrame(
+        [(i, "t", ("en" if i % 3 == 0 else "xx"), "s0", 42) for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    r = q.queries()["auc_quality_score"](spark, d).collect()[0]
+    assert r["auc"] == pytest.approx(0.5)
+    assert r["n_scores"] == 1
+
+
+def test_auc_perfect_separation_is_one(spark, tmp_path):
+    d = str(tmp_path / "docs_sep")
+    rows = [(i, "t", "en", "s0", 1000 + i) for i in range(10)] + [
+        (100 + i, "t", "xx", "s0", 10 + i) for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    r = q.queries()["auc_quality_score"](spark, d).collect()[0]
+    assert r["auc"] == pytest.approx(1.0)
+
+
+def test_pmi_phrases_thresholded_and_sorted(spark, sf_dir):
+    rows = q.queries()["pmi_phrases"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    vals = [r["pmi"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    assert all(r["c12"] >= 5 for r in rows)
+
+
+def test_weighted_sample_is_deterministic_and_ranked(spark, sf_dir):
+    fn = q.queries()["weighted_sample_topk"]
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert [r["sample_rank"] for r in a] == list(range(1, len(a) + 1))
+    keys = [r["es_key"] for r in a]
+    assert keys == sorted(keys, reverse=True)
+    assert all(k <= 0 for k in keys)  # ln(u) < 0, weights > 0
+
+
+def test_hill_tail_index_positive(spark, sf_dir):
+    r = q.queries()["hill_tail_index"](spark, sf_dir).collect()[0]
+    assert r["k"] == 100
+    assert r["hill_gamma"] > 0
+    assert r["tail_alpha"] > 0
+    assert r["x_k_plus_1"] >= 1
