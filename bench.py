@@ -75,6 +75,12 @@ HEADLINE = [
     "cms_heavy_hitters",
     "canonical_text_dedup",
     "char_entropy_filter",
+    # round 5: the two de-global-windowed fixes + containment linkage +
+    # weighted sampling
+    "revenue_decile_lift",
+    "vocab_coverage_curve",
+    "containment_pairs",
+    "weighted_sample_topk",
 ]
 
 
