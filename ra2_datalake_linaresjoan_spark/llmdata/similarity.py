@@ -116,6 +116,13 @@ def _cosine_topk_numpy(
 
     spark = queries.sparkSession
     rows = corpus.select(id_col, vec_col).collect()
+    if not rows:
+        # empty corpus: no neighbors exist — the degenerate partition every
+        # 100-TB job eventually meets must yield an empty frame, not an
+        # ndim crash in the normalizer
+        return spark.createDataFrame(
+            [], schema="query_id long, neighbor_id long, cos_sim double"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat_norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)

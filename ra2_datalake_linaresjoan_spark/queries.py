@@ -2290,6 +2290,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "pmi_phrases",
     "weighted_sample_topk",
     "hill_tail_index",
+    "reciprocal_rank_fusion",
+    "ndcg_eval",
+    "knn_accuracy",
+    "cohens_kappa",
+    "hhi_concentration",
+    "embedding_centroid_shift",
     # 4. round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2470,6 +2476,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext19 import REGISTRY_EXT19
     from ra2_datalake_linaresjoan_spark.queries_ext20 import REGISTRY_EXT20
     from ra2_datalake_linaresjoan_spark.queries_llm14 import REGISTRY_LLM14
+    from ra2_datalake_linaresjoan_spark.queries_ext21 import REGISTRY_EXT21
 
     merged = {
         **_REGISTRY,
@@ -2505,6 +2512,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT19,
         **REGISTRY_EXT20,
         **REGISTRY_LLM14,
+        **REGISTRY_EXT21,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -25,6 +25,13 @@ ROUND5_QUERIES = [
     "pmi_phrases",
     "weighted_sample_topk",
     "hill_tail_index",
+    # batch 21 (IR/ML evaluation + concentration)
+    "reciprocal_rank_fusion",
+    "ndcg_eval",
+    "knn_accuracy",
+    "cohens_kappa",
+    "hhi_concentration",
+    "embedding_centroid_shift",
 ]
 
 
@@ -196,3 +203,75 @@ def test_hill_tail_index_positive(spark, sf_dir):
     assert r["hill_gamma"] > 0
     assert r["tail_alpha"] > 0
     assert r["x_k_plus_1"] >= 1
+
+
+def test_rrf_scores_bounded_and_sorted(spark, sf_dir):
+    rows = q.queries()["reciprocal_rank_fusion"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    vals = [r["rrf_score"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    # max possible score: rank 1 in both rankings
+    assert all(0 < v <= 2 / 61 + 1e-9 for v in vals)
+
+
+def test_ndcg_bounded_by_ideal(spark, sf_dir):
+    rows = q.queries()["ndcg_eval"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["idcg_at_10"] >= r["dcg_at_10"] > 0
+        assert 0 < r["ndcg_at_10"] <= 1.0
+
+
+def test_knn_accuracy_bounds(spark, sf_dir):
+    rows = q.queries()["knn_accuracy"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_queries"]
+        assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_kappa_perfect_agreement_fixture(spark, tmp_path):
+    """Two-class perfect agreement must give kappa == 1 exactly (p_o = 1,
+    p_e = 0.5 by the marginals)."""
+    d = str(tmp_path / "docs_kappa")
+    rows = [(i, "the and of is a", "en", "s0", 15) for i in range(10)] + [
+        (100 + i, "el la de que los", "es", "s0", 16) for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    r = q.queries()["cohens_kappa"](spark, d).collect()[0]
+    assert r["p_observed"] == pytest.approx(1.0)
+    assert r["p_expected"] == pytest.approx(0.5)
+    assert r["kappa"] == pytest.approx(1.0)
+
+
+def test_kappa_bounds_on_real_data(spark, sf_dir):
+    r = q.queries()["cohens_kappa"](spark, sf_dir).collect()[0]
+    assert -1.0 <= r["kappa"] <= 1.0
+    assert 0.0 <= r["p_observed"] <= 1.0
+    assert 0.0 < r["p_expected"] < 1.0
+
+
+def test_hhi_between_uniform_floor_and_top_share(spark, sf_dir):
+    rows = q.queries()["hhi_concentration"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # HHI is between 1/n (uniform) and the top share (sum s_i^2 <= max s)
+        assert 1.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= r["top_share"] + 1e-6
+        assert r["top_share"] ** 2 <= r["hhi"] + 1e-6
+
+
+def test_centroid_shift_zero_for_identical_halves(spark, tmp_path):
+    d = str(tmp_path / "emb_same")
+    rows = [(i, [float(i % 3), 1.0, -2.5], i % 2) for i in range(20)]
+    # vec_id parity defines the halves; i%3 pattern repeats identically in
+    # both parities only if built that way — use a constant per label
+    rows = [(i, [1.5, -0.25, 3.0], 7) for i in range(20)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    r = q.queries()["embedding_centroid_shift"](spark, d).collect()
+    assert len(r) == 1
+    assert r[0]["centroid_shift_l2"] == pytest.approx(0.0)
+    assert r[0]["n_a"] == r[0]["n_b"] == 10
