@@ -2296,6 +2296,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cohens_kappa",
     "hhi_concentration",
     "embedding_centroid_shift",
+    "markov_stationary",
+    "cms_width_sweep",
+    "wilson_ci",
+    "char_ngram_langid",
+    "minhash_error_audit",
     # 4. round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2477,6 +2482,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext20 import REGISTRY_EXT20
     from ra2_datalake_linaresjoan_spark.queries_llm14 import REGISTRY_LLM14
     from ra2_datalake_linaresjoan_spark.queries_ext21 import REGISTRY_EXT21
+    from ra2_datalake_linaresjoan_spark.queries_ext22 import REGISTRY_EXT22
 
     merged = {
         **_REGISTRY,
@@ -2513,6 +2519,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT20,
         **REGISTRY_LLM14,
         **REGISTRY_EXT21,
+        **REGISTRY_EXT22,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -32,6 +32,12 @@ ROUND5_QUERIES = [
     "cohens_kappa",
     "hhi_concentration",
     "embedding_centroid_shift",
+    # batch 22 (iterative algebra, sketch audits, intervals, langid)
+    "markov_stationary",
+    "cms_width_sweep",
+    "wilson_ci",
+    "char_ngram_langid",
+    "minhash_error_audit",
 ]
 
 
@@ -260,6 +266,54 @@ def test_hhi_between_uniform_floor_and_top_share(spark, sf_dir):
         # HHI is between 1/n (uniform) and the top share (sum s_i^2 <= max s)
         assert 1.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= r["top_share"] + 1e-6
         assert r["top_share"] ** 2 <= r["hhi"] + 1e-6
+
+
+def test_markov_stationary_is_a_distribution(spark, sf_dir):
+    rows = q.queries()["markov_stationary"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    # v = vP preserves total mass for a stochastic P: the 3-step vector
+    # still sums to ~1
+    assert sum(r["stationary_p"] for r in rows) == pytest.approx(1.0, abs=1e-3)
+    assert sum(r["empirical_share"] for r in rows) == pytest.approx(1.0, abs=1e-3)
+    assert all(r["stationary_p"] > 0 for r in rows)
+
+
+def test_cms_width_sweep_monotone_in_width(spark, sf_dir):
+    rows = q.queries()["cms_width_sweep"](spark, sf_dir).collect()
+    assert [r["width"] for r in rows] == [256, 1024, 4096]
+    for r in rows:
+        assert r["mean_overestimate"] >= 0
+        assert r["max_overestimate"] >= 0
+        assert r["n_exact_probes"] <= r["n_probes"]
+    # wider sketches can only reduce collisions (same depth, same keys)
+    means = [r["mean_overestimate"] for r in rows]
+    assert means[0] >= means[1] >= means[2]
+
+
+def test_wilson_ci_brackets_p_hat(spark, sf_dir):
+    rows = q.queries()["wilson_ci"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["ci_lo"] <= r["p_hat"] <= r["ci_hi"] <= 1.0
+        assert r["k"] <= r["n"]
+
+
+def test_char_ngram_langid_bounds(spark, sf_dir):
+    rows = q.queries()["char_ngram_langid"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_scored"]
+        assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_minhash_error_audit_small_unbiased_error(spark, sf_dir):
+    r = q.queries()["minhash_error_audit"](spark, sf_dir).collect()[0]
+    assert r["n_pairs"] > 0
+    # 16 components: per-pair std ~ sqrt(J(1-J)/16) <= 0.125; the MEAN
+    # absolute error across pairs must sit well inside that envelope
+    assert 0.0 <= r["mean_abs_err"] <= 0.125
+    assert r["max_abs_err"] <= 16 / 16  # trivially bounded, sanity
+    assert abs(r["mean_signed_err"]) <= r["mean_abs_err"] + 1e-9
 
 
 def test_centroid_shift_zero_for_identical_halves(spark, tmp_path):
