@@ -555,3 +555,73 @@ def test_nation_jaccard_dims_broadcast(spark, sf_dir):
 def test_bigram_lm_window_partitioned_by_doc(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bigram_lm_perplexity")
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """The E-S weighted sample must be scan + TakeOrderedAndProject (a
+    bounded per-partition heap), never a global Sort of the corpus."""
+    plan = _plan(spark, sf_dir, "weighted_sample_topk")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_hill_tail_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "hill_tail_index")
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_containment_pairs_no_cartesian(spark, sf_dir):
+    """Containment candidates must come from the shingle equi-join —
+    never a cartesian/nested-loop pairing of documents."""
+    plan = _plan(spark, sf_dir, "containment_pairs")
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_cusum_windows_partitioned_by_type(spark, sf_dir):
+    """Every CUSUM window must be event_type-partitioned over the daily
+    aggregate — a partition-less window over daily counts would
+    serialize the whole series through one task."""
+    plan = _plan(spark, sf_dir, "cusum_changepoint")
+    tree = plan.split("\n\n")[0]
+    import re
+
+    for m in re.finditer(r"Window", tree):
+        pass
+    # formatted detail section lists window specs; assert no empty
+    # partition spec windowspecdefinition appears
+    detail = plan
+    assert "Window" in detail
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", detail)
+    assert specs, "expected window specs in plan detail"
+    for s in specs:
+        assert "event_type" in s, f"unpartitioned window spec: {s}"
+
+
+def test_vocab_coverage_window_over_count_buckets(spark, sf_dir):
+    """The coverage-curve global window may only run AFTER the groupBy(n)
+    bucket aggregate — its input is the distinct-count table, so the
+    plan must show an Aggregate below the Window (two aggregates total
+    between scan and window: word counts, then count buckets)."""
+    plan = _plan(spark, sf_dir, "vocab_coverage_curve")
+    tree = plan.split("\n\n")[0]
+    w = tree.find("Window")
+    assert w >= 0
+    below = tree[w:]
+    # the subtree under/after Window in formatted tree ordering includes
+    # the aggregates feeding it
+    assert below.count("HashAggregate") >= 2
+
+
+def test_encoding_advisor_single_scan(spark, sf_dir):
+    """The stacked profiler must read lineitem exactly once (no
+    per-column scan storm)."""
+    plan = _plan(spark, sf_dir, "encoding_advisor")
+    scans = [
+        l
+        for l in plan.splitlines()
+        if "Scan parquet" in l and "lineitem" in l
+    ]
+    assert len(scans) <= 2  # tree + detail repeat of one node
