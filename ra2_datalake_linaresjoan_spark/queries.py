@@ -2301,6 +2301,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "wilson_ci",
     "char_ngram_langid",
     "minhash_error_audit",
+    # batch 23 lands past the 50-row window; these four lead the
+    # round-6 rotation (verified green at three scales in round 5)
+    "ngram_contamination",
+    "quality_survivor_dedup",
+    "markov_absorption",
+    "dup_rate_sample_estimate",
     # 4. round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2483,6 +2489,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_llm14 import REGISTRY_LLM14
     from ra2_datalake_linaresjoan_spark.queries_ext21 import REGISTRY_EXT21
     from ra2_datalake_linaresjoan_spark.queries_ext22 import REGISTRY_EXT22
+    from ra2_datalake_linaresjoan_spark.queries_ext23 import REGISTRY_EXT23
 
     merged = {
         **_REGISTRY,
@@ -2520,6 +2527,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_LLM14,
         **REGISTRY_EXT21,
         **REGISTRY_EXT22,
+        **REGISTRY_EXT23,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -38,6 +38,11 @@ ROUND5_QUERIES = [
     "wilson_ci",
     "char_ngram_langid",
     "minhash_error_audit",
+    # batch 23 (curation policy & estimation audits)
+    "ngram_contamination",
+    "quality_survivor_dedup",
+    "markov_absorption",
+    "dup_rate_sample_estimate",
 ]
 
 
@@ -314,6 +319,55 @@ def test_minhash_error_audit_small_unbiased_error(spark, sf_dir):
     assert 0.0 <= r["mean_abs_err"] <= 0.125
     assert r["max_abs_err"] <= 16 / 16  # trivially bounded, sanity
     assert abs(r["mean_signed_err"]) <= r["mean_abs_err"] + 1e-9
+
+
+def test_ngram_contamination_bounds_and_planted_leak(spark, tmp_path):
+    """A train doc sharing an 8-gram with an eval doc must be flagged;
+    disjoint docs must not."""
+    d = str(tmp_path / "docs_contam")
+    leak = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (97, leak + " iota", "en", "s0", 50),          # eval (97 % 97 == 0)
+        (1, "prefix " + leak, "en", "s0", 52),          # train, contaminated
+        (2, "totally different words here none shared ok fine", "en", "s0", 48),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    r = q.queries()["ngram_contamination"](spark, d).collect()[0]
+    assert r["n_eval"] == 1 and r["n_train"] == 2
+    assert r["n_contaminated"] == 1
+    assert r["contamination_rate"] == pytest.approx(0.5)
+    assert r["n_shared_grams"] >= 1
+
+
+def test_quality_survivor_policy_counts(spark, sf_dir):
+    r = q.queries()["quality_survivor_dedup"](spark, sf_dir).collect()[0]
+    assert r["n_docs"] == r["n_clusters"] + r["n_dropped"]
+    assert r["n_policy_differs"] <= r["n_dup_clusters"]
+    assert r["n_dup_clusters"] <= r["n_dropped"] or r["n_dropped"] == 0
+
+
+def test_markov_absorption_monotone_in_horizon(spark, sf_dir):
+    """More steps can only raise the absorption probability, so
+    p_absorb_5 >= p_direct, and both are probabilities."""
+    rows = q.queries()["markov_absorption"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["p_direct"] <= r["p_absorb_5"] <= 1.0
+
+
+def test_dup_rate_sampling_bias_direction(spark, sf_dir):
+    """Id-hash sampling severs duplicate clusters, so its estimate can
+    only fall at or below the exact rate; content-hash sampling keeps
+    clusters whole and should land near the exact rate."""
+    r = q.queries()["dup_rate_sample_estimate"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r["id_sample_rate"] <= r["exact_copy_rate"] + 1e-9
+    assert abs(r["content_sample_rate"] - r["exact_copy_rate"]) <= max(
+        0.05, r["exact_copy_rate"]
+    )
+    assert r["n_id_sample"] < r["n_docs"]
+    assert r["n_fp_sample"] < r["n_docs"]
 
 
 def test_centroid_shift_zero_for_identical_halves(spark, tmp_path):
