@@ -76,11 +76,12 @@ HEADLINE = [
     "canonical_text_dedup",
     "char_entropy_filter",
     # round 5: the two de-global-windowed fixes + containment linkage +
-    # weighted sampling
+    # weighted sampling + n-gram decontamination
     "revenue_decile_lift",
     "vocab_coverage_curve",
     "containment_pairs",
     "weighted_sample_topk",
+    "ngram_contamination",
 ]
 
 
