@@ -2301,8 +2301,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "wilson_ci",
     "char_ngram_langid",
     "minhash_error_audit",
-    # batch 23 lands past the 50-row window; these four lead the
-    # round-6 rotation (verified green at three scales in round 5)
+    # batch 23 completes the 50-row window at positions 46-49: the
+    # round-5 window is exactly 21 never-checked + 2 changed + 27 new —
+    # no slot spent on a re-verify, cumulative coverage reaches 239/239
     "ngram_contamination",
     "quality_survivor_dedup",
     "markov_absorption",
