@@ -457,13 +457,20 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x").alias("xk1"),
     )
     num = F.col("s") - F.col("n") * F.log("xk1")
+    # degenerate guards (ANSI mode raises on /0): a single row has no
+    # tail pairs (n = 1), and an all-equal sample has num = 0 exactly on
+    # both engines — alpha is undefined (null) in either case
     return a.select(
         (F.col("n") - 1).alias("k"),
         F.col("xk1").cast("long").alias("x_k_plus_1"),
-        F.round(num / (F.col("n") - 1), 4).alias("hill_gamma"),
+        F.round(
+            F.when(F.col("n") > 1, num / (F.col("n") - 1)), 4
+        ).alias("hill_gamma"),
         # same float path as the oracle: (n-1)/num, not 1/gamma (double
         # rounding could diverge in the last ulp)
-        F.round((F.col("n") - 1) / num, 4).alias("tail_alpha"),
+        F.round(
+            F.when((F.col("n") > 1) & (num != 0), (F.col("n") - 1) / num), 4
+        ).alias("tail_alpha"),
     )
 
 
@@ -478,8 +485,9 @@ WITH top AS (
 )
 SELECT n - 1 AS k,
        CAST(xk1 AS BIGINT) AS x_k_plus_1,
-       round((s - n * ln(xk1)) / (n - 1), 4) AS hill_gamma,
-       round((n - 1) / (s - n * ln(xk1)), 4) AS tail_alpha
+       round(CASE WHEN n > 1 THEN (s - n * ln(xk1)) / (n - 1) END, 4) AS hill_gamma,
+       round(CASE WHEN n > 1 AND s - n * ln(xk1) <> 0
+                  THEN (n - 1) / (s - n * ln(xk1)) END, 4) AS tail_alpha
 FROM a
 """
 

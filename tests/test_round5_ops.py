@@ -370,6 +370,37 @@ def test_dup_rate_sampling_bias_direction(spark, sf_dir):
     assert r["n_fp_sample"] < r["n_docs"]
 
 
+def test_fuzzy_join_skew_stress_rarest_pair_blocking(spark, tmp_path):
+    """Adversarial skew fixture: every part name contains the same two
+    ultra-hot tokens ('common' + 'shared') plus two rare discriminative
+    words. Raw-token blocking would pair every record with every other
+    (n² candidates); rarest-PAIR blocking must key on the two rare
+    words, keeping candidates per probe at the tiny rare-pair cohort
+    while still finding every reversed-variant match."""
+    from ra2_datalake_linaresjoan_spark.queries_ext5 import q_fuzzy_join
+
+    d = str(tmp_path / "skew_parts")
+    n = 1000
+    rows = [
+        (
+            i * 100,  # every key divisible by 100 -> all rows are probes
+            f"common shared rare{i}a rare{i}b",
+        )
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows, "p_partkey long, p_name string").write.parquet(
+        f"{d}/part.parquet"
+    )
+    out = q_fuzzy_join(spark, d).collect()
+    assert len(out) == n
+    # exact recall: each reversed variant matches its own source name
+    assert all(r["n_matches"] >= 1 for r in out)
+    # skew bound: the rare-pair blocking key is unique per record, so
+    # the only candidate is the record itself - not the n-sized cohort
+    # the hot tokens would produce
+    assert max(r["n_candidates"] for r in out) <= 2
+
+
 def test_centroid_shift_zero_for_identical_halves(spark, tmp_path):
     d = str(tmp_path / "emb_same")
     rows = [(i, [float(i % 3), 1.0, -2.5], i % 2) for i in range(20)]
