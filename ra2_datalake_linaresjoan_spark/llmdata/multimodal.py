@@ -174,12 +174,20 @@ def resize_images(
     mode = decode_mode or ("stub" if decode_stub else "real")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        black = None
         if mode == "numpy":
+            import numpy as np
+
             from ra2_datalake_linaresjoan_spark.llmdata.numpy_codecs import (
                 decode_image,
                 encode_ppm,
                 resize_nearest,
             )
+
+            # null/empty payloads map to one precomputed black target-size
+            # image (keeps the 1:1 row contract; stub path tolerates
+            # empties the same way)
+            black = encode_ppm(np.zeros((height, width, 3), dtype=np.uint8))
         target = width * height // 64  # deterministic stub payload size
         for pdf in batches:
             if mode == "real":
@@ -189,14 +197,7 @@ def resize_images(
                 b = bytes(p or b"")
                 if mode == "numpy":
                     if not b:
-                        # null/empty payload: emit a black target-size image
-                        # (keeps the 1:1 row contract; stub path tolerates
-                        # empties the same way)
-                        import numpy as np
-
-                        out.append(
-                            encode_ppm(np.zeros((height, width, 3), dtype=np.uint8))
-                        )
+                        out.append(black)
                     else:
                         out.append(
                             encode_ppm(resize_nearest(decode_image(b), width, height))

@@ -158,22 +158,10 @@ def q_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    # the same `entries` Column expression probes the sketch — build and
+    # probe paths can never desynchronize
     probe_cells = exact.select(
-        "event_type",
-        "n_exact",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(w).alias("w"),
-                        F.lit(j).alias("j"),
-                        cell(F.col("event_type"), w, j).alias("cell"),
-                    )
-                    for w in _CMS_WIDTHS
-                    for j in range(_CMS_DEPTH)
-                ]
-            )
-        ).alias("e"),
+        "event_type", "n_exact", F.explode(entries).alias("e")
     ).select("event_type", "n_exact", "e.*")
     est = (
         probe_cells.join(F.broadcast(cells), ["w", "j", "cell"], "left")
@@ -410,14 +398,16 @@ _MH_MIN_J = 0.2
 
 
 def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Estimator-quality audit: exact 3-gram-shingle Jaccard on df-capped
-    candidate pairs vs the 16-component md5-minhash estimate
-    (#matching components / 16). Signatures are computed IN-ROW
-    (array_min over the hashed shingle array per component — no
-    signature shuffle, no extra corpus pass); pairs with exact J ≥ 0.2
-    report mean/max |error| and the mean signed error (≈0 for an
-    unbiased estimator). The measured basis for the banded-LSH
-    parameter choices."""
+    """Estimator-quality audit: exact 3-gram-shingle Jaccard vs the
+    16-component md5-minhash estimate (#matching components / 16) on
+    candidate pairs. The df ≤ 20 cap is CANDIDATE GENERATION only (the
+    recall dial); both the exact Jaccard (in-row intersection of the
+    FULL shingle arrays) and the signatures (array_min over the full
+    hashed shingle array, in-row — no signature shuffle) measure the
+    same full-set statistic, so the reported error is estimator error,
+    not blocking truncation. Pairs with exact J ≥ 0.2 report mean/max
+    |error| and the mean signed error (≈0 for an unbiased estimator).
+    The measured basis for the banded-LSH parameter choices."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
@@ -444,38 +434,43 @@ def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_MH_COMP)
     ]
     sigs = sh_arr.select(
-        "doc_id", F.size("sh").alias("sz"), F.array(*sig_cols).alias("sig")
+        "doc_id", "sh", F.array(*sig_cols).alias("sig")
     ).localCheckpoint()
     # checkpointed: feeds the df build and both self-join sides
     ex = sh_arr.select("doc_id", F.explode("sh").alias("shingle")).localCheckpoint()
     df_tab = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = ex.join(df_tab.filter(F.col("df") <= _MH_DF_CAP), "shingle")
-    shared = (
+    # the df cap is CANDIDATE GENERATION only (the recall dial); both the
+    # exact Jaccard and the signatures must measure the same statistic —
+    # Jaccard over the FULL shingle sets — or the audit would report
+    # blocking truncation as estimator error. Exact J is therefore an
+    # in-row array intersection of the full sets on the candidate pairs.
+    cand = (
         kept.alias("a")
         .join(kept.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("ns"))
+        .distinct()
     )
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("sz").alias("sza"),
+        F.col("sh").alias("sha"),
         F.col("sig").alias("siga"),
     )
     sb = sigs.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("sz").alias("szb"),
+        F.col("sh").alias("shb"),
         F.col("sig").alias("sigb"),
     )
+    ns = F.size(F.array_intersect("sha", "shb"))
     pairs = (
-        shared.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             (
-                F.col("ns")
-                / (F.col("sza") + F.col("szb") - F.col("ns"))
+                ns / (F.size("sha") + F.size("shb") - ns)
             ).alias("j_exact"),
             (
                 F.size(
@@ -515,23 +510,23 @@ WITH words AS (
                                       j -> array_to_string(wd[j:j+2], ' '))) AS sh
   FROM words WHERE len(wd) >= 3
 ), sigs AS (
-  SELECT doc_id, len(sh) AS sz, [{sig}] AS sig FROM sh_arr
+  SELECT doc_id, sh, [{sig}] AS sig FROM sh_arr
 ), ex AS (
   SELECT doc_id, unnest(sh) AS shingle FROM sh_arr
 ), df_tab AS (
   SELECT shingle, count(*) AS df FROM ex GROUP BY 1
 ), kept AS (
   SELECT e.doc_id, e.shingle FROM ex e JOIN df_tab USING (shingle) WHERE df <= {_MH_DF_CAP}
-), shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS ns
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM kept a JOIN kept b USING (shingle)
   WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
 ), pairs AS (
-  SELECT ns * 1.0 / (sa.sz + sb.sz - ns) AS j_exact,
+  SELECT len(list_intersect(sa.sh, sb.sh)) * 1.0
+           / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j_exact,
          len(list_filter(range(1, {_MH_COMP + 1}), i -> sa.sig[i] = sb.sig[i]))
            / {float(_MH_COMP)} AS j_est
-  FROM shared
+  FROM cand
   JOIN sigs sa ON doc_a = sa.doc_id
   JOIN sigs sb ON doc_b = sb.doc_id
 )

@@ -455,7 +455,7 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.log("x")).alias("s"),
         F.min("x").alias("xk1"),
-    )
+    ).filter(F.col("n") > 0)  # empty corpus -> empty result, not a k=-1 row
     num = F.col("s") - F.col("n") * F.log("xk1")
     # degenerate guards (ANSI mode raises on /0): a single row has no
     # tail pairs (n = 1), and an all-equal sample has num = 0 exactly on
@@ -482,6 +482,7 @@ WITH top AS (
 ), a AS (
   SELECT CAST(count(*) AS BIGINT) AS n, sum(ln(x)) AS s, min(x) AS xk1
   FROM top
+  HAVING count(*) > 0
 )
 SELECT n - 1 AS k,
        CAST(xk1 AS BIGINT) AS x_k_plus_1,

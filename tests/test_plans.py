@@ -585,11 +585,8 @@ def test_cusum_windows_partitioned_by_type(spark, sf_dir):
     aggregate — a partition-less window over daily counts would
     serialize the whole series through one task."""
     plan = _plan(spark, sf_dir, "cusum_changepoint")
-    tree = plan.split("\n\n")[0]
     import re
 
-    for m in re.finditer(r"Window", tree):
-        pass
     # formatted detail section lists window specs; assert no empty
     # partition spec windowspecdefinition appears
     detail = plan
