@@ -188,6 +188,80 @@ def probe(spark, docs: DataFrame) -> dict[str, float]:
         ).count()
 
     timed("bm25_score", bm25)
+
+    # round-5 hot operators ------------------------------------------------
+
+    # containment candidate generation: distinct 4-gram shingles →
+    # df-capped inverted-index self-join (the containment_pairs shape)
+    def containment_block():
+        words = docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+            ).alias("w"),
+        )
+        sh = (
+            words.filter(F.size("w") >= 4)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("w") - 4),
+                            lambda j: F.concat_ws(" ", F.slice("w", j + 1, 4)),
+                        )
+                    )
+                ).alias("shingle"),
+            )
+            .localCheckpoint()
+        )
+        df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        kept = sh.join(df_tab.filter(F.col("df") <= 20), "shingle")
+        (
+            kept.alias("a")
+            .join(kept.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+            .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
+            .count()
+            .count()
+        )
+
+    timed("containment_block", containment_block)
+
+    # count-bucket rank table (the vocab_coverage_curve shape): the
+    # global-window input is the distinct-count table — its growth at
+    # 10× shows why the per-word window was replaced
+    def vocab_buckets():
+        wc = (
+            docs.select(
+                F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+            )
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        wc.groupBy("n").agg(F.count(F.lit(1))).count()
+
+    timed("vocab_buckets", vocab_buckets)
+
+    # Efraimidis–Spirakis weighted top-k: scan + bounded heap — should
+    # amortize to near scan-linear
+    def weighted_topk():
+        u = (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(float(1 << 32))
+        (
+            docs.filter(F.col("n_chars") > 0)
+            .select("doc_id", (F.log(u) / F.col("n_chars")).alias("k"))
+            .orderBy(F.desc("k"))
+            .limit(50)
+            .count()
+        )
+
+    timed("weighted_topk", weighted_topk)
     return out
 
 
