@@ -235,6 +235,12 @@ def cosine_neardup_pairs(
 
     spark = df.sparkSession
     rows = df.select(id_col, vec_col).collect()
+    if not rows:
+        # empty corpus: no pairs — return an empty frame instead of an
+        # ndim crash in the normalizer (same guard as _cosine_topk_numpy)
+        return spark.createDataFrame(
+            [], schema="id_a long, id_b long, cos_sim double"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)

@@ -34,6 +34,11 @@ def pagerank(
     teleport term only). Returns ``id``, ``rank``.
     """
     n = nodes.count()
+    if n == 0:
+        # empty graph: no ranks (not a ZeroDivisionError on the teleport)
+        return nodes.select(
+            F.col("id"), F.lit(None).cast("double").alias("rank")
+        )
     teleport = (1.0 - damping) / n
     out = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     trans = (

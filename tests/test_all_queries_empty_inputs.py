@@ -1,0 +1,36 @@
+"""Universal empty-input sweep: EVERY registered query must execute (not
+raise) over structurally-identical empty tables — the degenerate partition
+every 100-TB job eventually meets. Supersedes the per-batch empty-input
+lists for coverage (those remain as faster targeted suites); this sweep is
+what caught the cosine-neardup numpy normalizer crash and the PageRank
+teleport ZeroDivisionError in round 5."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from ra2_datalake_linaresjoan_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_sf_universal")
+    for f in os.listdir(SF):
+        if f.endswith(".parquet"):
+            df = spark.read.parquet(os.path.join(SF, f))
+            df.limit(0).write.mode("overwrite").parquet(str(d / f))
+    return str(d)
+
+
+def test_every_registered_query_survives_empty_tables(spark, empty_sf):
+    failures = []
+    for name, fn in q.queries().items():
+        try:
+            assert fn(spark, empty_sf).count() >= 0
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
+    assert not failures, "\n".join(failures)
