@@ -2303,11 +2303,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_error_audit",
     # batch 23 completes the 50-row window at positions 46-49: the
     # round-5 window is exactly 21 never-checked + 2 changed + 27 new —
-    # no slot spent on a re-verify, cumulative coverage reaches 239/239
+    # no slot spent on a re-verify, cumulative coverage reaches 239/242
+    # with only batch 24 (positions 50-52) left to lead round 6
     "ngram_contamination",
     "quality_survivor_dedup",
     "markov_absorption",
     "dup_rate_sample_estimate",
+    # batch 24 (the only queries past the round-5 window → round-6 head;
+    # all three verified green at sf0.001/0.01/0.1 in round 5)
+    "join_size_sample_estimate",
+    "doc_feature_corr",
+    "split_srm_check",
     # 4. round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2491,6 +2497,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext21 import REGISTRY_EXT21
     from ra2_datalake_linaresjoan_spark.queries_ext22 import REGISTRY_EXT22
     from ra2_datalake_linaresjoan_spark.queries_ext23 import REGISTRY_EXT23
+    from ra2_datalake_linaresjoan_spark.queries_ext24 import REGISTRY_EXT24
 
     merged = {
         **_REGISTRY,
@@ -2529,6 +2536,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT21,
         **REGISTRY_EXT22,
         **REGISTRY_EXT23,
+        **REGISTRY_EXT24,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -43,6 +43,10 @@ ROUND5_QUERIES = [
     "quality_survivor_dedup",
     "markov_absorption",
     "dup_rate_sample_estimate",
+    # batch 24 (pre-flight estimation & EDA)
+    "join_size_sample_estimate",
+    "doc_feature_corr",
+    "split_srm_check",
 ]
 
 
@@ -399,6 +403,37 @@ def test_fuzzy_join_skew_stress_rarest_pair_blocking(spark, tmp_path):
     # the only candidate is the record itself - not the n-sized cohort
     # the hot tokens would produce
     assert max(r["n_candidates"] for r in out) <= 2
+
+
+def test_join_size_estimates_bracket_exact(spark, sf_dir):
+    """The key-correlated estimate must land much closer to exact than
+    sampling alone guarantees; both estimates are non-negative and the
+    exact size equals the true join count by the count-vector formula."""
+    r = q.queries()["join_size_sample_estimate"](spark, sf_dir).collect()[0]
+    li = q._t(spark, sf_dir, "lineitem").select("l_partkey")
+    pt = q._t(spark, sf_dir, "part").select("p_partkey")
+    true_n = li.join(pt, li["l_partkey"] == pt["p_partkey"]).count()
+    assert r["exact_size"] == true_n
+    assert r["key_sample_est"] >= 0 and r["row_sample_est"] >= 0
+    # 10% key sample over thousands of keys: relative error well under 50%
+    assert abs(r["key_rel_err"]) < 0.5
+
+
+def test_doc_feature_corr_bounds_and_strong_pairs(spark, sf_dir):
+    rows = {r["pair"]: r["corr"] for r in q.queries()["doc_feature_corr"](spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for v in rows.values():
+        assert -1.0 <= v <= 1.0
+    # chars and tokens of the same text are strongly positively correlated
+    assert rows["n_chars~n_tok"] > 0.5
+
+
+def test_split_srm_shares_sum_to_one(spark, sf_dir):
+    rows = q.queries()["split_srm_check"](spark, sf_dir).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    assert sum(r["observed_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert sum(r["expected_share"] for r in rows) == pytest.approx(1.0)
+    assert all(r["chi2_term"] >= 0 for r in rows)
 
 
 def test_centroid_shift_zero_for_identical_halves(spark, tmp_path):
