@@ -2309,11 +2309,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_survivor_dedup",
     "markov_absorption",
     "dup_rate_sample_estimate",
-    # batch 24 (the only queries past the round-5 window → round-6 head;
-    # all three verified green at sf0.001/0.01/0.1 in round 5)
+    # batches 24-25 (past the round-5 window → round-6 head; all seven
+    # verified green at sf0.001/0.01/0.1 in round 5)
     "join_size_sample_estimate",
     "doc_feature_corr",
     "split_srm_check",
+    "dedup_method_venn",
+    "mutual_knn_rate",
+    "crosslang_oov_matrix",
+    "laspeyres_price_index",
     # 4. round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2498,6 +2502,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext22 import REGISTRY_EXT22
     from ra2_datalake_linaresjoan_spark.queries_ext23 import REGISTRY_EXT23
     from ra2_datalake_linaresjoan_spark.queries_ext24 import REGISTRY_EXT24
+    from ra2_datalake_linaresjoan_spark.queries_ext25 import REGISTRY_EXT25
 
     merged = {
         **_REGISTRY,
@@ -2537,6 +2542,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT22,
         **REGISTRY_EXT23,
         **REGISTRY_EXT24,
+        **REGISTRY_EXT25,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -47,6 +47,11 @@ ROUND5_QUERIES = [
     "join_size_sample_estimate",
     "doc_feature_corr",
     "split_srm_check",
+    # batch 25 (method-comparison & composition audits)
+    "dedup_method_venn",
+    "mutual_knn_rate",
+    "crosslang_oov_matrix",
+    "laspeyres_price_index",
 ]
 
 
@@ -434,6 +439,43 @@ def test_split_srm_shares_sum_to_one(spark, sf_dir):
     assert sum(r["observed_share"] for r in rows) == pytest.approx(1.0, abs=1e-4)
     assert sum(r["expected_share"] for r in rows) == pytest.approx(1.0)
     assert all(r["chi2_term"] >= 0 for r in rows)
+
+
+def test_dedup_venn_partitions_the_corpus(spark, sf_dir):
+    rows = q.queries()["dedup_method_venn"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    # an exact dup is by definition also a canonical dup (canonicalization
+    # only merges classes)
+    assert not any(r["exact"] and not r["canonical"] for r in rows)
+
+
+def test_mutual_knn_rate_bounds(spark, sf_dir):
+    r = q.queries()["mutual_knn_rate"](spark, sf_dir).collect()[0]
+    assert r["n_vectors"] > 0
+    assert 0 <= r["n_mutual_pairs"] * 2 <= r["n_directed_edges"]
+    assert 0.0 <= r["mutuality_rate"] <= 1.0
+
+
+def test_crosslang_oov_diagonal_is_one(spark, sf_dir):
+    rows = {
+        (r["vocab_lang"], r["text_lang"]): r["covered_share"]
+        for r in q.queries()["crosslang_oov_matrix"](spark, sf_dir).collect()
+    }
+    langs = {a for a, _ in rows}
+    for lang in langs:
+        assert rows[(lang, lang)] == pytest.approx(1.0)
+    for v in rows.values():
+        assert 0.0 < v <= 1.0
+
+
+def test_laspeyres_base_year_is_one(spark, sf_dir):
+    rows = q.queries()["laspeyres_price_index"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    # the base year's index is identically 1 (p_t = p_0)
+    assert rows[0]["laspeyres_index"] == pytest.approx(1.0)
+    assert all(r["laspeyres_index"] > 0 for r in rows)
+    assert all(r["n_basket_parts"] > 0 for r in rows)
 
 
 def test_centroid_shift_zero_for_identical_halves(spark, tmp_path):
