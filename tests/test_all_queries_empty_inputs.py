@@ -34,3 +34,41 @@ def test_every_registered_query_survives_empty_tables(spark, empty_sf):
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def identical_docs_sf(spark, tmp_path_factory):
+    """Adversarial corpus: 200 documents with IDENTICAL text — one giant
+    duplicate cluster, every shingle at df = n_docs (the worst case for
+    inverted-index blocking), zero vocabulary diversity."""
+    d = tmp_path_factory.mktemp("same_sf")
+    for f in os.listdir(SF):
+        if not f.endswith(".parquet"):
+            continue
+        df = spark.read.parquet(os.path.join(SF, f))
+        if f == "documents.parquet":
+            one = df.limit(1).collect()[0]
+            rows = [
+                (i, one["text"], one["lang"], one["source"], one["n_chars"])
+                for i in range(200)
+            ]
+            spark.createDataFrame(rows, df.schema).write.mode("overwrite").parquet(
+                str(d / f)
+            )
+        else:
+            df.limit(50).write.mode("overwrite").parquet(str(d / f))
+    return str(d)
+
+
+def test_every_registered_query_survives_identical_docs(spark, identical_docs_sf):
+    """Degenerate-diversity robustness: a giant dup cluster and df-
+    saturated shingles must degrade gracefully everywhere (df caps drop
+    candidates, windows see one big partition, entropy goes to 0) —
+    never raise."""
+    failures = []
+    for name, fn in q.queries().items():
+        try:
+            assert fn(spark, identical_docs_sf).count() >= 0
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
+    assert not failures, "\n".join(failures)
