@@ -1,10 +1,11 @@
-"""Streaming sketch maintenance: a count-min sketch kept up to date by
-Structured Streaming's own aggregation state store.
+"""Streaming sketch maintenance: a count-min sketch AND a Bloom filter
+kept up to date by Structured Streaming's own aggregation state store.
 
-The trick that makes this scale-safe: a CMS is a (depth × width) grid of
-counters, and streaming aggregation state is keyed storage — so keying
-the running aggregate by (depth, cell) makes the state store ITSELF the
-sketch, bounded at D·W keys no matter how many events flow through.
+The trick that makes this scale-safe: both sketches are fixed grids of
+counters/bits, and streaming aggregation state is keyed storage — so
+keying the running aggregate by (depth, cell) / bit position makes the
+state store ITSELF the sketch, bounded at D·W (resp. m) keys no matter
+how many events flow through.
 No watermark is needed for state-size control (the classic unbounded-
 keys hazard of complete/update aggregations does not apply when the key
 domain is hash-bounded); output mode ``update`` emits only touched
@@ -61,6 +62,70 @@ def streaming_cms(
         .groupBy("depth", "cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+BLOOM_M = 65536
+BLOOM_K = 3
+
+
+def bloom_bits(df: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Explode each row into its ``k`` Bloom bit positions (8-hex-char
+    md5 slices mod m — the same family ``bloom_dedup`` uses). Works
+    identically on batch and streaming frames."""
+    bits = F.array(
+        *[
+            F.conv(F.substring(F.md5(F.col(key_col)), 1 + 8 * j, 8), 16, 10)
+            .cast("long")
+            % m
+            for j in range(k)
+        ]
+    )
+    return df.select(F.explode(bits).alias("bit"))
+
+
+def streaming_bloom(
+    stream: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Running Bloom filter over a stream: groupBy bit position — the
+    aggregation state store IS the bit set, bounded at m keys by
+    construction (the same hash-bounded-key-domain trick as
+    ``streaming_cms``; no watermark needed). Output mode ``update``
+    emits only newly-touched/incremented bits per micro-batch; the
+    accumulated (bit, n) table is the standing-corpus membership state
+    an incremental-ingest dedup consults."""
+    return (
+        bloom_bits(stream, key_col, m, k)
+        .groupBy("bit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bloom_probe(bits: DataFrame, probes: DataFrame, key_col: str,
+                m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Membership probes against a materialized bit set: a key is a
+    maybe-member iff ALL k of its bits are present. Left joins with a
+    presence-coalesce per bit — a probe whose bits were never touched
+    still returns a row (``maybe_member = false``), the same
+    unseen-key contract as ``cms_estimate``."""
+    probe_bits = probes.select(
+        key_col,
+        *[
+            (
+                F.conv(F.substring(F.md5(F.col(key_col)), 1 + 8 * j, 8), 16, 10)
+                .cast("long")
+                % m
+            ).alias(f"b{j}")
+            for j in range(k)
+        ],
+    )
+    est = probe_bits
+    for j in range(k):
+        bj = bits.select(F.col("bit").alias(f"b{j}"), F.lit(True).alias(f"hit{j}"))
+        est = est.join(F.broadcast(bj), f"b{j}", "left")
+    all_hit = F.lit(True)
+    for j in range(k):
+        all_hit = all_hit & F.coalesce(F.col(f"hit{j}"), F.lit(False))
+    return est.select(key_col, all_hit.alias("maybe_member"))
 
 
 def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str,

@@ -322,6 +322,47 @@ def test_streaming_cms_matches_batch_sketch(spark, events_stream):
     assert all(est[k] >= exact[k] for k in exact)
 
 
+def test_streaming_bloom_matches_batch_and_probes(spark, events_stream):
+    """The stream-maintained Bloom bit set must be IDENTICAL to the
+    batch-built set over the same data, its state key domain is
+    m-bounded by construction, and probes obey the Bloom contract: a
+    seen key is ALWAYS maybe_member; an unseen key returns a row
+    (not silently dropped) and — at this fill factor — false."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        BLOOM_M,
+        bloom_bits,
+        bloom_probe,
+        streaming_bloom,
+    )
+
+    out = run_to_memory(
+        streaming_bloom(events_stream, "event_type"), "t_bloom", spark
+    )
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    expected = (
+        bloom_bits(batch, "event_type")
+        .groupBy("bit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _rows(out, ["bit", "n"]) == _rows(expected, ["bit", "n"])
+    assert out.count() <= BLOOM_M
+
+    probes = batch.select("event_type").distinct().union(
+        spark.createDataFrame([("never-seen-type-zzz",)], ["event_type"])
+    )
+    got = {
+        r["event_type"]: r["maybe_member"]
+        for r in bloom_probe(out, probes, "event_type").collect()
+    }
+    assert "never-seen-type-zzz" in got
+    # 5 event types x 3 bits over 2^16 positions: the unseen key's 3
+    # bits all colliding is ~(15/65536)^3 — deterministic md5, so this
+    # either always passes or the constants changed
+    assert got["never-seen-type-zzz"] is False
+    for r in batch.select("event_type").distinct().collect():
+        assert got[r["event_type"]] is True
+
+
 def test_cms_estimate_unseen_probe_returns_zero(spark):
     """A probe key absent from the stream must still produce a row: its
     untouched cells coalesce to 0, so the min-over-depths estimate is 0
