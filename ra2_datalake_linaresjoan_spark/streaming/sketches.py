@@ -128,6 +128,61 @@ def bloom_probe(bits: DataFrame, probes: DataFrame, key_col: str,
     return est.select(key_col, all_hit.alias("maybe_member"))
 
 
+HLL_M = 1024  # registers (b = 10 index bits)
+
+
+def hll_registers(df: DataFrame, key_col: str, m: int = HLL_M) -> DataFrame:
+    """Explode each row into its HLL (register, rho) observation:
+    register = first md5 word mod m, rho = leading-zero count of the
+    second 32-bit md5 word + 1 (computed EXACTLY via the length of the
+    binary string — no float log2 at bucket boundaries). Works
+    identically on batch and streaming frames; aggregate with
+    ``max(rho)`` per register."""
+    h1 = F.conv(F.substring(F.md5(F.col(key_col)), 1, 8), 16, 10).cast("long")
+    w = F.conv(F.substring(F.md5(F.col(key_col)), 9, 8), 16, 10).cast("long")
+    rho = F.when(w == 0, F.lit(33)).otherwise(33 - F.length(F.bin(w)))
+    return df.select((h1 % m).alias("register"), rho.cast("int").alias("rho"))
+
+
+def streaming_hll(
+    stream: DataFrame, key_col: str, m: int = HLL_M
+) -> DataFrame:
+    """Running HyperLogLog over a stream: groupBy register with a MAX
+    aggregate — the state store is the register array, bounded at m
+    keys by construction (the third member of the hash-bounded sketch
+    family, after the CMS grid and the Bloom bit set). max() is the
+    HLL merge operator, so micro-batch partials combine exactly."""
+    return (
+        hll_registers(stream, key_col, m)
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
+    """Cardinality estimate from a materialized register table (missing
+    registers count as rho = 0), with the standard small-range
+    linear-counting correction. One row: n_registers_set, estimate."""
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("n_set"),
+        F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)).alias(
+            "s_set"
+        ),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    zeros = F.lit(m) - F.col("n_set")
+    s = F.col("s_set") + zeros  # absent registers contribute 2^0 = 1
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return agg.select(
+        F.col("n_set").alias("n_registers_set"),
+        F.round(est, 2).alias("estimate"),
+    )
+
+
 def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str,
                  width: int = CMS_W, depth: int = CMS_D) -> DataFrame:
     """Point-estimate lookups against a materialized sketch: min over

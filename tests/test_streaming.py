@@ -363,6 +363,36 @@ def test_streaming_bloom_matches_batch_and_probes(spark, events_stream):
         assert got[r["event_type"]] is True
 
 
+def test_streaming_hll_matches_batch_and_estimates(spark, events_stream):
+    """The stream-maintained HLL registers must be IDENTICAL to the
+    batch-built registers (max is the merge operator, so micro-batch
+    partials combine exactly), the state is m-bounded, and the
+    cardinality estimate lands within HLL's accuracy envelope of the
+    exact distinct count."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+        streaming_hll,
+    )
+
+    stream_keyed = events_stream.selectExpr("CAST(user_id AS STRING) AS k")
+    out = run_to_memory(streaming_hll(stream_keyed, "k"), "t_hll", spark)
+    batch = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "CAST(user_id AS STRING) AS k"
+    )
+    expected = (
+        hll_registers(batch, "k").groupBy("register").agg(F.max("rho").alias("rho"))
+    )
+    assert _rows(out, ["register", "rho"]) == _rows(expected, ["register", "rho"])
+    assert out.count() <= HLL_M
+
+    est = hll_estimate(out).collect()[0]["estimate"]
+    exact = batch.distinct().count()
+    # m = 1024 -> ~3.25% standard error; allow 4 sigma
+    assert abs(est - exact) / exact < 0.13
+
+
 def test_cms_estimate_unseen_probe_returns_zero(spark):
     """A probe key absent from the stream must still produce a row: its
     untouched cells coalesce to 0, so the min-over-depths estimate is 0
