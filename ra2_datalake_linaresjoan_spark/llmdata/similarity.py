@@ -189,7 +189,13 @@ def cosine_neardup_pairs(
         small = df.limit(MAX_COLLECT_ROWS + 1).count() <= MAX_COLLECT_ROWS
         method = "numpy" if small else "lsh"
     if method == "lsh":
-        dim = len(df.select(vec_col).first()[0])
+        head = df.select(vec_col).first()
+        if head is None:
+            # empty corpus: no pairs — same contract as the numpy path
+            return df.sparkSession.createDataFrame(
+                [], schema="id_a long, id_b long, cos_sim double"
+            )
+        dim = len(head[0])
         b = _bucket_ids(df, id_col, vec_col, "_bid", dim, planes=8, tables=4, seed=42)
         cand = (
             b.alias("l")

@@ -307,11 +307,12 @@ def q_split_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_obs")
     )
     tot = per.agg(F.sum("n_obs").alias("total"))
-    exp_share = (
-        F.when(F.col("split") == "train", F.lit(0.90))
-        .when(F.col("split") == "val", F.lit(0.05))
-        .otherwise(F.lit(0.05))
-    )
+    # expected shares come from the one _SRM_SHARES source of truth
+    exp_share = F.lit(None).cast("double")
+    for name, share in _SRM_SHARES.items():
+        exp_share = F.when(F.col("split") == name, F.lit(share)).otherwise(
+            exp_share
+        )
     e = F.col("total") * exp_share
     return (
         per.crossJoin(F.broadcast(tot))

@@ -248,19 +248,29 @@ def q_crosslang_oov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
     ).filter(F.col("word") != "")
     wc = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
-    vocab = wc.select(F.col("lang").alias("vocab_lang"), "word").distinct()
+    # (lang, word) is already unique after the groupBy — no distinct needed
+    vocab = wc.select(F.col("lang").alias("vocab_lang"), "word")
     totals = wc.groupBy("lang").agg(F.sum("n").alias("total"))
     covered = (
         wc.join(vocab, "word")
         .groupBy("vocab_lang", F.col("lang").alias("text_lang"))
         .agg(F.sum("n").alias("cov"))
     )
+    # full ordered grid so fully-OOV pairs report 0.0 instead of
+    # silently vanishing from the matrix
+    langs = totals.select("lang")
+    grid = langs.select(F.col("lang").alias("vocab_lang")).crossJoin(
+        langs.select(F.col("lang").alias("text_lang"))
+    )
     return (
-        covered.join(totals, covered["text_lang"] == totals["lang"])
+        grid.join(covered, ["vocab_lang", "text_lang"], "left")
+        .join(totals, grid["text_lang"] == totals["lang"])
         .select(
             "vocab_lang",
             "text_lang",
-            F.round(F.col("cov") / F.col("total"), 6).alias("covered_share"),
+            F.round(
+                F.coalesce(F.col("cov"), F.lit(0)) / F.col("total"), 6
+            ).alias("covered_share"),
         )
         .orderBy("vocab_lang", "text_lang")
     )
@@ -275,18 +285,23 @@ WITH tok AS (
 ), wc AS (
   SELECT lang, word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2
 ), vocab AS (
-  SELECT DISTINCT lang AS vocab_lang, word FROM wc
+  SELECT lang AS vocab_lang, word FROM wc
 ), totals AS (
   SELECT lang, CAST(sum(n) AS BIGINT) AS total FROM wc GROUP BY 1
 ), covered AS (
   SELECT v.vocab_lang, w.lang AS text_lang, CAST(sum(w.n) AS BIGINT) AS cov
   FROM wc w JOIN vocab v USING (word)
   GROUP BY 1, 2
+), grid AS (
+  SELECT a.lang AS vocab_lang, b.lang AS text_lang
+  FROM totals a CROSS JOIN totals b
 )
-SELECT vocab_lang, text_lang,
-       round(CAST(cov AS DOUBLE) / total, 6) AS covered_share
-FROM covered JOIN totals ON text_lang = totals.lang
-ORDER BY vocab_lang, text_lang
+SELECT g.vocab_lang, g.text_lang,
+       round(CAST(coalesce(cov, 0) AS DOUBLE) / total, 6) AS covered_share
+FROM grid g
+LEFT JOIN covered c ON g.vocab_lang = c.vocab_lang AND g.text_lang = c.text_lang
+JOIN totals t ON g.text_lang = t.lang
+ORDER BY g.vocab_lang, g.text_lang
 """
 
 

@@ -71,7 +71,15 @@ BLOOM_K = 3
 def bloom_bits(df: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
     """Explode each row into its ``k`` Bloom bit positions (8-hex-char
     md5 slices mod m — the same family ``bloom_dedup`` uses). Works
-    identically on batch and streaming frames."""
+    identically on batch and streaming frames. md5 yields exactly four
+    8-hex words, so k ≤ 4 is enforced — a 5th slice would be the empty
+    string, conv to NULL, and silently turn every probe into a false
+    negative."""
+    if k > 4:
+        raise ValueError(
+            f"bloom k={k} exceeds the 4 independent 8-hex md5 slices — "
+            "re-hash with per-j salts if more hash functions are needed"
+        )
     bits = F.array(
         *[
             F.conv(F.substring(F.md5(F.col(key_col)), 1 + 8 * j, 8), 16, 10)
@@ -106,7 +114,11 @@ def bloom_probe(bits: DataFrame, probes: DataFrame, key_col: str,
     maybe-member iff ALL k of its bits are present. Left joins with a
     presence-coalesce per bit — a probe whose bits were never touched
     still returns a row (``maybe_member = false``), the same
-    unseen-key contract as ``cms_estimate``."""
+    unseen-key contract as ``cms_estimate``. The bit table is reduced
+    to distinct positions first, so an ACCUMULATED update-mode sink
+    (one row per (bit, micro-batch)) probes correctly instead of
+    fanning out t^k duplicate rows per key."""
+    bits = bits.select("bit").distinct()
     probe_bits = probes.select(
         key_col,
         *[
@@ -162,7 +174,11 @@ def streaming_hll(
 def hll_estimate(registers: DataFrame, m: int = HLL_M) -> DataFrame:
     """Cardinality estimate from a materialized register table (missing
     registers count as rho = 0), with the standard small-range
-    linear-counting correction. One row: n_registers_set, estimate."""
+    linear-counting correction. One row: n_registers_set, estimate.
+    The input reduces to max(rho) per register first, so an ACCUMULATED
+    update-mode sink (one row per (register, micro-batch)) estimates
+    correctly — max is the HLL merge, so re-merging is free."""
+    registers = registers.groupBy("register").agg(F.max("rho").alias("rho"))
     agg = registers.agg(
         F.count(F.lit(1)).alias("n_set"),
         F.coalesce(F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)).alias(

@@ -478,6 +478,19 @@ def test_laspeyres_base_year_is_one(spark, sf_dir):
     assert all(r["n_basket_parts"] > 0 for r in rows)
 
 
+def test_cosine_neardup_lsh_path_empty_corpus(spark):
+    """The LSH route (what `auto` takes beyond MAX_COLLECT_ROWS) must
+    return an empty frame on an empty corpus, like the numpy path."""
+    from ra2_datalake_linaresjoan_spark.llmdata.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = cosine_neardup_pairs(empty, method="lsh")
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cos_sim"]
+
+
 def test_centroid_shift_zero_for_identical_halves(spark, tmp_path):
     d = str(tmp_path / "emb_same")
     rows = [(i, [float(i % 3), 1.0, -2.5], i % 2) for i in range(20)]

@@ -393,6 +393,39 @@ def test_streaming_hll_matches_batch_and_estimates(spark, events_stream):
     assert abs(est - exact) / exact < 0.13
 
 
+def test_sketch_consumers_tolerate_accumulated_update_sinks(spark):
+    """An update-mode sink accumulates one row per (key, micro-batch).
+    bloom_probe and hll_estimate must reduce that to the latest/merged
+    state instead of fanning out duplicate rows or miscounting
+    registers."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        bloom_bits,
+        bloom_probe,
+        hll_estimate,
+        hll_registers,
+    )
+
+    seen = spark.createDataFrame([("a",), ("b",)], ["k"])
+    bits_once = (
+        bloom_bits(seen, "k").groupBy("bit").agg(F.count(F.lit(1)).alias("n"))
+    )
+    # simulate 3 micro-batch rows per bit
+    bits_acc = bits_once.union(bits_once).union(bits_once)
+    probes = spark.createDataFrame([("a",), ("zz-unseen",)], ["k"])
+    rows = bloom_probe(bits_acc, probes, "k").collect()
+    assert len(rows) == 2  # one row per probe, no t^k fan-out
+    got = {r["k"]: r["maybe_member"] for r in rows}
+    assert got["a"] is True and got["zz-unseen"] is False
+
+    regs_once = (
+        hll_registers(seen, "k").groupBy("register").agg(F.max("rho").alias("rho"))
+    )
+    regs_acc = regs_once.union(regs_once).union(regs_once)
+    est_once = hll_estimate(regs_once).collect()[0]
+    est_acc = hll_estimate(regs_acc).collect()[0]
+    assert est_once == est_acc
+
+
 def test_cms_estimate_unseen_probe_returns_zero(spark):
     """A probe key absent from the stream must still produce a row: its
     untouched cells coalesce to 0, so the min-over-depths estimate is 0
