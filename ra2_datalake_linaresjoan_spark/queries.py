@@ -2318,6 +2318,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "mutual_knn_rate",
     "crosslang_oov_matrix",
     "laspeyres_price_index",
+    "hll_register_estimate",
+    "bloom_membership_audit",
     # 4. round-1-stale re-verifies
     "event_type_top10",
     "conditional_agg",
@@ -2503,6 +2505,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext23 import REGISTRY_EXT23
     from ra2_datalake_linaresjoan_spark.queries_ext24 import REGISTRY_EXT24
     from ra2_datalake_linaresjoan_spark.queries_ext25 import REGISTRY_EXT25
+    from ra2_datalake_linaresjoan_spark.queries_ext26 import REGISTRY_EXT26
 
     merged = {
         **_REGISTRY,
@@ -2543,6 +2546,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT23,
         **REGISTRY_EXT24,
         **REGISTRY_EXT25,
+        **REGISTRY_EXT26,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -52,6 +52,9 @@ ROUND5_QUERIES = [
     "mutual_knn_rate",
     "crosslang_oov_matrix",
     "laspeyres_price_index",
+    # batch 26 (sketch kernels under the oracle gate)
+    "hll_register_estimate",
+    "bloom_membership_audit",
 ]
 
 
@@ -489,6 +492,22 @@ def test_cosine_neardup_lsh_path_empty_corpus(spark):
     out = cosine_neardup_pairs(empty, method="lsh")
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "cos_sim"]
+
+
+def test_hll_estimate_accuracy_envelope(spark, sf_dir):
+    r = q.queries()["hll_register_estimate"](spark, sf_dir).collect()[0]
+    assert 0 < r["n_registers_set"] <= 1024
+    # m = 1024 -> ~3.25% standard error; 4 sigma envelope
+    assert abs(r["rel_err"]) < 0.13
+    assert r["estimate"] > 0 and r["n_exact"] > 0
+
+
+def test_bloom_audit_no_false_negatives(spark, sf_dir):
+    r = q.queries()["bloom_membership_audit"](spark, sf_dir).collect()[0]
+    # the Bloom guarantee: every seen probe flags maybe-member
+    assert r["n_seen_flagged"] == r["n_seen_probes"] > 0
+    assert 0 <= r["n_false_positives"] <= r["n_unseen_probes"]
+    assert 0.0 <= r["fp_rate"] <= 1.0
 
 
 def test_centroid_shift_zero_for_identical_halves(spark, tmp_path):
