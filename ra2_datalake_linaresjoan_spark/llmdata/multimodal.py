@@ -104,6 +104,7 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "numpy":
             from ra2_datalake_linaresjoan_spark.llmdata.numpy_codecs import (
+                IMAGE_FEATURE_DIM,
                 decode_image,
                 image_features,
             )
@@ -114,12 +115,13 @@ def extract_features(
                 )
             if mode == "numpy":
                 # null/empty payloads (schema allows them) degrade to the
-                # all-zero feature (image_features' 6+4-dim shape) instead
-                # of crashing the decoder, matching the stub path's tolerance
+                # all-zero feature — sized by IMAGE_FEATURE_DIM so a
+                # feature-set change can never desync degraded rows from
+                # real rows' vector length
                 feats = [
                     image_features(decode_image(bytes(p), m["mime"]))
                     if p is not None and len(p) > 0
-                    else [0.0] * 10
+                    else [0.0] * IMAGE_FEATURE_DIM
                     for p, m in zip(pdf["payload"], pdf["meta"])
                 ]
             else:

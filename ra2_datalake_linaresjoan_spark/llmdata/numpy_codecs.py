@@ -100,7 +100,18 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     return arr[ys][:, xs]
 
 
-def image_features(arr: np.ndarray, luma_bins: int = 4) -> list[float]:
+#: Output dimensionality of ``image_features`` at its default
+#: ``luma_bins``: 3 channel means + 3 channel stds + the histogram.
+#: Consumers needing a shape-matched degraded row (null payload) must use
+#: this instead of hardcoding 10, so a feature-set change cannot silently
+#: desync real and degraded vectors.
+IMAGE_FEATURE_LUMA_BINS = 4
+IMAGE_FEATURE_DIM = 6 + IMAGE_FEATURE_LUMA_BINS
+
+
+def image_features(
+    arr: np.ndarray, luma_bins: int = IMAGE_FEATURE_LUMA_BINS
+) -> list[float]:
     """Real image features: per-channel mean and std plus a normalized
     luminance histogram — 6 + ``luma_bins`` dims, all from actual
     pixels."""

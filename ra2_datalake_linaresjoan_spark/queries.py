@@ -2232,85 +2232,17 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-5 rotation ------------------------------------------------
-    # CORRECTNESS_r04 verified exactly the previous first 50 (50/50 green,
-    # no err); cumulative driver coverage r1-r4 = 191/212, and the 21
-    # queries below are the only ones never driver-checked (they sat at
-    # positions 50-70 last round, just outside the window). This prefix
-    # leads with:
-    #   1. all 21 never-driver-checked queries (round-4 batches 2-4:
-    #      LLM 11-13 + ext 16-19),
-    #   2. the queries whose implementation changed this round
-    #      (fuzzy_join rarest-token blocking, revenue_decile_lift
-    #      size-guarded deciles; vocab_coverage_curve also changed but
-    #      is already in group 1),
-    #   3. round-5 additions (new queries — never checked by definition),
-    #   4. round-1-stale re-verifies (last driver-confirmed in r1), then
-    #      round-2-stale, then the round-4-confirmed set (freshest last).
-    # A 50-row driver window covers groups 1-3 fully plus the stalest r1
-    # re-verifies, taking cumulative driver coverage to 212-of-212 of the
-    # pre-round-5 registry. ROUND-END CHECKLIST: re-audit this list after
-    # every added batch — the first 50 names must be exactly
-    # never-checked + changed + new + stalest.
-    # 1. never driver-verified in r1-r4
-    "kl_divergence_sources",
-    "bigram_lm_perplexity",
-    "tfidf_cosine_pairs",
-    "robust_scaler_embeddings",
-    "chi2_independence",
-    "nation_jaccard",
-    "zipf_fit",
-    "gini_spend",
-    "winnow_fingerprints",
-    "chunk_overlap_audit",
-    "dedup_threshold_sweep",
-    "stratified_split_assign",
-    "padding_waste_sweep",
-    "skew_diagnosis",
-    "multimodal_real_decode",
-    "audio_real_decode",
-    "vocab_coverage_curve",
-    "session_survival_curve",
-    "dup_inflation_by_source",
-    "ngram_entropy_rate",
-    "inter_event_time_dist",
-    # 2. implementation changed this round
-    "fuzzy_join",
-    "revenue_decile_lift",
-    # 3. round-5 additions
-    "benford_digits",
-    "cusum_changepoint",
-    "decayed_event_counts",
-    "encoding_advisor",
-    "interval_union_coverage",
-    "degree_assortativity",
-    "boilerplate_blocks",
-    "containment_pairs",
-    "auc_quality_score",
-    "pmi_phrases",
-    "weighted_sample_topk",
-    "hill_tail_index",
-    "reciprocal_rank_fusion",
-    "ndcg_eval",
-    "knn_accuracy",
-    "cohens_kappa",
-    "hhi_concentration",
-    "embedding_centroid_shift",
-    "markov_stationary",
-    "cms_width_sweep",
-    "wilson_ci",
-    "char_ngram_langid",
-    "minhash_error_audit",
-    # batch 23 completes the 50-row window at positions 46-49: the
-    # round-5 window is exactly 21 never-checked + 2 changed + 27 new —
-    # no slot spent on a re-verify, cumulative coverage reaches 239/242
-    # with only batch 24 (positions 50-52) left to lead round 6
-    "ngram_contamination",
-    "quality_survivor_dedup",
-    "markov_absorption",
-    "dup_rate_sample_estimate",
-    # batches 24-25 (past the round-5 window → round-6 head; all seven
-    # verified green at sf0.001/0.01/0.1 in round 5)
+    # -- round-6 rotation ------------------------------------------------
+    # CORRECTNESS_r05 verified exactly the previous first 50 (50/50
+    # green).  Cumulative driver coverage r1-r5 = 239/248; the 9 queries
+    # below (batches 24-26) are the ONLY never-driver-checked ones (they
+    # sat at positions 50-58 last round).  Round-6 window = those 9, then
+    # the queries whose implementation changed this round, then round-6
+    # additions, then the stalest (round-1-verified) re-verifies.  The
+    # rotation is now enforced mechanically by
+    # tests/test_driver_window.py: every registry query with no green row
+    # in any CORRECTNESS_r*.json must sit inside the first 50.
+    # 1. never driver-verified in r1-r5 (all green locally at 3 scales)
     "join_size_sample_estimate",
     "doc_feature_corr",
     "split_srm_check",
@@ -2320,7 +2252,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "laspeyres_price_index",
     "hll_register_estimate",
     "bloom_membership_audit",
-    # 4. round-1-stale re-verifies
+    # 2. implementation changed in round 6 (ngram_contamination: size-
+    #    guarded eval-gram broadcast; revenue_decile_lift: deduped
+    #    approxQuantile boundaries on the large path)
+    "ngram_contamination",
+    "revenue_decile_lift",
+    # 3. round-6 additions go here (insert new queries as they land)
+    # 4. stalest re-verifies: last driver-confirmed in r1, then r2, r3,
+    #    r4, r5 (freshest last).  The 50-row window cuts inside the r1
+    #    group; the remainder rotates forward next round.
+    # -- last driver-checked: round 1 --
     "event_type_top10",
     "conditional_agg",
     "count_distinct",
@@ -2367,7 +2308,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "normalize_boolean_parity",
     "clean_string_parity",
     "classifier_parity",
-    # round-2-stale re-verifies
+    # -- last driver-checked: round 2 --
     "simhash_neardup",
     "ann_lsh",
     "ann_ivf",
@@ -2414,7 +2355,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "heavy_hitter_words",
     "cluster_tightness",
     "approx_distinct_guarantee",
-    # 5. round-4-confirmed (freshest driver rows — re-verify last)
+    # -- last driver-checked: round 4 --
     "session_islands",
     "seq_packing",
     "contamination",
@@ -2464,6 +2405,55 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hapax_rate",
     "event_trigram_paths",
     "dow_seasonality",
+    # -- last driver-checked: round 5 --
+    "kl_divergence_sources",
+    "bigram_lm_perplexity",
+    "tfidf_cosine_pairs",
+    "robust_scaler_embeddings",
+    "chi2_independence",
+    "nation_jaccard",
+    "zipf_fit",
+    "gini_spend",
+    "winnow_fingerprints",
+    "chunk_overlap_audit",
+    "dedup_threshold_sweep",
+    "stratified_split_assign",
+    "padding_waste_sweep",
+    "skew_diagnosis",
+    "multimodal_real_decode",
+    "audio_real_decode",
+    "vocab_coverage_curve",
+    "session_survival_curve",
+    "dup_inflation_by_source",
+    "ngram_entropy_rate",
+    "inter_event_time_dist",
+    "fuzzy_join",
+    "benford_digits",
+    "cusum_changepoint",
+    "decayed_event_counts",
+    "encoding_advisor",
+    "interval_union_coverage",
+    "degree_assortativity",
+    "boilerplate_blocks",
+    "containment_pairs",
+    "auc_quality_score",
+    "pmi_phrases",
+    "weighted_sample_topk",
+    "hill_tail_index",
+    "reciprocal_rank_fusion",
+    "ndcg_eval",
+    "knn_accuracy",
+    "cohens_kappa",
+    "hhi_concentration",
+    "embedding_centroid_shift",
+    "markov_stationary",
+    "cms_width_sweep",
+    "wilson_ci",
+    "char_ngram_langid",
+    "minhash_error_audit",
+    "quality_survivor_dedup",
+    "markov_absorption",
+    "dup_rate_sample_estimate",
 )
 
 

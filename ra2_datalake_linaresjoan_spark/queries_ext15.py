@@ -100,7 +100,11 @@ def q_revenue_decile_lift(
     pass) and rows bucket against the broadcast splits with a when-chain
     — no WindowExec over data-sized input. The quantile path is
     rank-approximate under heavy ties (decile populations follow value
-    boundaries, not exact tenths); shares remain exact for the reported
+    boundaries, not exact tenths): duplicate quantile boundaries are
+    deduped before the when-chain, so populated deciles are always the
+    CONTIGUOUS range 1..(#distinct boundaries + 1) — under heavy ties
+    fewer than 10 decile numbers appear (the trailing numbers are
+    absent, never interior gaps). Shares remain exact for the reported
     buckets. The guard itself is a capped ``limit(N+1).count()`` probe —
     one extra aggregation job at call time."""
     orders = _t(spark, sf_dir, "orders")
@@ -115,7 +119,11 @@ def q_revenue_decile_lift(
         # decile 1 = top spenders: bucket by descending value boundaries
         probs = [i / 10 for i in range(1, 10)]
         qs = per_cust.stat.approxQuantile("cents", probs, 0.0001)
-        # qs ascending: qs[8] = 90th pct. decile = 1 + #boundaries >= cents
+        # qs ascending: qs[8] = 90th pct. decile = 1 + #boundaries > cents.
+        # Dedupe: under heavy ties approxQuantile repeats a boundary, and
+        # an un-deduped chain would double-increment past it — skipping
+        # interior decile numbers entirely.
+        qs = sorted(set(qs))
         dec = F.lit(1)
         for q in qs:
             dec = dec + (F.col("cents") < F.lit(q)).cast("int")

@@ -40,13 +40,29 @@ from ra2_datalake_linaresjoan_spark.queries import _t
 
 _NC_N = 8
 _NC_EVAL_MOD = 97
+#: Max distinct eval grams to broadcast. The eval slice is defined as
+#: doc_id % 97 == 0 — i.e. ~1% OF THE CORPUS, so its gram set grows
+#: linearly with data and an unconditional broadcast OOMs executors at
+#: 100-TB scale (round-5 verdict finding #2). Above the cap the semi-join
+#: falls back to a shuffle join. 1M 8-grams ≈ 60-100 MB serialized —
+#: comfortably under a 1-GiB broadcast budget after the relation overhead.
+_NC_BROADCAST_CAP = 1_000_000
 
 
 def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row contamination audit: train docs sharing ≥1 8-gram with
     the eval slice (doc_id % 97 == 0). Gram extraction is in-row; the
-    eval gram set is eval-sized and drives a broadcastable semi-join —
-    the corpus is scanned once and never self-joined."""
+    corpus is scanned, never self-joined.
+
+    The eval slice is corpus-proportional (1/97 of docs), so the eval
+    gram set is NOT fixed-size: a capped ``limit(N+1).count()`` probe
+    (the ``similarity.py`` auto-guard pattern) chooses between a
+    broadcast semi-join (eval grams ≤ ``_NC_BROADCAST_CAP``) and a
+    shuffle semi-join where AQE picks the strategy. Both audit counts
+    (contaminated docs, shared grams) come from ONE pass over the
+    matched train grams — a single multi-distinct aggregate — so the
+    large path shuffles the train grams once, not twice.
+    """
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
@@ -68,29 +84,31 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.col("doc_id") % _NC_EVAL_MOD == 0
     eval_grams = grams.filter(is_eval).select("gram").distinct()
     train_grams = grams.filter(~is_eval)
-    contaminated = (
-        train_grams.join(F.broadcast(eval_grams), "gram", "leftsemi")
-        .select("doc_id")
-        .distinct()
+    # Size guard: capped count — the probe job stops at CAP+1 rows, it
+    # never pays for an exact count of a huge gram set.
+    small = (
+        eval_grams.limit(_NC_BROADCAST_CAP + 1).count() <= _NC_BROADCAST_CAP
     )
-    shared = train_grams.join(F.broadcast(eval_grams), "gram").select("gram").distinct()
-    n_train = docs.filter(~is_eval).agg(F.count(F.lit(1)).alias("n_train"))
-    n_eval = docs.filter(is_eval).agg(F.count(F.lit(1)).alias("n_eval"))
-    n_cont = contaminated.agg(F.count(F.lit(1)).alias("n_contaminated"))
-    n_shared = shared.agg(F.count(F.lit(1)).alias("n_shared_grams"))
-    return (
-        n_train.crossJoin(n_eval)
-        .crossJoin(n_cont)
-        .crossJoin(n_shared)
-        .select(
-            "n_train",
-            "n_eval",
-            "n_contaminated",
-            F.round(F.col("n_contaminated") / F.col("n_train"), 6).alias(
-                "contamination_rate"
-            ),
-            "n_shared_grams",
-        )
+    eval_side = F.broadcast(eval_grams) if small else eval_grams
+    # leftsemi keeps (doc_id, gram) of train grams present in the eval
+    # set; both counts collapse from it in one aggregate.
+    hits = train_grams.join(eval_side, "gram", "leftsemi")
+    hit_counts = hits.agg(
+        F.count_distinct("doc_id").alias("n_contaminated"),
+        F.count_distinct("gram").alias("n_shared_grams"),
+    )
+    doc_counts = docs.agg(
+        F.sum(F.when(~is_eval, 1).otherwise(0)).cast("long").alias("n_train"),
+        F.sum(F.when(is_eval, 1).otherwise(0)).cast("long").alias("n_eval"),
+    )
+    return doc_counts.crossJoin(hit_counts).select(
+        "n_train",
+        "n_eval",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_train"), 6).alias(
+            "contamination_rate"
+        ),
+        "n_shared_grams",
     )
 
 

@@ -255,7 +255,13 @@ def q_auc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AUC of n_chars as a classifier score for lang = 'en' (ties get the
     standard ½ credit). One (score → pos, neg) aggregate; the running-
     negatives window covers only the distinct-score table; the rank-sum
-    numerator stays an exact integer until the final division."""
+    numerator stays an exact integer until the final division.
+
+    Scale note: the numerator Σ pos·(2·neg_below + neg) is
+    O(n_pos·n_neg) ≈ n²/4 and overflows BIGINT past ~6·10⁹ docs — the
+    DECIMAL(38,0) escape applies (cast the summand to decimal(38,0) on
+    both engines), exactly as documented for the moment sums in
+    ``doc_feature_corr`` / ``degree_assortativity``."""
     docs = _t(spark, sf_dir, "documents")
     buckets = docs.groupBy("n_chars").agg(
         F.sum((F.col("lang") == "en").cast("long")).alias("pos"),

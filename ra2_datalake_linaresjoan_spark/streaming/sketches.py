@@ -68,27 +68,33 @@ BLOOM_M = 65536
 BLOOM_K = 3
 
 
-def bloom_bits(df: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
-    """Explode each row into its ``k`` Bloom bit positions (8-hex-char
-    md5 slices mod m — the same family ``bloom_dedup`` uses). Works
-    identically on batch and streaming frames. md5 yields exactly four
-    8-hex words, so k ≤ 4 is enforced — a 5th slice would be the empty
-    string, conv to NULL, and silently turn every probe into a false
-    negative."""
+def _bloom_bit_positions(key_col: str, m: int, k: int) -> list:
+    """The ``k`` Bloom bit-position expressions for a key (8-hex-char md5
+    slices mod m). Shared by builder AND prober so the hash family can
+    never drift between them. md5 yields exactly four 8-hex words, so
+    k ≤ 4 is enforced here for both sides — a 5th slice would be the
+    empty string, conv to NULL, and silently turn every probe into a
+    false negative."""
     if k > 4:
         raise ValueError(
             f"bloom k={k} exceeds the 4 independent 8-hex md5 slices — "
             "re-hash with per-j salts if more hash functions are needed"
         )
-    bits = F.array(
-        *[
-            F.conv(F.substring(F.md5(F.col(key_col)), 1 + 8 * j, 8), 16, 10)
-            .cast("long")
-            % m
-            for j in range(k)
-        ]
+    return [
+        F.conv(F.substring(F.md5(F.col(key_col)), 1 + 8 * j, 8), 16, 10)
+        .cast("long")
+        % m
+        for j in range(k)
+    ]
+
+
+def bloom_bits(df: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K) -> DataFrame:
+    """Explode each row into its ``k`` Bloom bit positions (8-hex-char
+    md5 slices mod m — the same family ``bloom_dedup`` uses). Works
+    identically on batch and streaming frames."""
+    return df.select(
+        F.explode(F.array(*_bloom_bit_positions(key_col, m, k))).alias("bit")
     )
-    return df.select(F.explode(bits).alias("bit"))
 
 
 def streaming_bloom(
@@ -122,12 +128,8 @@ def bloom_probe(bits: DataFrame, probes: DataFrame, key_col: str,
     probe_bits = probes.select(
         key_col,
         *[
-            (
-                F.conv(F.substring(F.md5(F.col(key_col)), 1 + 8 * j, 8), 16, 10)
-                .cast("long")
-                % m
-            ).alias(f"b{j}")
-            for j in range(k)
+            pos.alias(f"b{j}")
+            for j, pos in enumerate(_bloom_bit_positions(key_col, m, k))
         ],
     )
     est = probe_bits

@@ -1,0 +1,65 @@
+"""Mechanical round-end gate for the driver verification window.
+
+The grading driver verifies only the FIRST 50 entries of ``queries()`` per
+round.  Rounds 3, 4 and 5 each flagged the same structural bug: queries that
+had never received a driver correctness row were parked just outside the
+first-50 window because ``_DRIVER_PRIORITY`` was not re-audited at round end.
+
+This test makes the rotation a hard gate instead of a checklist item: it
+reads every ``CORRECTNESS_r*.json`` the driver has produced, computes the
+set of ever-driver-checked queries, and asserts that every registry query
+NOT in that set sits inside the first 50 of the live ``queries()`` order.
+Adding a new query without rotating the prefix fails the suite immediately.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WINDOW = 50
+
+
+def _ever_driver_checked() -> set[str]:
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            data = json.load(f)
+        if isinstance(data, dict):
+            seen.update(data.keys())
+    return seen
+
+
+def test_never_checked_queries_lead_the_driver_window():
+    from ra2_datalake_linaresjoan_spark.queries import queries
+
+    order = list(queries().keys())
+    assert len(order) == len(set(order)), "duplicate registry names"
+    checked = _ever_driver_checked()
+    # Sanity: the driver record should cover most of the registry by now.
+    assert len(checked) >= 200, "CORRECTNESS_r*.json files missing?"
+    window = set(order[:WINDOW])
+    stragglers = [q for q in order[WINDOW:] if q not in checked]
+    assert not stragglers, (
+        "never-driver-checked queries parked outside the first-%d window "
+        "(rotate _DRIVER_PRIORITY in queries.py): %r" % (WINDOW, stragglers)
+    )
+    # The window itself should never be wasted on duplicates of the same name.
+    assert len(window) == min(WINDOW, len(order))
+
+
+def test_priority_names_all_resolve():
+    """Every _DRIVER_PRIORITY name must exist in the merged registry.
+
+    A typo'd name silently drops out of ``ordered`` (dict-comprehension with
+    ``if name in merged``), wasting a window slot downstream.
+    """
+    from ra2_datalake_linaresjoan_spark.queries import _DRIVER_PRIORITY, queries
+
+    names = set(queries().keys())
+    missing = [n for n in _DRIVER_PRIORITY if n not in names]
+    assert not missing, f"_DRIVER_PRIORITY names not in registry: {missing}"
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY)), "duplicates"

@@ -306,6 +306,61 @@ def test_cosine_neardup_auto_large_path_no_broadcast_no_nlj(spark, sf_dir, monke
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_ngram_contamination_large_path_no_broadcast(spark, sf_dir, monkeypatch):
+    """Pin the 100-TB contract of ngram_contamination (round-5 verdict
+    finding #2): the eval slice is 1/97 of the corpus, so above the
+    capped-count guard the plan must contain NO broadcast exchange at
+    all — the semi-join falls back to a shuffle join. With the
+    size-based auto-broadcast threshold disabled, any Broadcast* node
+    could only come from a code-side hint."""
+    from ra2_datalake_linaresjoan_spark import queries_ext23
+
+    monkeypatch.setattr(queries_ext23, "_NC_BROADCAST_CAP", 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = queries_ext23.q_ngram_contamination(spark, sf_dir)
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        tree = plan.split("\n\n")[0]
+        # the 1-row x 1-row result stitch legitimately plans as a
+        # CartesianProduct; the ban is on broadcasting the (corpus-
+        # proportional) eval gram set anywhere in the plan
+        assert "BroadcastExchange" not in tree
+        assert "BroadcastNestedLoopJoin" not in tree
+        # values must not depend on the route (same row either way)
+        row = out.collect()[0]
+        assert row["n_train"] > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ngram_contamination_small_path_broadcasts_eval(spark, sf_dir):
+    """Below the cap the eval gram set must be broadcast (scan-shaped
+    decontamination: the train grams are probed in place, not shuffled)."""
+    from ra2_datalake_linaresjoan_spark.queries_ext23 import q_ngram_contamination
+
+    out = q_ngram_contamination(spark, sf_dir)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = plan.split("\n\n")[0]
+    # specifically the LeftSemi probe must be a broadcast hash join (the
+    # 1-row stitch also broadcasts, so check the semi join, not just any
+    # BroadcastExchange)
+    semi_bhj = [
+        l
+        for l in tree.splitlines()
+        if "BroadcastHashJoin" in l and "LeftSemi" in l
+    ]
+    assert semi_bhj, tree
+
+
 def test_table_profile_single_scan(spark, sf_dir):
     """The profiler must compute every per-column metric in ONE scan of
     orders (SURVEY §7.4.7: no count() storm)."""

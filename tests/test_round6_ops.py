@@ -1,0 +1,139 @@
+"""Round-6 targeted pins: degenerate-input semantics for the batch-26
+sketch kernels (round-5 verdict ask #5), the shared Bloom hash-family
+guard (ADVICE r5), and the deduped-quantile decile contract of
+``revenue_decile_lift``'s large path (ADVICE r5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+    bloom_bits,
+    bloom_probe,
+    hll_estimate,
+)
+
+
+# ---------------------------------------------------------------------------
+# HLL: zero observations
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_zero_events_is_zero(spark):
+    """No observations → no registers set → linear counting gives
+    m·ln(m/m) = 0 exactly; the estimate must be 0, not NaN/None."""
+    regs = spark.createDataFrame([], schema="register long, rho int")
+    row = hll_estimate(regs).collect()[0]
+    assert row["n_registers_set"] == 0
+    assert row["estimate"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Bloom: empty bit set, builder/prober agreement, shared k-guard
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_probe_empty_bitset_all_false(spark):
+    """Probing an EMPTY filter must report maybe_member = false for
+    every key (an empty corpus contains nothing) — never null, never a
+    crash. This is the empty-fingerprint-corpus case of the membership
+    audit."""
+    bits = spark.createDataFrame([], schema="bit long")
+    probes = spark.createDataFrame([(f"k{i}",) for i in range(5)], ["k"])
+    rows = bloom_probe(bits, probes, "k").collect()
+    assert len(rows) == 5
+    assert all(r["maybe_member"] is False for r in rows)
+
+
+def test_bloom_no_false_negatives_roundtrip(spark):
+    """Every inserted key must probe as maybe-member (the Bloom
+    guarantee) — pinned through the SHARED bit-position helper so the
+    builder and prober hash families can never drift."""
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(50)], ["k"])
+    bits = bloom_bits(keys, "k").groupBy("bit").agg(F.count(F.lit(1)).alias("n"))
+    rows = bloom_probe(bits, keys, "k").collect()
+    assert len(rows) == 50
+    assert all(r["maybe_member"] is True for r in rows)
+
+
+def test_bloom_probe_rejects_k_above_md5_slices(spark):
+    """bloom_probe must raise on k > 4 exactly like bloom_bits: a 5th
+    8-hex md5 slice is empty, conv yields NULL bit columns, and every
+    probe would silently report false (false negatives)."""
+    bits = spark.createDataFrame([(1,)], ["bit"])
+    probes = spark.createDataFrame([("a",)], ["k"])
+    with pytest.raises(ValueError, match="md5 slices"):
+        bloom_probe(bits, probes, "k", k=5)
+    with pytest.raises(ValueError, match="md5 slices"):
+        bloom_bits(probes, "k", k=5)
+
+
+def test_bloom_probe_k4_is_the_last_valid_slice(spark):
+    """k = 4 uses the final full 8-hex md5 word and must still satisfy
+    the no-false-negative roundtrip."""
+    keys = spark.createDataFrame([(f"k4-{i}",) for i in range(20)], ["k"])
+    bits = bloom_bits(keys, "k", k=4).groupBy("bit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = bloom_probe(bits, keys, "k", k=4).collect()
+    assert all(r["maybe_member"] is True for r in rows)
+
+
+def test_bloom_membership_audit_empty_corpus_well_defined(spark, tmp_path):
+    """Empty documents table → the audit still returns its one summary
+    row (null counts, no crash) — the degenerate partition contract."""
+    import os
+
+    from ra2_datalake_linaresjoan_spark.queries_ext26 import (
+        q_bloom_membership_audit,
+    )
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "empty_sf"
+    os.makedirs(d, exist_ok=True)
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    docs.limit(0).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    rows = q_bloom_membership_audit(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_false_positives"] in (None, 0)
+
+
+# ---------------------------------------------------------------------------
+# revenue_decile_lift: quantile path under heavy ties
+# ---------------------------------------------------------------------------
+
+
+def test_revenue_deciles_quantile_path_contiguous_under_ties(spark, tmp_path):
+    """Force the approxQuantile path (exact_threshold=0) on a corpus with
+    only 3 distinct spend values (70/25/5 split). approxQuantile repeats
+    boundaries under ties; un-deduped, the when-chain double-increments
+    past a repeated boundary and skips interior decile numbers (the
+    ADVICE r5 finding). Deduped boundaries must yield a CONTIGUOUS
+    populated decile range starting at 1, covering all customers."""
+    from ra2_datalake_linaresjoan_spark.queries_ext15 import (
+        q_revenue_decile_lift,
+    )
+
+    rows_in = (
+        [(i, 10.0) for i in range(70)]
+        + [(i, 50.0) for i in range(70, 95)]
+        + [(i, 100.0) for i in range(95, 100)]
+    )
+    orders = spark.createDataFrame(rows_in, ["o_custkey", "o_totalprice"])
+    d = tmp_path / "ties_sf"
+    orders.write.mode("overwrite").parquet(str(d / "orders.parquet"))
+
+    out = sorted(
+        q_revenue_decile_lift(spark, str(d), exact_threshold=0).collect(),
+        key=lambda r: r["decile"],
+    )
+    deciles = [r["decile"] for r in out]
+    # contiguous from 1 — under 3 distinct values at most 3 buckets exist
+    assert deciles == list(range(1, len(deciles) + 1))
+    assert len(deciles) <= 3
+    assert sum(r["n_customers"] for r in out) == 100
+    # decile 1 = top spenders; shares sum to 1
+    shares = [r["revenue_share"] for r in out]
+    assert shares[0] == max(shares)
+    assert abs(sum(shares) - 1.0) < 1e-4
