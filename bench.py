@@ -114,19 +114,24 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
-    # best-of-2 per query: this VM shows multi-minute noisy-neighbor windows
-    # (3x inflation with no code change), and min-of-runs is the standard
-    # way to report compute cost rather than scheduler luck
+    # best-of-3 per query: this VM shows multi-minute noisy-neighbor windows
+    # (3x inflation with no code change; the r5 canary swung +/-40%), and
+    # min-of-runs is the standard way to report compute cost rather than
+    # scheduler luck. The per-query mean is reported alongside so round-
+    # over-round deltas can be read against host drift (r5 verdict ask).
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    means: dict[str, float] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             registry[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        means[name] = round(sum(runs) / len(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -136,8 +141,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_mean": means,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_runs": 2,
+                "n_runs": n_runs,
+                "aggregation": "value/queries = min of n_runs; queries_mean = mean",
                 "action": "noop_write",
                 "canary_numpy_matmul_sec": canary_numpy,
                 "canary_spark_warmup_sec": canary_warmup,

@@ -100,6 +100,43 @@ def test_bloom_membership_audit_empty_corpus_well_defined(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# containment_pairs: df-cap candidate bound under engineered skew
+# ---------------------------------------------------------------------------
+
+
+def test_containment_pairs_df_cap_bounds_skewed_shingle(spark, tmp_path):
+    """Skew-stress the inverted-index blocking (r4/r5 verdict ask,
+    mirroring the fuzzy_join skew test): one shingle shared by exactly
+    df = 21 docs (one past the cap) must contribute ZERO candidate
+    pairs, while a shingle at exactly df = 20 (the cap) still yields
+    its full 20·19 candidate cohort — the cap is the candidate bound,
+    inclusive at the boundary."""
+    from ra2_datalake_linaresjoan_spark.queries_llm14 import (
+        _CONT_DF_CAP,
+        q_containment_pairs,
+    )
+
+    assert _CONT_DF_CAP == 20  # the fixture sizes below straddle this cap
+    over = [(i, "alpha beta gamma delta") for i in range(21)]  # df 21
+    at_cap = [(100 + i, "omega psi chi phi") for i in range(20)]  # df 20
+    docs = spark.createDataFrame(
+        [(i, t, "en", "fixture", len(t)) for i, t in over + at_cap],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    d = tmp_path / "skew_sf"
+    docs.write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    rows = q_containment_pairs(spark, str(d)).collect()
+    # only the at-cap cohort can pair: full containment, top-20 of the
+    # 380 ordered candidate pairs
+    assert len(rows) == 20
+    assert all(r["containment"] == 1.0 for r in rows)
+    assert all(r["doc_a"] >= 100 and r["doc_b"] >= 100 for r in rows)
+    # over-cap docs appear in NO pair — the skewed shingle was dropped
+    assert not any(r["doc_a"] < 100 or r["doc_b"] < 100 for r in rows)
+
+
+# ---------------------------------------------------------------------------
 # revenue_decile_lift: quantile path under heavy ties
 # ---------------------------------------------------------------------------
 
