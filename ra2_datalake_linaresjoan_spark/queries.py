@@ -2257,7 +2257,17 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #    approxQuantile boundaries on the large path)
     "ngram_contamination",
     "revenue_decile_lift",
-    # 3. round-6 additions go here (insert new queries as they land)
+    # 3. round-6 additions (batch 27: distribution-shift & process stats)
+    "js_divergence_splits",
+    "ks_two_sample",
+    "acf_daily_events",
+    "dup_cluster_size_dist",
+    "gopher_quality_rules",
+    "holt_linear_forecast",
+    "burstiness_fano",
+    "runs_test_revenue",
+    "simpson_source_diversity",
+    "embedding_norm_topk",
     # 4. stalest re-verifies: last driver-confirmed in r1, then r2, r3,
     #    r4, r5 (freshest last).  The 50-row window cuts inside the r1
     #    group; the remainder rotates forward next round.
@@ -2496,6 +2506,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext24 import REGISTRY_EXT24
     from ra2_datalake_linaresjoan_spark.queries_ext25 import REGISTRY_EXT25
     from ra2_datalake_linaresjoan_spark.queries_ext26 import REGISTRY_EXT26
+    from ra2_datalake_linaresjoan_spark.queries_ext27 import REGISTRY_EXT27
 
     merged = {
         **_REGISTRY,
@@ -2537,6 +2548,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT24,
         **REGISTRY_EXT25,
         **REGISTRY_EXT26,
+        **REGISTRY_EXT27,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

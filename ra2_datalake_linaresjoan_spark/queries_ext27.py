@@ -1,0 +1,841 @@
+"""Batch 27 (round 6): distribution-shift and process-statistics audits —
+the monitoring layer a production corpus pipeline runs between ingests.
+
+- ``js_divergence_splits`` — Jensen-Shannon divergence between the
+  train and validation splits' language distributions (deterministic
+  doc_id % 10 split): the symmetric, bounded [0, ln 2] drift number a
+  split-health dashboard quotes. Lang-bounded aggregate; the float fold
+  runs over a lang-sorted array so both engines sum in the same order.
+- ``ks_two_sample`` — exact Kolmogorov–Smirnov D between two sources'
+  doc-length distributions, with the location of the max gap and the
+  asymptotic p approximation: the distribution-shift test for "did
+  src1's crawl change shape vs src0". Windows run over the DISTINCT
+  length-value table (the ``auc_quality_score`` count-bucket
+  discipline), cumulative shares are ratios of exact integer cumsums,
+  and D = max of those — order-independent, no float-summation hazard.
+- ``acf_daily_events`` — autocorrelation of the daily event-count
+  series at lags 1..7 (mean-centered, lag-0-normalized): the
+  seasonality detector behind batch-size planning. Day-bounded: one
+  (day → count) aggregate collapses to a single sorted array; all
+  folds are in-row over ≤ n_days elements.
+- ``dup_cluster_size_dist`` — duplicate-cluster size histogram
+  (md5-fingerprint clusters): how much of the corpus sits in clusters
+  of size s — the number that decides whether dedup is worth a
+  pipeline stage. One fingerprint shuffle + one size-bounded aggregate.
+- ``gopher_quality_rules`` — a Gopher-style multi-rule quality gate
+  (word-count range, mean word length, type-token ratio, stopword
+  presence) reported per rule plus the any-rule union: the
+  rule-attribution view a filter-tuning pass needs. Single scan, all
+  rules in-row, all counts exact integers.
+- ``holt_linear_forecast`` — Holt double-exponential (level + trend)
+  one-step-ahead forecast of daily order revenue in exact cents input:
+  the capacity-planning number. The recursion folds in-row over the
+  day-sorted array (≤ n_days elements) with a (level, trend) struct
+  accumulator seeded from the first observation — both engines execute
+  the identical left-to-right float sequence.
+- ``burstiness_fano`` — Fano factor (variance/mean of daily counts)
+  and Goh–Barabási burstiness per event type: Poisson-ness check for
+  arrival processes. Integer moment sums (Σn, Σn²) per type; floats
+  only in the final closed forms.
+- ``runs_test_revenue`` — Wald–Wolfowitz runs test on the signs of
+  day-over-day revenue deltas: is the daily series random or trending?
+  Integer runs/up/down counts from day-bounded lag windows; the z
+  statistic is a closed form of three integers.
+- ``simpson_source_diversity`` — Simpson diversity (1 - Σp²) and
+  effective source count per language: concentration risk of the
+  corpus mix (complements ``hhi_concentration`` which scores spend).
+  (lang, source)-bounded aggregate; exact integer Σn².
+- ``embedding_norm_topk`` — top-10 embedding L2 norms with labels:
+  the norm-outlier screen run before cosine ANN (norm outliers break
+  inner-product shortcuts). Scan + TakeOrderedAndProject on the
+  6-dp-rounded norm with vec_id tie-break — no global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# js_divergence_splits — train/val language-distribution drift
+# ---------------------------------------------------------------------------
+
+
+def q_js_divergence_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: split sizes, language count, and the Jensen-Shannon
+    divergence (nats) between the train (doc_id % 10 != 0) and val
+    (doc_id % 10 == 0) language distributions. The fold covers the
+    lang-sorted ≤ |langs| array only."""
+    docs = _t(spark, sf_dir, "documents")
+    is_val = F.col("doc_id") % 10 == 0
+    by_lang = docs.groupBy("lang").agg(
+        F.sum(F.when(~is_val, 1).otherwise(0)).cast("long").alias("n_tr"),
+        F.sum(F.when(is_val, 1).otherwise(0)).cast("long").alias("n_va"),
+    )
+    tot = by_lang.agg(
+        F.sum("n_tr").alias("t_tr"),
+        F.sum("n_va").alias("t_va"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sort_array(F.collect_list(F.struct("lang", "n_tr", "n_va"))).alias(
+            "a"
+        ),
+    )
+
+    def term(x):
+        p = x["n_tr"] / F.col("t_tr")
+        q = x["n_va"] / F.col("t_va")
+        m = (p + q) / F.lit(2.0)
+        return F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) + F.when(
+            q > 0, q * F.log(q / m)
+        ).otherwise(F.lit(0.0))
+
+    jsd = F.aggregate("a", F.lit(0.0), lambda acc, x: acc + term(x)) / F.lit(
+        2.0
+    )
+    return tot.select(
+        F.col("t_tr").alias("n_train"),
+        F.col("t_va").alias("n_val"),
+        "n_langs",
+        F.round(jsd, 6).alias("jsd_nats"),
+    )
+
+
+SQL_JS_DIVERGENCE_SPLITS = """
+WITH by_lang AS (
+  SELECT lang,
+         CAST(sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+         CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_va
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_tr) AS BIGINT) AS t_tr,
+         CAST(sum(n_va) AS BIGINT) AS t_va,
+         CAST(count(*) AS BIGINT) AS n_langs,
+         list(struct_pack(lang := lang, n_tr := n_tr, n_va := n_va)
+              ORDER BY lang, n_tr, n_va) AS a
+  FROM by_lang
+)
+SELECT t_tr AS n_train, t_va AS n_val, n_langs,
+       round(list_sum(list_transform(a, x ->
+           (CASE WHEN x.n_tr > 0
+                 THEN (x.n_tr * 1.0 / t_tr)
+                      * ln((x.n_tr * 1.0 / t_tr)
+                           / ((x.n_tr * 1.0 / t_tr + x.n_va * 1.0 / t_va) / 2.0))
+                 ELSE 0.0 END)
+         + (CASE WHEN x.n_va > 0
+                 THEN (x.n_va * 1.0 / t_va)
+                      * ln((x.n_va * 1.0 / t_va)
+                           / ((x.n_tr * 1.0 / t_tr + x.n_va * 1.0 / t_va) / 2.0))
+                 ELSE 0.0 END))) / 2.0, 6) AS jsd_nats
+FROM tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# ks_two_sample — src0 vs src1 doc-length distribution shift
+# ---------------------------------------------------------------------------
+
+_KS_A = "src0"
+_KS_B = "src1"
+
+
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: sample sizes, the exact KS D statistic between the two
+    sources' n_chars ECDFs, the length at which the max gap occurs
+    (smallest on ties), and the asymptotic two-sided p approximation
+    2·exp(-2·D²·n_a·n_b/(n_a+n_b)) clamped to 1. Cumulative shares are
+    ratios of exact integer cumsums, so D is a max over identical
+    doubles on both engines — no summation-order hazard."""
+    docs = _t(spark, sf_dir, "documents")
+    d = (
+        docs.filter(F.col("source").isin(_KS_A, _KS_B))
+        .groupBy("n_chars")
+        .agg(
+            F.sum((F.col("source") == _KS_A).cast("long")).alias("c_a"),
+            F.sum((F.col("source") == _KS_B).cast("long")).alias("c_b"),
+        )
+    )
+    # totals come from a full-frame window over the SAME bounded distinct-
+    # value table — one scan of documents, not a second totals branch
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gaps = d.select(
+        "n_chars",
+        F.sum("c_a").over(w_all).alias("n_a"),
+        F.sum("c_b").over(w_all).alias("n_b"),
+        F.count(F.lit(1)).over(w_all).alias("n_values"),
+        F.abs(
+            F.sum("c_a").over(w) / F.sum("c_a").over(w_all)
+            - F.sum("c_b").over(w) / F.sum("c_b").over(w_all)
+        ).alias("gap"),
+    )
+    top = gaps.orderBy(F.desc("gap"), "n_chars").limit(1)
+    ne = F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
+    return top.select(
+        "n_a",
+        "n_b",
+        "n_values",
+        F.round("gap", 6).alias("d_stat"),
+        F.col("n_chars").alias("d_at_n_chars"),
+        F.round(
+            F.least(
+                F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * F.col("gap") * F.col("gap") * ne)
+            ),
+            6,
+        ).alias("p_approx"),
+    )
+
+
+SQL_KS_TWO_SAMPLE = f"""
+WITH d AS (
+  SELECT n_chars,
+         CAST(sum(CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(sum(CASE WHEN source = '{_KS_B}' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM documents WHERE source IN ('{_KS_A}', '{_KS_B}')
+  GROUP BY 1
+), gaps AS (
+  SELECT n_chars,
+         CAST(sum(c_a) OVER wa AS BIGINT) AS n_a,
+         CAST(sum(c_b) OVER wa AS BIGINT) AS n_b,
+         CAST(count(*) OVER wa AS BIGINT) AS n_values,
+         abs(CAST(sum(c_a) OVER w AS BIGINT) * 1.0
+               / CAST(sum(c_a) OVER wa AS BIGINT)
+             - CAST(sum(c_b) OVER w AS BIGINT) * 1.0
+               / CAST(sum(c_b) OVER wa AS BIGINT)) AS gap
+  FROM d
+  WINDOW w AS (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+), top AS (
+  SELECT * FROM gaps ORDER BY gap DESC, n_chars LIMIT 1
+)
+SELECT n_a, n_b, n_values, round(gap, 6) AS d_stat,
+       n_chars AS d_at_n_chars,
+       round(least(1.0, 2.0 * exp(-2.0 * gap * gap
+                                  * (n_a * n_b * 1.0 / (n_a + n_b)))), 6)
+         AS p_approx
+FROM top
+"""
+
+
+# ---------------------------------------------------------------------------
+# acf_daily_events — autocorrelation of the daily event-count series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+
+
+def q_acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows (lag 1..7): autocorrelation of daily total event counts,
+    mean-centered and normalized by the lag-0 sum of squares. The whole
+    series collapses to one day-sorted array; every fold is in-row over
+    ≤ n_days elements, executed left-to-right identically on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    arr = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("total"),
+        F.sort_array(F.collect_list(F.struct("day", "n"))).alias("a"),
+    ).select(
+        "n_days",
+        F.transform("a", lambda x: x["n"].cast("double")).alias("xs"),
+        (F.col("total") / F.col("n_days")).alias("mean"),
+    )
+    centered = arr.select(
+        "n_days",
+        F.transform("xs", lambda x: x - F.col("mean")).alias("c"),
+    )
+    denom = F.aggregate("c", F.lit(0.0), lambda acc, x: acc + x * x)
+    # n_days < 2 → no computable lags; filter BEFORE the explode, because
+    # Spark's sequence(1, n_days - 1) would otherwise generate a
+    # DESCENDING sequence (step -1) and emit bogus lag rows
+    lags = centered.filter(F.col("n_days") >= 2).select(
+        "n_days",
+        "c",
+        denom.alias("denom"),
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.lit(_ACF_MAX_LAG), F.col("n_days") - 1))
+        ).alias("lag"),
+    )
+    num = F.aggregate(
+        F.zip_with(
+            F.slice("c", 1, F.size("c") - F.col("lag")),
+            F.slice("c", F.col("lag") + 1, F.size("c") - F.col("lag")),
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return lags.select(
+        "lag",
+        "n_days",
+        F.round(num / F.col("denom"), 6).alias("acf"),
+    ).orderBy("lag")
+
+
+SQL_ACF_DAILY_EVENTS = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), arr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n) AS BIGINT) AS total,
+         list(CAST(n AS DOUBLE) ORDER BY day) AS xs
+  FROM daily
+), centered AS (
+  SELECT n_days,
+         list_transform(xs, x -> x - total * 1.0 / n_days) AS c
+  FROM arr
+), denom AS (
+  SELECT n_days, c,
+         list_sum(list_transform(c, x -> x * x)) AS denom
+  FROM centered
+), lags AS (
+  SELECT n_days, c, denom, unnest(range(1, least({_ACF_MAX_LAG}, n_days - 1) + 1)) AS lag
+  FROM denom
+)
+SELECT CAST(lag AS INT) AS lag, n_days,
+       round(list_sum(list_transform(range(1, CAST(len(c) - lag AS INT) + 1),
+                 i -> c[i] * c[i + lag])) / denom, 6) AS acf
+FROM lags
+ORDER BY lag
+"""
+
+
+# ---------------------------------------------------------------------------
+# dup_cluster_size_dist — duplicate-cluster size histogram
+# ---------------------------------------------------------------------------
+
+
+def q_dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows (cluster size s): clusters of exactly s identical-text
+    copies, docs they hold, and the doc share — the histogram that
+    prices a dedup stage. One fingerprint shuffle; the histogram
+    aggregate is size-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    sizes = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    dist = sizes.groupBy("s").agg(F.count(F.lit(1)).alias("n_clusters"))
+    # doc total from a full-frame window over the size-bounded histogram —
+    # one corpus scan, no second totals branch
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        dist.select(
+            F.col("s").alias("cluster_size"),
+            "n_clusters",
+            (F.col("s") * F.col("n_clusters")).alias("n_docs"),
+            F.round(
+                F.col("s")
+                * F.col("n_clusters")
+                / F.sum(F.col("s") * F.col("n_clusters")).over(w_all),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+SQL_DUP_CLUSTER_SIZE_DIST = """
+WITH sizes AS (
+  SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS s
+  FROM documents GROUP BY 1
+), dist AS (
+  SELECT s, CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY 1
+)
+SELECT s AS cluster_size, n_clusters,
+       CAST(s * n_clusters AS BIGINT) AS n_docs,
+       round(s * n_clusters * 1.0
+             / CAST(sum(s * n_clusters)
+                    OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS BIGINT), 6) AS doc_share
+FROM dist
+ORDER BY cluster_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_rules — multi-rule quality gate attribution
+# ---------------------------------------------------------------------------
+
+_GQ_MIN_WORDS = 30
+_GQ_MAX_WORDS = 100_000
+_GQ_MIN_WL = 2.5
+_GQ_MAX_WL = 8.0
+_GQ_MIN_TTR = 0.3
+_GQ_STOPWORDS = ("the", "a", "of", "and")
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows (rule + the any-rule union): docs failing each quality rule
+    and the fail rate — the attribution a filter-tuning pass reads.
+    Word stats are in-row (the words array is projected ONCE, flags
+    derive from it in a second select); counts are exact integers; the
+    float thresholds compare exact-integer ratios, identical on both
+    engines."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "").alias(
+            "w"
+        )
+    )
+    stats = words.select(
+        F.size("w").alias("wc"),
+        F.aggregate(
+            "w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("chars"),
+        F.size(F.array_distinct("w")).alias("uniq"),
+        F.size(
+            F.array_intersect("w", F.array(*[F.lit(s) for s in _GQ_STOPWORDS]))
+        ).alias("n_stop"),
+    )
+    flags = stats.select(
+        (
+            (F.col("wc") < _GQ_MIN_WORDS) | (F.col("wc") > _GQ_MAX_WORDS)
+        ).alias("f_wc"),
+        (
+            (F.col("chars") < F.lit(_GQ_MIN_WL) * F.col("wc"))
+            | (F.col("chars") > F.lit(_GQ_MAX_WL) * F.col("wc"))
+        ).alias("f_wl"),
+        (F.col("uniq") < F.lit(_GQ_MIN_TTR) * F.col("wc")).alias("f_ttr"),
+        (F.col("n_stop") == 0).alias("f_stop"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("f_wc").cast("long")).alias("word_count_range"),
+        F.sum(F.col("f_wl").cast("long")).alias("mean_word_length"),
+        F.sum(F.col("f_ttr").cast("long")).alias("type_token_ratio"),
+        F.sum(F.col("f_stop").cast("long")).alias("stopword_presence"),
+        F.sum(
+            (F.col("f_wc") | F.col("f_wl") | F.col("f_ttr") | F.col("f_stop"))
+            .cast("long")
+        ).alias("any_rule"),
+    )
+    pairs = [
+        ("word_count_range", "word_count_range"),
+        ("mean_word_length", "mean_word_length"),
+        ("type_token_ratio", "type_token_ratio"),
+        ("stopword_presence", "stopword_presence"),
+        ("any_rule", "any_rule"),
+    ]
+    stacked = agg.select(
+        "n_docs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"), F.col(col).alias("n_fail")
+                    )
+                    for name, col in pairs
+                ]
+            )
+        ).alias("r"),
+    )
+    return stacked.select(
+        F.col("r.rule").alias("rule"),
+        "n_docs",
+        F.col("r.n_fail").alias("n_fail"),
+        F.round(F.col("r.n_fail") / F.col("n_docs"), 6).alias("fail_rate"),
+    ).orderBy("rule")
+
+
+SQL_GOPHER_QUALITY_RULES = f"""
+WITH words AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS w
+  FROM documents
+), stats AS (
+  SELECT len(w) AS wc,
+         CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT)
+           AS chars,
+         len(list_distinct(w)) AS uniq,
+         len(list_intersect(w, {list(_GQ_STOPWORDS)!r})) AS n_stop
+  FROM words
+), flags AS (
+  SELECT (wc < {_GQ_MIN_WORDS} OR wc > {_GQ_MAX_WORDS}) AS f_wc,
+         (chars < {_GQ_MIN_WL} * wc OR chars > {_GQ_MAX_WL} * wc) AS f_wl,
+         (uniq < {_GQ_MIN_TTR} * wc) AS f_ttr,
+         (n_stop = 0) AS f_stop
+  FROM stats
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN f_wc THEN 1 ELSE 0 END) AS BIGINT) AS word_count_range,
+         CAST(sum(CASE WHEN f_wl THEN 1 ELSE 0 END) AS BIGINT) AS mean_word_length,
+         CAST(sum(CASE WHEN f_ttr THEN 1 ELSE 0 END) AS BIGINT) AS type_token_ratio,
+         CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS stopword_presence,
+         CAST(sum(CASE WHEN f_wc OR f_wl OR f_ttr OR f_stop THEN 1 ELSE 0 END)
+              AS BIGINT) AS any_rule
+  FROM flags
+), stacked AS (
+  SELECT 'word_count_range' AS rule, n_docs, word_count_range AS n_fail FROM agg
+  UNION ALL
+  SELECT 'mean_word_length', n_docs, mean_word_length FROM agg
+  UNION ALL
+  SELECT 'type_token_ratio', n_docs, type_token_ratio FROM agg
+  UNION ALL
+  SELECT 'stopword_presence', n_docs, stopword_presence FROM agg
+  UNION ALL
+  SELECT 'any_rule', n_docs, any_rule FROM agg
+)
+SELECT rule, n_docs, n_fail, round(n_fail * 1.0 / n_docs, 6) AS fail_rate
+FROM stacked
+ORDER BY rule
+"""
+
+
+# ---------------------------------------------------------------------------
+# holt_linear_forecast — level+trend one-step revenue forecast
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: days observed, final Holt level and trend, and the
+    one-step-ahead daily-revenue forecast (cents input, 2-dp output).
+    The recursion folds over the day-sorted aggregate (≤ n_days
+    structs) seeded from the first observation (level = x₀, trend = 0)
+    — the same left-to-right float sequence both engines execute, and
+    the init convention DuckDB's ``list_reduce`` imposes."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    arr = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sort_array(F.collect_list(F.struct("day", "cents"))).alias("a"),
+    ).select(
+        "n_days",
+        F.transform(
+            "a",
+            lambda x: F.struct(
+                x["cents"].cast("double").alias("l"), F.lit(0.0).alias("b")
+            ),
+        ).alias("obs"),
+    )
+
+    def step(acc, x):
+        new_l = (
+            F.lit(_HOLT_ALPHA) * x["l"]
+            + F.lit(1.0 - _HOLT_ALPHA) * (acc["l"] + acc["b"])
+        )
+        new_b = (
+            F.lit(_HOLT_BETA)
+            * (
+                F.lit(_HOLT_ALPHA) * x["l"]
+                + F.lit(1.0 - _HOLT_ALPHA) * (acc["l"] + acc["b"])
+                - acc["l"]
+            )
+            + F.lit(1.0 - _HOLT_BETA) * acc["b"]
+        )
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    fitted = arr.select(
+        "n_days",
+        F.aggregate(
+            F.slice("obs", 2, F.greatest(F.size("obs") - 1, F.lit(0))),
+            F.element_at("obs", 1),
+            step,
+        ).alias("st"),
+    )
+    return fitted.select(
+        "n_days",
+        F.round(F.col("st.l"), 2).alias("level_cents"),
+        F.round(F.col("st.b"), 2).alias("trend_cents"),
+        F.round(F.col("st.l") + F.col("st.b"), 2).alias("forecast_cents"),
+    )
+
+
+# NOTE: the obvious list_reduce-with-struct-accumulator oracle is NOT used
+# because DuckDB 1.0's list_reduce mis-evaluates the second struct field of
+# the accumulator (verified: fold over [{10,0},{20,0},{40,0}] returns
+# b=3.0375 where the hand trace — and Spark's F.aggregate — gives b=5.025).
+# A recursive CTE executes the identical left-to-right float sequence one
+# row per day instead.
+SQL_HOLT_LINEAR_FORECAST = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT row_number() OVER (ORDER BY day) AS i, CAST(cents AS DOUBLE) AS x
+  FROM daily
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_days FROM idx
+), rec AS (
+  SELECT i, x AS l, CAST(0.0 AS DOUBLE) AS b FROM idx WHERE i = 1
+  UNION ALL
+  SELECT idx.i,
+         {_HOLT_ALPHA} * idx.x + {1.0 - _HOLT_ALPHA} * (rec.l + rec.b),
+         {_HOLT_BETA} * ({_HOLT_ALPHA} * idx.x
+                         + {1.0 - _HOLT_ALPHA} * (rec.l + rec.b) - rec.l)
+           + {1.0 - _HOLT_BETA} * rec.b
+  FROM rec JOIN idx ON idx.i = rec.i + 1
+), last AS (
+  SELECT l, b FROM rec ORDER BY i DESC LIMIT 1
+)
+SELECT n_days,
+       round(l, 2) AS level_cents,
+       round(b, 2) AS trend_cents,
+       round(l + b, 2) AS forecast_cents
+FROM nd CROSS JOIN last
+"""
+
+
+# ---------------------------------------------------------------------------
+# burstiness_fano — arrival-process dispersion per event type
+# ---------------------------------------------------------------------------
+
+
+def q_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows (event type): Fano factor (population var / mean of daily
+    counts) and Goh–Barabási burstiness (σ-μ)/(σ+μ). Integer moment
+    sums per type; floats only in the final closed forms."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    var = F.col("s2") / F.col("n_days") - mean * mean
+    sigma = F.sqrt(var)
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var / mean, 6).alias("fano"),
+        F.round((sigma - mean) / (sigma + mean), 6).alias("burstiness"),
+    ).orderBy("event_type")
+
+
+SQL_BURSTINESS_FANO = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n_days,
+       round(s1 * 1.0 / n_days, 6) AS mean_daily,
+       round((s2 * 1.0 / n_days - (s1 * 1.0 / n_days) * (s1 * 1.0 / n_days))
+             / (s1 * 1.0 / n_days), 6) AS fano,
+       round((sqrt(s2 * 1.0 / n_days - (s1 * 1.0 / n_days) * (s1 * 1.0 / n_days))
+              - s1 * 1.0 / n_days)
+             / (sqrt(s2 * 1.0 / n_days - (s1 * 1.0 / n_days) * (s1 * 1.0 / n_days))
+                + s1 * 1.0 / n_days), 6) AS burstiness
+FROM m
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# runs_test_revenue — Wald–Wolfowitz randomness test on daily deltas
+# ---------------------------------------------------------------------------
+
+
+def q_runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: up-days, down-days, observed runs of same-sign
+    day-over-day revenue deltas, expected runs, and the z statistic.
+    Exact integer counts from day-bounded lag windows; z is a closed
+    form of (n_up, n_down, n_runs)."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = Window.orderBy("day")
+    signs = (
+        daily.withColumn("prev", F.lag("cents").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("cents") != F.col("prev")))
+        .select(
+            "day",
+            F.when(F.col("cents") > F.col("prev"), 1).otherwise(-1).alias(
+                "sgn"
+            ),
+        )
+    )
+    runs = signs.withColumn("prev_sgn", F.lag("sgn").over(w)).select(
+        "sgn",
+        (
+            F.col("prev_sgn").isNull() | (F.col("sgn") != F.col("prev_sgn"))
+        ).cast("long").alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum((F.col("sgn") == 1).cast("long")).alias("n_up"),
+        F.sum((F.col("sgn") == -1).cast("long")).alias("n_down"),
+        F.sum("new_run").alias("n_runs"),
+    )
+    n1, n2, r = F.col("n_up"), F.col("n_down"), F.col("n_runs")
+    n = n1 + n2
+    mu = F.lit(2.0) * n1 * n2 / n + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / (n * n * (n - F.lit(1)))
+    )
+    return agg.select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(mu, 4).alias("expected_runs"),
+        F.round((r - mu) / F.sqrt(var), 4).alias("z_stat"),
+    )
+
+
+SQL_RUNS_TEST_REVENUE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), signs AS (
+  SELECT day,
+         CASE WHEN cents > prev THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT day, cents, lag(cents) OVER (ORDER BY day) AS prev FROM daily)
+  WHERE prev IS NOT NULL AND cents <> prev
+), runs AS (
+  SELECT sgn,
+         CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+                OR sgn <> lag(sgn) OVER (ORDER BY day)
+              THEN 1 ELSE 0 END AS new_run
+  FROM signs
+), agg AS (
+  SELECT CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+         CAST(sum(new_run) AS BIGINT) AS n_runs
+  FROM runs
+)
+SELECT n_up, n_down, n_runs,
+       round(2.0 * n_up * n_down / (n_up + n_down) + 1.0, 4) AS expected_runs,
+       round((n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+             / sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)
+                    / ((n_up + n_down) * (n_up + n_down) * 1.0
+                       * (n_up + n_down - 1))), 4) AS z_stat
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# simpson_source_diversity — corpus-mix concentration per language
+# ---------------------------------------------------------------------------
+
+
+def q_simpson_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows (lang): Simpson diversity 1 - Σp² over sources and the
+    effective number of sources N²/Σn² — concentration risk of the
+    corpus mix. (lang, source)-bounded aggregate; exact integer Σn²."""
+    docs = _t(spark, sf_dir, "documents")
+    by = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    m = by.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("n").alias("n_docs"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    return m.select(
+        "lang",
+        "n_sources",
+        "n_docs",
+        F.round(
+            F.lit(1.0) - F.col("s2") / (F.col("n_docs") * F.col("n_docs")),
+            6,
+        ).alias("simpson"),
+        F.round(
+            F.col("n_docs") * F.col("n_docs") / F.col("s2"), 6
+        ).alias("effective_sources"),
+    ).orderBy("lang")
+
+
+SQL_SIMPSON_SOURCE_DIVERSITY = """
+WITH by_ls AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(n * n) AS BIGINT) AS s2
+  FROM by_ls GROUP BY 1
+)
+SELECT lang, n_sources, n_docs,
+       round(1.0 - s2 * 1.0 / (n_docs * n_docs), 6) AS simpson,
+       round(n_docs * n_docs * 1.0 / s2, 6) AS effective_sources
+FROM m
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_topk — norm-outlier screen
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 vectors by L2 norm (6-dp rounded, vec_id tie-break) with
+    labels — the outlier screen run before inner-product ANN. Scan +
+    TakeOrderedAndProject; the square fold runs in array order on both
+    engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        emb.select("vec_id", "label", F.round(norm, 6).alias("l2_norm"))
+        .orderBy(F.desc("l2_norm"), "vec_id")
+        .limit(10)
+    )
+
+
+SQL_EMBEDDING_NORM_TOPK = """
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+ORDER BY l2_norm DESC, vec_id
+LIMIT 10
+"""
+
+
+REGISTRY_EXT27: dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
+] = {
+    "js_divergence_splits": (q_js_divergence_splits, SQL_JS_DIVERGENCE_SPLITS),
+    "ks_two_sample": (q_ks_two_sample, SQL_KS_TWO_SAMPLE),
+    "acf_daily_events": (q_acf_daily_events, SQL_ACF_DAILY_EVENTS),
+    "dup_cluster_size_dist": (
+        q_dup_cluster_size_dist,
+        SQL_DUP_CLUSTER_SIZE_DIST,
+    ),
+    "gopher_quality_rules": (q_gopher_quality_rules, SQL_GOPHER_QUALITY_RULES),
+    "holt_linear_forecast": (q_holt_linear_forecast, SQL_HOLT_LINEAR_FORECAST),
+    "burstiness_fano": (q_burstiness_fano, SQL_BURSTINESS_FANO),
+    "runs_test_revenue": (q_runs_test_revenue, SQL_RUNS_TEST_REVENUE),
+    "simpson_source_diversity": (
+        q_simpson_source_diversity,
+        SQL_SIMPSON_SOURCE_DIVERSITY,
+    ),
+    "embedding_norm_topk": (q_embedding_norm_topk, SQL_EMBEDDING_NORM_TOPK),
+}
