@@ -82,9 +82,9 @@ HEADLINE = [
     "containment_pairs",
     "weighted_sample_topk",
     "ngram_contamination",
-    # round 6: in-row multi-rule quality gate + distinct-value-window KS
+    # round 6: in-row multi-rule quality gate + one-pass Poisson bootstrap
     "gopher_quality_rules",
-    "ks_two_sample",
+    "poisson_bootstrap_ci",
 ]
 
 

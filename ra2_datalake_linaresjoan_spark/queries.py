@@ -2259,9 +2259,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "revenue_decile_lift",
     # 3. round-6 additions (batch 27: distribution-shift & process stats)
     "js_divergence_splits",
-    "ks_two_sample",
+    "poisson_bootstrap_ci",
     "acf_daily_events",
-    "dup_cluster_size_dist",
+    "neyman_allocation",
     "gopher_quality_rules",
     "holt_linear_forecast",
     "burstiness_fano",

@@ -6,22 +6,25 @@ the monitoring layer a production corpus pipeline runs between ingests.
   doc_id % 10 split): the symmetric, bounded [0, ln 2] drift number a
   split-health dashboard quotes. Lang-bounded aggregate; the float fold
   runs over a lang-sorted array so both engines sum in the same order.
-- ``ks_two_sample`` — exact Kolmogorov–Smirnov D between two sources'
-  doc-length distributions, with the location of the max gap and the
-  asymptotic p approximation: the distribution-shift test for "did
-  src1's crawl change shape vs src0". Windows run over the DISTINCT
-  length-value table (the ``auc_quality_score`` count-bucket
-  discipline), cumulative shares are ratios of exact integer cumsums,
-  and D = max of those — order-independent, no float-summation hazard.
+- ``poisson_bootstrap_ci`` — distribution-free 90 % CI on the mean
+  order value via the POISSON bootstrap: B = 40 deterministic
+  replicates that reweight rows by a Poisson(1) draw derived from
+  md5(key:b) — the one-pass, mergeable bootstrap for data too large to
+  resample by permutation (the published technique for bootstrapping
+  massive datasets). Replicate 0 pins weight 1, so the exact mean and
+  all replicates come from ONE scan + one (b)-keyed combine-enabled
+  aggregate; replicate means are exact-integer ratios.
 - ``acf_daily_events`` — autocorrelation of the daily event-count
   series at lags 1..7 (mean-centered, lag-0-normalized): the
   seasonality detector behind batch-size planning. Day-bounded: one
   (day → count) aggregate collapses to a single sorted array; all
   folds are in-row over ≤ n_days elements.
-- ``dup_cluster_size_dist`` — duplicate-cluster size histogram
-  (md5-fingerprint clusters): how much of the corpus sits in clusters
-  of size s — the number that decides whether dedup is worth a
-  pipeline stage. One fingerprint shuffle + one size-bounded aggregate.
+- ``neyman_allocation`` — Neyman-optimal allocation of a fixed
+  1000-doc labeling budget across sources (n_h ∝ N_h·σ_h of doc
+  length), resolved to exactly the budget by largest-remainder
+  rounding: the survey-sampling design that minimizes estimator
+  variance. Source-bounded moments; the denominator folds over a
+  source-sorted array.
 - ``gopher_quality_rules`` — a Gopher-style multi-rule quality gate
   (word-count range, mean word length, type-token ratio, stopword
   presence) reported per rule plus the any-rule union: the
@@ -136,90 +139,112 @@ FROM tot
 
 
 # ---------------------------------------------------------------------------
-# ks_two_sample — src0 vs src1 doc-length distribution shift
+# poisson_bootstrap_ci — one-pass distribution-free CI on the mean
 # ---------------------------------------------------------------------------
 
-_KS_A = "src0"
-_KS_B = "src1"
-
-
-def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row: sample sizes, the exact KS D statistic between the two
-    sources' n_chars ECDFs, the length at which the max gap occurs
-    (smallest on ties), and the asymptotic two-sided p approximation
-    2·exp(-2·D²·n_a·n_b/(n_a+n_b)) clamped to 1. Cumulative shares are
-    ratios of exact integer cumsums, so D is a max over identical
-    doubles on both engines — no summation-order hazard."""
-    docs = _t(spark, sf_dir, "documents")
-    d = (
-        docs.filter(F.col("source").isin(_KS_A, _KS_B))
-        .groupBy("n_chars")
-        .agg(
-            F.sum((F.col("source") == _KS_A).cast("long")).alias("c_a"),
-            F.sum((F.col("source") == _KS_B).cast("long")).alias("c_b"),
-        )
-    )
-    # totals come from a full-frame window over the SAME bounded distinct-
-    # value table — one scan of documents, not a second totals branch
-    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    gaps = d.select(
-        "n_chars",
-        F.sum("c_a").over(w_all).alias("n_a"),
-        F.sum("c_b").over(w_all).alias("n_b"),
-        F.count(F.lit(1)).over(w_all).alias("n_values"),
-        F.abs(
-            F.sum("c_a").over(w) / F.sum("c_a").over(w_all)
-            - F.sum("c_b").over(w) / F.sum("c_b").over(w_all)
-        ).alias("gap"),
-    )
-    top = gaps.orderBy(F.desc("gap"), "n_chars").limit(1)
-    ne = F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
-    return top.select(
-        "n_a",
-        "n_b",
-        "n_values",
-        F.round("gap", 6).alias("d_stat"),
-        F.col("n_chars").alias("d_at_n_chars"),
-        F.round(
-            F.least(
-                F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * F.col("gap") * F.col("gap") * ne)
-            ),
-            6,
-        ).alias("p_approx"),
-    )
-
-
-SQL_KS_TWO_SAMPLE = f"""
-WITH d AS (
-  SELECT n_chars,
-         CAST(sum(CASE WHEN source = '{_KS_A}' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
-         CAST(sum(CASE WHEN source = '{_KS_B}' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
-  FROM documents WHERE source IN ('{_KS_A}', '{_KS_B}')
-  GROUP BY 1
-), gaps AS (
-  SELECT n_chars,
-         CAST(sum(c_a) OVER wa AS BIGINT) AS n_a,
-         CAST(sum(c_b) OVER wa AS BIGINT) AS n_b,
-         CAST(count(*) OVER wa AS BIGINT) AS n_values,
-         abs(CAST(sum(c_a) OVER w AS BIGINT) * 1.0
-               / CAST(sum(c_a) OVER wa AS BIGINT)
-             - CAST(sum(c_b) OVER w AS BIGINT) * 1.0
-               / CAST(sum(c_b) OVER wa AS BIGINT)) AS gap
-  FROM d
-  WINDOW w AS (ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         wa AS (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-), top AS (
-  SELECT * FROM gaps ORDER BY gap DESC, n_chars LIMIT 1
+_PB_B = 40
+#: Poisson(1) CDF cut points (exact double literals shared with the SQL
+#: oracle) — the inverse-CDF table that turns a deterministic md5 uniform
+#: into a bootstrap resample weight. Weights > 7 are truncated (mass 1e-5).
+_PB_CUMS = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
 )
-SELECT n_a, n_b, n_values, round(gap, 6) AS d_stat,
-       n_chars AS d_at_n_chars,
-       round(least(1.0, 2.0 * exp(-2.0 * gap * gap
-                                  * (n_a * n_b * 1.0 / (n_a + n_b)))), 6)
-         AS p_approx
-FROM top
+
+
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: exact mean order value (cents) and a 90 % Poisson-
+    bootstrap percentile CI from B = 40 deterministic replicates — the
+    one-pass, merge-friendly bootstrap for data too large to resample
+    by permutation (each replicate reweights rows by an independent
+    Poisson(1) draw instead of drawing n rows with replacement).
+
+    Determinism: replicate b's weight for a row is the Poisson(1)
+    inverse CDF applied to md5(orderkey:b) — no RNG state, identical
+    on every engine/run. Replicate b = 0 pins weight 1 (the actual
+    sample), so the exact mean and all 40 replicate means come from
+    ONE scan and ONE (b)-keyed aggregate with map-side combine;
+    replicate means are exact-integer ratios (Σw·cents / Σw), so the
+    sorted pick of ranks 2 and 38 (nearest-rank p05/p95 of 40) is
+    engine-identical."""
+    orders = _t(spark, sf_dir, "orders")
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", "o_orderkey", "b")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    w = F.lit(7)
+    for k in range(len(_PB_CUMS) - 1, -1, -1):
+        w = F.when(u < F.lit(_PB_CUMS[k]), F.lit(k)).otherwise(w)
+    w = F.when(F.col("b") == 0, F.lit(1)).otherwise(w)
+    rep = (
+        orders.select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.explode(F.sequence(F.lit(0), F.lit(_PB_B))).alias("b"),
+        )
+        .select("b", w.cast("long").alias("w"), "cents")
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("swx"),
+            F.sum("w").alias("sw"),
+        )
+        .select("b", (F.col("swx") / F.col("sw")).alias("mean_b"))
+    )
+    agg = rep.agg(
+        F.max(F.when(F.col("b") == 0, F.col("mean_b"))).alias("mean_exact"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("b") > 0, F.col("mean_b")))
+        ).alias("ms"),
+    )
+    return agg.select(
+        F.round("mean_exact", 4).alias("mean_cents"),
+        F.round(F.element_at("ms", 2), 4).alias("ci_lo_cents"),
+        F.round(F.element_at("ms", 38), 4).alias("ci_hi_cents"),
+        F.size("ms").alias("n_boot"),
+    )
+
+
+def _pb_weight_sql(u_expr: str) -> str:
+    branches = " ".join(
+        f"WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(_PB_CUMS)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+SQL_POISSON_BOOTSTRAP_CI = f"""
+WITH rows_b AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         unnest(range(0, {_PB_B} + 1)) AS b
+  FROM orders
+), weighted AS (
+  SELECT b,
+         CASE WHEN b = 0 THEN 1 ELSE {_pb_weight_sql(
+             "(CAST(concat('0x', substr(md5(concat(o_orderkey, ':', b)), 1, 8)) AS BIGINT)"
+             " / 4294967296.0)"
+         )} END AS w,
+         cents
+  FROM rows_b
+), rep AS (
+  SELECT b,
+         CAST(sum(w * cents) AS BIGINT) * 1.0 / CAST(sum(w) AS BIGINT) AS mean_b
+  FROM weighted GROUP BY b
+), agg AS (
+  SELECT max(CASE WHEN b = 0 THEN mean_b END) AS mean_exact,
+         list(mean_b ORDER BY mean_b) FILTER (b > 0) AS ms
+  FROM rep
+)
+SELECT round(mean_exact, 4) AS mean_cents,
+       round(ms[2], 4) AS ci_lo_cents,
+       round(ms[38], 4) AS ci_hi_cents,
+       CAST(len(ms) AS INT) AS n_boot
+FROM agg
 """
 
 
@@ -315,52 +340,123 @@ ORDER BY lag
 # ---------------------------------------------------------------------------
 
 
-def q_dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows (cluster size s): clusters of exactly s identical-text
-    copies, docs they hold, and the doc share — the histogram that
-    prices a dedup stage. One fingerprint shuffle; the histogram
-    aggregate is size-bounded."""
+_NEY_BUDGET = 1000
+
+
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows (source): Neyman-optimal allocation of a 1000-doc QA-review
+    sample across sources — n_h ∝ N_h·σ_h (stratum size × doc-length
+    std dev), the design that minimizes the estimator variance for a
+    fixed labeling budget. The fractional allocations are resolved to
+    EXACTLY the budget by largest-remainder rounding (remainder desc,
+    source asc).
+
+    Parity: per-source moments are exact integers; σ and the shares are
+    correctly-rounded IEEE ops; the Σ N_h·σ_h denominator folds over a
+    source-sorted array so both engines sum in the same order; floor /
+    remainder / rank are then engine-identical. The per-source table is
+    localCheckpointed — one corpus scan feeds the denominator, the
+    ranking, and the output."""
     docs = _t(spark, sf_dir, "documents")
-    sizes = docs.groupBy(F.md5("text").alias("fp")).agg(
-        F.count(F.lit(1)).alias("s")
+    m = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("s1"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("s2"),
+        )
+        .localCheckpoint()
     )
-    dist = sizes.groupBy("s").agg(F.count(F.lit(1)).alias("n_clusters"))
-    # doc total from a full-frame window over the size-bounded histogram —
-    # one corpus scan, no second totals branch
+    mean = F.col("s1") / F.col("n_docs")
+    sigma = F.sqrt(F.col("s2") / F.col("n_docs") - mean * mean)
+    m2 = m.select("source", "n_docs", sigma.alias("sigma"),
+                  (F.col("n_docs") * sigma).alias("a"))
+    tot = m2.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "a"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["a"],
+        ).alias("denom")
+    )
+    j = m2.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sigma",
+        (F.lit(_NEY_BUDGET) * F.col("a") / F.col("denom")).alias("raw"),
+    )
+    j = j.select(
+        "source",
+        "n_docs",
+        "sigma",
+        F.floor("raw").cast("long").alias("base"),
+        (F.col("raw") - F.floor("raw")).alias("frac"),
+        (F.col("raw") / F.lit(float(_NEY_BUDGET))).alias("share"),
+    )
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    w_rank = Window.orderBy(F.desc("frac"), "source")
     return (
-        dist.select(
-            F.col("s").alias("cluster_size"),
-            "n_clusters",
-            (F.col("s") * F.col("n_clusters")).alias("n_docs"),
-            F.round(
-                F.col("s")
-                * F.col("n_clusters")
-                / F.sum(F.col("s") * F.col("n_clusters")).over(w_all),
-                6,
-            ).alias("doc_share"),
+        j.select(
+            "source",
+            "n_docs",
+            "sigma",
+            "base",
+            "share",
+            (F.lit(_NEY_BUDGET) - F.sum("base").over(w_all)).alias("left"),
+            F.row_number().over(w_rank).alias("rk"),
         )
-        .orderBy("cluster_size")
+        .select(
+            "source",
+            "n_docs",
+            F.round("sigma", 4).alias("sigma_chars"),
+            (F.col("base") + (F.col("rk") <= F.col("left")).cast("long")).alias(
+                "alloc"
+            ),
+            F.round("share", 6).alias("share"),
+        )
+        .orderBy("source")
     )
 
 
-SQL_DUP_CLUSTER_SIZE_DIST = """
-WITH sizes AS (
-  SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS s
+SQL_NEYMAN_ALLOCATION = f"""
+WITH m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS s1,
+         CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
   FROM documents GROUP BY 1
-), dist AS (
-  SELECT s, CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY 1
+), m2 AS (
+  SELECT source, n_docs,
+         sqrt(s2 * 1.0 / n_docs - (s1 * 1.0 / n_docs) * (s1 * 1.0 / n_docs))
+           AS sigma,
+         n_docs * sqrt(s2 * 1.0 / n_docs
+                       - (s1 * 1.0 / n_docs) * (s1 * 1.0 / n_docs)) AS a
+  FROM m
+), tot AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(a ORDER BY source, a)),
+                     (acc, x) -> acc + x) AS denom
+  FROM m2
+), j AS (
+  SELECT source, n_docs, sigma,
+         {_NEY_BUDGET} * a / denom AS raw
+  FROM m2 CROSS JOIN tot
+), k AS (
+  SELECT source, n_docs, sigma,
+         CAST(floor(raw) AS BIGINT) AS base,
+         raw - floor(raw) AS frac,
+         raw / {float(_NEY_BUDGET)!r} AS share
+  FROM j
 )
-SELECT s AS cluster_size, n_clusters,
-       CAST(s * n_clusters AS BIGINT) AS n_docs,
-       round(s * n_clusters * 1.0
-             / CAST(sum(s * n_clusters)
-                    OVER (ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND UNBOUNDED FOLLOWING) AS BIGINT), 6) AS doc_share
-FROM dist
-ORDER BY cluster_size
+SELECT source, n_docs, round(sigma, 4) AS sigma_chars,
+       CAST(base + (CASE WHEN row_number() OVER (ORDER BY frac DESC, source)
+                              <= {_NEY_BUDGET} - CAST(sum(base)
+                                  OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS BIGINT)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS alloc,
+       round(share, 6) AS share
+FROM k
+ORDER BY source
 """
 
 
@@ -823,12 +919,9 @@ REGISTRY_EXT27: dict[
     str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 ] = {
     "js_divergence_splits": (q_js_divergence_splits, SQL_JS_DIVERGENCE_SPLITS),
-    "ks_two_sample": (q_ks_two_sample, SQL_KS_TWO_SAMPLE),
+    "poisson_bootstrap_ci": (q_poisson_bootstrap_ci, SQL_POISSON_BOOTSTRAP_CI),
     "acf_daily_events": (q_acf_daily_events, SQL_ACF_DAILY_EVENTS),
-    "dup_cluster_size_dist": (
-        q_dup_cluster_size_dist,
-        SQL_DUP_CLUSTER_SIZE_DIST,
-    ),
+    "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "gopher_quality_rules": (q_gopher_quality_rules, SQL_GOPHER_QUALITY_RULES),
     "holt_linear_forecast": (q_holt_linear_forecast, SQL_HOLT_LINEAR_FORECAST),
     "burstiness_fano": (q_burstiness_fano, SQL_BURSTINESS_FANO),
