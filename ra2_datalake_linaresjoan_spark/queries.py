@@ -2268,6 +2268,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "runs_test_revenue",
     "simpson_source_diversity",
     "embedding_norm_topk",
+    # 3b. round-6 batch 28: operational-scale audits
+    "minhash_bucket_skew",
+    "session_type_entropy_bands",
+    "dp_count_noise_audit",
     # 4. stalest re-verifies: last driver-confirmed in r1, then r2, r3,
     #    r4, r5 (freshest last).  The 50-row window cuts inside the r1
     #    group; the remainder rotates forward next round.
@@ -2507,6 +2511,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext25 import REGISTRY_EXT25
     from ra2_datalake_linaresjoan_spark.queries_ext26 import REGISTRY_EXT26
     from ra2_datalake_linaresjoan_spark.queries_ext27 import REGISTRY_EXT27
+    from ra2_datalake_linaresjoan_spark.queries_ext28 import REGISTRY_EXT28
 
     merged = {
         **_REGISTRY,
@@ -2549,6 +2554,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT25,
         **REGISTRY_EXT26,
         **REGISTRY_EXT27,
+        **REGISTRY_EXT28,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -100,6 +100,115 @@ def test_bloom_membership_audit_empty_corpus_well_defined(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# batch 27/28 semantic invariants (sf0.01)
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.01"
+
+
+def _q(spark, name):
+    from ra2_datalake_linaresjoan_spark import queries as q
+
+    return q.queries()[name](spark, SF).collect()
+
+
+def test_neyman_allocation_sums_to_budget(spark):
+    rows = _q(spark, "neyman_allocation")
+    assert sum(r["alloc"] for r in rows) == 1000
+    assert all(r["alloc"] >= 0 for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    row = _q(spark, "poisson_bootstrap_ci")[0]
+    assert row["n_boot"] == 40
+    assert row["ci_lo_cents"] <= row["mean_cents"] <= row["ci_hi_cents"]
+    # CI of a mean over thousands of orders is tight: within ±5 %
+    assert row["ci_hi_cents"] - row["ci_lo_cents"] < 0.1 * row["mean_cents"]
+
+
+def test_jsd_within_ln2(spark):
+    import math
+
+    row = _q(spark, "js_divergence_splits")[0]
+    assert -1e-9 <= row["jsd_nats"] <= math.log(2) + 1e-9
+
+
+def test_acf_bounds(spark):
+    rows = _q(spark, "acf_daily_events")
+    assert rows
+    assert all(-1.0 - 1e-6 <= r["acf"] <= 1.0 + 1e-6 for r in rows)
+
+
+def test_burstiness_and_simpson_bounds(spark):
+    for r in _q(spark, "burstiness_fano"):
+        assert r["fano"] > 0
+        assert -1.0 - 1e-9 <= r["burstiness"] <= 1.0 + 1e-9
+    for r in _q(spark, "simpson_source_diversity"):
+        assert 0.0 <= r["simpson"] < 1.0
+        assert 1.0 - 1e-9 <= r["effective_sources"] <= r["n_sources"] + 1e-9
+
+
+def test_gopher_any_rule_dominates(spark):
+    rows = {r["rule"]: r for r in _q(spark, "gopher_quality_rules")}
+    assert set(rows) == {
+        "word_count_range",
+        "mean_word_length",
+        "type_token_ratio",
+        "stopword_presence",
+        "any_rule",
+    }
+    singles = [v["n_fail"] for k, v in rows.items() if k != "any_rule"]
+    assert rows["any_rule"]["n_fail"] >= max(singles)
+    assert rows["any_rule"]["n_fail"] <= sum(singles)
+    assert all(0.0 <= v["fail_rate"] <= 1.0 for v in rows.values())
+
+
+def test_holt_forecast_is_level_plus_trend(spark):
+    row = _q(spark, "holt_linear_forecast")[0]
+    assert (
+        abs(row["forecast_cents"] - (row["level_cents"] + row["trend_cents"]))
+        <= 0.02
+    )
+
+
+def test_runs_test_counts_consistent(spark):
+    row = _q(spark, "runs_test_revenue")[0]
+    assert 1 <= row["n_runs"] <= row["n_up"] + row["n_down"]
+    assert row["expected_runs"] >= 1.0
+
+
+def test_minhash_bucket_skew_pair_bounds(spark):
+    rows = _q(spark, "minhash_bucket_skew")
+    assert [r["band"] for r in rows] == [0, 1, 2, 3]
+    for r in rows:
+        mx = r["max_bucket"]
+        # the max bucket alone contributes C(mx, 2); all buckets together
+        # can't exceed n_buckets * C(mx, 2)
+        assert r["candidate_pairs"] >= mx * (mx - 1) // 2
+        assert r["candidate_pairs"] <= r["n_buckets"] * mx * (mx - 1) // 2
+        assert r["bucket_cv"] >= 0.0
+
+
+def test_session_entropy_bands_reconcile_with_sessionization(spark):
+    bands = _q(spark, "session_type_entropy_bands")
+    assert abs(sum(r["session_share"] for r in bands) - 1.0) < 1e-4
+    assert all(r["band"] >= 0 for r in bands)
+    # same 5-minute-gap session definition as event_sessionization:
+    # session totals must reconcile exactly across the two operators
+    n_sessions = sum(r["n_sessions"] for r in bands)
+    assert n_sessions == len(_q(spark, "event_sessionization"))
+
+
+def test_dp_release_nonnegative_l1_consistent(spark):
+    rows = _q(spark, "dp_count_noise_audit")
+    assert all(r["released"] >= 0 for r in rows)
+    assert all(r["epsilon"] == 1.0 for r in rows)
+    l1 = sum(r["abs_err"] for r in rows)
+    assert all(r["total_l1_err"] == l1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
 # containment_pairs: df-cap candidate bound under engineered skew
 # ---------------------------------------------------------------------------
 

@@ -262,6 +262,84 @@ def probe(spark, docs: DataFrame) -> dict[str, float]:
         )
 
     timed("weighted_topk", weighted_topk)
+
+    # round-6 hot operators ------------------------------------------------
+
+    # Gopher-style multi-rule quality gate: pure in-row word stats + one
+    # 1-row aggregate — should scale as a plain scan
+    def gopher_rules():
+        words = docs.select(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+            ).alias("w")
+        )
+        stats = words.select(
+            F.size("w").alias("wc"),
+            F.aggregate(
+                "w", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).alias("chars"),
+            F.size(F.array_distinct("w")).alias("uniq"),
+        )
+        stats.agg(
+            F.sum((F.col("wc") < 30).cast("long")),
+            F.sum((F.col("chars") > 8 * F.col("wc")).cast("long")),
+            F.sum((F.col("uniq") < 0.3 * F.col("wc")).cast("long")),
+        ).first()
+
+    timed("gopher_rules", gopher_rules)
+
+    # LSH bucket-load audit (minhash_bucket_skew shape): shingle shuffle
+    # → 8 min-hashes → band explode → (band, bucket) sizes
+    def lsh_bucket_audit():
+        words = docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+            ).alias("w"),
+        )
+        sh = words.filter(F.size("w") >= 3).select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("w") - 3),
+                        lambda j: F.concat_ws(" ", F.slice("w", j + 1, 3)),
+                    )
+                )
+            ).alias("shingle"),
+        )
+        per_doc = sh.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.lit(i), "shingle")), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias(f"h{i}")
+                for i in range(8)
+            ]
+        )
+        band_arr = F.array(
+            *[
+                F.concat_ws(
+                    ":", F.lit(b), F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")
+                )
+                for b in range(4)
+            ]
+        )
+        (
+            per_doc.select(F.posexplode(band_arr).alias("band", "bucket"))
+            .groupBy("band", "bucket")
+            .count()
+            .groupBy("band")
+            .agg(F.max("count"), F.count(F.lit(1)))
+            .count()
+        )
+
+    timed("lsh_bucket_audit", lsh_bucket_audit)
     return out
 
 
