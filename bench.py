@@ -83,8 +83,10 @@ HEADLINE = [
     "weighted_sample_topk",
     "ngram_contamination",
     # round 6: in-row multi-rule quality gate + one-pass Poisson bootstrap
+    # + greedy-submodular MMR re-ranking
     "gopher_quality_rules",
     "poisson_bootstrap_ci",
+    "mmr_diverse_topk",
 ]
 
 

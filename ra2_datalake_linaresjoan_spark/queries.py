@@ -2272,6 +2272,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_bucket_skew",
     "session_type_entropy_bands",
     "dp_count_noise_audit",
+    # 3c. round-6 batch 29: decision statistics
+    "bh_fdr_daily_anomalies",
+    "score_calibration_bins",
+    "power_analysis_arms",
+    # 3d. round-6 LLM batch 15: MMR diverse re-ranking (flagship greedy
+    #     submodular selection — composed BM25 + quantized-embedding sim)
+    "mmr_diverse_topk",
     # 4. stalest re-verifies: last driver-confirmed in r1, then r2, r3,
     #    r4, r5 (freshest last).  The 50-row window cuts inside the r1
     #    group; the remainder rotates forward next round.
@@ -2512,6 +2519,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext26 import REGISTRY_EXT26
     from ra2_datalake_linaresjoan_spark.queries_ext27 import REGISTRY_EXT27
     from ra2_datalake_linaresjoan_spark.queries_ext28 import REGISTRY_EXT28
+    from ra2_datalake_linaresjoan_spark.queries_ext29 import REGISTRY_EXT29
+    from ra2_datalake_linaresjoan_spark.queries_llm15 import REGISTRY_LLM15
 
     merged = {
         **_REGISTRY,
@@ -2555,6 +2564,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT26,
         **REGISTRY_EXT27,
         **REGISTRY_EXT28,
+        **REGISTRY_EXT29,
+        **REGISTRY_LLM15,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

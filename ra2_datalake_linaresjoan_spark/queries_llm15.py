@@ -1,0 +1,293 @@
+"""LLM batch 15 (round 6): retrieval composition — Maximal Marginal
+Relevance (MMR) diverse re-ranking, the greedy submodular selection
+operator RAG retrieval stacks run between "rank by relevance" and "put
+in the context window". Spark has no native greedy-selection operator;
+this one composes the repo's BM25 ranking with embedding similarity:
+
+    pick_i = argmax over remaining candidates of
+             λ·relevance − (1−λ)·max_{s ∈ selected} sim(candidate, s)
+
+Parity discipline (the whole reason this is oracle-checkable): the
+greedy argmax compares SCORES, and a 1-ulp float divergence can flip a
+pick, so every input to the comparison is derived from exact integers —
+relevance is the (pool_size+1 − rank)/pool_size rational of the BM25
+rank (BM25 itself is rounded at 4 dp before ranking, the proven-stable
+``bm25_topk`` contract), and similarity numerators are integer dot
+products of 127-scaled quantized embeddings (the ``embedding_quantize``
+trick); the only floats are correctly-rounded sqrt/divide of identical
+integers, bit-equal on both engines. Ties break on doc_id.
+
+Scale: the candidate pool is a TakeOrderedAndProject top-50 (never a
+global sort), the pool joins its vectors once, and the greedy loop is
+in-row over one 50-element array — O(K·pool·dim) scalar work on one
+row. The DuckDB oracle unrolls the K = 10 picks as chained CTEs (each
+a LIMIT-1 argmax over the not-yet-picked pool) because recursive CTEs
+cannot aggregate over the recursive reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries_llm10 import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_TERMS,
+)
+
+_MMR_K = 10
+_MMR_POOL = 50
+_MMR_LAMBDA = 0.7
+_MMR_QSCALE = 127
+
+_ACC_TYPE = (
+    "array<struct<doc_id:bigint,rel:double,mmr:double,"
+    "q:array<int>,nrm:double>>"
+)
+
+
+def _bm25_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-`_MMR_POOL` docs by the ``bm25_topk`` scoring contract
+    (4-dp-rounded score, doc_id tie-break), with their pool rank."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+    ).filter(F.col("word") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    coll = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tok.agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    tf = (
+        tok.filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1.0
+                        - _BM25_B
+                        + _BM25_B
+                        * F.col("dl")
+                        / (F.col("n_tok") / F.col("n_docs"))
+                    )
+                )
+            ).alias("term_score"),
+        )
+    )
+    top = (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_MMR_POOL)
+    )
+    w = Window.orderBy(F.desc("bm25"), "doc_id")
+    return top.select("doc_id", "bm25", F.row_number().over(w).alias("rank"))
+
+
+def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows (pick 1..10): MMR-selected diverse top-k from the BM25
+    top-50 pool (λ = 0.7), with each pick's rank-based relevance and
+    its MMR score at selection time. Docs without a vector drop from
+    the pool (inner join) but keep their BM25 rank for relevance."""
+    pool = _bm25_pool(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x * _MMR_QSCALE).cast("int"),
+        ).alias("q"),
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+
+    cand = pool.join(emb, "doc_id").select(
+        "doc_id",
+        (
+            (F.lit(_MMR_POOL + 1) - F.col("rank")) / F.lit(float(_MMR_POOL))
+        ).alias("rel"),
+        "q",
+        F.sqrt(idot(F.col("q"), F.col("q"))).alias("nrm"),
+    )
+    one = cand.agg(
+        F.collect_list(F.struct("doc_id", "rel", "q", "nrm")).alias("c")
+    )
+
+    def sim(x, s):
+        return F.when(
+            (x["nrm"] > 0) & (s["nrm"] > 0),
+            idot(x["q"], s["q"]) / (x["nrm"] * s["nrm"]),
+        ).otherwise(F.lit(0.0))
+
+    def step(acc, _i):
+        sel_ids = F.transform(acc, lambda a: a["doc_id"])
+        rem = F.filter(
+            F.col("c"), lambda x: ~F.array_contains(sel_ids, x["doc_id"])
+        )
+        maxsim = lambda x: F.when(  # noqa: E731
+            F.size(acc) == 0, F.lit(0.0)
+        ).otherwise(F.array_max(F.transform(acc, lambda s: sim(x, s))))
+        scored = F.transform(
+            rem,
+            lambda x: F.struct(
+                (
+                    F.lit(_MMR_LAMBDA) * x["rel"]
+                    - F.lit(1.0 - _MMR_LAMBDA) * maxsim(x)
+                ).alias("m"),
+                (-x["doc_id"]).alias("g"),
+                x["doc_id"].alias("doc_id"),
+                x["rel"].alias("rel"),
+                x["q"].alias("q"),
+                x["nrm"].alias("nrm"),
+            ),
+        )
+        best = F.array_max(scored)
+        appended = F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    best["doc_id"].alias("doc_id"),
+                    best["rel"].alias("rel"),
+                    best["m"].alias("mmr"),
+                    best["q"].alias("q"),
+                    best["nrm"].alias("nrm"),
+                )
+            ),
+        )
+        return F.when(F.size(rem) > 0, appended).otherwise(acc)
+
+    picked = one.select(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(_MMR_K)),
+            F.expr(f"CAST(array() AS {_ACC_TYPE})"),
+            step,
+        ).alias("sel")
+    )
+    return picked.select(
+        F.posexplode("sel").alias("pos", "s")
+    ).select(
+        (F.col("pos") + 1).alias("pick"),
+        F.col("s.doc_id").alias("doc_id"),
+        F.round("s.rel", 6).alias("rel"),
+        F.round("s.mmr", 6).alias("mmr_score"),
+    )
+
+
+def _mmr_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+    def sim(p: str) -> str:
+        return (
+            f"CASE WHEN c.nrm > 0 AND {p}.nrm > 0 THEN "
+            f"CAST(list_sum(list_transform(range(1, len(c.q) + 1), "
+            f"i -> c.q[i] * {p}.q[i])) AS DOUBLE) / (c.nrm * {p}.nrm) "
+            f"ELSE CAST(0.0 AS DOUBLE) END"
+        )
+
+    lam = f"CAST({_MMR_LAMBDA!r} AS DOUBLE)"
+    one_m_lam = f"CAST({1.0 - _MMR_LAMBDA!r} AS DOUBLE)"
+    picks = [
+        f"pick_1 AS MATERIALIZED (\n"
+        f"  SELECT c.doc_id, c.rel, c.q, c.nrm, {lam} * c.rel AS mmr\n"
+        f"  FROM cands c ORDER BY {lam} * c.rel DESC, c.doc_id LIMIT 1\n)"
+    ]
+    for k in range(2, _MMR_K + 1):
+        prev = [f"pick_{j}" for j in range(1, k)]
+        froms = ", ".join(["cands c"] + [f"{p} {p}" for p in prev])
+        notin = ", ".join(f"{p}.doc_id" for p in prev)
+        sims = ", ".join(sim(p) for p in prev)
+        maxsim = sims if len(prev) == 1 else f"greatest({sims})"
+        picks.append(
+            f"pick_{k} AS MATERIALIZED (\n"
+            f"  SELECT c.doc_id, c.rel, c.q, c.nrm,\n"
+            f"         {lam} * c.rel - {one_m_lam} * ({maxsim}) AS mmr\n"
+            f"  FROM {froms}\n"
+            f"  WHERE c.doc_id NOT IN ({notin})\n"
+            f"  ORDER BY mmr DESC, c.doc_id LIMIT 1\n)"
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS pick, doc_id, round(rel, 6) AS rel, "
+        f"round(mmr, 6) AS mmr_score FROM pick_{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    picks_sql = ",\n".join(picks)
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, t.word
+  FROM documents,
+       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+  WHERE t.word <> ''
+), dl AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), coll AS MATERIALIZED (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM tok) AS n_tok
+), tf AS MATERIALIZED (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE word IN ({terms})
+  GROUP BY doc_id, word
+), df AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+), bm AS MATERIALIZED (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((coll.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1!r} + 1.0))
+           / (tf.tf + {_BM25_K1!r} * (1.0 - {_BM25_B!r}
+                     + {_BM25_B!r} * dl.dl
+                       / (CAST(coll.n_tok AS DOUBLE) / coll.n_docs)))
+         ), 4) AS bm25
+  FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN coll
+  GROUP BY tf.doc_id
+), pool AS MATERIALIZED (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+  FROM (SELECT * FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_MMR_POOL})
+), cands AS MATERIALIZED (
+  SELECT pool.doc_id,
+         CAST({_MMR_POOL + 1} - rank AS DOUBLE) / {_MMR_POOL} AS rel,
+         list_transform(embedding,
+                        x -> CAST(round(x * {_MMR_QSCALE}) AS INT)) AS q,
+         sqrt(CAST(list_sum(list_transform(embedding,
+              x -> CAST(round(x * {_MMR_QSCALE}) AS INT)
+                   * CAST(round(x * {_MMR_QSCALE}) AS INT))) AS DOUBLE)) AS nrm
+  FROM pool JOIN embeddings ON pool.doc_id = embeddings.vec_id
+), {picks_sql}
+SELECT * FROM (
+{unions}
+) ORDER BY pick
+"""
+
+
+SQL_MMR_DIVERSE_TOPK = _mmr_sql()
+
+
+REGISTRY_LLM15: dict[
+    str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
+] = {
+    "mmr_diverse_topk": (q_mmr_diverse_topk, SQL_MMR_DIVERSE_TOPK),
+}

@@ -208,6 +208,58 @@ def test_dp_release_nonnegative_l1_consistent(spark):
     assert all(r["total_l1_err"] == l1 for r in rows)
 
 
+def test_bh_fdr_ranks_and_prefix(spark):
+    rows = _q(spark, "bh_fdr_daily_anomalies")
+    assert [r["bh_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    ps = [r["p_value"] for r in rows]
+    assert ps == sorted(ps)
+    assert all(0.0 <= p <= 1.0 for p in ps)
+    assert all(r["z"] >= 0.0 for r in rows)
+    # BH discoveries form a prefix of the p-ascending order
+    flags = [r["discovered"] for r in rows]
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_calibration_bins_wilson_brackets(spark):
+    rows = _q(spark, "score_calibration_bins")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["pos_rate"] <= 1.0
+        assert r["wilson_lo"] - 1e-9 <= r["pos_rate"] <= r["wilson_hi"] + 1e-9
+        assert r["pos"] <= r["n"]
+    import pyspark.sql.functions as F  # noqa: N812
+
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs
+
+
+def test_power_analysis_consistent(spark):
+    row = _q(spark, "power_analysis_arms")[0]
+    assert row["x0"] <= row["n0"] and row["x1"] <= row["n1"]
+    assert 0.0 <= row["p0"] <= 1.0 and 0.0 <= row["p1"] <= 1.0
+    assert abs(row["observed_lift"] - abs(row["p0"] - row["p1"])) < 2e-6
+    if row["observed_lift"] > 0:
+        assert row["n_required_per_arm"] >= 1
+        assert row["powered_now"] == (
+            min(row["n0"], row["n1"]) >= row["n_required_per_arm"]
+        )
+
+
+def test_mmr_picks_distinct_and_greedy_consistent(spark):
+    rows = _q(spark, "mmr_diverse_topk")
+    assert [r["pick"] for r in rows] == list(range(1, len(rows) + 1))
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "MMR re-picked a document"
+    # first pick has no diversity penalty: mmr = lambda * rel exactly
+    assert abs(rows[0]["mmr_score"] - 0.7 * rows[0]["rel"]) < 2e-6
+    # cosine is signed, so the diversity term can add as well as
+    # subtract — but it is bounded: |mmr − λ·rel| ≤ (1−λ)·|cos| ≤ 0.3
+    for r in rows[1:]:
+        assert abs(r["mmr_score"] - 0.7 * r["rel"]) <= 0.3 + 2e-6
+    # relevance values are the rank rational: in (0, 1]
+    assert all(0.0 < r["rel"] <= 1.0 for r in rows)
+
+
 # ---------------------------------------------------------------------------
 # containment_pairs: df-cap candidate bound under engineered skew
 # ---------------------------------------------------------------------------
