@@ -164,31 +164,78 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     by permutation (each replicate reweights rows by an independent
     Poisson(1) draw instead of drawing n rows with replacement).
 
-    Determinism: replicate b's weight for a row is the Poisson(1)
-    inverse CDF applied to md5(orderkey:b) — no RNG state, identical
-    on every engine/run. Replicate b = 0 pins weight 1 (the actual
-    sample), so the exact mean and all 40 replicate means come from
-    ONE scan and ONE (b)-keyed aggregate with map-side combine;
+    Determinism: replicate b = 4g+j+1 draws its weight from the j-th
+    8-hex slice of md5(orderkey:g) — one md5 yields FOUR independent
+    32-bit uniforms, so a row pays 10 md5 calls for all 40 replicates
+    instead of 40 (measured 8.5 s → the md5 was the whole cost at
+    sf0.1). The md5 string is materialized in an outer transform
+    because Spark does no CSE inside lambda bodies — an inner-lambda
+    md5 would recompute per slice. Replicate b = 0 pins weight 1 (the
+    actual sample), so the exact mean and all 40 replicate means come
+    from ONE scan and ONE (b)-keyed aggregate with map-side combine;
     replicate means are exact-integer ratios (Σw·cents / Σw), so the
     sorted pick of ranks 2 and 38 (nearest-rank p05/p95 of 40) is
     engine-identical."""
     orders = _t(spark, sf_dir, "orders")
-    u = (
-        F.conv(F.substring(F.md5(F.concat_ws(":", "o_orderkey", "b")), 1, 8), 16, 10)
-        .cast("long")
-        / F.lit(4294967296.0)
+    # The replicate fan-out multiplies per-row CPU ~40x, so a small
+    # single-file input would run the whole job on one task (measured:
+    # the entire 8-9 s sf0.1 cost was one core doing 6M md5s). Spread it
+    # when the scan has fewer partitions than the cluster has slots; on
+    # a real cluster the input already has >= cores partitions and this
+    # is a no-op — never an unconditional shuffle of a 100-TB table.
+    par = spark.sparkContext.defaultParallelism
+    if orders.rdd.getNumPartitions() < par:
+        orders = orders.repartition(par)
+
+    def w_of(u):
+        w = F.lit(7).cast("long")
+        for k in range(len(_PB_CUMS) - 1, -1, -1):
+            w = F.when(u < F.lit(_PB_CUMS[k]), F.lit(k).cast("long")).otherwise(w)
+        return w
+
+    hexes = F.transform(
+        F.sequence(F.lit(0), F.lit(_PB_B // 4 - 1)),
+        lambda g: F.struct(
+            g.alias("g"),
+            F.md5(F.concat_ws(":", F.col("o_orderkey"), g)).alias("hx"),
+        ),
     )
-    w = F.lit(7)
-    for k in range(len(_PB_CUMS) - 1, -1, -1):
-        w = F.when(u < F.lit(_PB_CUMS[k]), F.lit(k)).otherwise(w)
-    w = F.when(F.col("b") == 0, F.lit(1)).otherwise(w)
+    weights = F.flatten(
+        F.transform(
+            hexes,
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda j: F.struct(
+                    (s["g"] * 4 + j + 1).cast("long").alias("b"),
+                    w_of(
+                        F.conv(
+                            F.substr(s["hx"], 1 + j * 8, F.lit(8)), 16, 10
+                        ).cast("long")
+                        / F.lit(4294967296.0)
+                    ).alias("w"),
+                ),
+            ),
+        )
+    )
+    all_w = F.concat(
+        F.array(
+            F.struct(
+                F.lit(0).cast("long").alias("b"),
+                F.lit(1).cast("long").alias("w"),
+            )
+        ),
+        weights,
+    )
     rep = (
         orders.select(
-            "o_orderkey",
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-            F.explode(F.sequence(F.lit(0), F.lit(_PB_B))).alias("b"),
+            F.explode(all_w).alias("bw"),
         )
-        .select("b", w.cast("long").alias("w"), "cents")
+        .select(
+            F.col("bw.b").alias("b"),
+            F.col("bw.w").alias("w"),
+            "cents",
+        )
         .groupBy("b")
         .agg(
             F.sum(F.col("w") * F.col("cents")).alias("swx"),
@@ -212,25 +259,31 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pb_weight_sql(u_expr: str) -> str:
     branches = " ".join(
-        f"WHEN {u_expr} < {c!r} THEN {k}" for k, c in enumerate(_PB_CUMS)
+        f"WHEN {u_expr} < CAST({c!r} AS DOUBLE) THEN CAST({k} AS BIGINT)"
+        for k, c in enumerate(_PB_CUMS)
     )
-    return f"CASE {branches} ELSE 7 END"
+    return f"CASE {branches} ELSE CAST(7 AS BIGINT) END"
 
+
+_PB_U_SQL = (
+    "(CAST(concat('0x', substr(md5(concat(o_orderkey, ':', g)),"
+    " 1 + CAST(j AS INT) * 8, 8)) AS BIGINT) / 4294967296.0)"
+)
 
 SQL_POISSON_BOOTSTRAP_CI = f"""
-WITH rows_b AS (
-  SELECT o_orderkey,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-         unnest(range(0, {_PB_B} + 1)) AS b
+WITH hexed AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         list_prepend(
+           struct_pack(b := CAST(0 AS BIGINT), w := CAST(1 AS BIGINT)),
+           flatten(list_transform(range(0, {_PB_B // 4}), g ->
+             list_transform(range(0, 4), j -> struct_pack(
+                      b := CAST(g * 4 + j + 1 AS BIGINT),
+                      w := {_pb_weight_sql(_PB_U_SQL)}))
+           ))) AS ws
   FROM orders
 ), weighted AS (
-  SELECT b,
-         CASE WHEN b = 0 THEN 1 ELSE {_pb_weight_sql(
-             "(CAST(concat('0x', substr(md5(concat(o_orderkey, ':', b)), 1, 8)) AS BIGINT)"
-             " / 4294967296.0)"
-         )} END AS w,
-         cents
-  FROM rows_b
+  SELECT cents, u.b AS b, u.w AS w
+  FROM (SELECT cents, unnest(ws) AS u FROM hexed)
 ), rep AS (
   SELECT b,
          CAST(sum(w * cents) AS BIGINT) * 1.0 / CAST(sum(w) AS BIGINT) AS mean_b
