@@ -188,9 +188,13 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders = orders.repartition(par)
 
     def w_of(u):
-        w = F.lit(7).cast("long")
-        for k in range(len(_PB_CUMS) - 1, -1, -1):
-            w = F.when(u < F.lit(_PB_CUMS[k]), F.lit(k).cast("long")).otherwise(w)
+        # Branchless inverse CDF: the weight IS the number of cumulative
+        # thresholds at or below u, so a sum of 7 comparisons replaces a
+        # 7-deep nested CASE — ~2x less codegen work when evaluated 40x
+        # per row, and the identical expression shape runs in the oracle.
+        w = F.lit(0).cast("long")
+        for c in _PB_CUMS:
+            w = w + (u >= F.lit(c)).cast("long")
         return w
 
     hexes = F.transform(
@@ -258,11 +262,10 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pb_weight_sql(u_expr: str) -> str:
-    branches = " ".join(
-        f"WHEN {u_expr} < CAST({c!r} AS DOUBLE) THEN CAST({k} AS BIGINT)"
-        for k, c in enumerate(_PB_CUMS)
+    terms = " + ".join(
+        f"CAST({u_expr} >= CAST({c!r} AS DOUBLE) AS BIGINT)" for c in _PB_CUMS
     )
-    return f"CASE {branches} ELSE CAST(7 AS BIGINT) END"
+    return f"({terms})"
 
 
 _PB_U_SQL = (
