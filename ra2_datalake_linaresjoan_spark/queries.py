@@ -2279,6 +2279,14 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # 3d. round-6 LLM batch 15: MMR diverse re-ranking (flagship greedy
     #     submodular selection — composed BM25 + quantized-embedding sim)
     "mmr_diverse_topk",
+    # 3e. round-6 batch 30: entity resolution & corpus governance
+    "k_anonymity_audit",
+    "shard_balance_audit",
+    "mixture_temperature_weights",
+    "blocking_quality_audit",
+    "bcubed_cluster_eval",
+    "matryoshka_prefix_fidelity",
+    "fellegi_sunter_em",
     # 4. stalest re-verifies: last driver-confirmed in r1, then r2, r3,
     #    r4, r5 (freshest last).  The 50-row window cuts inside the r1
     #    group; the remainder rotates forward next round.
@@ -2521,6 +2529,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext28 import REGISTRY_EXT28
     from ra2_datalake_linaresjoan_spark.queries_ext29 import REGISTRY_EXT29
     from ra2_datalake_linaresjoan_spark.queries_llm15 import REGISTRY_LLM15
+    from ra2_datalake_linaresjoan_spark.queries_ext30 import REGISTRY_EXT30
 
     merged = {
         **_REGISTRY,
@@ -2566,6 +2575,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT28,
         **REGISTRY_EXT29,
         **REGISTRY_LLM15,
+        **REGISTRY_EXT30,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)
