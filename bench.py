@@ -87,6 +87,11 @@ HEADLINE = [
     "gopher_quality_rules",
     "poisson_bootstrap_ci",
     "mmr_diverse_topk",
+    # round 6 cont.: record-linkage EM, salted shuffle join, conformal
+    # threshold selection
+    "fellegi_sunter_em",
+    "salted_skew_join",
+    "conformal_calibration",
 ]
 
 

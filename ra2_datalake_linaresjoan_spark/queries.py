@@ -2287,6 +2287,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bcubed_cluster_eval",
     "matryoshka_prefix_fidelity",
     "fellegi_sunter_em",
+    # 3f. round-6 batch 31: skew-safe execution & split/statistics tooling
+    "salted_skew_join",
+    "conformal_calibration",
+    "group_kfold_assign",
+    "equi_depth_histogram",
+    # 3g. round-6 batch 32: incremental maintenance & optimizer craft
+    "ivm_merge_audit",
+    "bloom_join_prefilter",
+    "ess_importance_weights",
+    "join_reorder_advisor",
     # 4. stalest re-verifies: last driver-confirmed in r1, then r2, r3,
     #    r4, r5 (freshest last).  The 50-row window cuts inside the r1
     #    group; the remainder rotates forward next round.
@@ -2530,6 +2540,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext29 import REGISTRY_EXT29
     from ra2_datalake_linaresjoan_spark.queries_llm15 import REGISTRY_LLM15
     from ra2_datalake_linaresjoan_spark.queries_ext30 import REGISTRY_EXT30
+    from ra2_datalake_linaresjoan_spark.queries_ext31 import REGISTRY_EXT31
+    from ra2_datalake_linaresjoan_spark.queries_ext32 import REGISTRY_EXT32
 
     merged = {
         **_REGISTRY,
@@ -2576,6 +2588,8 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT29,
         **REGISTRY_LLM15,
         **REGISTRY_EXT30,
+        **REGISTRY_EXT31,
+        **REGISTRY_EXT32,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

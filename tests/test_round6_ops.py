@@ -335,3 +335,205 @@ def test_revenue_deciles_quantile_path_contiguous_under_ties(spark, tmp_path):
     shares = [r["revenue_share"] for r in out]
     assert shares[0] == max(shares)
     assert abs(sum(shares) - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# batch 30/31 semantic invariants (sf0.01)
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymity_audit_consistent(spark):
+    row = _q(spark, "k_anonymity_audit")[0]
+    assert row["singletons"] <= row["groups_below_k"] <= row["qi_groups"]
+    assert row["rows_below_k"] <= row["rows_total"]
+    assert 0.0 <= row["risk_frac"] <= 1.0
+    assert row["k_min"] >= 1
+
+
+def test_shard_balance_bounds(spark):
+    row = _q(spark, "shard_balance_audit")[0]
+    assert 1 <= row["shards_used"] <= 64
+    assert row["min_shard_rows"] <= row["max_shard_rows"]
+    assert row["max_row_share_x"] >= 1.0  # max is at least the mean
+
+
+def test_mixture_weights_normalize(spark):
+    rows = _q(spark, "mixture_temperature_weights")
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["natural_share"] for r in rows) - 1.0) < 1e-4
+    # temperature < 1 upsamples the tail: every below-average source
+    # must carry weight above its natural share
+    for r in rows:
+        assert r["upsampled"] == (r["weight"] > r["natural_share"]) or (
+            abs(r["weight"] - r["natural_share"]) < 2e-6
+        )
+
+
+def test_blocking_and_bcubed_bounds(spark):
+    b = _q(spark, "blocking_quality_audit")[0]
+    assert 0.0 <= b["completeness"] <= 1.0
+    assert 0.0 <= b["cand_precision"] <= 1.0
+    assert 0.0 <= b["reduction_ratio"] <= 1.0
+    assert b["co_blocked_gold"] <= min(b["cand_pairs"], b["gold_pairs"])
+    c = _q(spark, "bcubed_cluster_eval")[0]
+    assert 0.0 < c["bcubed_precision"] <= 1.0
+    assert 0.0 < c["bcubed_recall"] <= 1.0
+    lo = min(c["bcubed_precision"], c["bcubed_recall"])
+    hi = max(c["bcubed_precision"], c["bcubed_recall"])
+    assert lo - 1e-6 <= c["bcubed_f1"] <= hi + 1e-6
+
+
+def test_matryoshka_full_prefix_exact(spark):
+    rows = {r["prefix_dim"]: r for r in _q(spark, "matryoshka_prefix_fidelity")}
+    # the 64-prefix IS the full vector: error must be exactly 0
+    assert rows[64]["mean_abs_err"] == 0.0
+    # fidelity improves (error shrinks) as the prefix grows
+    assert rows[8]["mean_abs_err"] >= rows[32]["mean_abs_err"]
+
+
+def test_fellegi_sunter_em_well_formed(spark):
+    rows = _q(spark, "fellegi_sunter_em")
+    assert len(rows) == 4
+    n_cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    for r in rows:
+        assert r["pairs_total"] == n_cust - 1
+        assert 0.0 < r["m_prob"] < 1.0
+        assert 0.0 < r["u_prob"] < 1.0
+        assert 0.0 < r["lambda_match"] < 1.0
+        # weights are the log-likelihood ratios of the fitted params
+        import math
+
+        assert abs(
+            r["w_agree"] - math.log2(r["m_prob"] / r["u_prob"])
+        ) < 1e-3
+
+
+def test_salted_join_plan_is_salted_shuffle(spark):
+    """The whole point of salted_skew_join: the executed plan must be a
+    SHUFFLE (sort-merge) join keyed on (user_id, salt) — a broadcast
+    would make the salt decorative."""
+    from ra2_datalake_linaresjoan_spark.queries_ext31 import (
+        q_salted_skew_join,
+    )
+
+    df = q_salted_skew_join(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan.split("SortMergeJoin")[0]
+    join_line = next(
+        line for line in plan.splitlines() if "SortMergeJoin" in line
+    )
+    assert "salt" in join_line and "user_id" in join_line
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change RESULTS — compare against the unsalted
+    broadcast join computed inline."""
+    from pyspark.sql import functions as F
+
+    rows = {r["segment"]: r for r in _q(spark, "salted_skew_join")}
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    cust = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.sum("c").alias("cents"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in plain:
+        assert rows[r["c_mktsegment"]]["revenue_cents"] == r["cents"]
+        assert rows[r["c_mktsegment"]]["n_events"] == r["n"]
+
+
+def test_conformal_calibration_guarantee(spark):
+    """Split-conformal promises >= 90 % coverage ON THE CALIBRATION
+    split by construction; test coverage should land near it."""
+    rows = _q(spark, "conformal_calibration")
+    n_test = sum(r["n_test"] for r in rows)
+    covered = sum(r["covered"] for r in rows)
+    assert covered / n_test > 0.8  # finite-sample slack
+    for r in rows:
+        assert 0.0 <= r["coverage"] <= 1.0
+        assert r["k"] == -(-(r["n_cal"] + 1) * 9 // 10)  # ceil
+
+
+def test_group_kfold_no_leakage(spark):
+    rows = _q(spark, "group_kfold_assign")
+    assert all(r["leak_groups"] == 0 for r in rows)
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-4
+    assert len(rows) <= 5
+
+
+def test_equi_depth_histogram_monotone(spark):
+    rows = _q(spark, "equi_depth_histogram")
+    assert [r["bucket"] for r in rows] == list(range(1, 8))
+    bands = [r["boundary_band"] for r in rows]
+    assert bands == sorted(bands)
+    for r in rows:
+        # the boundary band is the FIRST band reaching the target rank
+        assert r["cum_rows"] >= r["target_rank"]
+        assert r["target_rank"] == -(
+            -r["bucket"] * r["rows_total"] // 8
+        )
+
+
+# ---------------------------------------------------------------------------
+# batch 32 semantic invariants (sf0.01)
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_merge_is_exact(spark):
+    row = _q(spark, "ivm_merge_audit")[0]
+    assert row["mismatch_days"] == 0
+    assert row["rows_delta"] <= row["rows_total"]
+    assert row["days_delta"] <= row["days_total"]
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom candidates must contain EVERY true match, and the revenue
+    through the prefiltered path must equal the plain-join revenue."""
+    from pyspark.sql import functions as F
+
+    row = _q(spark, "bloom_join_prefilter")[0]
+    assert row["true_matches"] + row["false_positives"] == row[
+        "bloom_candidates"
+    ]
+    cust = spark.read.parquet(f"{SF}/customer.parquet").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plain = (
+        orders.join(
+            cust.select(F.col("c_custkey").alias("o_custkey")), "o_custkey"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("cents"),
+        )
+        .collect()[0]
+    )
+    assert row["true_matches"] == plain["n"]
+    assert row["revenue_cents"] == plain["cents"]
+
+
+def test_ess_bounds(spark):
+    row = _q(spark, "ess_importance_weights")[0]
+    assert 0.0 < row["ess_frac"] <= 1.0 + 1e-9
+    assert row["max_epoch_factor"] >= 1.0 - 1e-6 or row["n_sources"] == 1
+    # sum of importance weights ~ N by construction of epoch factors
+    assert abs(row["sum_w"] - row["n_docs"]) / row["n_docs"] < 0.5
+
+
+def test_join_advisor_fk_estimates_tight(spark):
+    """For clean FK joins the |R||S|/max(ndv) estimate is near-exact —
+    the ratio must sit close to 1."""
+    rows = _q(spark, "join_reorder_advisor")
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.5 <= r["est_over_actual"] <= 2.0
