@@ -2297,6 +2297,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bloom_join_prefilter",
     "ess_importance_weights",
     "join_reorder_advisor",
+    # 3h. round-6 batch 33: storage-layout & ANN-infrastructure audits
+    "zone_map_pruning",
+    "pq_codebook_distortion",
+    "compaction_plan_audit",
     # 4. stalest re-verifies: last driver-confirmed in r1, then r2, r3,
     #    r4, r5 (freshest last).  The 50-row window cuts inside the r1
     #    group; the remainder rotates forward next round.
@@ -2542,6 +2546,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext30 import REGISTRY_EXT30
     from ra2_datalake_linaresjoan_spark.queries_ext31 import REGISTRY_EXT31
     from ra2_datalake_linaresjoan_spark.queries_ext32 import REGISTRY_EXT32
+    from ra2_datalake_linaresjoan_spark.queries_ext33 import REGISTRY_EXT33
 
     merged = {
         **_REGISTRY,
@@ -2590,6 +2595,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT30,
         **REGISTRY_EXT31,
         **REGISTRY_EXT32,
+        **REGISTRY_EXT33,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

@@ -537,3 +537,36 @@ def test_join_advisor_fk_estimates_tight(spark):
     assert len(rows) == 3
     for r in rows:
         assert 0.5 <= r["est_over_actual"] <= 2.0
+
+
+# ---------------------------------------------------------------------------
+# batch 33 semantic invariants (sf0.01)
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_sorting_helps(spark):
+    row = _q(spark, "zone_map_pruning")[0]
+    # contiguous ids: both layouts produce the same chunk count
+    assert row["chunks_natural"] == row["chunks_sorted"]
+    assert 0.0 <= row["pruned_frac_natural"] <= 1.0
+    assert 0.0 <= row["pruned_frac_sorted"] <= 1.0
+    # clustering by the filter column can only improve (or tie) pruning
+    assert row["pruned_frac_sorted"] >= row["pruned_frac_natural"]
+
+
+def test_pq_distortion_well_formed(spark):
+    rows = _q(spark, "pq_codebook_distortion")
+    assert [r["sub"] for r in rows] == list(range(8))
+    n = {r["n_vecs"] for r in rows}
+    assert len(n) == 1  # every subspace quantizes every vector
+    for r in rows:
+        assert r["mean_sq_distortion"] >= 0.0
+        assert 1 <= r["codewords_used"] <= 16
+
+
+def test_compaction_plan_reduces_files(spark):
+    row = _q(spark, "compaction_plan_audit")[0]
+    assert row["files_after"] <= row["files_total"]
+    assert row["open_file_reduction_x"] >= 1.0
+    assert row["small_rows"] <= row["rows_total"]
+    assert row["compacted_groups"] <= max(row["small_files"], 1)
