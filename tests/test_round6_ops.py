@@ -570,3 +570,68 @@ def test_compaction_plan_reduces_files(spark):
     assert row["open_file_reduction_x"] >= 1.0
     assert row["small_rows"] <= row["rows_total"]
     assert row["compacted_groups"] <= max(row["small_files"], 1)
+
+
+# ---------------------------------------------------------------------------
+# skew / degenerate stress pins for batch 30/31
+# ---------------------------------------------------------------------------
+
+
+def test_salted_join_survives_one_hot_key(spark, tmp_path):
+    """Every event on ONE user — the exact pathology the salt exists
+    for. The salted plan must still agree with the plain join, and the
+    hot key's rows must actually spread across multiple salt values."""
+    from pyspark.sql import functions as F
+    from ra2_datalake_linaresjoan_spark.queries_ext31 import (
+        _SJ_SALTS,
+        q_salted_skew_join,
+    )
+
+    d = tmp_path / "hot"
+    ev = spark.range(0, 5000).select(
+        F.col("id").alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(7).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") % 100 / 10.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.write.parquet(str(d / "events.parquet"))
+    spark.read.parquet(f"{SF}/customer.parquet").write.parquet(
+        str(d / "customer.parquet")
+    )
+    rows = q_salted_skew_join(spark, str(d)).collect()
+    # user 7 belongs to exactly one segment; totals must equal the
+    # plain aggregate of all 5000 events
+    assert len(rows) == 1
+    assert rows[0]["n_events"] == 5000
+    assert rows[0]["n_users"] == 1
+    plain_cents = (
+        ev.select(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+        ).collect()[0]["c"]
+    )
+    assert rows[0]["revenue_cents"] == plain_cents
+    # the salt really spreads the hot key over all residue classes
+    n_salts = (
+        ev.select(
+            F.pmod(F.col("event_id"), F.lit(_SJ_SALTS)).alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salts == _SJ_SALTS
+
+
+def test_fellegi_sunter_single_row_is_empty(spark, tmp_path):
+    """One customer → zero consecutive pairs → the EM has no input and
+    the query must return an EMPTY frame (matching the oracle's
+    HAVING count(*) > 0 guard), not crash or emit NaNs."""
+    from ra2_datalake_linaresjoan_spark.queries_ext30 import (
+        q_fellegi_sunter_em,
+    )
+
+    d = tmp_path / "single"
+    one = spark.read.parquet(f"{SF}/customer.parquet").limit(1)
+    one.write.parquet(str(d / "customer.parquet"))
+    assert q_fellegi_sunter_em(spark, str(d)).count() == 0
