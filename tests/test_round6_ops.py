@@ -635,3 +635,38 @@ def test_fellegi_sunter_single_row_is_empty(spark, tmp_path):
     one = spark.read.parquet(f"{SF}/customer.parquet").limit(1)
     one.write.parquet(str(d / "customer.parquet"))
     assert q_fellegi_sunter_em(spark, str(d)).count() == 0
+
+
+def test_conformal_threshold_covers_calibration_split(spark):
+    """The k-th order statistic must cover >= k of n_cal calibration
+    scores by definition — re-derive calibration coverage from the
+    published threshold and assert the exact finite-sample bound."""
+    from pyspark.sql import functions as F
+
+    rows = _q(spark, "conformal_calibration")
+    thr, n_cal, k = (
+        rows[0]["threshold_q"],
+        rows[0]["n_cal"],
+        rows[0]["k"],
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "lang", "n_chars", (F.col("doc_id") % 5).alias("part")
+    )
+    fit = (
+        docs.where(F.col("part") <= 2)
+        .groupBy("lang")
+        .agg((F.sum("n_chars") / F.count(F.lit(1))).alias("mu"))
+    )
+    covered_cal = (
+        docs.where(F.col("part") == 3)
+        .join(fit, "lang")
+        .where(
+            F.round(F.abs(F.col("n_chars") - F.col("mu")) * 100).cast(
+                "long"
+            )
+            <= thr
+        )
+        .count()
+    )
+    assert covered_cal >= k
+    assert covered_cal >= 0.9 * (n_cal + 1) - 1
