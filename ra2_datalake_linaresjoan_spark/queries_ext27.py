@@ -253,10 +253,13 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.when(F.col("b") > 0, F.col("mean_b")))
         ).alias("ms"),
     )
+    # try_element_at: on an EMPTY orders table ms is [], and under ANSI
+    # mode a plain element_at throws instead of yielding NULL — the
+    # degenerate-partition behavior the oracle (NULL from ms[2]) pins.
     return agg.select(
         F.round("mean_exact", 4).alias("mean_cents"),
-        F.round(F.element_at("ms", 2), 4).alias("ci_lo_cents"),
-        F.round(F.element_at("ms", 38), 4).alias("ci_hi_cents"),
+        F.round(F.try_element_at("ms", F.lit(2)), 4).alias("ci_lo_cents"),
+        F.round(F.try_element_at("ms", F.lit(38)), 4).alias("ci_hi_cents"),
         F.size("ms").alias("n_boot"),
     )
 
@@ -293,7 +296,7 @@ WITH hexed AS (
   FROM weighted GROUP BY b
 ), agg AS (
   SELECT max(CASE WHEN b = 0 THEN mean_b END) AS mean_exact,
-         list(mean_b ORDER BY mean_b) FILTER (b > 0) AS ms
+         coalesce(list(mean_b ORDER BY mean_b) FILTER (b > 0), []) AS ms
   FROM rep
 )
 SELECT round(mean_exact, 4) AS mean_cents,

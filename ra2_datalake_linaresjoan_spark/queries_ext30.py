@@ -302,13 +302,17 @@ def q_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = _bg_counts(spark, sf_dir).localCheckpoint()
     b = bg.groupBy("bucket").agg(F.sum("n_bg").alias("n_b"))
     g = bg.groupBy("label").agg(F.sum("n_bg").alias("n_g"))
-    c2 = lambda c: (F.sum(F.col(c) * (F.col(c) - 1)) / 2).cast("long")
+    # integer halving (Σn(n-1) is always even) — the minhash_bucket_skew
+    # `DIV 2` discipline: a `/ 2` double round-trip loses exactness once
+    # the quadratic pair count passes 2^53, which gold/candidate pair
+    # counts plausibly reach at 100-TB corpus scale.
+    c2 = lambda c: F.expr(f"sum({c} * ({c} - 1)) DIV 2")
     stats = (
         bg.agg(c2("n_bg").alias("hit"), F.sum("n_bg").alias("items"))
         .crossJoin(b.agg(c2("n_b").alias("cand")))
         .crossJoin(g.agg(c2("n_g").alias("gold")))
     )
-    all_pairs = (F.col("items") * (F.col("items") - 1) / 2).cast("long")
+    all_pairs = F.expr("items * (items - 1) DIV 2")
     return stats.select(
         "items",
         F.col("cand").alias("cand_pairs"),
@@ -325,21 +329,21 @@ def q_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BLOCKING_QUALITY_AUDIT = f"""
 WITH bg AS ({_BG_SQL}),
 s AS (
-  SELECT CAST(sum(n_bg * (n_bg - 1)) / 2 AS BIGINT) AS hit,
+  SELECT CAST(sum(n_bg * (n_bg - 1)) // 2 AS BIGINT) AS hit,
          CAST(sum(n_bg) AS BIGINT) AS items
   FROM bg
 ), bs AS (
-  SELECT CAST(sum(n_b * (n_b - 1)) / 2 AS BIGINT) AS cand
+  SELECT CAST(sum(n_b * (n_b - 1)) // 2 AS BIGINT) AS cand
   FROM (SELECT bucket, CAST(sum(n_bg) AS BIGINT) AS n_b FROM bg GROUP BY 1)
 ), gs AS (
-  SELECT CAST(sum(n_g * (n_g - 1)) / 2 AS BIGINT) AS gold
+  SELECT CAST(sum(n_g * (n_g - 1)) // 2 AS BIGINT) AS gold
   FROM (SELECT label, CAST(sum(n_bg) AS BIGINT) AS n_g FROM bg GROUP BY 1)
 )
 SELECT items, cand AS cand_pairs, gold AS gold_pairs,
        hit AS co_blocked_gold,
        round(hit * 1.0 / gold, 6) AS completeness,
        round(hit * 1.0 / cand, 6) AS cand_precision,
-       round(1.0 - cand * 1.0 / CAST(items * (items - 1) / 2 AS BIGINT), 6)
+       round(1.0 - cand * 1.0 / CAST(items * (items - 1) // 2 AS BIGINT), 6)
          AS reduction_ratio
 FROM s, bs, gs
 """

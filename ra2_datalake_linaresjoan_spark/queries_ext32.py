@@ -36,6 +36,24 @@ from ra2_datalake_linaresjoan_spark.queries import _t, _events
 
 _IVM_DELTA_DAYS = 7
 
+#: Corpus-proportional side tables (customer key sets, segment slices)
+#: may only be broadcast when a capped-count probe proves them small —
+#: the ``queries_ext23._NC_BROADCAST_CAP`` convention.  Above the cap
+#: the join is left unhinted and AQE picks the strategy at runtime.
+_EXT32_BROADCAST_CAP = 1_000_000
+
+
+def _maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Capped-count broadcast guard (round-6 verdict fix): stop the
+    probe job at CAP+1 rows — never pay an exact count of a huge side —
+    and only attach the broadcast hint when the side is provably
+    bounded.  The large path falls through unhinted so AQE/shuffle
+    handles linear-growth sides without executor OOM at 100x scale."""
+    small = (
+        df.limit(_EXT32_BROADCAST_CAP + 1).count() <= _EXT32_BROADCAST_CAP
+    )
+    return F.broadcast(df) if small else df
+
 
 def q_ivm_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row proving the incremental-maintenance contract: events are
@@ -220,8 +238,15 @@ def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_BJ_K):
         cand_flag = cand_flag & F.col(f"p{j}").isNotNull()
     cands = probed.where(cand_flag).select("k", "cents")
+    # Exactness join on the Bloom-reduced candidate set.  The build side
+    # grows linearly with the corpus (~1/5 of customer), so it is only
+    # broadcast under the capped-count guard; above the cap the residual
+    # join shuffles — which is the whole point of the Bloom prefilter:
+    # the shuffle moves candidates, not the full fact table.
     matched = cands.join(
-        F.broadcast(build.select("k", F.lit(1).alias("hit"))), "k", "left"
+        _maybe_broadcast(build.select("k", F.lit(1).alias("hit"))),
+        "k",
+        "left",
     )
     stats = matched.agg(
         F.count(F.lit(1)).alias("bloom_candidates"),
@@ -406,11 +431,16 @@ def q_join_reorder_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three rows (one per FK join): the textbook cost-based-optimizer
     estimate |R ⋈ S| = |R|·|S| / max(ndv_R(key), ndv_S(key)) computed
     from exact table statistics, next to the TRUE join cardinality and
-    their ratio — the sanity table a CBO regression suite keeps.  All
-    estimates are exact integer floor divisions of exact counts; the
-    truth for each FK join is itself statistics-derivable (every child
-    row joins iff its FK exists in the parent), so no join output is
-    ever materialized."""
+    their ratio — the sanity table a CBO regression suite keeps.  The
+    |R|·|S| product runs in DECIMAL(38,0) (a BIGINT·BIGINT product
+    silently wraps past 2^63 — lineitem×orders crosses that at low-TB
+    scale) and the estimate is an explicit integer floor division
+    (``div``) mirrored by DuckDB's ``//``, so both engines truncate
+    identically for non-integral quotients.  The truth for each FK join
+    is statistics-derivable (every child row joins iff its FK exists in
+    the parent), so no join output is ever materialized; the
+    corpus-proportional parent key sets are only broadcast under the
+    capped-count guard."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -428,13 +458,14 @@ def q_join_reorder_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             left.crossJoin(right)
             .select(
                 F.lit(pair_name).alias("join_pair"),
-                (
-                    F.col("l_rows")
-                    * F.col("r_rows")
-                    / F.greatest(F.col("l_ndv"), F.col("r_ndv"), F.lit(1))
-                )
-                .cast("long")
-                .alias("est_rows"),
+                # DECIMAL(38,0) product (overflow-safe past 2^63) and an
+                # integral `div` so Spark floors exactly like DuckDB's
+                # `//` — a double-division + cast truncates in Spark but
+                # ROUNDS in DuckDB for non-integral quotients.
+                F.expr(
+                    "CAST(CAST(l_rows AS DECIMAL(38,0)) * r_rows"
+                    " div greatest(l_ndv, r_ndv, 1) AS BIGINT)"
+                ).alias("est_rows"),
                 truth.alias("actual_rows"),
             )
         )
@@ -447,11 +478,13 @@ def q_join_reorder_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # truth for FK joins without materializing: child rows whose FK is
     # present in the parent key set (parent keys unique).
-    o_in_c = orders.join(
-        F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
-        "o_custkey",
-        "left_semi",
-    ).count()
+    # The customer key set grows linearly with the corpus — broadcast
+    # only under the capped-count guard; nation is a fixed 25-row
+    # dimension and stays an unconditional broadcast.
+    cust_keys = _maybe_broadcast(
+        cust.select(F.col("c_custkey").alias("o_custkey"))
+    )
+    o_in_c = orders.join(cust_keys, "o_custkey", "left_semi").count()
     l_in_o = li.join(
         orders.select(F.col("o_orderkey").alias("l_orderkey")),
         "l_orderkey",
@@ -494,10 +527,10 @@ def q_join_reorder_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JOIN_REORDER_ADVISOR = """
 WITH pairs AS (
   SELECT 'customer*orders' AS join_pair,
-         CAST((SELECT count(*) FROM customer)
+         CAST(CAST((SELECT count(*) FROM customer) AS HUGEINT)
               * (SELECT count(*) FROM orders)
-              / greatest((SELECT count(DISTINCT c_custkey) FROM customer),
-                         (SELECT count(DISTINCT o_custkey) FROM orders), 1)
+              // greatest((SELECT count(DISTINCT c_custkey) FROM customer),
+                          (SELECT count(DISTINCT o_custkey) FROM orders), 1)
             AS BIGINT) AS est_rows,
          CAST((SELECT count(*) FROM orders o
                WHERE EXISTS (SELECT 1 FROM customer c
@@ -505,20 +538,20 @@ WITH pairs AS (
            AS actual_rows
   UNION ALL
   SELECT 'lineitem*orders',
-         CAST((SELECT count(*) FROM lineitem)
+         CAST(CAST((SELECT count(*) FROM lineitem) AS HUGEINT)
               * (SELECT count(*) FROM orders)
-              / greatest((SELECT count(DISTINCT l_orderkey) FROM lineitem),
-                         (SELECT count(DISTINCT o_orderkey) FROM orders), 1)
+              // greatest((SELECT count(DISTINCT l_orderkey) FROM lineitem),
+                          (SELECT count(DISTINCT o_orderkey) FROM orders), 1)
             AS BIGINT),
          CAST((SELECT count(*) FROM lineitem l
                WHERE EXISTS (SELECT 1 FROM orders o
                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
   UNION ALL
   SELECT 'nation*customer',
-         CAST((SELECT count(*) FROM nation)
+         CAST(CAST((SELECT count(*) FROM nation) AS HUGEINT)
               * (SELECT count(*) FROM customer)
-              / greatest((SELECT count(DISTINCT n_nationkey) FROM nation),
-                         (SELECT count(DISTINCT c_nationkey) FROM customer), 1)
+              // greatest((SELECT count(DISTINCT n_nationkey) FROM nation),
+                          (SELECT count(DISTINCT c_nationkey) FROM customer), 1)
             AS BIGINT),
          CAST((SELECT count(*) FROM customer c
                WHERE EXISTS (SELECT 1 FROM nation n
