@@ -2232,83 +2232,31 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-6 rotation ------------------------------------------------
-    # CORRECTNESS_r05 verified exactly the previous first 50 (50/50
-    # green).  Cumulative driver coverage r1-r5 = 239/248; the 9 queries
-    # below (batches 24-26) are the ONLY never-driver-checked ones (they
-    # sat at positions 50-58 last round).  Round-6 window = those 9, then
-    # the queries whose implementation changed this round, then round-6
-    # additions, then the stalest (round-1-verified) re-verifies.  The
-    # rotation is now enforced mechanically by
-    # tests/test_driver_window.py: every registry query with no green row
-    # in any CORRECTNESS_r*.json must sit inside the first 50.
-    # 1. never driver-verified in r1-r5 (all green locally at 3 scales)
-    "join_size_sample_estimate",
-    "doc_feature_corr",
-    "split_srm_check",
-    "dedup_method_venn",
-    "mutual_knn_rate",
-    "crosslang_oov_matrix",
-    "laspeyres_price_index",
-    "hll_register_estimate",
-    "bloom_membership_audit",
-    # 2. implementation changed in round 6 (ngram_contamination: size-
-    #    guarded eval-gram broadcast; revenue_decile_lift: deduped
-    #    approxQuantile boundaries on the large path)
-    "ngram_contamination",
-    "revenue_decile_lift",
-    # 3. round-6 additions (batch 27: distribution-shift & process stats)
-    "js_divergence_splits",
-    "poisson_bootstrap_ci",
-    "acf_daily_events",
-    "neyman_allocation",
-    "gopher_quality_rules",
-    "holt_linear_forecast",
-    "burstiness_fano",
-    "runs_test_revenue",
-    "simpson_source_diversity",
-    "embedding_norm_topk",
-    # 3b. round-6 batch 28: operational-scale audits
-    "minhash_bucket_skew",
-    "session_type_entropy_bands",
-    "dp_count_noise_audit",
-    # 3c. round-6 batch 29: decision statistics
-    "bh_fdr_daily_anomalies",
-    "score_calibration_bins",
-    "power_analysis_arms",
-    # 3d. round-6 LLM batch 15: MMR diverse re-ranking (flagship greedy
-    #     submodular selection — composed BM25 + quantized-embedding sim)
-    "mmr_diverse_topk",
-    # 3e. round-6 batch 30: entity resolution & corpus governance
-    "k_anonymity_audit",
-    "shard_balance_audit",
-    "mixture_temperature_weights",
-    "blocking_quality_audit",
-    "bcubed_cluster_eval",
-    "matryoshka_prefix_fidelity",
-    "fellegi_sunter_em",
-    # 3f. round-6 batch 31: skew-safe execution & split/statistics tooling
-    "salted_skew_join",
-    "conformal_calibration",
-    "group_kfold_assign",
-    "equi_depth_histogram",
-    # 3g. round-6 batch 32: incremental maintenance & optimizer craft
-    "ivm_merge_audit",
+    # -- round-7 rotation ------------------------------------------------
+    # Cumulative driver coverage after CORRECTNESS_r06 is 283/283 —
+    # zero never-checked queries remain, so the window is now pure
+    # rotation: (1) implementations changed in round 7 (the batch-32
+    # broadcast-guard/exact-arithmetic fixes and the two ADVICE r6
+    # parity fixes), (2) round-7 additions (never driver-checked),
+    # (3) the stalest re-verifies — every query whose last green row
+    # is CORRECTNESS_r01 (5 rounds stale).  Rotation is enforced by
+    # tests/test_driver_window.py: never-checked queries must sit in
+    # the first 50 AND at most RESERVE in-window slots may be fresher
+    # than the stalest query left outside (max-staleness gate).
+    # Only the window needs listing here; everything else follows in
+    # registry insertion order via `ordered.update(merged)`.
+    # 1. implementation changed in round 7
     "bloom_join_prefilter",
-    "ess_importance_weights",
     "join_reorder_advisor",
-    # 3h. round-6 batch 33: storage-layout & ANN-infrastructure audits
-    "zone_map_pruning",
-    "pq_codebook_distortion",
-    "compaction_plan_audit",
-    # 4. stalest re-verifies: last driver-confirmed in r1, then r2, r3,
-    #    r4, r5 (freshest last).  The 50-row window cuts inside the r1
-    #    group; the remainder rotates forward next round.
-    # -- last driver-checked: round 1 --
-    "event_type_top10",
-    "conditional_agg",
-    "count_distinct",
-    "revenue_by_nation",
+    "blocking_quality_audit",
+    "poisson_bootstrap_ci",
+    # 2. round-7 additions (batch 34: schema evolution, MERGE parity,
+    #    multi-column layout pruning, jackknife variance)
+    "schema_evolution_union",
+    "merge_upsert_audit",
+    "zorder_vs_linear_pruning",
+    "jackknife_ratio_variance",
+    # 3. stalest re-verifies: last driver-confirmed in round 1
     "shipping_priority",
     "semi_join",
     "anti_join_orphans",
@@ -2351,152 +2299,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "normalize_boolean_parity",
     "clean_string_parity",
     "classifier_parity",
-    # -- last driver-checked: round 2 --
-    "simhash_neardup",
-    "ann_lsh",
-    "ann_ivf",
-    "multimodal_features",
-    "cosine_neardup",
-    "asof_join",
-    "interval_join",
-    "sentiment_lexicon",
-    "jsonish_arrays_parity",
-    "pipeline_parity",
-    "order_priority_exists",
-    "customer_distribution",
-    "promo_revenue",
-    "large_volume_customers",
-    "returned_item_customers",
-    "pivot_user_events",
-    "cube_orders",
-    "sources_by_lang",
-    "hash_sample_docs",
-    "tfidf_top_terms",
-    "neardup_components",
-    "props_variant",
-    "grouping_sets_orders",
-    "forecast_revenue",
-    "volume_shipping",
-    "product_type_profit",
-    "late_line_priority",
-    "top_supplier",
-    "supplier_variety",
-    "discounted_revenue",
-    "waiting_suppliers",
-    "dormant_customers",
-    "time_bucket_rollup",
-    "scd2_user_state",
-    "stratified_sample_docs",
-    "nation_pagerank",
-    "doc_repetition",
-    "pii_redact",
-    "incremental_dedup",
-    "multimodal_frames",
-    "udtf_char_shingles",
-    "udaf_centroids",
-    "domain_mixture",
-    "heavy_hitter_words",
-    "cluster_tightness",
-    "approx_distinct_guarantee",
-    # -- last driver-checked: round 4 --
-    "session_islands",
-    "seq_packing",
-    "contamination",
-    "bloom_dedup",
-    "skyline_pareto",
-    "stats_moments",
-    "mad_outliers",
-    "table_profile",
-    "full_outer_reconcile",
-    "map_ops",
-    "funnel_steps",
-    "cohort_retention",
-    "median_orders",
-    "latest_event_argmax",
-    "nation_share_window",
-    "cumulative_unique_users",
-    "watermark_late_audit",
-    "nation_triangles",
-    "ewma_daily_value",
-    "daily_trend_slope",
-    "psi_drift",
-    "purchase_attribution",
-    "brand_pareto",
-    "winsorized_value_stats",
-    "trade_reachability",
-    "top_orders_lateral",
-    "span_dedup",
-    "semantic_kmeans",
-    "semantic_prune",
-    "hard_negative_mining",
-    "unigram_logprob_filter",
-    "doc_chunking",
-    "bigram_vocab",
-    "embedding_quantize",
-    "dedup_survivors",
-    "quota_sample_docs",
-    "token_length_buckets",
-    "quality_curriculum",
-    "multimodal_resize",
-    "bm25_topk",
-    "cms_heavy_hitters",
-    "domain_balance_weights",
-    "waterfill_allocation",
-    "canonical_text_dedup",
-    "char_entropy_filter",
-    "training_shard_assign",
-    "hapax_rate",
-    "event_trigram_paths",
-    "dow_seasonality",
-    # -- last driver-checked: round 5 --
-    "kl_divergence_sources",
-    "bigram_lm_perplexity",
-    "tfidf_cosine_pairs",
-    "robust_scaler_embeddings",
-    "chi2_independence",
-    "nation_jaccard",
-    "zipf_fit",
-    "gini_spend",
-    "winnow_fingerprints",
-    "chunk_overlap_audit",
-    "dedup_threshold_sweep",
-    "stratified_split_assign",
-    "padding_waste_sweep",
-    "skew_diagnosis",
-    "multimodal_real_decode",
-    "audio_real_decode",
-    "vocab_coverage_curve",
-    "session_survival_curve",
-    "dup_inflation_by_source",
-    "ngram_entropy_rate",
-    "inter_event_time_dist",
-    "fuzzy_join",
-    "benford_digits",
-    "cusum_changepoint",
-    "decayed_event_counts",
-    "encoding_advisor",
-    "interval_union_coverage",
-    "degree_assortativity",
-    "boilerplate_blocks",
-    "containment_pairs",
-    "auc_quality_score",
-    "pmi_phrases",
-    "weighted_sample_topk",
-    "hill_tail_index",
-    "reciprocal_rank_fusion",
-    "ndcg_eval",
-    "knn_accuracy",
-    "cohens_kappa",
-    "hhi_concentration",
-    "embedding_centroid_shift",
-    "markov_stationary",
-    "cms_width_sweep",
-    "wilson_ci",
-    "char_ngram_langid",
-    "minhash_error_audit",
-    "quality_survivor_dedup",
-    "markov_absorption",
-    "dup_rate_sample_estimate",
 )
 
 
@@ -2547,6 +2349,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext31 import REGISTRY_EXT31
     from ra2_datalake_linaresjoan_spark.queries_ext32 import REGISTRY_EXT32
     from ra2_datalake_linaresjoan_spark.queries_ext33 import REGISTRY_EXT33
+    from ra2_datalake_linaresjoan_spark.queries_ext34 import REGISTRY_EXT34
 
     merged = {
         **_REGISTRY,
@@ -2596,6 +2399,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT31,
         **REGISTRY_EXT32,
         **REGISTRY_EXT33,
+        **REGISTRY_EXT34,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

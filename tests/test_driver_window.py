@@ -23,6 +23,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
 
+#: In-window slots allowed to hold queries FRESHER than the stalest
+#: cohorts: this round's changed implementations and brand-new entries
+#: legitimately jump the rotation queue, everything else must yield to
+#: staler queries.
+RESERVE = 8
+
+
 def _ever_driver_checked() -> set[str]:
     seen: set[str] = set()
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
@@ -31,6 +38,29 @@ def _ever_driver_checked() -> set[str]:
         if isinstance(data, dict):
             seen.update(data.keys())
     return seen
+
+
+def _last_green_round() -> dict[str, int]:
+    """query -> highest round with a fully-green driver row."""
+    import re
+
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        with open(path) as f:
+            data = json.load(f)
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") is not False
+                and not row.get("err")
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def test_never_checked_queries_lead_the_driver_window():
@@ -49,6 +79,40 @@ def test_never_checked_queries_lead_the_driver_window():
     )
     # The window itself should never be wasted on duplicates of the same name.
     assert len(window) == min(WINDOW, len(order))
+
+
+def test_window_rotates_toward_stalest_queries():
+    """Max-staleness gate (round-6 verdict #3): with zero never-checked
+    queries left, the never-checked gate above is vacuous and nothing
+    forced the prefix to rotate — round 6 shipped a window of
+    just-verified queries while 42 sat r1-stale.
+
+    Invariant: if any already-checked query is left OUTSIDE the window,
+    then at most ``RESERVE`` in-window slots may hold queries checked
+    more than one round after the stalest query left outside.  (The
+    one-round slack lets the window span two adjacent staleness
+    cohorts when a cohort is bigger than the window; the reserve is for
+    this round's changed implementations.)  Never-checked entries are
+    exempt — they are this round's additions."""
+    from ra2_datalake_linaresjoan_spark.queries import queries
+
+    order = list(queries().keys())
+    last = _last_green_round()
+    assert len(last) >= 200, "CORRECTNESS_r*.json files missing?"
+    window, outside = order[:WINDOW], order[WINDOW:]
+    outside_checked = [q for q in outside if q in last]
+    if not outside_checked:
+        return  # whole registry fits in the window
+    worst_outside = min(last[q] for q in outside_checked)
+    jumpers = [
+        q for q in window if q in last and last[q] > worst_outside + 1
+    ]
+    assert len(jumpers) <= RESERVE, (
+        "driver window holds %d queries fresher than round %d while "
+        "staler queries sit outside (reserve is %d) — rotate "
+        "_DRIVER_PRIORITY toward the stalest cohort: %r"
+        % (len(jumpers), worst_outside + 1, RESERVE, jumpers[:12])
+    )
 
 
 def test_priority_names_all_resolve():

@@ -205,3 +205,100 @@ def test_poisson_bootstrap_ci_empty_orders_parity(spark, empty_orders_sf):
         m.SQL_POISSON_BOOTSTRAP_CI,
     )
     assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# batch 34 semantic pins
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_union_nulls_exactly_where_missing(spark):
+    """Batch 0 lacked (user_id, props); batch 1 lacked cents; batch 2
+    was complete — the evolved read must surface NULLs for exactly the
+    missing rows and nothing else."""
+    from ra2_datalake_linaresjoan_spark.queries_ext34 import (
+        q_schema_evolution_union,
+    )
+
+    rows = {r["batch"]: r for r in q_schema_evolution_union(spark, SF_SMOKE).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0]["null_user_id"] == rows[0]["n_rows"]
+    assert rows[0]["null_props"] == rows[0]["n_rows"]
+    assert rows[0]["null_cents"] == 0
+    assert rows[1]["null_cents"] == rows[1]["n_rows"]
+    assert rows[1]["null_user_id"] == 0
+    assert rows[2]["null_user_id"] == 0
+    assert rows[2]["null_cents"] == 0
+    assert rows[2]["null_props"] == 0
+
+
+def test_merge_upsert_audit_balances_to_zero(spark):
+    from ra2_datalake_linaresjoan_spark.queries_ext34 import (
+        q_merge_upsert_audit,
+    )
+
+    r = q_merge_upsert_audit(spark, SF_SMOKE).collect()[0]
+    assert r["merge_imbalance"] == 0
+    assert r["rows_after"] == r["n_base"] + r["n_inserted"]
+    assert r["n_base"] == r["n_updated"] + r["n_unchanged"]
+    assert r["n_updated"] > 0 and r["n_inserted"] > 0
+
+
+def test_zorder_beats_both_linear_layouts(spark):
+    """The 2-D rectangle predicate: the z-order layout must scan fewer
+    files than either single-column layout, and rows_matched must be
+    layout-invariant (the layout changes placement, never membership)."""
+    from ra2_datalake_linaresjoan_spark.queries_ext34 import (
+        q_zorder_vs_linear_pruning,
+    )
+
+    rows = {r["layout"]: r for r in q_zorder_vs_linear_pruning(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"linear_a", "linear_b", "zorder"}
+    matched = {r["rows_matched"] for r in rows.values()}
+    assert len(matched) == 1
+    z, la, lb = rows["zorder"], rows["linear_a"], rows["linear_b"]
+    assert z["files_scanned"] < la["files_scanned"]
+    assert z["files_scanned"] < lb["files_scanned"]
+    assert z["rows_scanned"] <= la["rows_scanned"]
+    assert z["rows_scanned"] <= lb["rows_scanned"]
+
+
+def test_jackknife_se_positive_and_brackets_ratio(spark):
+    from ra2_datalake_linaresjoan_spark.queries_ext34 import (
+        q_jackknife_ratio_variance,
+    )
+
+    r = q_jackknife_ratio_variance(spark, SF_SMOKE).collect()[0]
+    assert r["n_months"] >= 2
+    assert r["jk_se"] > 0
+    # the jackknife mean of leave-one-out ratios stays within a few SE
+    # of the full-sample ratio on any non-adversarial data
+    assert abs(r["jk_mean"] - r["ratio_full"]) < 10 * r["jk_se"]
+
+
+def test_pq_codebook_distortion_fewer_vectors_than_centroids(spark, tmp_path_factory):
+    """Round-6 verdict optional ask: a corpus with FEWER vectors than
+    _PQ_CENTROIDS (16) must still produce a well-formed per-subspace
+    frame (codebook = all available vectors), not crash."""
+    import pyarrow.parquet as pq_
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("tiny_emb_sf")
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq_.read_table(os.path.join(src, f))
+        if f == "embeddings.parquet":
+            t = t.slice(0, 7)  # 7 vectors < 16 centroids
+        pq_.write_table(t, str(d / f))
+    from ra2_datalake_linaresjoan_spark.queries_ext33 import (
+        SQL_PQ_CODEBOOK_DISTORTION,
+        q_pq_codebook_distortion,
+    )
+
+    sdf = q_pq_codebook_distortion(spark, str(d))
+    rows = sdf.collect()
+    assert len(rows) > 0
+    con = duck_con(str(d))
+    ok, msg = compare(sdf, con, SQL_PQ_CODEBOOK_DISTORTION)
+    assert ok, msg
