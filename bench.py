@@ -92,6 +92,12 @@ HEADLINE = [
     "fellegi_sunter_em",
     "salted_skew_join",
     "conformal_calibration",
+    # round 7: schema evolution, MERGE parity, multi-column layout
+    # pruning, epoch-shuffle windows
+    "schema_evolution_union",
+    "merge_upsert_audit",
+    "zorder_vs_linear_pruning",
+    "epoch_shuffle_quality",
 ]
 
 

@@ -2256,6 +2256,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "merge_upsert_audit",
     "zorder_vs_linear_pruning",
     "jackknife_ratio_variance",
+    # 2b. round-7 additions (batch 35: hash-bucket pruning, epoch-shuffle
+    #     quality, shuffle-partition advisor)
+    "bucket_pruning_audit",
+    "epoch_shuffle_quality",
+    "shuffle_partition_advisor",
     # 3. stalest re-verifies: last driver-confirmed in round 1
     "shipping_priority",
     "semi_join",
@@ -2350,6 +2355,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext32 import REGISTRY_EXT32
     from ra2_datalake_linaresjoan_spark.queries_ext33 import REGISTRY_EXT33
     from ra2_datalake_linaresjoan_spark.queries_ext34 import REGISTRY_EXT34
+    from ra2_datalake_linaresjoan_spark.queries_ext35 import REGISTRY_EXT35
 
     merged = {
         **_REGISTRY,
@@ -2400,6 +2406,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT32,
         **REGISTRY_EXT33,
         **REGISTRY_EXT34,
+        **REGISTRY_EXT35,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

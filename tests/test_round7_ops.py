@@ -302,3 +302,50 @@ def test_pq_codebook_distortion_fewer_vectors_than_centroids(spark, tmp_path_fac
     con = duck_con(str(d))
     ok, msg = compare(sdf, con, SQL_PQ_CODEBOOK_DISTORTION)
     assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# batch 35 semantic pins
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_pruning_audit_confines_probe(spark):
+    from ra2_datalake_linaresjoan_spark.queries_ext35 import (
+        q_bucket_pruning_audit,
+    )
+
+    r = q_bucket_pruning_audit(spark, SF_SMOKE).collect()[0]
+    assert 0 < r["rows_matched"] <= r["rows_scanned"] <= r["rows_total"]
+    assert r["buckets_touched"] <= r["buckets_used"] <= 64
+    # the probe set is ~0.1% of keys — a bucketed layout must prune
+    assert r["scan_fraction"] < 1.0
+
+
+def test_epoch_shuffle_collapses_source_clumping(spark):
+    """Source-major ingest order is near-fully clumped; the md5
+    permutation must bring adjacency down toward the independence
+    baseline (1/n_sources = 0.05 on this corpus)."""
+    from ra2_datalake_linaresjoan_spark.queries_ext35 import (
+        q_epoch_shuffle_quality,
+    )
+
+    r = q_epoch_shuffle_quality(spark, SF_SMOKE).collect()[0]
+    assert r["n_pairs"] < r["n_docs"]
+    # at sf0.001 a shard holds only ~8 docs over 20 sources, so the
+    # ingest clumping is diluted — pin the RATIO, not an absolute level
+    # (sf0.01: 0.74 vs 0.05; sf0.001: 0.19 vs 0.04)
+    assert r["clump_rate_shuffled"] < 0.25
+    assert r["clump_rate_ingest"] > 3 * r["clump_rate_shuffled"]
+
+
+def test_shuffle_partition_advisor_sizing(spark):
+    from ra2_datalake_linaresjoan_spark.queries_ext35 import (
+        q_shuffle_partition_advisor,
+    )
+
+    rows = {r["table_name"]: r for r in q_shuffle_partition_advisor(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"orders", "events", "documents"}
+    for r in rows.values():
+        assert r["est_bytes"] > r["n_rows"] * 16  # overhead floor
+        assert r["partitions_at_128mb"] >= 1
+        assert r["rows_per_partition"] <= r["n_rows"]
