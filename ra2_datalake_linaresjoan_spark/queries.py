@@ -2261,6 +2261,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bucket_pruning_audit",
     "epoch_shuffle_quality",
     "shuffle_partition_advisor",
+    # 2c. round-7 additions (batch 36: XOR content fingerprints,
+    #     two-phase salted aggregation)
+    "content_fingerprint_audit",
+    "two_phase_agg_audit",
     # 3. stalest re-verifies: last driver-confirmed in round 1
     "shipping_priority",
     "semi_join",
@@ -2356,6 +2360,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext33 import REGISTRY_EXT33
     from ra2_datalake_linaresjoan_spark.queries_ext34 import REGISTRY_EXT34
     from ra2_datalake_linaresjoan_spark.queries_ext35 import REGISTRY_EXT35
+    from ra2_datalake_linaresjoan_spark.queries_ext36 import REGISTRY_EXT36
 
     merged = {
         **_REGISTRY,
@@ -2407,6 +2412,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT33,
         **REGISTRY_EXT34,
         **REGISTRY_EXT35,
+        **REGISTRY_EXT36,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

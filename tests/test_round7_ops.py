@@ -349,3 +349,61 @@ def test_shuffle_partition_advisor_sizing(spark):
         assert r["est_bytes"] > r["n_rows"] * 16  # overhead floor
         assert r["partitions_at_128mb"] >= 1
         assert r["rows_per_partition"] <= r["n_rows"]
+
+
+# ---------------------------------------------------------------------------
+# batch 36 semantic pins
+# ---------------------------------------------------------------------------
+
+
+def test_content_fingerprint_xor_identity(spark):
+    """digest(base) XOR digest(delta) must reconstruct digest(full)
+    exactly — the incremental-verification contract."""
+    from ra2_datalake_linaresjoan_spark.queries_ext36 import (
+        q_content_fingerprint_audit,
+    )
+
+    r = q_content_fingerprint_audit(spark, SF_SMOKE).collect()[0]
+    assert r["xor_identity"] == 0
+    assert r["n_full"] == r["n_base"] + r["n_delta"]
+    assert r["digest_base"] != r["digest_full"]  # delta is non-empty
+
+
+def test_content_fingerprint_detects_single_row_change(spark, tmp_path_factory):
+    """Flipping ONE row's value must change the full digest — the
+    audit is a tamper check, not a row count."""
+    import pyarrow.parquet as pq_
+
+    from ra2_datalake_linaresjoan_spark.queries_ext36 import (
+        q_content_fingerprint_audit,
+    )
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("tamper_sf")
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq_.read_table(os.path.join(src, f))
+        if f == "events.parquet":
+            cols = {c: t.column(c).to_pylist() for c in t.column_names}
+            cols["value"][0] = (cols["value"][0] or 0.0) + 1.0
+            import pyarrow as pa
+
+            t = pa.table(cols, schema=t.schema)
+        pq_.write_table(t, str(d / f))
+    a = q_content_fingerprint_audit(spark, src).collect()[0]
+    b = q_content_fingerprint_audit(spark, str(d)).collect()[0]
+    assert a["n_full"] == b["n_full"]
+    assert a["digest_full"] != b["digest_full"]
+    assert b["xor_identity"] == 0  # identity still holds post-change
+
+
+def test_two_phase_agg_exact_and_relieving(spark):
+    from ra2_datalake_linaresjoan_spark.queries_ext36 import (
+        q_two_phase_agg_audit,
+    )
+
+    r = q_two_phase_agg_audit(spark, SF_SMOKE).collect()[0]
+    assert r["mismatch_users"] == 0
+    assert r["max_partial_rows"] <= r["max_group_rows"]
+    assert r["hot_key_relief"] >= 1.0
