@@ -407,3 +407,22 @@ def test_two_phase_agg_exact_and_relieving(spark):
     assert r["mismatch_users"] == 0
     assert r["max_partial_rows"] <= r["max_group_rows"]
     assert r["hot_key_relief"] >= 1.0
+
+
+def test_jackknife_partition_count_invariance(spark):
+    """The month-sorted fold discipline must make the jackknife output
+    BIT-identical under different shuffle-partition counts — a cluster
+    resize cannot change a statistic."""
+    from ra2_datalake_linaresjoan_spark.queries_ext34 import (
+        q_jackknife_ratio_variance,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = q_jackknife_ratio_variance(spark, SF_SMOKE).collect()
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        b = q_jackknife_ratio_variance(spark, SF_SMOKE).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
