@@ -426,3 +426,47 @@ def test_jackknife_partition_count_invariance(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_content_fingerprint_matches_python_brute_force(spark, tmp_path_factory):
+    """Independent oracle: the XOR digest computed by Spark must equal
+    a row-by-row Python md5 fold over the same parquet — and stay
+    identical when the file is written in a permuted row order
+    (commutativity is the whole point of the digest)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from ra2_datalake_linaresjoan_spark.queries_ext36 import (
+        q_content_fingerprint_audit,
+    )
+
+    src = "/root/testdata/sf0.001"
+    ev = pq_.read_table(os.path.join(src, "events.parquet"))
+    rows = ev.to_pylist()
+
+    def py_digest(rws):
+        acc = 0
+        for r in rws:
+            cents = round(r["value"] * 100)
+            key = f"{r['event_id']}:{r['event_type']}:{cents}"
+            acc ^= int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        return acc
+
+    want_full = py_digest(rows)
+
+    d = tmp_path_factory.mktemp("perm_sf")
+    for f in os.listdir(src):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq_.read_table(os.path.join(src, f))
+        if f == "events.parquet":
+            t = pa.Table.from_pylist(list(reversed(rows)), schema=ev.schema)
+        pq_.write_table(t, str(d / f))
+
+    a = q_content_fingerprint_audit(spark, src).collect()[0]
+    b = q_content_fingerprint_audit(spark, str(d)).collect()[0]
+    assert a["digest_full"] == want_full
+    assert b["digest_full"] == want_full  # row order cannot matter
+    assert tuple(a) == tuple(b)
