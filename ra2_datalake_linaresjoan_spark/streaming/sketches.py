@@ -229,3 +229,44 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str,
             *[F.coalesce(F.col(f"n{j}"), F.lit(0)) for j in range(depth)]
         ).alias("n_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming XOR content digest — incremental table-integrity maintenance
+# ---------------------------------------------------------------------------
+
+
+def digest_rows(df: DataFrame, *cols: str) -> DataFrame:
+    """60-bit md5 row digests over the given columns — the row-hash
+    shared with the batch ``content_fingerprint_audit``
+    (queries_ext36): 15 hex chars keep the value positive in a BIGINT.
+    Works identically on batch and streaming frames."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", *[F.col(c) for c in cols])), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+    return df.select(h)
+
+
+def streaming_digest(stream: DataFrame, *cols: str) -> DataFrame:
+    """Running XOR content digest over a stream: one global aggregate
+    whose state is a SINGLE row (digest, n_rows) no matter how much
+    data flows — XOR partials from every micro-batch fold in exactly
+    (commutative, associative, subtractive), so the maintained digest
+    always equals the batch digest of everything ingested so far.
+    This is the streaming half of the incremental-verification
+    contract ``digest(full) == digest(base) XOR digest(delta)``:
+    a nightly verifier compares this running digest against the
+    batch-computed one without re-reading history. Pair with
+    ``outputMode("complete")`` (1-row result table)."""
+    return digest_rows(stream, *cols).agg(
+        F.expr("bit_xor(h)").alias("digest"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -450,3 +450,51 @@ def test_cms_estimate_unseen_probe_returns_zero(spark):
     # 3 independent 8-hex-digit hashes over a 2-key stream: a collision in
     # every depth is ~impossible, so the unseen key estimates exactly 0
     assert est["never-seen-key-xyz"] == 0
+
+
+@pytest.fixture(scope="module")
+def events_split_dir(spark, tmp_path_factory):
+    """Events split into 4 part files so maxFilesPerTrigger=1 forces
+    FOUR micro-batches — the digest must fold across all of them."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("events_split")
+    t = pq.read_table(f"{SF}/events.parquet")
+    n = t.num_rows
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), str(d / f"part{i}.parquet"))
+    return str(d)
+
+
+def test_streaming_digest_matches_batch_across_microbatches(
+    spark, events_split_dir
+):
+    """The stream-maintained XOR digest over four forced micro-batches
+    must equal the batch digest of the same rows (and the batch
+    content_fingerprint_audit's digest_full on the same column set) —
+    the incremental-verification contract with single-row state."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        digest_rows,
+        streaming_digest,
+    )
+    from ra2_datalake_linaresjoan_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    stream = read_events_stream(
+        spark, events_split_dir, max_files_per_trigger=1
+    )
+    cols = ("event_id", "event_type")
+    out = run_to_memory(
+        streaming_digest(stream, *cols), "t_digest", spark
+    ).collect()
+    assert len(out) == 1  # single-row state by construction
+    batch = spark.read.parquet(events_split_dir)
+    want = (
+        digest_rows(batch, *cols)
+        .agg(F.expr("bit_xor(h)").alias("digest"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()[0]
+    )
+    assert out[0]["digest"] == want["digest"]
+    assert out[0]["n_rows"] == want["n_rows"]
