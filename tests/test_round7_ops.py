@@ -470,3 +470,22 @@ def test_content_fingerprint_matches_python_brute_force(spark, tmp_path_factory)
     assert a["digest_full"] == want_full
     assert b["digest_full"] == want_full  # row order cannot matter
     assert tuple(a) == tuple(b)
+
+
+def test_zorder_interleave_is_bijective():
+    """Pure-arithmetic pin: the 8-bit x 8-bit interleave used by
+    zorder_vs_linear_pruning maps the full 256x256 domain onto 65536
+    DISTINCT z-values (a true Morton code, no collisions) — evaluated
+    in Python with the same div/mod arithmetic the SQL runs."""
+    from ra2_datalake_linaresjoan_spark.queries_ext34 import _ZV_BITS
+
+    def z(a, b):
+        acc = 0
+        for i in range(_ZV_BITS):
+            acc += ((a // (1 << i)) % 2) * (1 << (2 * i))
+            acc += ((b // (1 << i)) % 2) * (1 << (2 * i + 1))
+        return acc
+
+    seen = {z(a, b) for a in range(256) for b in range(256)}
+    assert len(seen) == 65536
+    assert min(seen) == 0 and max(seen) == 65535
