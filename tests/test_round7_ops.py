@@ -489,3 +489,31 @@ def test_zorder_interleave_is_bijective():
     seen = {z(a, b) for a in range(256) for b in range(256)}
     assert len(seen) == 65536
     assert min(seen) == 0 and max(seen) == 65535
+
+
+def test_two_phase_agg_survives_one_hot_user(spark, tmp_path):
+    """Every event on ONE user — the pathology the salted partial
+    aggregate exists for. The merged partials must still equal the
+    direct aggregate exactly, and the max partial group must be ~1/16
+    of the hot group (the load relief the salt buys)."""
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.queries_ext36 import (
+        q_two_phase_agg_audit,
+    )
+
+    d = tmp_path / "hot2"
+    spark.range(0, 4800).select(
+        F.col("id").alias("event_id"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit(7).alias("user_id"),
+        F.lit("click").alias("event_type"),
+        (F.col("id") % 100 / 10.0).alias("value"),
+        F.lit("{}").alias("props"),
+    ).write.parquet(str(d / "events.parquet"))
+    r = q_two_phase_agg_audit(spark, str(d)).collect()[0]
+    assert r["n_users"] == 1
+    assert r["mismatch_users"] == 0
+    assert r["max_group_rows"] == 4800
+    assert r["max_partial_rows"] == 300  # 4800 / 16, exact residues
+    assert r["hot_key_relief"] == 16.0
