@@ -47,6 +47,25 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the cluster's task slots IF the scan
+    has fewer partitions than slots — the guard that turns "one small
+    parquet file = one task runs all the per-row CPU" into a full-width
+    stage without ever adding an unconditional shuffle of a 100-TB
+    table (at scale the scan already has >= slots partitions and this
+    is a no-op).  Shared by every per-row-CPU-heavy query (entropy
+    folds, per-char shingles, md5 fan-outs); first proven in
+    ``q_poisson_bootstrap_ci`` (queries_ext27.py) where the measured
+    sf0.1 cost was one core doing 6M md5s.  Only safe where results
+    are row-local or aggregates are exact-integer / partition-order
+    invariant — callers assert that in their docstring, and
+    ``test_partition_count_invariance`` pins the float-sensitive set."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Core relational queries (SURVEY §2.2-§2.8 over the TPC-H-ish tables)
 # ---------------------------------------------------------------------------
@@ -859,6 +878,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verified output equals the exact-Jaccard oracle."""
     from ra2_datalake_linaresjoan_spark.llmdata.dedup import minhash_lsh_candidates
 
+    # NO _spread here (measured): the first groupBy(doc_id) already
+    # redistributes, so a pre-shuffle of the full text payload costs
+    # more than the single-task map stage it relieves (1.30 s -> 1.43 s
+    # at sf0.1).  _spread only pays off when the heavy per-row CPU has
+    # no downstream shuffle to hide behind (char_entropy_filter) or
+    # feeds a broadcast-only pipeline (semantic_kmeans).
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_candidates(
         docs, "doc_id", "text", n=3, num_hashes=48, bands=24, threshold=0.8
@@ -2250,6 +2275,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "join_reorder_advisor",
     "blocking_quality_audit",
     "poisson_bootstrap_ci",
+    # 1b. changed late in round 7: the _spread scan-width guard was added
+    #     to the two queries where the A/B measured a win (tri-scale
+    #     parity re-verified locally; the guard is result-invariant —
+    #     row-local entropy / exact-integer k-means — but a changed
+    #     implementation re-enters the window on principle)
+    "char_entropy_filter",
+    "semantic_kmeans",
     # 2. round-7 additions (batch 34: schema evolution, MERGE parity,
     #    multi-column layout pruning, jackknife variance)
     "schema_evolution_union",
@@ -2306,8 +2338,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sliding_windows",
     "event_sessionization",
     "normalize_boolean_parity",
-    "clean_string_parity",
-    "classifier_parity",
+    # (clean_string_parity and classifier_parity — r1-stale — yielded
+    # their slots to the two 1b changed queries; they rotate in round 8
+    # with the rest of the r1/r2 stale pool)
 )
 
 

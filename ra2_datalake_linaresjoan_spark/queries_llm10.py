@@ -36,7 +36,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries import _spread, _t
 
 
 # ---------------------------------------------------------------------------
@@ -483,8 +483,15 @@ def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted char array (see ``char_entropy_col``) — no explode, no
     shuffle, corpus scanned exactly once. The DuckDB oracle keeps the
     naive per-distinct-char formulation (oracle cost is irrelevant;
-    only values must match). Flags docs below 3.0 nats."""
-    docs = _t(spark, sf_dir, "documents")
+    only values must match). Flags docs below 3.0 nats.
+
+    Entropy is row-local (no cross-row aggregate at all), so the
+    ``_spread`` guard is unconditionally result-invariant here; it took
+    the sf0.1 single-file scan from one core grinding every byte to a
+    full-width stage (A/B measured 2.89 s -> 0.85 s at sf0.1 on local[32];
+    this query is the one heavy-map pipeline with NO downstream shuffle,
+    which is exactly when the guard pays)."""
+    docs = _spread(spark, _t(spark, sf_dir, "documents"))
     # two-step projection on purpose: deriving the flag from the ALIASED
     # column keeps the fold evaluated once — higher-order functions fall
     # outside whole-stage codegen's subexpression elimination, so naming

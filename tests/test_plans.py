@@ -588,14 +588,18 @@ def test_bm25_stats_broadcast(spark, sf_dir):
 
 
 def test_char_entropy_is_scan_shaped(spark, sf_dir):
-    """Entropy is an in-row expression: no shuffle (Exchange) other than
-    the final presentation sort, no Window, no Generate (explode)."""
+    """Entropy is an in-row expression: no data-keyed shuffle, no Window,
+    no Generate (explode). Allowed exchanges are exactly the presentation
+    sort's range partitioning and — when the test scan is narrower than
+    the cluster — the ``_spread`` guard's round-robin, which carries no
+    key (never a hash partitioning anywhere in this plan)."""
     plan = _plan(spark, sf_dir, "char_entropy_filter")
     tree = plan.split("\n\n")[0]
     assert "Generate" not in tree
     assert "Window" not in tree
-    # only the orderBy's range exchange is allowed
-    assert tree.count("Exchange") <= 1
+    assert tree.count("Exchange") <= 2
+    # the in-row fold must never be re-keyed: no hash shuffle at all
+    assert "hashpartitioning" not in plan
 
 
 def test_nation_jaccard_dims_broadcast(spark, sf_dir):

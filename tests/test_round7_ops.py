@@ -517,3 +517,21 @@ def test_two_phase_agg_survives_one_hot_user(spark, tmp_path):
     assert r["max_group_rows"] == 4800
     assert r["max_partial_rows"] == 300  # 4800 / 16, exact residues
     assert r["hot_key_relief"] == 16.0
+
+
+def test_spread_guard_semantics(spark, tmp_path):
+    """_spread widens a narrow scan to defaultParallelism and no-ops on
+    an already-wide frame — the invariant that makes it safe to leave
+    in a 100-TB plan (a big scan never gets an extra shuffle)."""
+    from ra2_datalake_linaresjoan_spark.queries import _spread
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = _spread(spark, narrow)
+    assert widened.rdd.getNumPartitions() == par
+    # row-identical, only redistributed
+    assert sorted(r["id"] for r in widened.collect()) == list(range(1000))
+
+    wide = spark.range(0, 1000).repartition(par + 4)
+    assert _spread(spark, wide) is wide  # untouched, not just same count
