@@ -143,9 +143,9 @@ FROM tot
 # ---------------------------------------------------------------------------
 
 _PB_B = 40
-#: Poisson(1) CDF cut points (exact double literals shared with the SQL
-#: oracle) — the inverse-CDF table that turns a deterministic md5 uniform
-#: into a bootstrap resample weight. Weights > 7 are truncated (mass 1e-5).
+#: Poisson(1) CDF cut points — the inverse-CDF table that turns a
+#: deterministic md5 uniform into a bootstrap resample weight. Weights > 7
+#: are truncated (mass 1e-5).
 _PB_CUMS = (
     0.36787944117144233,
     0.7357588823428847,
@@ -155,6 +155,14 @@ _PB_CUMS = (
     0.9994058151824183,
     0.999916758850712,
 )
+#: The comparison actually executed (both engines): the uniform is a
+#: 16-bit integer u16 (one 4-hex md5 slice), and u16/65536 >= c  ⇔
+#: u16 >= ceil(c·65536) (no cut point is an exact multiple of 2^-16), so
+#: the whole inverse CDF is 7 INTEGER comparisons — no division, no float
+#: anywhere, bit-identical by construction. 16-bit resolution shifts each
+#: weight probability by < 2^-16 — noise for a 40-replicate percentile CI.
+_PB_CUTS16 = tuple(int(-(-c * 65536 // 1)) for c in _PB_CUMS)
+assert all(0 < t < 65536 for t in _PB_CUTS16)
 
 
 def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,18 +172,20 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     by permutation (each replicate reweights rows by an independent
     Poisson(1) draw instead of drawing n rows with replacement).
 
-    Determinism: replicate b = 4g+j+1 draws its weight from the j-th
-    8-hex slice of md5(orderkey:g) — one md5 yields FOUR independent
-    32-bit uniforms, so a row pays 10 md5 calls for all 40 replicates
-    instead of 40 (measured 8.5 s → the md5 was the whole cost at
-    sf0.1). The md5 string is materialized in an outer transform
-    because Spark does no CSE inside lambda bodies — an inner-lambda
-    md5 would recompute per slice. Replicate b = 0 pins weight 1 (the
-    actual sample), so the exact mean and all 40 replicate means come
-    from ONE scan and ONE (b)-keyed aggregate with map-side combine;
-    replicate means are exact-integer ratios (Σw·cents / Σw), so the
-    sorted pick of ranks 2 and 38 (nearest-rank p05/p95 of 40) is
-    engine-identical."""
+    Determinism: replicate b = 8g+j+1 draws its weight from the j-th
+    4-hex slice of md5(orderkey:g) — one md5 yields EIGHT independent
+    16-bit uniforms, so a row pays 5 md5 calls for all 40 replicates
+    instead of 40 (the md5 was the whole cost at sf0.1: 8.5 s naive,
+    2.4 s at 4 slices/md5, 1.6 s at 8). The inverse CDF runs as 7
+    integer comparisons against precomputed 16-bit cuts (``_PB_CUTS16``)
+    — no float, no division. The md5 string is materialized in an outer
+    transform because Spark does no CSE inside lambda bodies — an
+    inner-lambda md5 would recompute per slice. Replicate b = 0 pins
+    weight 1 (the actual sample), so the exact mean and all 40
+    replicate means come from ONE scan and ONE (b)-keyed aggregate with
+    map-side combine; replicate means are exact-integer ratios
+    (Σw·cents / Σw), so the sorted pick of ranks 2 and 38 (nearest-rank
+    p05/p95 of 40) is engine-identical."""
     orders = _t(spark, sf_dir, "orders")
     # The replicate fan-out multiplies per-row CPU ~40x, so a small
     # single-file input would run the whole job on one task (measured:
@@ -187,18 +197,19 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     if orders.rdd.getNumPartitions() < par:
         orders = orders.repartition(par)
 
-    def w_of(u):
+    def w_of(u16):
         # Branchless inverse CDF: the weight IS the number of cumulative
-        # thresholds at or below u, so a sum of 7 comparisons replaces a
-        # 7-deep nested CASE — ~2x less codegen work when evaluated 40x
-        # per row, and the identical expression shape runs in the oracle.
+        # 16-bit cuts at or below the integer uniform, so a sum of 7
+        # integer comparisons replaces a 7-deep nested CASE — ~2x less
+        # codegen work when evaluated 40x per row, and the identical
+        # expression shape runs in the oracle.
         w = F.lit(0).cast("long")
-        for c in _PB_CUMS:
-            w = w + (u >= F.lit(c)).cast("long")
+        for c in _PB_CUTS16:
+            w = w + (u16 >= F.lit(c)).cast("long")
         return w
 
     hexes = F.transform(
-        F.sequence(F.lit(0), F.lit(_PB_B // 4 - 1)),
+        F.sequence(F.lit(0), F.lit(_PB_B // 8 - 1)),
         lambda g: F.struct(
             g.alias("g"),
             F.md5(F.concat_ws(":", F.col("o_orderkey"), g)).alias("hx"),
@@ -208,14 +219,13 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             hexes,
             lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
+                F.sequence(F.lit(0), F.lit(7)),
                 lambda j: F.struct(
-                    (s["g"] * 4 + j + 1).cast("long").alias("b"),
+                    (s["g"] * 8 + j + 1).cast("long").alias("b"),
                     w_of(
                         F.conv(
-                            F.substr(s["hx"], 1 + j * 8, F.lit(8)), 16, 10
+                            F.substr(s["hx"], 1 + j * 4, F.lit(4)), 16, 10
                         ).cast("long")
-                        / F.lit(4294967296.0)
                     ).alias("w"),
                 ),
             ),
@@ -266,14 +276,14 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pb_weight_sql(u_expr: str) -> str:
     terms = " + ".join(
-        f"CAST({u_expr} >= CAST({c!r} AS DOUBLE) AS BIGINT)" for c in _PB_CUMS
+        f"CAST({u_expr} >= {c} AS BIGINT)" for c in _PB_CUTS16
     )
     return f"({terms})"
 
 
 _PB_U_SQL = (
-    "(CAST(concat('0x', substr(md5(concat(o_orderkey, ':', g)),"
-    " 1 + CAST(j AS INT) * 8, 8)) AS BIGINT) / 4294967296.0)"
+    "CAST(concat('0x', substr(md5(concat(o_orderkey, ':', g)),"
+    " 1 + CAST(j AS INT) * 4, 4)) AS BIGINT)"
 )
 
 SQL_POISSON_BOOTSTRAP_CI = f"""
@@ -281,9 +291,9 @@ WITH hexed AS (
   SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
          list_prepend(
            struct_pack(b := CAST(0 AS BIGINT), w := CAST(1 AS BIGINT)),
-           flatten(list_transform(range(0, {_PB_B // 4}), g ->
-             list_transform(range(0, 4), j -> struct_pack(
-                      b := CAST(g * 4 + j + 1 AS BIGINT),
+           flatten(list_transform(range(0, {_PB_B // 8}), g ->
+             list_transform(range(0, 8), j -> struct_pack(
+                      b := CAST(g * 8 + j + 1 AS BIGINT),
                       w := {_pb_weight_sql(_PB_U_SQL)}))
            ))) AS ws
   FROM orders
