@@ -1,11 +1,13 @@
-"""Streaming sketch maintenance: a count-min sketch AND a Bloom filter
-kept up to date by Structured Streaming's own aggregation state store.
+"""Streaming sketch maintenance: count-min, Bloom, HyperLogLog, an XOR
+content digest, and an equi-width quantile histogram — each kept up to
+date by Structured Streaming's own aggregation state store.
 
-The trick that makes this scale-safe: both sketches are fixed grids of
-counters/bits, and streaming aggregation state is keyed storage — so
-keying the running aggregate by (depth, cell) / bit position makes the
-state store ITSELF the sketch, bounded at D·W (resp. m) keys no matter
-how many events flow through.
+The trick that makes this scale-safe: every sketch here is a fixed grid
+of counters/bits/registers, and streaming aggregation state is keyed
+storage — so keying the running aggregate by (depth, cell) / bit
+position / register / bucket makes the state store ITSELF the sketch,
+bounded at D·W (resp. m / registers / buckets; the digest is ONE row) no
+matter how many events flow through.
 No watermark is needed for state-size control (the classic unbounded-
 keys hazard of complete/update aggregations does not apply when the key
 domain is hash-bounded); output mode ``update`` emits only touched
@@ -270,3 +272,87 @@ def streaming_digest(stream: DataFrame, *cols: str) -> DataFrame:
         F.expr("bit_xor(h)").alias("digest"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile histogram — mergeable equi-width bucket sketch
+# ---------------------------------------------------------------------------
+
+QH_BUCKETS = 256
+
+
+def quantile_bucket(value_col: str, lo: float, hi: float,
+                    buckets: int = QH_BUCKETS) -> Column:
+    """Equi-width bucket index for a value over a FIXED [lo, hi) domain
+    (production gets the domain from table statistics); out-of-domain
+    values clamp into the edge buckets so the sketch never drops rows.
+    Identical expression on batch and streaming frames — and trivially
+    engine-portable (the DuckDB side is the same floor/clamp arithmetic)."""
+    raw = F.floor(
+        (F.col(value_col) - F.lit(lo)) * buckets / F.lit(hi - lo)
+    )
+    return F.least(
+        F.lit(buckets - 1), F.greatest(F.lit(0), raw)
+    ).cast("int")
+
+
+def quantile_hist(df: DataFrame, value_col: str, lo: float, hi: float,
+                  buckets: int = QH_BUCKETS) -> DataFrame:
+    """Per-bucket counts — the whole sketch. Mergeable by construction:
+    hist(A ∪ B) is the per-bucket SUM of hist(A) and hist(B), which is
+    exactly the partial-aggregate combine Spark already performs, so the
+    same call distributes over any partitioning and any micro-batch
+    split."""
+    return (
+        df.select(quantile_bucket(value_col, lo, hi, buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def streaming_quantile_hist(stream: DataFrame, value_col: str, lo: float,
+                            hi: float, buckets: int = QH_BUCKETS) -> DataFrame:
+    """Running quantile sketch over a stream: the aggregation state store
+    IS the histogram, bounded at ``buckets`` keys no matter how much data
+    flows (same hash-bounded-key-domain argument as the CMS/Bloom/HLL
+    stores above — no watermark needed). Pair with
+    ``outputMode("update")`` or ``complete``."""
+    return quantile_hist(stream, value_col, lo, hi, buckets)
+
+
+def quantile_estimate(hist: DataFrame, qs: tuple[float, ...], lo: float,
+                      hi: float, buckets: int = QH_BUCKETS) -> DataFrame:
+    """Nearest-rank quantile estimates from the bucket histogram: for each
+    q, find the first bucket whose cumulative count reaches
+    ``ceil(q · N)`` and report that bucket's UPPER edge. The true
+    nearest-rank quantile provably lies inside the reported bucket, so
+    the estimate error is at most one bucket width ((hi-lo)/buckets) for
+    in-domain data — the contract the parity test asserts. All windows
+    run over the ≤``buckets``-row histogram (state-bounded, never
+    data-bounded)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket", "n", F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(
+            Window.orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    width = (hi - lo) / buckets
+    out = None
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("total")).cast("long")
+        hit = (
+            cum.filter(F.col("cum") >= rank)
+            .orderBy("bucket")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("est"),
+            )
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out

@@ -535,3 +535,20 @@ def test_spread_guard_semantics(spark, tmp_path):
 
     wide = spark.range(0, 1000).repartition(par + 4)
     assert _spread(spark, wide) is wide  # untouched, not just same count
+
+
+def test_poisson_16bit_cuts_match_reference_inverse_cdf():
+    """The integer-cut inverse CDF must agree with the real Poisson(1)
+    quantile at every 16-bit uniform value: w(u16) = #{k : u16/65536 >=
+    F(k)} for the double CDF F — i.e. the integer comparison is an EXACT
+    reformulation, not an approximation, of thresholding u16/65536."""
+    from ra2_datalake_linaresjoan_spark.queries_ext27 import (
+        _PB_CUMS,
+        _PB_CUTS16,
+    )
+
+    assert len(_PB_CUTS16) == len(_PB_CUMS) == 7
+    for u16 in range(65536):
+        w_int = sum(u16 >= t for t in _PB_CUTS16)
+        w_ref = sum(u16 / 65536.0 >= c for c in _PB_CUMS)
+        assert w_int == w_ref, (u16, w_int, w_ref)

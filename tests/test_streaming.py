@@ -498,3 +498,50 @@ def test_streaming_digest_matches_batch_across_microbatches(
     )
     assert out[0]["digest"] == want["digest"]
     assert out[0]["n_rows"] == want["n_rows"]
+
+
+def test_streaming_quantile_hist_matches_batch_and_bounds_error(
+    spark, events_split_dir
+):
+    """The stream-maintained equi-width quantile histogram over four
+    forced micro-batches must equal the batch histogram bucket-for-bucket
+    (the mergeable-sketch property), and its nearest-rank quantile
+    estimates must sit within ONE bucket width of the exact nearest-rank
+    percentiles — the sketch's whole error contract."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        QH_BUCKETS,
+        quantile_estimate,
+        quantile_hist,
+        streaming_quantile_hist,
+    )
+    from ra2_datalake_linaresjoan_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    lo, hi = 0.0, 500.0
+    stream = read_events_stream(
+        spark, events_split_dir, max_files_per_trigger=1
+    )
+    out = run_to_memory(
+        streaming_quantile_hist(stream, "value", lo, hi), "t_qhist", spark
+    )
+    batch = spark.read.parquet(events_split_dir)
+    want = quantile_hist(batch, "value", lo, hi)
+    got_rows = {r["bucket"]: r["n"] for r in out.collect()}
+    want_rows = {r["bucket"]: r["n"] for r in want.collect()}
+    assert got_rows == want_rows
+    assert len(got_rows) <= QH_BUCKETS  # state bounded by construction
+
+    qs = (0.05, 0.25, 0.5, 0.75, 0.95)
+    ests = {
+        r["q"]: r["est"]
+        for r in quantile_estimate(want, qs, lo, hi).collect()
+    }
+    vals = sorted(r["value"] for r in batch.select("value").collect())
+    n = len(vals)
+    width = (hi - lo) / QH_BUCKETS
+    for q in qs:
+        import math
+
+        exact = vals[max(0, math.ceil(q * n) - 1)]  # nearest-rank
+        assert abs(ests[q] - exact) <= width + 1e-9, (q, ests[q], exact)
