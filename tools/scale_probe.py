@@ -340,6 +340,72 @@ def probe(spark, docs: DataFrame) -> dict[str, float]:
         )
 
     timed("lsh_bucket_audit", lsh_bucket_audit)
+
+    # round-7 hot operators ------------------------------------------------
+
+    # equi-width quantile histogram build + estimate (the streaming
+    # quantile sketch's batch kernel): one 256-key aggregate over a
+    # per-row bucket expression, then windows over the ≤256-row
+    # histogram only — should scale as a plain scan
+    def quantile_hist_kernel():
+        from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+            quantile_estimate,
+            quantile_hist,
+        )
+
+        h = quantile_hist(
+            docs.select(F.length("text").cast("double").alias("v")),
+            "v",
+            0.0,
+            4096.0,
+        )
+        quantile_estimate(h, (0.05, 0.5, 0.95), 0.0, 4096.0).count()
+
+    timed("quantile_hist", quantile_hist_kernel)
+
+    # Poisson-bootstrap weight fan-out (the poisson_bootstrap_ci map
+    # kernel): 5 md5s → 40 16-bit integer-cut weights per row, one
+    # 41-key aggregate — the md5 cost is the whole kernel
+    def poisson_weights():
+        from ra2_datalake_linaresjoan_spark.queries_ext27 import _PB_CUTS16
+
+        def w_of(u16):
+            w = F.lit(0).cast("long")
+            for c in _PB_CUTS16:
+                w = w + (u16 >= F.lit(c)).cast("long")
+            return w
+
+        hexes = F.transform(
+            F.sequence(F.lit(0), F.lit(4)),
+            lambda g: F.struct(
+                g.alias("g"),
+                F.md5(F.concat_ws(":", F.col("doc_id"), g)).alias("hx"),
+            ),
+        )
+        weights = F.flatten(
+            F.transform(
+                hexes,
+                lambda s: F.transform(
+                    F.sequence(F.lit(0), F.lit(7)),
+                    lambda j: F.struct(
+                        (s["g"] * 8 + j + 1).cast("long").alias("b"),
+                        w_of(
+                            F.conv(
+                                F.substr(s["hx"], 1 + j * 4, F.lit(4)), 16, 10
+                            ).cast("long")
+                        ).alias("w"),
+                    ),
+                ),
+            )
+        )
+        (
+            docs.select(F.col("n_chars").alias("x"), F.explode(weights).alias("bw"))
+            .groupBy("bw.b")
+            .agg(F.sum(F.col("bw.w") * F.col("x")), F.sum("bw.w"))
+            .count()
+        )
+
+    timed("poisson_weights", poisson_weights)
     return out
 
 
