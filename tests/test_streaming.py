@@ -545,3 +545,27 @@ def test_streaming_quantile_hist_matches_batch_and_bounds_error(
 
         exact = vals[max(0, math.ceil(q * n) - 1)]  # nearest-rank
         assert abs(ests[q] - exact) <= width + 1e-9, (q, ests[q], exact)
+
+
+def test_quantile_hist_degenerate_inputs(spark):
+    """Out-of-domain values clamp into the edge buckets (the sketch never
+    drops rows), and an EMPTY histogram yields zero estimate rows rather
+    than throwing — the degenerate-partition contract."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        QH_BUCKETS,
+        quantile_estimate,
+        quantile_hist,
+    )
+
+    vals = spark.createDataFrame(
+        [(-5.0,), (0.0,), (499.9,), (777.0,)], ["v"]
+    )
+    h = {r["bucket"]: r["n"] for r in
+         quantile_hist(vals, "v", 0.0, 500.0).collect()}
+    assert h[0] == 2  # -5.0 clamped down + 0.0
+    assert h[QH_BUCKETS - 1] == 2  # 499.9 in last bucket + 777.0 clamped up
+    assert sum(h.values()) == 4
+
+    empty = spark.createDataFrame([], "v double")
+    eh = quantile_hist(empty, "v", 0.0, 500.0)
+    assert quantile_estimate(eh, (0.5,), 0.0, 500.0).count() == 0
