@@ -61,7 +61,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries import _spread, _t
 
 
 # ---------------------------------------------------------------------------
@@ -189,13 +189,11 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     # The replicate fan-out multiplies per-row CPU ~40x, so a small
     # single-file input would run the whole job on one task (measured:
-    # the entire 8-9 s sf0.1 cost was one core doing 6M md5s). Spread it
-    # when the scan has fewer partitions than the cluster has slots; on
-    # a real cluster the input already has >= cores partitions and this
-    # is a no-op — never an unconditional shuffle of a 100-TB table.
-    par = spark.sparkContext.defaultParallelism
-    if orders.rdd.getNumPartitions() < par:
-        orders = orders.repartition(par)
+    # the entire 8-9 s sf0.1 cost was one core doing the md5s). This was
+    # the first instance of the scan-width guard, now shared as _spread
+    # (see its docstring and SCALE.md's A/B study); on a real cluster
+    # the input already has >= cores partitions and it no-ops.
+    orders = _spread(spark, orders)
 
     def w_of(u16):
         # Branchless inverse CDF: the weight IS the number of cumulative
