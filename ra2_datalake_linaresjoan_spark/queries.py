@@ -2297,6 +2297,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     two-phase salted aggregation)
     "content_fingerprint_audit",
     "two_phase_agg_audit",
+    # 2d. round-7 addition (batch 37: the quantile-sketch accuracy audit
+    #     — the oracle-gated batch kernel of the streaming quantile
+    #     histogram, completing the one-per-sketch pattern)
+    "quantile_sketch_audit",
     # 3. stalest re-verifies: last driver-confirmed in round 1
     "shipping_priority",
     "semi_join",
@@ -2337,9 +2341,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tumbling_windows",
     "sliding_windows",
     "event_sessionization",
-    "normalize_boolean_parity",
-    # (clean_string_parity and classifier_parity — r1-stale — yielded
-    # their slots to the two 1b changed queries; they rotate in round 8
+    # (normalize_boolean_parity, clean_string_parity and
+    # classifier_parity — r1-stale — yielded
+    # their slots to the 1b changed queries and the 2d addition; they rotate in round 8
     # with the rest of the r1/r2 stale pool)
 )
 
@@ -2394,6 +2398,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext34 import REGISTRY_EXT34
     from ra2_datalake_linaresjoan_spark.queries_ext35 import REGISTRY_EXT35
     from ra2_datalake_linaresjoan_spark.queries_ext36 import REGISTRY_EXT36
+    from ra2_datalake_linaresjoan_spark.queries_ext37 import REGISTRY_EXT37
 
     merged = {
         **_REGISTRY,
@@ -2446,6 +2451,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT34,
         **REGISTRY_EXT35,
         **REGISTRY_EXT36,
+        **REGISTRY_EXT37,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)
