@@ -98,6 +98,11 @@ HEADLINE = [
     "merge_upsert_audit",
     "zorder_vs_linear_pruning",
     "epoch_shuffle_quality",
+    # round 7 cont.: XOR table digests, salted two-phase aggregation,
+    # quantile-sketch accuracy audit
+    "content_fingerprint_audit",
+    "two_phase_agg_audit",
+    "quantile_sketch_audit",
 ]
 
 
