@@ -58,8 +58,11 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     ``q_poisson_bootstrap_ci`` (queries_ext27.py) where the measured
     sf0.1 cost was one core doing 6M md5s.  Only safe where results
     are row-local or aggregates are exact-integer / partition-order
-    invariant — callers assert that in their docstring, and
-    ``test_partition_count_invariance`` pins the float-sensitive set."""
+    invariant — each caller asserts WHY in its docstring;
+    ``test_spread_guard_semantics`` pins the guard's no-op/widen
+    behavior, and SCALE.md's "Partition-count invariance, measured"
+    bullet records the 3-vs-32-partition bit-identity sweep of the 12
+    float-sensitive queries."""
     par = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)

@@ -165,6 +165,53 @@ _PB_CUTS16 = tuple(int(-(-c * 65536 // 1)) for c in _PB_CUMS)
 assert all(0 < t < 65536 for t in _PB_CUTS16)
 
 
+def poisson_weight_structs(key):
+    """The Poisson-bootstrap weight fan-out as ONE Column expression:
+    for a row key, the array of ``_PB_B`` (b, w) structs — replicate
+    b = 8g+j+1 weighted by the j-th 4-hex (16-bit) slice of
+    md5(key:g), inverse-CDF'd through 7 integer comparisons against
+    ``_PB_CUTS16``. The md5 string is materialized in the OUTER
+    transform because Spark does no CSE inside lambda bodies — an
+    inner-lambda md5 would recompute per slice. Shared by the query
+    below and ``tools/scale_probe.py`` so the probe always measures
+    the shipped kernel."""
+
+    def w_of(u16):
+        # Branchless inverse CDF: the weight IS the number of cumulative
+        # 16-bit cuts at or below the integer uniform, so a sum of 7
+        # integer comparisons replaces a 7-deep nested CASE — ~2x less
+        # codegen work when evaluated 40x per row, and the identical
+        # expression shape runs in the oracle.
+        w = F.lit(0).cast("long")
+        for c in _PB_CUTS16:
+            w = w + (u16 >= F.lit(c)).cast("long")
+        return w
+
+    hexes = F.transform(
+        F.sequence(F.lit(0), F.lit(_PB_B // 8 - 1)),
+        lambda g: F.struct(
+            g.alias("g"),
+            F.md5(F.concat_ws(":", key, g)).alias("hx"),
+        ),
+    )
+    return F.flatten(
+        F.transform(
+            hexes,
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda j: F.struct(
+                    (s["g"] * 8 + j + 1).cast("long").alias("b"),
+                    w_of(
+                        F.conv(
+                            F.substr(s["hx"], 1 + j * 4, F.lit(4)), 16, 10
+                        ).cast("long")
+                    ).alias("w"),
+                ),
+            ),
+        )
+    )
+
+
 def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: exact mean order value (cents) and a 90 % Poisson-
     bootstrap percentile CI from B = 40 deterministic replicates — the
@@ -194,41 +241,7 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see its docstring and SCALE.md's A/B study); on a real cluster
     # the input already has >= cores partitions and it no-ops.
     orders = _spread(spark, orders)
-
-    def w_of(u16):
-        # Branchless inverse CDF: the weight IS the number of cumulative
-        # 16-bit cuts at or below the integer uniform, so a sum of 7
-        # integer comparisons replaces a 7-deep nested CASE — ~2x less
-        # codegen work when evaluated 40x per row, and the identical
-        # expression shape runs in the oracle.
-        w = F.lit(0).cast("long")
-        for c in _PB_CUTS16:
-            w = w + (u16 >= F.lit(c)).cast("long")
-        return w
-
-    hexes = F.transform(
-        F.sequence(F.lit(0), F.lit(_PB_B // 8 - 1)),
-        lambda g: F.struct(
-            g.alias("g"),
-            F.md5(F.concat_ws(":", F.col("o_orderkey"), g)).alias("hx"),
-        ),
-    )
-    weights = F.flatten(
-        F.transform(
-            hexes,
-            lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(7)),
-                lambda j: F.struct(
-                    (s["g"] * 8 + j + 1).cast("long").alias("b"),
-                    w_of(
-                        F.conv(
-                            F.substr(s["hx"], 1 + j * 4, F.lit(4)), 16, 10
-                        ).cast("long")
-                    ).alias("w"),
-                ),
-            ),
-        )
-    )
+    weights = poisson_weight_structs(F.col("o_orderkey"))
     all_w = F.concat(
         F.array(
             F.struct(

@@ -15,9 +15,13 @@ value-domain-bounded distinct table, never a corpus-sized row_number).
 The audit proves the sketch's whole error contract: every estimate
 within one bucket width of exact.
 
-Scale posture: one scan feeds BOTH tables (256-row histogram,
-distinct-value-bounded rank table); the 5 quantile probes join against
-those bounded tables only; no broadcast of anything corpus-
+Scale posture: two corpus scans, one per bounded table (256-row
+histogram; distinct-value-bounded rank table — the exact side is what
+makes this an AUDIT); n_total derives from the histogram, never a
+third scan; the 5 quantile probes join against those bounded tables
+only; NULL values are explicitly filtered on both engines (Spark's
+null-skipping greatest() would otherwise bucket NULLs at 0 while the
+engines disagree on NULL ordering); no broadcast of anything corpus-
 proportional, no global window over data-sized input.
 """
 
@@ -49,9 +53,19 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_bucket,
     )
 
-    vals = _events(spark, sf_dir).select(F.col("value").alias("v"))
-    # distinct-value rank table (value-domain-bounded, cents-grained)
-    byv = vals.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+    vals = (
+        _events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(F.col("value").alias("v"))
+    )
+    # distinct-value rank table (value-domain-bounded, cents-grained);
+    # localCheckpoint: each bounded table materializes from ONE corpus
+    # scan and its window/total/join consumers read the checkpoint —
+    # without it every DataFrame reference re-scans events (6 scans in
+    # the audited plan; 2 after)
+    byv = (
+        vals.groupBy("v").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    )
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cumv = byv.select("v", F.sum("n").over(wv).alias("cum"))
     # 256-bucket histogram + cumulative (state-bounded)
@@ -61,10 +75,14 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cumb = hist.select("bucket", F.sum("n").over(wb).alias("cum"))
-    total = vals.agg(F.count(F.lit(1)).alias("n_total"))
+    # n_total comes from the 256-row histogram, NOT a third corpus scan:
+    # the bucket expression clamps and the NULL filter is shared, so
+    # sum(hist.n) == count(vals) exactly
+    total = hist.agg(F.sum("n").alias("n_total"))
     qs = spark.createDataFrame(
         [(q,) for q in _QS_PROBES], "q double"
     ).crossJoin(F.broadcast(total))
@@ -109,7 +127,7 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QUANTILE_SKETCH_AUDIT = f"""
 WITH vals AS (
-  SELECT value AS v FROM events
+  SELECT value AS v FROM events WHERE value IS NOT NULL
 ), byv AS (
   SELECT v, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY v
 ), cumv AS (
@@ -129,7 +147,7 @@ WITH vals AS (
            AS cum
   FROM hist
 ), total AS (
-  SELECT CAST(count(*) AS BIGINT) AS n_total FROM vals
+  SELECT CAST(sum(n) AS BIGINT) AS n_total FROM hist
 ), ranked AS (
   SELECT q, n_total, CAST(ceil(q * n_total) AS BIGINT) AS rank
   FROM (SELECT CAST(unnest([{", ".join(repr(q) for q in _QS_PROBES)}]) AS DOUBLE)

@@ -283,11 +283,13 @@ QH_BUCKETS = 256
 
 def quantile_bucket(value_col: str, lo: float, hi: float,
                     buckets: int = QH_BUCKETS) -> Column:
-    """Equi-width bucket index for a value over a FIXED [lo, hi) domain
-    (production gets the domain from table statistics); out-of-domain
-    values clamp into the edge buckets so the sketch never drops rows.
-    Identical expression on batch and streaming frames — and trivially
-    engine-portable (the DuckDB side is the same floor/clamp arithmetic)."""
+    """Equi-width bucket index for a NON-NULL value over a FIXED
+    [lo, hi) domain (production gets the domain from table statistics);
+    out-of-domain values clamp into the edge buckets so the sketch
+    never drops in-domain rows (callers filter NULLs — see
+    ``quantile_hist``). Identical expression on batch and streaming
+    frames — and trivially engine-portable (the DuckDB side is the same
+    floor/clamp arithmetic)."""
     raw = F.floor(
         (F.col(value_col) - F.lit(lo)) * buckets / F.lit(hi - lo)
     )
@@ -302,9 +304,13 @@ def quantile_hist(df: DataFrame, value_col: str, lo: float, hi: float,
     hist(A ∪ B) is the per-bucket SUM of hist(A) and hist(B), which is
     exactly the partial-aggregate combine Spark already performs, so the
     same call distributes over any partitioning and any micro-batch
-    split."""
+    split. NULL values are dropped EXPLICITLY — without the filter,
+    Spark's null-skipping ``greatest(0, NULL)`` would silently count
+    every NULL row in bucket 0 (and a NULL-ordering divergence between
+    engines would poison any oracle comparison downstream)."""
     return (
-        df.select(quantile_bucket(value_col, lo, hi, buckets).alias("bucket"))
+        df.where(F.col(value_col).isNotNull())
+        .select(quantile_bucket(value_col, lo, hi, buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )

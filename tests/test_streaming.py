@@ -548,8 +548,9 @@ def test_streaming_quantile_hist_matches_batch_and_bounds_error(
 
 
 def test_quantile_hist_degenerate_inputs(spark):
-    """Out-of-domain values clamp into the edge buckets (the sketch never
-    drops rows), and an EMPTY histogram yields zero estimate rows rather
+    """Out-of-domain values clamp into the edge buckets, NULLs are
+    dropped explicitly (not silently bucketed at 0 by null-skipping
+    greatest()), and an EMPTY histogram yields zero estimate rows rather
     than throwing — the degenerate-partition contract."""
     from ra2_datalake_linaresjoan_spark.streaming.sketches import (
         QH_BUCKETS,
@@ -558,13 +559,13 @@ def test_quantile_hist_degenerate_inputs(spark):
     )
 
     vals = spark.createDataFrame(
-        [(-5.0,), (0.0,), (499.9,), (777.0,)], ["v"]
+        [(-5.0,), (0.0,), (499.9,), (777.0,), (None,)], ["v"]
     )
     h = {r["bucket"]: r["n"] for r in
          quantile_hist(vals, "v", 0.0, 500.0).collect()}
     assert h[0] == 2  # -5.0 clamped down + 0.0
     assert h[QH_BUCKETS - 1] == 2  # 499.9 in last bucket + 777.0 clamped up
-    assert sum(h.values()) == 4
+    assert sum(h.values()) == 4  # the NULL is DROPPED, not bucketed at 0
 
     empty = spark.createDataFrame([], "v double")
     eh = quantile_hist(empty, "v", 0.0, 500.0)

@@ -364,40 +364,15 @@ def probe(spark, docs: DataFrame) -> dict[str, float]:
     timed("quantile_hist", quantile_hist_kernel)
 
     # Poisson-bootstrap weight fan-out (the poisson_bootstrap_ci map
-    # kernel): 5 md5s → 40 16-bit integer-cut weights per row, one
-    # 41-key aggregate — the md5 cost is the whole kernel
+    # kernel, via the SHARED expression builder so the probe always
+    # measures the shipped kernel): md5 fan-in → 40 16-bit integer-cut
+    # weights per row, one 41-key aggregate — the md5 cost is the kernel
     def poisson_weights():
-        from ra2_datalake_linaresjoan_spark.queries_ext27 import _PB_CUTS16
-
-        def w_of(u16):
-            w = F.lit(0).cast("long")
-            for c in _PB_CUTS16:
-                w = w + (u16 >= F.lit(c)).cast("long")
-            return w
-
-        hexes = F.transform(
-            F.sequence(F.lit(0), F.lit(4)),
-            lambda g: F.struct(
-                g.alias("g"),
-                F.md5(F.concat_ws(":", F.col("doc_id"), g)).alias("hx"),
-            ),
+        from ra2_datalake_linaresjoan_spark.queries_ext27 import (
+            poisson_weight_structs,
         )
-        weights = F.flatten(
-            F.transform(
-                hexes,
-                lambda s: F.transform(
-                    F.sequence(F.lit(0), F.lit(7)),
-                    lambda j: F.struct(
-                        (s["g"] * 8 + j + 1).cast("long").alias("b"),
-                        w_of(
-                            F.conv(
-                                F.substr(s["hx"], 1 + j * 4, F.lit(4)), 16, 10
-                            ).cast("long")
-                        ).alias("w"),
-                    ),
-                ),
-            )
-        )
+
+        weights = poisson_weight_structs(F.col("doc_id"))
         (
             docs.select(F.col("n_chars").alias("x"), F.explode(weights).alias("bw"))
             .groupBy("bw.b")
