@@ -570,3 +570,50 @@ def test_quantile_hist_degenerate_inputs(spark):
     empty = spark.createDataFrame([], "v double")
     eh = quantile_hist(empty, "v", 0.0, 500.0)
     assert quantile_estimate(eh, (0.5,), 0.0, 500.0).count() == 0
+
+
+def test_rocksdb_state_store_quantile_hist_equals_batch(
+    spark, events_split_dir
+):
+    """The quantile-histogram state store (the fifth sketch) must also
+    maintain under the RocksDB provider across forced micro-batches and
+    match the batch histogram bucket-for-bucket — the provider a
+    1000-executor deployment runs so the 256-key sketch state lives on
+    local SSD, not the JVM heap."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        quantile_hist,
+        streaming_quantile_hist,
+    )
+    from ra2_datalake_linaresjoan_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        stream = read_events_stream(
+            spark, events_split_dir, max_files_per_trigger=1
+        )
+        try:
+            out = run_to_memory(
+                streaming_quantile_hist(stream, "value", 0.0, 500.0),
+                "t_qhist_rocks",
+                spark,
+            )
+        except Exception as exc:  # pragma: no cover — env-dependent
+            pytest.skip(f"RocksDB state store unavailable: {exc}")
+        batch = spark.read.parquet(events_split_dir)
+        want = quantile_hist(batch, "value", 0.0, 500.0)
+        assert {r["bucket"]: r["n"] for r in out.collect()} == {
+            r["bucket"]: r["n"] for r in want.collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
