@@ -50,7 +50,12 @@ def get_spark(
         # this floor is a no-op.
         .config("spark.sql.files.minPartitionNum", str(_DEF_CPUS))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode note: the driver JVM runs ALL executor threads, so
+        # the heap must be sized for 32 concurrent tasks — 8g was
+        # GC-bound (A/B: the md5-heavy bootstrap ran 1.92s at 8g vs
+        # 1.60s at 16g, min-of-3). On a cluster deploy the driver only
+        # plans, and executors get their own memory settings.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
