@@ -39,21 +39,26 @@ def parse_list_value(col: Column) -> Column:
 
 
 def parse_struct_labels(col: Column) -> Column:
-    """Tag objects → labels (F10): array<struct{label,slug,id}> →
-    array<string> of ``label ?? slug ?? id`` per element.
-
-    Mirrors ``loader_NeonDB.py:408-429`` (_parse_tags_field). Plain string
-    arrays also parse (struct fields null → element dropped via coalesce
-    fallback to the raw string parse).
+    """Tag objects → labels (F10), PER ELEMENT like the reference
+    (``loader_NeonDB.py:408-429`` _parse_tags_field iterates the parsed
+    list): a dict element yields ``label ?? slug ?? id`` (trimmed) or is
+    DROPPED when it has none of those keys; a string element is kept
+    trimmed; blanks drop. Mixed dict/string lists therefore resolve
+    per element, and an unknown-key object (``[{'name': 'x'}]``) yields
+    ``[]`` — it must never leak its JSON text as a label (the previous
+    whole-array fallback emitted the blob into dim_tag_gaming).
     """
-    structs = parse_json_ish(col, "array<struct<label:string,slug:string,id:string>>")
-    labels = F.transform(structs, lambda x: F.coalesce(x["label"], x["slug"], x["id"]))
     strings = parse_json_ish(col, "array<string>")
-    return F.coalesce(
-        F.when(F.size(F.filter(labels, lambda x: x.isNotNull())) > 0,
-               F.filter(labels, lambda x: x.isNotNull())),
-        strings,
-    )
+
+    def label_of(x: Column) -> Column:
+        st = F.from_json(x, "struct<label:string,slug:string,id:string>")
+        return F.when(
+            F.trim(x).startswith("{"),
+            F.trim(F.coalesce(st["label"], st["slug"], st["id"])),
+        ).otherwise(F.trim(x))
+
+    labels = F.transform(strings, label_of)
+    return F.filter(labels, lambda e: e.isNotNull() & (e != ""))
 
 
 def extract_ids(col: Column) -> Column:

@@ -43,8 +43,12 @@ def normalize_boolean(col: Column) -> Column:
     return (
         F.when(s.isin(*_TRUE_WORDS), F.lit(True))
         .when(s.isin(*_FALSE_WORDS), F.lit(False))
-        # numeric strings like "2", "0.0": bool(int(v)) semantics
-        .when(s.rlike(r"^-?\d+(\.\d+)?$"), s.try_cast("double").try_cast("int") != 0)
+        # numeric strings like "2", "0.0": bool(int(v)) semantics as
+        # |v| >= 1 (int() truncates toward zero, so int(v) != 0 ⇔
+        # |v| >= 1) — overflow-proof, unlike a try_cast to int/long
+        # which NULLs past the integer range ('3000000000' must be
+        # True, not null)
+        .when(s.rlike(r"^-?\d+(\.\d+)?$"), F.abs(s.try_cast("double")) >= 1)
         .otherwise(F.lit(None).cast("boolean"))
     )
 
@@ -81,6 +85,13 @@ def clean_string(col: Column, max_length: int = 5000) -> Column:
     Order matters and mirrors the reference: whitespace collapse happens
     before control-char removal (so \\n/\\t become single spaces), then any
     remaining chars with codepoint < 32 are stripped, then truncation.
+
+    Documented quirk of that reference-parity order: a NON-whitespace
+    control char surrounded by spaces ('a \\x07 b') leaves a double space
+    after stripping, and one at the string edge leaves an edge space —
+    the reference pipeline has the same residue, and the oracle SQL
+    reproduces it, so both engines agree; callers needing strict
+    canonical whitespace re-clean after.
     """
     s = F.trim(col.cast("string"))
     s = F.regexp_replace(s, r"\s+", " ")
@@ -98,6 +109,12 @@ def _jsonish_array(col: Column) -> Column:
     documented contract (best-effort parse → null on failure) using
     ``from_json``, which returns null for malformed input.
     Non-'['-prefixed strings are null (reference returns None for them).
+
+    Deliberately NOT shared with ``json_utils.parse_list_value``: the two
+    mirror DIFFERENT reference functions with different failure contracts
+    — this one nulls on failure (transformer_data.py:116 returns None),
+    parse_list_value returns an EMPTY ARRAY (loader_NeonDB.py:287-304
+    returns []). Merging them would silently change one contract.
     """
     s = F.trim(col.cast("string"))
     repaired = F.regexp_replace(s, "'", '"')

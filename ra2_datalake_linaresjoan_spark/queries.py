@@ -2343,10 +2343,16 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cosine_topk",
     "tumbling_windows",
     "sliding_windows",
-    "event_sessionization",
-    # (normalize_boolean_parity, clean_string_parity and
+    # normalize_boolean_parity re-entered late in round 7: its engine
+    # function's numeric fallback changed (int32-overflow fix) — results
+    # provably identical for this query's inputs, but a changed
+    # implementation re-enters the window on principle. It is itself
+    # r1-stale, so the swap (for event_sessionization) is
+    # staleness-neutral.
+    "normalize_boolean_parity",
+    # (event_sessionization, clean_string_parity and
     # classifier_parity — r1-stale — yielded
-    # their slots to the 1b changed queries and the 2d addition; they rotate in round 8
+    # their slots; they rotate in round 8
     # with the rest of the r1/r2 stale pool)
 )
 

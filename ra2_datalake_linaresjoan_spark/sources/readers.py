@@ -36,9 +36,16 @@ def _delta_available(spark: SparkSession) -> bool:
 
 
 def read_table(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
-    """Read a table; Delta when requested & available, else Parquet."""
+    """Read a table; Delta when requested & available, else Parquet.
+
+    CSV defaults to ``header=true`` to mirror ``write_table`` (which
+    always writes a header) — without it a write/read round-trip ingests
+    the header line as a data row and loses every column name. Callers
+    reading headerless CSV pass ``header='false'`` explicitly."""
     if fmt == "delta" and not _delta_available(spark):
         fmt = "parquet"
+    if fmt == "csv":
+        options.setdefault("header", "true")
     return spark.read.format(fmt).options(**options).load(path)
 
 

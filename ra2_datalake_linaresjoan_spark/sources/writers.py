@@ -158,9 +158,19 @@ def mirror_table(spark, src: str, dest: str, fmt: str = "parquet") -> int:
     """
     if src.rstrip("/") == dest.rstrip("/"):
         raise ValueError("mirror_table: dest must differ from src")
-    df = spark.read.format(fmt).load(src)
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    # the row count piggybacks on the mirroring write itself via an
+    # Observation — ONE read of the source total; the previous
+    # implementation re-read the entire mirrored table (every object
+    # GET twice) just to return this number
+    obs = Observation("mirror_rows")
+    df = spark.read.format(fmt).load(src).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
     df.write.format(fmt).mode("overwrite").save(dest)
-    return spark.read.format(fmt).load(dest).count()
+    return int(obs.get["n"])
 
 
 def probe_connectivity(spark, targets: dict[str, str]) -> list[dict]:

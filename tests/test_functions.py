@@ -39,6 +39,17 @@ def test_normalize_boolean_zoo(spark):
                    False, None, None, True, False]
 
 
+def test_normalize_boolean_numeric_edge_cases(spark):
+    """bool(int(v)) semantics via |v| >= 1 — including values past the
+    int32/int64 range, where a try_cast-to-int formulation silently
+    nulled ('3000000000' was null, not True). Sub-unit magnitudes
+    truncate to 0 → False."""
+    vals = ["3000000000", "-3000000000", "99999999999999999999", "0.5",
+            "-0.999", "1.0", "-1", "0.000"]
+    out = _apply(spark, normalize_boolean, vals)
+    assert out == [True, True, True, False, False, True, True, False]
+
+
 def test_normalize_numeric_formats(spark):
     # decision table: EU 1.234,56 | US-commas 1,234 | dots pass through
     vals = ["123.45", "1.234,56", "1,234", "1,234.56", " 42 ", "", "abc",
@@ -145,3 +156,17 @@ def test_char_shingles_udtf(spark):
         (1, "ell"),
         (1, "llo"),
     }
+
+
+def test_parse_struct_labels_reference_per_element_semantics(spark):
+    """Per-element parity with the reference's _parse_tags_field: dicts
+    without label/slug/id are DROPPED (never stringified into a label),
+    mixed dict/string lists resolve per element, and blanks drop."""
+    out = _apply(
+        spark, parse_struct_labels,
+        ["[{'name': 'x'}]",                       # unknown keys -> dropped
+         "[{'label': 'A'}, 'plain', {'nope': 1}]",  # mixed list
+         "[' padded ', '']",                     # trims, drops blank
+         "not json"],
+    )
+    assert out == [[], ["A", "plain"], ["padded"], None]

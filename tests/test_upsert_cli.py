@@ -3,6 +3,8 @@
 from __future__ import annotations
 
 import json
+import os
+import shutil
 import subprocess
 import sys
 
@@ -101,3 +103,48 @@ def test_cli_query_runner(spark, monkeypatch, capsys):
     )
     cli.main()
     assert "mix_weight" in capsys.readouterr().out
+
+
+def test_merge_upsert_deterministic_on_intra_batch_duplicates(
+    spark, tmp_path
+):
+    """An updates batch carrying DUPLICATE keys must resolve to the same
+    survivor on every run — the whole-row-fingerprint tiebreak contract
+    that makes foreach-sink micro-batch re-delivery idempotent. Without
+    it the row_number tie falls to partition order and can flip."""
+    p = str(tmp_path / "dup_batch")
+    survivors = set()
+    for run in range(3):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+        dup = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "z")], ["id", "v"]
+        ).repartition(4 if run % 2 else 2)  # vary partitioning on purpose
+        merge_upsert(spark, p, dup, ["id"])
+        got = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+        assert set(got) == {1, 2} and got[2] == "z"
+        survivors.add(got[1])
+    assert len(survivors) == 1, f"survivor flipped across runs: {survivors}"
+
+
+def test_merge_upsert_recovers_table_from_backup(spark, tmp_path):
+    """Crash-window recovery: if a previous run died between the two swap
+    renames (table at <path>.bak, nothing at <path>), the next
+    merge_upsert restores the backup BEFORE merging — the table is never
+    treated as new and silently reset to the updates batch alone."""
+    p = str(tmp_path / "crashy")
+    merge_upsert(
+        spark,
+        p,
+        spark.createDataFrame([(1, "keep"), (2, "old")], ["id", "v"]),
+        ["id"],
+    )
+    # simulate the crash window: table renamed to .bak, nothing at path
+    os.rename(p, p + ".bak")
+    assert not os.path.exists(p)
+    merge_upsert(
+        spark, p, spark.createDataFrame([(2, "new")], ["id", "v"]), ["id"]
+    )
+    got = {r["id"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {1: "keep", 2: "new"}  # prior rows survived the crash
+    assert not os.path.exists(p + ".bak")
