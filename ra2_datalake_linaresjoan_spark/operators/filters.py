@@ -27,7 +27,14 @@ def non_null_non_blank(*cols: str) -> Column:
 
 def keyword_pattern(keywords: Sequence[str], word_boundary: bool = False) -> str:
     """Escaped alternation regex from a keyword list (P7/P9,
-    reference transformer_data.py:343-371, loader_NeonDB.py:749-781)."""
+    reference transformer_data.py:343-371, loader_NeonDB.py:749-781).
+
+    An EMPTY keyword list yields a never-matching pattern ``(?!)`` — the
+    empty-string alternation would rlike-match every row, turning
+    ``keyword_include(col, [])`` into all-true and (worse)
+    ``keyword_exclude(col, [])`` into a silent filter-everything."""
+    if not keywords:
+        return r"(?!)"
     parts = [re.escape(k) for k in keywords]
     if word_boundary:
         parts = [rf"\b{p}\b" for p in parts]

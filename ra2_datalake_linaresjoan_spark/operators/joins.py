@@ -15,11 +15,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: keys_df sizes up to this many rows force-broadcast in semi_filter;
+#: larger key sets fall back to a plain left_semi join so Catalyst/AQE
+#: pick the strategy from real sizes (the capped ``limit(N+1).count()``
+#: probe convention, cf. queries_ext23 ngram_contamination).
+SEMI_BROADCAST_CAP = 1_000_000
+
+
 def semi_filter(df: DataFrame, keys_df: DataFrame, on: str | Sequence[str]) -> DataFrame:
     """Keep rows whose key exists in keys_df (J6 — the reference's
-    valid-id set filters, loader_NeonDB.py:493-500, without collecting)."""
+    valid-id set filters, loader_NeonDB.py:493-500, without collecting).
+
+    The broadcast is GUARDED: key sets that scale with the fact side
+    (e.g. one id per market) must not be force-broadcast past AQE's size
+    checks — at 100 TB that is a driver OOM. A capped count probe (stops
+    scanning at CAP+1 rows) chooses broadcast for genuinely small sets
+    and leaves big ones to AQE's own shuffle/broadcast decision."""
     on = [on] if isinstance(on, str) else list(on)
-    return df.join(F.broadcast(keys_df.select(*on).distinct()), on=on, how="left_semi")
+    keys = keys_df.select(*on).distinct()
+    small = keys.limit(SEMI_BROADCAST_CAP + 1).count() <= SEMI_BROADCAST_CAP
+    return df.join(F.broadcast(keys) if small else keys, on=on, how="left_semi")
 
 
 def anti_orphans(fact: DataFrame, dim: DataFrame, on: str | Sequence[str]) -> DataFrame:

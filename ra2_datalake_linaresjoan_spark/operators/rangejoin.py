@@ -33,6 +33,14 @@ def interval_join(
     """
     right_cols = right_cols or [c for c in right.columns if c not in (by, right_on)]
     w_us = int(window_seconds * 1_000_000)
+    if w_us <= 0:
+        # DIV 0 is null (non-ANSI) or throws (ANSI): either way the
+        # bucket equi-join silently matches nothing — refuse instead
+        raise ValueError(
+            "interval_join: window_seconds=%r is below 1 microsecond; "
+            "for exact-timestamp pairing use an equi-join on the "
+            "timestamp column" % (window_seconds,)
+        )
 
     l_us = F.unix_micros(F.col(left_on))
     r_us = F.unix_micros(F.col(right_on))

@@ -44,7 +44,18 @@ def salted_join(
            of the big side) to make the spread deterministic under task
            retry; positional fallback otherwise.
     small: exploded over all salt values (×salt rows — fine, it's small).
+
+    ``how`` is restricted to inner/left/left_semi: any join that can emit
+    UNMATCHED small-side rows (right/full/right_anti) would emit each of
+    them once PER SALT REPLICA (``salt`` null-extended copies instead of
+    one) — silent row multiplication, so it raises instead.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            "salted_join: how=%r can emit unmatched small-side rows, which "
+            "the x%d salt replication would duplicate; use inner/left/"
+            "left_semi, or an unsalted join for outer semantics" % (how, salt)
+        )
     b = big.withColumn("_salt", _salt_col(salt, salt_cols))
     s = small.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = b.join(s, [on, "_salt"], how)

@@ -49,6 +49,17 @@ _NUMERIC = (DoubleType, FloatType, IntegerType, LongType, ShortType, ByteType, D
 
 
 def _interleave(bucket_cols: Sequence[Column], bits: int) -> Column:
+    # the interleaved key must fit in 63 bits: bit (bits-1, last col)
+    # lands at position bits*len(cols)-1, and position 63 is the long
+    # SIGN bit — a negative key range-sorts before all positive keys and
+    # silently scatters the top corner of the hyper-rectangle across the
+    # file layout (shifts past 63 additionally wrap mod 64)
+    if bits * len(bucket_cols) > 63:
+        raise ValueError(
+            "zorder: %d cols x %d bits = %d interleaved bits > 63 (long "
+            "sign bit); lower bits= or reduce the column set"
+            % (len(bucket_cols), bits, bits * len(bucket_cols))
+        )
     z = F.lit(0).cast("long")
     # interleave: bit i of column j lands at position i*len(cols)+j
     for i in range(bits):
@@ -108,7 +119,7 @@ def zorder_key(
                 f"crc32, dictionary code) before Z-ordering at scale"
             )
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    in_cols, out_cols, splits_arr = [], [], []
+    in_cols, out_cols = [], []
     for c in cols:
         d = f"_zd_{c}"
         # nulls sort first under ntile; map them to -inf so the quantile
@@ -116,11 +127,16 @@ def zorder_key(
         out = out.withColumn(
             d, F.coalesce(F.col(c).cast("double"), F.lit(float("-inf")))
         )
-        qs = out.stat.approxQuantile(d, probs, rel_err)
-        inner = sorted({q for q in qs if q not in (float("-inf"), float("inf"))})
-        splits_arr.append([float("-inf"), *inner, float("inf")])
         in_cols.append(d)
         out_cols.append(f"_zb_{c}")
+    # ONE approxQuantile call for all columns — the multi-column form
+    # computes every sketch in a single input pass (per-column calls
+    # inside the loop were N sequential full scans)
+    all_qs = out.stat.approxQuantile(in_cols, probs, rel_err)
+    splits_arr = []
+    for qs in all_qs:
+        inner = sorted({q for q in qs if q not in (float("-inf"), float("inf"))})
+        splits_arr.append([float("-inf"), *inner, float("inf")])
     buck = Bucketizer(
         splitsArray=splits_arr,
         inputCols=in_cols,

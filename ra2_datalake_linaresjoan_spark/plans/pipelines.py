@@ -87,7 +87,17 @@ def clean_markets(df: DataFrame) -> DataFrame:
     sort_col = "updatedAt" if _has(df, "updatedAt") else (
         "createdAt" if _has(df, "createdAt") else None
     )
-    df = dedup_keep_newest(df, ["id"], sort_col, tiebreak=())
+    # "newest" must be decided on TIME, not on the raw string: bronze
+    # carries mixed ISO offsets ('...T09:00+02:00' sorts lexically above
+    # the newer '...T08:30Z') and ragged fractional seconds, so coerce
+    # to timestamp for the dedup ordering (unparseable → null → loses)
+    if sort_col is not None:
+        df = df.withColumn("_sort_ts", to_timestamp_coerce(F.col(sort_col)))
+        df = dedup_keep_newest(df, ["id"], "_sort_ts", tiebreak=()).drop(
+            "_sort_ts"
+        )
+    else:
+        df = dedup_keep_newest(df, ["id"], None, tiebreak=())
     for c in _NUMERIC_COLS:
         if _has(df, c):
             df = df.withColumn(c, F.coalesce(normalize_numeric(F.col(c)), F.lit(0.0)))
@@ -187,6 +197,10 @@ def gaming_summary(df: DataFrame) -> DataFrame:
         ("liquidity", "double", None),
         ("volume", "double", None),
         ("outcome_count", "int", 0),
+        # the aggregate references these unconditionally — a feed without
+        # them must contribute zero counts, not an UNRESOLVED_COLUMN
+        ("active", "boolean", False),
+        ("closed", "boolean", False),
     ):
         if c not in df.columns:
             fill = F.lit(default).cast(dtype)

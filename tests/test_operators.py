@@ -388,3 +388,125 @@ def test_zorder_quantile_path_rejects_non_numeric(spark):
         zorder_key(df, ["x", "name"], exact_threshold=1_000)
     # small input still takes the exact ntile path for any orderable type
     assert "_zorder" in zorder_key(df.limit(100), ["x", "name"]).columns
+
+
+def test_asof_join_attaches_whole_rows_atomically(spark):
+    """The carried values come from ONE right row: a null field in the
+    LATEST right row stays null (never resurrects a stale older value),
+    and the output never mixes columns from different right rows."""
+    from ra2_datalake_linaresjoan_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 1, 10.0, 5), ("k", 2, None, 7)],
+        "by string, ts int, price double, qty int",
+    )
+    left = spark.createDataFrame([("k", 3)], "by string, ts int")
+    row = asof_join(left, right, on="ts", by="by").collect()[0]
+    # latest right row is ts=2 with price NULL, qty 7 — atomic attach
+    assert row["price_asof"] is None
+    assert row["qty_asof"] == 7
+
+
+def test_asof_join_equal_ts_tiebreak_deterministic(spark):
+    """Equal-timestamp right rows resolve by whole-row fingerprint, so
+    the survivor is identical across runs and partitionings."""
+    from ra2_datalake_linaresjoan_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 5)], "by string, ts int")
+    got = set()
+    for n_parts in (1, 4, 7):
+        right = spark.createDataFrame(
+            [("k", 5, 10.0), ("k", 5, 20.0)], "by string, ts int, price double"
+        ).repartition(n_parts)
+        got.add(asof_join(left, right, on="ts", by="by").collect()[0]["price_asof"])
+    assert len(got) == 1, f"tie survivor flipped: {got}"
+
+
+def test_keyword_pattern_empty_list_matches_nothing(spark):
+    """keyword_pattern([]) must never match (the empty alternation
+    matched EVERYTHING, turning exclude=[] into filter-all-rows)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import (
+        esports_filter,
+        keyword_exclude,
+        keyword_include,
+    )
+
+    df = spark.createDataFrame([("dota match",), ("cooking",)], ["q"])
+    inc = df.filter(keyword_include(F.col("q"), [])).count()
+    exc = df.filter(keyword_exclude(F.col("q"), [])).count()
+    assert inc == 0      # no include keywords -> nothing matches
+    assert exc == 2      # no exclude keywords -> nothing excluded
+    out = esports_filter(df, "q", include=["dota"], exclude=[])
+    assert out.count() == 1  # was 0 before the fix
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full joins would emit each unmatched small-side row once
+    per salt replica — the helper refuses them."""
+    import pytest as _pytest
+
+    from ra2_datalake_linaresjoan_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], ["k", "v"])
+    small = spark.createDataFrame([(2, "o")], ["k", "w"])
+    with _pytest.raises(ValueError, match="unmatched small-side"):
+        salted_join(big, small, "k", how="full")
+    assert salted_join(big, small, "k", how="inner").count() == 0
+
+
+def test_zorder_interleave_rejects_sign_bit_overflow(spark):
+    """bits*cols > 63 would put bucket bits in (or past) the long sign
+    bit, producing negative keys that range-sort before all positive
+    ones — the layout silently loses its pruning."""
+    import pytest as _pytest
+
+    from ra2_datalake_linaresjoan_spark.operators.zorder import zorder_key
+
+    df = spark.range(0, 10).select(
+        *[(F.col("id") * (i + 1)).alias(f"c{i}") for i in range(8)]
+    )
+    with _pytest.raises(ValueError, match="sign bit"):
+        zorder_key(df, [f"c{i}" for i in range(8)], bits=8)
+    # 8 cols x 7 bits = 56 bits is fine
+    assert "_zorder" in zorder_key(df, [f"c{i}" for i in range(8)], bits=7).columns
+
+
+def test_interval_join_rejects_submicrosecond_window(spark):
+    import pytest as _pytest
+
+    from ra2_datalake_linaresjoan_spark.operators.rangejoin import interval_join
+
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00")], ["k", "ts"]
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    with _pytest.raises(ValueError, match="microsecond"):
+        interval_join(df, df, by="k", left_on="ts", right_on="ts", window_seconds=0)
+
+
+def test_clean_markets_dedups_on_time_not_string_order(spark):
+    """Mixed ISO offsets: '09:00+02:00' (=07:00Z) sorts lexically ABOVE
+    the genuinely newer '08:30Z' — the dedup must coerce to timestamp
+    first and keep the 08:30Z row."""
+    from ra2_datalake_linaresjoan_spark.plans.pipelines import clean_markets
+
+    df = spark.createDataFrame(
+        [
+            ("m1", "q?", "2024-06-01T09:00:00+02:00", "old"),
+            ("m1", "q?", "2024-06-01T08:30:00Z", "new"),
+        ],
+        ["id", "question", "updatedAt", "tag"],
+    )
+    out = clean_markets(df).collect()
+    assert len(out) == 1 and out[0]["tag"] == "new"
+
+
+def test_gaming_summary_tolerates_missing_active_closed(spark):
+    """A feed without active/closed must aggregate with zero counts, not
+    throw UNRESOLVED_COLUMN — the docstring's schema-tolerance promise."""
+    from ra2_datalake_linaresjoan_spark.plans.pipelines import gaming_summary
+
+    df = spark.createDataFrame(
+        [("Esports General", 10.0)], ["gaming_type", "volume"]
+    )
+    row = gaming_summary(df).collect()[0]
+    assert row["n_markets"] == 1 and row["n_active"] == 0 and row["n_closed"] == 0
