@@ -131,6 +131,15 @@ def minhash_lsh_candidates(
     blowup as long as buckets stay small (tune bands/rows for the corpus
     dup rate).
     """
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes makes rows_per_band 0 and every band bucket a
+        # per-band CONSTANT — all docs share every bucket and the candidate
+        # join silently becomes the full n^2 self-join LSH exists to avoid;
+        # a non-divisible combo silently discards trailing minhashes
+        raise ValueError(
+            "minhash banding needs num_hashes divisible by bands "
+            f"(got num_hashes={num_hashes}, bands={bands})"
+        )
     rows_per_band = num_hashes // bands
     sh = shingles(df, id_col, text_col, n, distinct=False)
     # ONE shuffle computes both the minhash signature and the exact shingle
@@ -265,7 +274,18 @@ def simhash_neardup_pairs(
     Candidate generation by banding the 64-bit signature into 4 16-bit
     blocks (pigeonhole: ≤3 differing bits → ≥1 identical block), then exact
     hamming check via bit_count(xor). Returns (doc_a, doc_b, hamming).
+
+    ``max_hamming`` is capped at 3: with 4 blocks, pigeonhole only
+    guarantees candidate completeness up to 3 differing bits — a radius
+    of 4+ would SILENTLY miss pairs whose 4 differing bits land one per
+    block, so the function raises instead of under-recalling.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash 4-block banding is candidate-complete only for "
+            f"max_hamming <= 3 (got {max_hamming}); re-band with "
+            "max_hamming+1 blocks for a wider radius"
+        )
     sig = simhash(df, id_col, text_col, n, hash_fn=hash_fn)
     blocks = F.array(
         *[F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)]

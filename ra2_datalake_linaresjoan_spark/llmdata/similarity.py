@@ -41,6 +41,30 @@ def cosine(a: Column, b: Column) -> Column:
 MAX_COLLECT_ROWS = 200_000
 
 
+def _id_dtypes(df, id_col):
+    """(numpy dtype, Spark SQL type string) for the id column — the numpy
+    paths previously hardcoded int64/'long' and crashed (or miscast) on
+    string ids, so auto-strategy behavior flipped with corpus size."""
+    from pyspark.sql.types import (
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    t = {f.name: f.dataType for f in df.schema.fields}[id_col]
+    if isinstance(t, (LongType, IntegerType, ShortType, ByteType)):
+        import numpy as np
+
+        return np.int64, "long"
+    if isinstance(t, StringType):
+        return str, "string"
+    raise ValueError(
+        f"cosine numpy path supports integer or string ids, got {id_col}: {t}"
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -115,15 +139,15 @@ def _cosine_topk_numpy(
     import pandas as pd
 
     spark = queries.sparkSession
+    np_id, sql_id = _id_dtypes(corpus, id_col)
+    out_schema = f"query_id {sql_id}, neighbor_id {sql_id}, cos_sim double"
     rows = corpus.select(id_col, vec_col).collect()
     if not rows:
         # empty corpus: no neighbors exist — the degenerate partition every
         # 100-TB job eventually meets must yield an empty frame, not an
         # ndim crash in the normalizer
-        return spark.createDataFrame(
-            [], schema="query_id long, neighbor_id long, cos_sim double"
-        )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+        return spark.createDataFrame([], schema=out_schema)
+    ids = np.array([r[0] for r in rows], dtype=np_id)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat_norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, mat_norm))
@@ -150,9 +174,7 @@ def _cosine_topk_numpy(
                 {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
             )
 
-    return queries.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id long, neighbor_id long, cos_sim double"
-    )
+    return queries.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
 
 
 def cosine_neardup_pairs(
@@ -162,6 +184,9 @@ def cosine_neardup_pairs(
     threshold: float = 0.9,
     round_digits: int = 6,
     method: str = "auto",
+    planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim ≥ t),
     id_a < id_b.
@@ -173,8 +198,10 @@ def cosine_neardup_pairs(
     corpus beyond ``MAX_COLLECT_ROWS`` routes to LSH-bucketed candidate
     generation + exact-cosine verify (``method="lsh"``) — per-bucket joins
     only, never an all-pairs comparison and never a table-sized broadcast.
-    The LSH path is candidate-complete only up to bucket recall (tunable
-    via ``planes``/``tables``); at the corpus sizes that trigger it, exact
+    The LSH path is candidate-complete only up to bucket recall — the
+    ``planes``/``tables``/``seed`` parameters ARE the recall dial (more
+    tables raise recall at linear candidate cost, more planes sharpen
+    buckets); at the corpus sizes that trigger it, exact
     all-pairs is not a viable plan on any engine, so approximate-with-
     verified-scores is the honest contract. ``method="expr"`` (opt-in)
     keeps the exact non-equi self-join plan WITHOUT a broadcast hint —
@@ -189,14 +216,19 @@ def cosine_neardup_pairs(
         small = df.limit(MAX_COLLECT_ROWS + 1).count() <= MAX_COLLECT_ROWS
         method = "numpy" if small else "lsh"
     if method == "lsh":
-        head = df.select(vec_col).first()
+        _, sql_id = _id_dtypes(df, id_col)
+        # first NON-NULL vector: a null leading embedding must not crash
+        # the dim probe (and an all-null/empty corpus has no pairs)
+        head = df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
         if head is None:
-            # empty corpus: no pairs — same contract as the numpy path
             return df.sparkSession.createDataFrame(
-                [], schema="id_a long, id_b long, cos_sim double"
+                [], schema=f"id_a {sql_id}, id_b {sql_id}, cos_sim double"
             )
         dim = len(head[0])
-        b = _bucket_ids(df, id_col, vec_col, "_bid", dim, planes=8, tables=4, seed=42)
+        b = _bucket_ids(
+            df, id_col, vec_col, "_bid", dim,
+            planes=planes, tables=tables, seed=seed,
+        )
         cand = (
             b.alias("l")
             .join(b.alias("r"), ["tbl", "bucket"])
@@ -240,14 +272,14 @@ def cosine_neardup_pairs(
         )
 
     spark = df.sparkSession
+    np_id, sql_id = _id_dtypes(df, id_col)
+    pair_schema = f"id_a {sql_id}, id_b {sql_id}, cos_sim double"
     rows = df.select(id_col, vec_col).collect()
     if not rows:
         # empty corpus: no pairs — return an empty frame instead of an
         # ndim crash in the normalizer (same guard as _cosine_topk_numpy)
-        return spark.createDataFrame(
-            [], schema="id_a long, id_b long, cos_sim double"
-        )
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+        return spark.createDataFrame([], schema=pair_schema)
+    ids = np.array([r[0] for r in rows], dtype=np_id)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids, mat))
@@ -257,7 +289,7 @@ def cosine_neardup_pairs(
         for pdf in batches:
             if pdf.empty:
                 continue
-            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_ids = pdf[id_col].to_numpy(dtype=np_id)
             q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
             q = q / np.linalg.norm(q, axis=1, keepdims=True)
             sims = np.round(q @ c_mat.T, round_digits)
@@ -270,9 +302,7 @@ def cosine_neardup_pairs(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        score, schema="id_a long, id_b long, cos_sim double"
-    )
+    return df.select(id_col, vec_col).mapInPandas(score, schema=pair_schema)
 
 
 def _sqdist(a: Column, b: Column) -> Column:

@@ -50,25 +50,21 @@ def q_content_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent, partition-independent and SUBTRACTIVE (removing
     a row re-XORs it out) — the right digest for incremental
     verification.  One scan, one 1-row aggregate."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        row_digest_col,
+    )
+
+    # collision-hardened serialization (see row_digest_col): per-column
+    # fixed-width tokens distinguish NULL placement and block delimiter
+    # injection — concat_ws skipped nulls, so ('x', NULL, 'y') and
+    # ('x', 'y', NULL) hashed identically and a value-shift corruption
+    # was invisible to the digest
     ev = _events(spark, sf_dir).select(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.col("event_id"),
-                        F.col("event_type"),
-                        F.round(F.col("value") * 100).cast("long"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+        row_digest_col(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.round(F.col("value") * 100).cast("long"),
+        ).alias("h"),
         (F.col("event_id") % _CF_DELTA_MOD == 0).alias("is_delta"),
     )
     agg = ev.agg(
@@ -98,12 +94,20 @@ def q_content_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CONTENT_FINGERPRINT_AUDIT = f"""
-WITH ev AS (
-  SELECT CAST(concat('0x', substr(md5(concat_ws(':', event_id, event_type,
-                CAST(round(value * 100) AS BIGINT))), 1, 15)) AS BIGINT)
-           AS h,
-         event_id % {_CF_DELTA_MOD} = 0 AS is_delta
+WITH tok AS (
+  SELECT CASE WHEN event_id IS NULL THEN 'n'
+              ELSE 'v' || md5(CAST(event_id AS VARCHAR)) END
+      || CASE WHEN event_type IS NULL THEN 'n'
+              ELSE 'v' || md5(CAST(event_type AS VARCHAR)) END
+      || CASE WHEN round(value * 100) IS NULL THEN 'n'
+              ELSE 'v' || md5(CAST(CAST(round(value * 100) AS BIGINT)
+                                   AS VARCHAR)) END AS t,
+         event_id
   FROM events
+), ev AS (
+  SELECT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h,
+         event_id % {_CF_DELTA_MOD} = 0 AS is_delta
+  FROM tok
 )
 SELECT CAST(count(*) AS BIGINT) AS n_full,
        CAST(sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT)

@@ -31,7 +31,15 @@ CMS_D = 3
 
 def _cell(col: Column, depth: int, width: int = CMS_W) -> Column:
     """Engine-portable hash row: md5 hex slice ``depth`` mod width (the
-    same family bloom_dedup / cms_heavy_hitters use)."""
+    same family bloom_dedup / cms_heavy_hitters use). md5 yields exactly
+    FOUR 8-hex slices — depth >= 4 would substring past the digest, conv
+    would return NULL and the whole sketch row silently collapses into
+    one NULL cell (the same hazard ``_bloom_bit_positions`` guards)."""
+    if depth >= 4:
+        raise ValueError(
+            "CMS depth index %d needs md5 slice %d, but md5 has only 4 "
+            "8-hex slices (depth <= 4 rows total)" % (depth, depth)
+        )
     return (
         F.conv(F.substring(F.md5(col), 1 + 8 * depth, 8), 16, 10).cast("long")
         % width
@@ -214,7 +222,11 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str,
     update-mode snapshot) still returns a row — its missing cell
     contributes count 0, so ``least`` yields the correct CMS estimate
     (0 for fully unseen keys) instead of the row silently vanishing
-    from an inner join."""
+    from an inner join. The cells table is re-merged to max(n) per
+    (depth, cell) first — running totals from an ACCUMULATED update-mode
+    sink (one row per cell per micro-batch) would otherwise fan out the
+    per-depth joins and pair stale partial counts into the min."""
+    cells = cells.groupBy("depth", "cell").agg(F.max("n").alias("n"))
     probe_cells = probes.select(
         key_col,
         *[_cell(F.col(key_col), j, width).alias(f"c{j}") for j in range(depth)],
@@ -238,23 +250,38 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str,
 # ---------------------------------------------------------------------------
 
 
+def row_digest_col(*cols) -> Column:
+    """60-bit md5 row digest over the given columns (Column expression;
+    15 hex chars keep the value positive in a BIGINT).
+
+    Serialization is collision-hardened: each column contributes a
+    FIXED-WIDTH token — ``'n'`` for NULL, ``'v' + md5(value)``
+    otherwise — so an integrity digest distinguishes ('x', NULL, 'y')
+    from ('x', 'y', NULL) (a plain ``concat_ws`` SKIPS nulls and both
+    rows serialize identically) and no value can inject the delimiter
+    (``('x:y', NULL)`` vs ``('x', 'y')``). The same per-column
+    CASE/md5 construction runs verbatim in the DuckDB oracle."""
+    tokens = [
+        F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.md5(F.col(c).cast("string")))
+        )
+        if isinstance(c, str)
+        else F.when(c.isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.md5(c.cast("string")))
+        )
+        for c in cols
+    ]
+    return (
+        F.conv(F.substring(F.md5(F.concat(*tokens)), 1, 15), 16, 10)
+        .cast("long")
+    )
+
+
 def digest_rows(df: DataFrame, *cols: str) -> DataFrame:
     """60-bit md5 row digests over the given columns — the row-hash
     shared with the batch ``content_fingerprint_audit``
-    (queries_ext36): 15 hex chars keep the value positive in a BIGINT.
-    Works identically on batch and streaming frames."""
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", *[F.col(c) for c in cols])), 1, 15
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h")
-    )
-    return df.select(h)
+    (queries_ext36). Works identically on batch and streaming frames."""
+    return df.select(row_digest_col(*cols).alias("h"))
 
 
 def streaming_digest(stream: DataFrame, *cols: str) -> DataFrame:
@@ -335,9 +362,14 @@ def quantile_estimate(hist: DataFrame, qs: tuple[float, ...], lo: float,
     the estimate error is at most one bucket width ((hi-lo)/buckets) for
     in-domain data — the contract the parity test asserts. All windows
     run over the ≤``buckets``-row histogram (state-bounded, never
-    data-bounded)."""
+    data-bounded). The histogram is re-merged to max(n) per bucket
+    first: an ACCUMULATED update-mode sink holds one row per bucket per
+    micro-batch with RUNNING totals, and summing those would inflate
+    every cumulative rank (max-of-running-totals is the correct latest
+    value, and a no-op on a clean one-row-per-bucket histogram)."""
     from pyspark.sql import Window
 
+    hist = hist.groupBy("bucket").agg(F.max("n").alias("n"))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(
         "bucket", "n", F.sum("n").over(w).alias("cum"),

@@ -54,7 +54,12 @@ class RunningTotalsProcessor(StatefulProcessor):
             n += len(pdf)
             total += float(pdf["value"].sum())
             if len(pdf):
-                last_us = max(last_us, int(pdf["ts"].astype("int64").max() // 1000))
+                # unit-safe like stateful.py: Arrow hands datetime64[ns]
+                # OR [us] depending on the source timestamp type — the
+                # previous raw int64 view assumed nanos and reported
+                # milliseconds-as-micros (1000x off) on micros-NTZ data
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                last_us = max(last_us, int(ts_us.max()))
         self._state.update((n, total, last_us))
         (user_id,) = key
         yield pd.DataFrame(

@@ -24,7 +24,16 @@ def _events_raw_schema(spark: SparkSession, path: str) -> T.StructType:
     scan of the same path so the stream tracks whatever physical timestamp
     type the current testdata generation writes (nanos-as-long in early
     rounds, micros-NTZ now). Forcing a LongType over a micros column would
-    silently read micros as if they were nanos — a 1000× precision loss."""
+    silently read micros as if they were nanos — a 1000× precision loss.
+
+    DELIBERATE session-wide conf: ``nanosAsLong`` (and the UTC session
+    timezone set by the NTZ branch downstream) must stay active for the
+    stream's whole lifetime — a save/restore around this probe would
+    break the running stream's micro-batch reads. The engine convention
+    (verify SKILL.md, ``queries._events``) is that every reader goes
+    through these helpers, so the session-wide setting is the contract,
+    not a leak; a session mixing this engine with OTHER nano-timestamp
+    parquet readers must partition the work across sessions."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(path).schema
 

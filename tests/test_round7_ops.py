@@ -446,11 +446,17 @@ def test_content_fingerprint_matches_python_brute_force(spark, tmp_path_factory)
     ev = pq_.read_table(os.path.join(src, "events.parquet"))
     rows = ev.to_pylist()
 
+    def tok(v):
+        # mirrors row_digest_col: fixed-width null-distinguishing tokens
+        if v is None:
+            return "n"
+        return "v" + hashlib.md5(str(v).encode()).hexdigest()
+
     def py_digest(rws):
         acc = 0
         for r in rws:
             cents = round(r["value"] * 100)
-            key = f"{r['event_id']}:{r['event_type']}:{cents}"
+            key = tok(r["event_id"]) + tok(r["event_type"]) + tok(cents)
             acc ^= int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
         return acc
 
@@ -552,3 +558,53 @@ def test_poisson_16bit_cuts_match_reference_inverse_cdf():
         w_int = sum(u16 >= t for t in _PB_CUTS16)
         w_ref = sum(u16 / 65536.0 >= c for c in _PB_CUMS)
         assert w_int == w_ref, (u16, w_int, w_ref)
+
+
+def test_sketch_family_guards(spark):
+    """The md5-slice and banding guards raise instead of silently
+    corrupting: CMS depth past the 4 md5 slices, minhash bands not
+    dividing num_hashes (all-pairs blowup), simhash radius past the
+    4-block pigeonhole bound."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import (
+        minhash_lsh_candidates,
+        simhash_neardup_pairs,
+    )
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import _cell
+
+    with _pytest.raises(ValueError, match="8-hex slices"):
+        _cell(F.lit("x"), depth=4)
+    docs = spark.createDataFrame([(1, "some text here")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(docs, "doc_id", "text", num_hashes=32, bands=5)
+    with _pytest.raises(ValueError, match="candidate-complete"):
+        simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=4)
+
+
+def test_cosine_paths_support_string_ids(spark):
+    """The numpy paths derive the id dtype from the schema — string ids
+    must work identically to the expr path instead of crashing on the
+    hardcoded int64 cast (auto-strategy behavior flipped with corpus
+    size)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.similarity import (
+        cosine_neardup_pairs,
+        cosine_topk,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.01]), ("c", [0.0, 1.0])],
+        ["doc_uuid", "embedding"],
+    )
+    pairs = cosine_neardup_pairs(
+        df, id_col="doc_uuid", vec_col="embedding", threshold=0.9
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {("a", "b")}
+    top = cosine_topk(
+        df, df, id_col="doc_uuid", vec_col="embedding", k=1
+    ).collect()
+    assert {r["query_id"]: r["neighbor_id"] for r in top} == {
+        "a": "b", "b": "a", "c": "b",
+    }

@@ -617,3 +617,18 @@ def test_rocksdb_state_store_quantile_hist_equals_batch(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_row_digest_distinguishes_null_placement_and_delimiters(spark):
+    """The integrity digest must see ('x', NULL, 'y') and ('x', 'y',
+    NULL) as DIFFERENT rows (concat_ws skipped nulls and hashed both to
+    'x:y'), and a value containing the old delimiter must not collide
+    with the two-column split of itself."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import digest_rows
+
+    df = spark.createDataFrame(
+        [("x", None, "y"), ("x", "y", None), ("x:y", None, None)],
+        "a string, b string, c string",
+    )
+    hs = [r["h"] for r in digest_rows(df, "a", "b", "c").collect()]
+    assert len(set(hs)) == 3, f"digest collision: {hs}"
