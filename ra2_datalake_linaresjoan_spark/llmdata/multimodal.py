@@ -100,6 +100,10 @@ def extract_features(
       raises NotImplementedError — the container has no media libs.
     """
     mode = decode_mode or ("stub" if decode_stub else "real")
+    if mode not in ("stub", "numpy", "real"):
+        # a typo ("Numpy") previously fell through to the stub branch and
+        # returned FABRICATED features with no signal that decode never ran
+        raise ValueError(f"unknown decode_mode {mode!r}: use stub|numpy|real")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if mode == "numpy":
@@ -118,9 +122,12 @@ def extract_features(
                 # all-zero feature — sized by IMAGE_FEATURE_DIM so a
                 # feature-set change can never desync degraded rows from
                 # real rows' vector length
+                # meta is nullable in MEDIA_SCHEMA (e.g. a metadata join
+                # miss): a null meta row degrades like a null payload
+                # instead of TypeError-ing the whole job
                 feats = [
                     image_features(decode_image(bytes(p), m["mime"]))
-                    if p is not None and len(p) > 0
+                    if p is not None and len(p) > 0 and m is not None
                     else [0.0] * IMAGE_FEATURE_DIM
                     for p, m in zip(pdf["payload"], pdf["meta"])
                 ]
@@ -129,7 +136,10 @@ def extract_features(
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "modality": [
+                        m["modality"] if m is not None else None
+                        for m in pdf["meta"]
+                    ],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
                     "feature": feats,
                 }
@@ -174,6 +184,8 @@ def resize_images(
     resize would run.
     """
     mode = decode_mode or ("stub" if decode_stub else "real")
+    if mode not in ("stub", "numpy", "real"):
+        raise ValueError(f"unknown decode_mode {mode!r}: use stub|numpy|real")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         black = None

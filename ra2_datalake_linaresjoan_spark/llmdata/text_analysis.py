@@ -35,15 +35,24 @@ def whitespace_token_count(col: Column) -> Column:
 def bpe_ish_token_count(col: Column) -> Column:
     """Sub-word-ish token count via the BPE-ish regex (word runs plus
     individual punctuation marks) — a cheap, deterministic proxy for
-    tokenizer-length used in data-quality filtering."""
-    return F.size(F.regexp_extract_all(col.cast("string"), F.lit(BPE_TOKEN_RE), 0))
+    tokenizer-length used in data-quality filtering. Null-safe → 0 like
+    its whitespace sibling (under non-ANSI configs ``size(null)`` is -1,
+    which silently drags averages negative)."""
+    return F.when(col.isNull(), F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(col.cast("string"), F.lit(BPE_TOKEN_RE), 0))
+    )
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of non-space characters that are punctuation/symbols."""
+    """Fraction of non-space characters that are punctuation/symbols.
+
+    The letter/digit whitelist is UNICODE (``\p{L}\p{N}``, identical
+    semantics in Java regex and RE2): an ASCII-only class counted every
+    accented letter as punctuation, depressing quality_score by up to
+    ~0.3 for exactly the es/fr/de documents ``language_id`` supports."""
     s = col.cast("string")
     nospace = F.regexp_replace(s, r"\s", "")
-    punct = F.regexp_replace(nospace, r"[A-Za-z0-9_]", "")
+    punct = F.regexp_replace(nospace, r"[\p{L}\p{N}_]", "")
     return F.when(F.length(nospace) == 0, F.lit(0.0)).otherwise(
         F.length(punct).cast("double") / F.length(nospace)
     )
@@ -96,12 +105,18 @@ def doc_fingerprint(col: Column) -> Column:
     identical fingerprint across engines (md5 is engine-agnostic)."""
     norm = F.regexp_replace(F.lower(F.trim(col.cast("string"))), r"[^a-z0-9\s]", "")
     norm = F.regexp_replace(norm, r"\s+", " ")
-    return F.md5(norm)
+    # final trim: punctuation stripping can CREATE edge spaces ('hello !'
+    # -> 'hello ') that the initial trim ran too early to see — without
+    # it, content differing only in space-adjacent punctuation
+    # fingerprints differently and exact_dedup misses the duplicate
+    return F.md5(F.trim(norm))
 
 
 #: PII patterns kept deliberately simple and dialect-portable (identical
 #: semantics under Java regex and RE2) — production swaps in a richer set.
-EMAIL_RE = r"[a-z0-9.]+@[a-z]+\.[a-z]+"
+#: case-insensitive via explicit ranges (portable to RE2): a lowercase-
+#: only email pattern left 'JOHN.DOE@EXAMPLE.COM' unredacted — a PII leak
+EMAIL_RE = r"[A-Za-z0-9.]+@[A-Za-z]+\.[A-Za-z]+"
 PHONE_RE = r"\+1-555-[0-9]{4}"
 
 

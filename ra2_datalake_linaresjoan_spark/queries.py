@@ -28,16 +28,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table's parquet timestamp physical type has varied across
-    testdata generations (nanos in early rounds, micros-NTZ now), so
-    normalize every variant to TIMESTAMP_LTZ whose epoch-micros equal the
-    stored wall-clock value interpreted as UTC — the representation every
-    downstream `unix_micros`/window query assumes, and the one DuckDB's
-    naive-timestamp oracle reads. Session tz is pinned to UTC so the
-    NTZ→LTZ cast is a bit-exact reinterpretation, not a zone shift."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+def normalize_events_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP_LTZ whose
+    epoch-micros equal the stored wall-clock value interpreted as UTC —
+    the representation every downstream ``unix_micros``/window query
+    assumes, and the one DuckDB's naive-timestamp oracle reads. The
+    parquet physical type has varied across testdata generations (nanos
+    in early rounds, micros-NTZ now); this ONE function is the entire
+    variant dispatch, shared by the batch reader below AND the stream
+    reader (``streaming.windows.read_events_stream``) so a future format
+    change cannot make batch and stream silently diverge. Session tz is
+    pinned to UTC so the NTZ→LTZ cast is a bit-exact reinterpretation,
+    not a zone shift."""
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":  # nanos read as long
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -45,6 +47,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch events reader: nanosAsLong probe + the shared ts
+    normalization (see ``normalize_events_ts``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return normalize_events_ts(spark, df)
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -717,7 +727,7 @@ WITH tok AS (
   SELECT lang,
          CASE WHEN trim(text) = '' OR text IS NULL THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
-         len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS bpe_tokens,
+         coalesce(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')), 0) AS bpe_tokens,
          length(text) AS n_chars
   FROM documents
 )
@@ -760,7 +770,7 @@ WITH feat AS (
   SELECT source,
          least(n_tok / 200.0, 1.0) AS len_score,
          CASE WHEN length(nospace) = 0 THEN 0.0
-              ELSE length(regexp_replace(nospace, '[A-Za-z0-9_]', '', 'g')) * 1.0 / length(nospace)
+              ELSE length(regexp_replace(nospace, '[\p{L}\p{N}_]', '', 'g')) * 1.0 / length(nospace)
          END AS p,
          CASE WHEN len(words) = 0 THEN 0.0
               ELSE len(list_filter(words, x -> list_contains(['the','a','of','and','is'], x))) * 1.0 / len(words)
@@ -833,7 +843,7 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EXACT_DEDUP_DOCS = r"""
 WITH fp AS (
   SELECT doc_id,
-         md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
+         md5(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
   FROM documents
 )
 SELECT doc_id, fingerprint
@@ -1332,7 +1342,7 @@ WITH fp AS (
   SELECT doc_id, lang, n_tok AS ws_tokens,
          round(0.4 * least(n_tok / 200.0, 1.0)
              + 0.3 * (1.0 - CASE WHEN length(nospace) = 0 THEN 0.0
-                     ELSE length(regexp_replace(nospace, '[A-Za-z0-9_]', '', 'g')) * 1.0 / length(nospace) END)
+                     ELSE length(regexp_replace(nospace, '[\p{L}\p{N}_]', '', 'g')) * 1.0 / length(nospace) END)
              + 0.3 * (CASE WHEN (CASE WHEN len(words) = 0 THEN 0.0
                         ELSE len(list_filter(words, x -> list_contains(['the','a','of','and','is'], x))) * 1.0 / len(words) END)
                         BETWEEN 0.02 AND 0.6 THEN 1.0 ELSE 0.5 END), 6) AS quality
@@ -2285,6 +2295,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #     implementation re-enters the window on principle)
     "char_entropy_filter",
     "semantic_kmeans",
+    # 1c. changed by the round-7 deep-review fixes (text_analysis unicode
+    #     punct / email case / fingerprint trim / bpe null-safety, and the
+    #     multimodal null-meta guard) — every Spark/oracle pair updated in
+    #     lockstep and re-verified tri-scale locally
+    "quality_curriculum",
+    "pii_redact",
+    "multimodal_features",
     # 2. round-7 additions (batch 34: schema evolution, MERGE parity,
     #    multi-column layout pruning, jackknife variance)
     "schema_evolution_union",
@@ -2332,15 +2349,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "argmax_events",
     "lag_gaps",
     "rank_parts",
-    "ntile_quartiles",
-    "rollup_orders",
+    # (ntile_quartiles, rollup_orders — r1-stale — yielded their slots to
+    # the 1c deep-review re-verifies; they rotate in round 8)
     "set_ops",
     "normalize_numeric_parity",
     "pricing_summary",
     "top_orders",
     "window_dedup",
     "date_dim",
-    "cosine_topk",
+    # (cosine_topk — r1-stale — yielded its slot to the 1c re-verifies)
     "tumbling_windows",
     "sliding_windows",
     # normalize_boolean_parity re-entered late in round 7: its engine

@@ -176,10 +176,10 @@ WITH t AS (
   FROM documents
 ), c AS (
   SELECT lang,
-         len(regexp_extract_all(text2, '[a-z0-9.]+@[a-z]+\.[a-z]+')) AS e,
+         len(regexp_extract_all(text2, '[A-Za-z0-9.]+@[A-Za-z]+\.[A-Za-z]+')) AS e,
          len(regexp_extract_all(text2, '\+1-555-[0-9]{4}')) AS p,
          regexp_replace(
-           regexp_replace(text2, '[a-z0-9.]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+           regexp_replace(text2, '[A-Za-z0-9.]+@[A-Za-z]+\.[A-Za-z]+', '[EMAIL]', 'g'),
            '\+1-555-[0-9]{4}', '[PHONE]', 'g') AS red
   FROM t
 )
@@ -187,7 +187,7 @@ SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(e) AS BIGINT) AS emails,
        CAST(sum(p) AS BIGINT) AS phones,
-       CAST(sum(len(regexp_extract_all(red, '[a-z0-9.]+@[a-z]+\.[a-z]+'))
+       CAST(sum(len(regexp_extract_all(red, '[A-Za-z0-9.]+@[A-Za-z]+\.[A-Za-z]+'))
               + len(regexp_extract_all(red, '\+1-555-[0-9]{4}'))) AS BIGINT)
          AS residual_after_redact
 FROM c GROUP BY lang ORDER BY lang

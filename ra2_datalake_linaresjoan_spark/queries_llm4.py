@@ -390,7 +390,7 @@ WITH feat AS (
   SELECT n_chars,
          least(n_tok / 200.0, 1.0) AS len_score,
          CASE WHEN length(nospace) = 0 THEN 0.0
-              ELSE length(regexp_replace(nospace, '[A-Za-z0-9_]', '', 'g')) * 1.0 / length(nospace)
+              ELSE length(regexp_replace(nospace, '[\p{L}\p{N}_]', '', 'g')) * 1.0 / length(nospace)
          END AS p,
          CASE WHEN len(words) = 0 THEN 0.0
               ELSE len(list_filter(words, x -> list_contains(['the','a','of','and','is'], x))) * 1.0 / len(words)

@@ -49,13 +49,13 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     df = reader.load(path)
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":  # nanos read as long
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    elif ts_type == "timestamp_ntz":
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+    # the SHARED variant dispatch (queries.normalize_events_ts): batch
+    # and stream normalize identically by construction — the two readers
+    # previously duplicated this branch and a format migration had to be
+    # fixed twice or the documented bit-for-bit parity silently broke
+    from ra2_datalake_linaresjoan_spark.queries import normalize_events_ts
+
+    return normalize_events_ts(spark, df)
 
 
 def tumbling_agg(

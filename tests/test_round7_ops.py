@@ -608,3 +608,63 @@ def test_cosine_paths_support_string_ids(spark):
     assert {r["query_id"]: r["neighbor_id"] for r in top} == {
         "a": "b", "b": "a", "c": "b",
     }
+
+
+def test_text_analysis_deep_review_fixes(spark):
+    """The four text_analysis fixes hold: uppercase emails redact,
+    space-adjacent punctuation fingerprints identically, accented
+    letters are NOT punctuation, and bpe counts are null-safe."""
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        bpe_ish_token_count,
+        doc_fingerprint,
+        punct_ratio,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [("JOHN.DOE@EXAMPLE.COM call +1-555-1234",)], ["t"]
+    )
+    red = df.select(redact_pii(F.col("t")).alias("r")).collect()[0]["r"]
+    assert red == "[EMAIL] call [PHONE]", red
+
+    fp = spark.createDataFrame([("hello!",), ("hello !",)], ["t"]).select(
+        doc_fingerprint(F.col("t")).alias("f")
+    ).collect()
+    assert fp[0]["f"] == fp[1]["f"]
+
+    pr = spark.createDataFrame([("café niño",)], ["t"]).select(
+        punct_ratio(F.col("t")).alias("p")
+    ).collect()[0]["p"]
+    assert pr == 0.0, pr
+
+    nb = spark.createDataFrame([(None,)], "t string").select(
+        bpe_ish_token_count(F.col("t")).alias("n")
+    ).collect()[0]["n"]
+    assert nb == 0
+
+
+def test_multimodal_null_meta_and_mode_validation(spark):
+    """A null meta struct degrades like a null payload instead of
+    TypeError-ing the job, and a typo'd decode_mode raises instead of
+    silently returning fabricated stub features."""
+    import pytest as _pytest
+
+    from ra2_datalake_linaresjoan_spark.llmdata.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [(1, b"abc", None)],
+        schema=MEDIA_SCHEMA,
+    )
+    rows = extract_features(media, decode_mode="numpy").collect()
+    assert len(rows) == 1 and rows[0]["modality"] is None
+
+    with _pytest.raises(ValueError, match="decode_mode"):
+        extract_features(media, decode_mode="Numpy")
+    with _pytest.raises(ValueError, match="decode_mode"):
+        resize_images(media, decode_mode="Numpy")
