@@ -45,6 +45,7 @@ def run_pipeline(
     events: DataFrame,
     series: DataFrame,
     gold_path: str | None = None,
+    silver_path: str | None = None,
 ) -> dict:
     """Silver → gold → validate → report over already-loaded bronze frames.
     Returns {"validation": ..., "volumetry": ..., "summary": [...]} and
@@ -55,11 +56,21 @@ def run_pipeline(
 
     # the validator + volumetry + summary fire ~20 separate actions over
     # these frames; without materialization each action would re-derive the
-    # whole silver lineage (a count() storm, SURVEY §7.4.7). Persisted
-    # writes materialize via the parquet round-trip; the in-memory path
-    # caches instead (released in the finally below).
+    # whole silver lineage (a count() storm, SURVEY §7.4.7). The persisted
+    # path WRITES SILVER to parquet and re-reads it — the medallion's own
+    # silver layer doubles as the materialization, so downstream actions
+    # (volumetry, gaming_summary, gold build) never re-run the cleaning
+    # lineage; the in-memory path caches instead (released in the finally).
     cached = []
-    if not gold_path:
+    if silver_path:
+        for name, df in (("markets", m), ("events", ev), ("series", se)):
+            df.write.mode("overwrite").parquet(
+                os.path.join(silver_path, name)
+            )
+        m = spark.read.parquet(os.path.join(silver_path, "markets"))
+        ev = spark.read.parquet(os.path.join(silver_path, "events"))
+        se = spark.read.parquet(os.path.join(silver_path, "series"))
+    elif not gold_path:
         m = m.cache()
         cached.append(m)
 
@@ -139,9 +150,13 @@ def main() -> None:
         raise SystemExit("--base is required unless --query is given")
     spark = get_spark(app_name="ra2_pipeline")
     frames = {}
+    is_local = "://" not in args.base or args.base.startswith("file:")
     for entity in ("markets", "events", "series"):
         p = os.path.join(args.base, "bronze", entity)
-        if not os.path.exists(p):
+        # existence pre-check only works on the driver's local FS; for
+        # object-store/HDFS URIs let the Spark reader raise its own
+        # (path-specific) error instead of wrongly rejecting valid lakes
+        if is_local and not os.path.exists(p.removeprefix("file:")):
             raise SystemExit(f"missing bronze table: {p}")
         frames[entity] = spark.read.parquet(p)
 
@@ -151,6 +166,7 @@ def main() -> None:
         frames["events"],
         frames["series"],
         gold_path=os.path.join(args.base, "gold"),
+        silver_path=os.path.join(args.base, "silver"),
     )
     doc = json.dumps(out, indent=2, default=str)
     if args.report:

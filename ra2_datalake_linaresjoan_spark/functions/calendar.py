@@ -42,8 +42,16 @@ def build_date_dim(df: DataFrame, date_col: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # schema-tolerant like star_schema._c: a bronze feed without the date
+    # column yields an EMPTY date dim (and empty date-keyed facts), not an
+    # UNRESOLVED_COLUMN crash
+    src = (
+        F.col(date_col)
+        if date_col in df.columns
+        else F.lit(None).cast("timestamp")
+    )
     dates = (
-        df.select(F.to_date(F.col(date_col)).alias("fecha"))
+        df.select(F.to_date(src).alias("fecha"))
         .where(F.col("fecha").isNotNull())
         .distinct()
     )

@@ -40,23 +40,37 @@ def curate_corpus(
     shingle_n: int = 3,
     use_lsh: bool = False,
 ) -> DataFrame:
-    """Curated corpus rows: (id, lang, quality, ws_tokens)."""
-    # 1. exact dedup — deterministic min-id survivor
+    """Curated corpus rows: (id, lang, quality, ws_tokens).
+
+    Stage ORDER matters: scalar filters (quality floor, language
+    allowlist) run BEFORE near-dup removal. The min-id near-dup rule is
+    quality-blind — with the old dedup-first order, a high-quality doc
+    could be dropped for near-duplicating a LOWER-quality smaller-id doc
+    that the quality floor then removed anyway, erasing the content from
+    the corpus entirely. Filtering first also shrinks the expensive
+    pair-generation input (cheaper at any scale)."""
+    # 1. exact dedup — deterministic min-id survivor (exact copies have
+    # identical text, hence identical quality: no cross-quality loss here)
     survivors = exact_dedup(docs, id_col, text_col)
 
-    # 2. near-dup removal: any doc with a smaller-id near-duplicate drops
-    pair_fn = minhash_lsh_candidates if use_lsh else ngram_jaccard_pairs
-    pairs = pair_fn(docs, id_col, text_col, n=shingle_n, threshold=jaccard_threshold)
-    dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-    survivors = survivors.join(dropped, id_col, "left_anti")
-
-    # 3-4. scalar filters + metadata (pure expressions, scan-speed)
-    out = survivors.select(
+    # 2. scalar filters + metadata (pure expressions, scan-speed)
+    scored = survivors.select(
         F.col(id_col),
         F.col(lang_col),
+        F.col(text_col),
         quality_score(F.col(text_col)).alias("quality"),
         whitespace_token_count(F.col(text_col)).alias("ws_tokens"),
     ).filter(F.col("quality") >= min_quality)
     if langs:
-        out = out.filter(F.col(lang_col).isin(*langs))
-    return out
+        scored = scored.filter(F.col(lang_col).isin(*langs))
+
+    # 3. near-dup removal among the REMAINING docs: any doc with a
+    # smaller-id near-duplicate that also passed the filters drops
+    pair_fn = minhash_lsh_candidates if use_lsh else ngram_jaccard_pairs
+    pairs = pair_fn(
+        scored, id_col, text_col, n=shingle_n, threshold=jaccard_threshold
+    )
+    dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+    return scored.join(dropped, id_col, "left_anti").select(
+        id_col, lang_col, "quality", "ws_tokens"
+    )

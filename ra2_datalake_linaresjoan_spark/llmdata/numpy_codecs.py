@@ -44,6 +44,10 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         tokens.append(payload[i:j])
         i = j
     i += 1  # the single whitespace after maxval
+    if len(tokens) < 4:
+        # truncated header must be the documented malformed-input
+        # ValueError, not an IndexError from tokens[3]
+        raise ValueError("truncated PPM header")
     w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")

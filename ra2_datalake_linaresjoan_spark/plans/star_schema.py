@@ -126,7 +126,9 @@ def dim_tag(events: DataFrame) -> DataFrame:
     from ra2_datalake_linaresjoan_spark.operators.surrogate import surrogate_key
 
     labels = (
-        events.select(F.explode(parse_struct_labels(F.col("tags"))).alias("tag_nombre"))
+        events.select(
+            F.explode(parse_struct_labels(_c(events, "tags"))).alias("tag_nombre")
+        )
         .where(F.trim("tag_nombre") != "")
         .select(F.trim("tag_nombre").alias("tag_nombre"))
         .distinct()
@@ -144,7 +146,8 @@ def dim_mercado(markets: DataFrame, dim_videojuego_df: DataFrame) -> DataFrame:
         )
     )
     m = markets.filter(F.col("id").isNotNull()).withColumn(
-        "_game", F.coalesce(F.col("gaming_type"), F.lit("Esports General"))
+        "_game",
+        F.coalesce(_c(markets, "gaming_type"), F.lit("Esports General")),
     )
     m = m.join(vj, m["_game"] == F.col("_vj_name"), "left")
     fallback = dim_videojuego_df.filter(
@@ -153,15 +156,17 @@ def dim_mercado(markets: DataFrame, dim_videojuego_df: DataFrame) -> DataFrame:
     m = m.crossJoin(F.broadcast(fallback))
     return m.select(
         F.col("id").cast("string").alias("mercado_id"),
-        F.substring(_c(m, "question"), 1, 2000).alias("pregunta"),
-        F.substring(_c(m, "bet_type"), 1, 100).alias("tipo_apuesta"),
+        clean_string(_c(m, "question"), 2000).alias("pregunta"),
+        clean_string(_c(m, "bet_type"), 100).alias("tipo_apuesta"),
         F.coalesce(F.col("videojuego_id"), F.col("_fallback_id")).alias("videojuego_id"),
-        F.substring(_c(m, "slug"), 1, 500).alias("slug"),
+        clean_string(_c(m, "slug"), 500).alias("slug"),
         F.coalesce(_c(m, "active", "boolean"), F.lit(False)).alias("esta_activo"),
         F.coalesce(_c(m, "closed", "boolean"), F.lit(False)).alias("esta_cerrado"),
         _c(m, "endDate", "timestamp").alias("fecha_fin"),
         F.substring(F.to_json(_c(m, "outcomes_list", "array<string>")), 1, 2000).alias("outcomes"),
-        F.coalesce(F.substring(_c(m, "resolutionSource"), 1, 500), F.lit("Sin fuente")).alias(
+        # clean_string (not raw substring, matching dim_serie/dim_evento):
+        # '' normalizes to null so the 'Sin fuente' coalesce actually fires
+        F.coalesce(clean_string(_c(m, "resolutionSource"), 500), F.lit("Sin fuente")).alias(
             "fuente_resolucion"
         ),
         _c(m, "createdAt", "timestamp").alias("creado_en"),
@@ -173,7 +178,10 @@ def fact_mercado_evento(markets: DataFrame, dim_evento_df: DataFrame, dim_mercad
     """Market↔event bridge from markets' embedded events JSON, kept only
     when both FK sides exist (loader_NeonDB.py:457-514)."""
     pairs = explode_bridge(
-        markets.select(F.col("id").cast("string").alias("mercado_id"), "events"),
+        markets.select(
+            F.col("id").cast("string").alias("mercado_id"),
+            _c(markets, "events").alias("events"),
+        ),
         "mercado_id",
         extract_ids(F.col("events")),
         "evento_id",
@@ -188,7 +196,7 @@ def fact_evento_tag(events: DataFrame, dim_evento_df: DataFrame, dim_tag_df: Dat
     pairs = (
         events.select(
             F.col("id").cast("string").alias("evento_id"),
-            F.explode(parse_struct_labels(F.col("tags"))).alias("tag_nombre"),
+            F.explode(parse_struct_labels(_c(events, "tags"))).alias("tag_nombre"),
         )
         .where(F.trim("tag_nombre") != "")
         .select("evento_id", F.trim("tag_nombre").alias("tag_nombre"))
@@ -201,9 +209,14 @@ def fact_evento_tag(events: DataFrame, dim_evento_df: DataFrame, dim_tag_df: Dat
 def fact_metricas(markets: DataFrame, dim_fecha_df: DataFrame) -> DataFrame:
     """Metrics fact: one row per market snapshot dated by updatedAt,
     fecha FK via broadcast date join (loader_NeonDB.py:607-652). At scale
-    this table is partitioned by fecha (see write_gold)."""
+    this table is partitioned by fecha (see write_gold).
+
+    INTENTIONAL drop (reference parity): a market whose updatedAt is
+    null/unparseable has no date FK and the reference's NOT NULL fecha_id
+    insert skips it — the inner join reproduces that; the validator's
+    row-count check surfaces the delta when it matters."""
     m = markets.filter(F.col("id").isNotNull()).withColumn(
-        "_fecha", F.to_date("updatedAt")
+        "_fecha", F.to_date(_c(markets, "updatedAt", "timestamp"))
     )
     fd = F.broadcast(dim_fecha_df.select("fecha_id", F.col("fecha").alias("_fecha")))
     return (
@@ -256,5 +269,10 @@ def write_gold(gold: dict[str, DataFrame], base_path: str) -> None:
     for name, df in gold.items():
         writer = df.write.mode("overwrite")
         if name == "fact_metricas_gaming":
-            writer = writer.partitionBy("fecha_id")
+            # an EMPTY partitioned write emits only _SUCCESS (no schema
+            # footer anywhere) and the read-back fails with
+            # UNABLE_TO_INFER_SCHEMA — write empty facts unpartitioned so
+            # the schema survives (capped probe, stops at the first row)
+            if df.limit(1).count() > 0:
+                writer = writer.partitionBy("fecha_id")
         writer.parquet(f"{base_path}/{name}")

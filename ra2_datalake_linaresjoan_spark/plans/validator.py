@@ -69,6 +69,7 @@ def validate_gold(gold: dict[str, DataFrame]) -> ValidationReport:
         ("fact_metricas_gaming.mercado_id", "fact_metricas_gaming", "dim_mercado_gaming", "mercado_id"),
         ("fact_metricas_gaming.fecha_id", "fact_metricas_gaming", "dim_fecha", "fecha_id"),
         ("dim_evento_gaming.serie_id", "dim_evento_gaming", "dim_serie_gaming", "serie_id"),
+        ("dim_mercado_gaming.videojuego_id", "dim_mercado_gaming", "dim_videojuego", "videojuego_id"),
     ]
     for label, fact_name, dim_name, key in checks:
         fact = gold[fact_name]

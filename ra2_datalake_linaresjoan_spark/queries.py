@@ -1313,8 +1313,28 @@ WITH fp AS (
 ), exact_survivors AS (
   SELECT doc_id, lang, text FROM fp
   QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)
+), feat AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         regexp_replace(text, '\s', '', 'g') AS nospace,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS words
+  FROM exact_survivors
+), scored AS (
+  SELECT doc_id, lang, text, n_tok AS ws_tokens,
+         round(0.4 * least(n_tok / 200.0, 1.0)
+             + 0.3 * (1.0 - CASE WHEN length(nospace) = 0 THEN 0.0
+                     ELSE length(regexp_replace(nospace, '[\p{L}\p{N}_]', '', 'g')) * 1.0 / length(nospace) END)
+             + 0.3 * (CASE WHEN (CASE WHEN len(words) = 0 THEN 0.0
+                        ELSE len(list_filter(words, x -> list_contains(['the','a','of','and','is'], x))) * 1.0 / len(words) END)
+                        BETWEEN 0.02 AND 0.6 THEN 1.0 ELSE 0.5 END), 6) AS quality
+  FROM feat
+), passing AS (
+  SELECT * FROM scored
+  WHERE quality >= 0.5 AND lang IN ('en','es','fr','de','zh')
 ), w AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM passing
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
   FROM w, unnest(range(1, len(words) - 1)) AS t(i)
@@ -1329,28 +1349,10 @@ WITH fp AS (
   SELECT DISTINCT doc_b FROM pairs
   JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
   WHERE round(common * 1.0 / (ca.n_sh + cb.n_sh - common), 6) >= 0.8
-), kept AS (
-  SELECT * FROM exact_survivors WHERE doc_id NOT IN (SELECT doc_b FROM neardup_b)
-), feat AS (
-  SELECT doc_id, lang,
-         CASE WHEN trim(text) = '' OR text IS NULL THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-         regexp_replace(text, '\s', '', 'g') AS nospace,
-         regexp_split_to_array(lower(trim(text)), '\s+') AS words
-  FROM kept
-), scored AS (
-  SELECT doc_id, lang, n_tok AS ws_tokens,
-         round(0.4 * least(n_tok / 200.0, 1.0)
-             + 0.3 * (1.0 - CASE WHEN length(nospace) = 0 THEN 0.0
-                     ELSE length(regexp_replace(nospace, '[\p{L}\p{N}_]', '', 'g')) * 1.0 / length(nospace) END)
-             + 0.3 * (CASE WHEN (CASE WHEN len(words) = 0 THEN 0.0
-                        ELSE len(list_filter(words, x -> list_contains(['the','a','of','and','is'], x))) * 1.0 / len(words) END)
-                        BETWEEN 0.02 AND 0.6 THEN 1.0 ELSE 0.5 END), 6) AS quality
-  FROM feat
 )
 SELECT doc_id, lang, quality, ws_tokens
-FROM scored
-WHERE quality >= 0.5 AND lang IN ('en','es','fr','de','zh')
+FROM passing
+WHERE doc_id NOT IN (SELECT doc_b FROM neardup_b)
 ORDER BY doc_id
 """
 

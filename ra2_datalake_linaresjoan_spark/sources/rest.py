@@ -62,6 +62,10 @@ def retrying(
 
     if on_exhausted not in ("raise", "poison"):
         raise ValueError(f"on_exhausted must be 'raise' or 'poison': {on_exhausted!r}")
+    if retries < 1:
+        # retries=0 would skip the loop entirely and raise/poison as if a
+        # fetch failed without ever attempting one
+        raise ValueError(f"retries must be >= 1, got {retries}")
 
     def fetch_with_retry(endpoint: str, offset: int, limit: int) -> list[dict]:
         last: Exception | None = None

@@ -182,3 +182,60 @@ def test_gaming_summary_shape(silver):
     assert s["DOTA"]["total_volume"] == 1234.56
     assert s["CS:GO"]["n_binary"] == 1
     assert s["Valorant"]["n_triple"] == 1
+
+
+def test_write_gold_empty_fact_readable(spark, tmp_path):
+    """An EMPTY fact written with partitionBy emits only _SUCCESS and the
+    read-back throws UNABLE_TO_INFER_SCHEMA — write_gold must fall back
+    to an unpartitioned write so the schema survives a zero-market day."""
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.plans.star_schema import write_gold
+
+    empty_fact = spark.createDataFrame(
+        [], "mercado_id string, fecha_id int, volumen_total double"
+    )
+    write_gold({"fact_metricas_gaming": empty_fact}, str(tmp_path))
+    back = spark.read.parquet(str(tmp_path / "fact_metricas_gaming"))
+    assert back.count() == 0
+    assert set(back.columns) == {"mercado_id", "fecha_id", "volumen_total"}
+
+
+def test_curation_quality_gate_precedes_neardup(spark):
+    """A high-quality doc must NOT be dropped for near-duplicating a
+    LOWER-quality smaller-id doc that the quality floor removes anyway —
+    the old dedup-first order erased such content entirely (doc 1 made
+    doc 2 a near-dup casualty, then failed the floor itself)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.curation import curate_corpus
+
+    groups = [f"the w{i} of data" for i in range(60)]  # 240 tok, 50% stop
+    full = " ".join(groups)                  # len 1.0, stop ok -> q = 1.0
+    prefix = " ".join(groups[:10])           # 40 tok -> len 0.2 -> q = 0.68
+    docs = spark.createDataFrame(
+        [(1, prefix, "en"), (2, full, "en")], ["doc_id", "text", "lang"]
+    )
+    out = {
+        r["doc_id"]
+        for r in curate_corpus(
+            docs, min_quality=0.9, jaccard_threshold=0.1
+        ).collect()
+    }
+    # doc 1 fails the floor; doc 2 (its near-dup ABOVE threshold 0.3)
+    # must survive because the floor ran first
+    assert out == {2}, out
+
+
+def test_build_gold_tolerates_missing_optional_columns(spark):
+    """Bronze feeds without tags/events/updatedAt/gaming_type must build
+    gold with empty bridges instead of UNRESOLVED_COLUMN — the _c
+    schema-tolerance contract the module documents."""
+    from ra2_datalake_linaresjoan_spark.plans.star_schema import build_gold
+
+    markets = spark.createDataFrame([("m1", "q?")], ["id", "question"])
+    events = spark.createDataFrame([("e1", "t")], ["id", "title"])
+    series = spark.createDataFrame([("s1",)], ["id"])
+    gold = build_gold(spark, markets, events, series)
+    assert gold["fact_evento_tag_gaming"].count() == 0
+    assert gold["fact_mercado_evento_gaming"].count() == 0
+    assert gold["fact_metricas_gaming"].count() == 0  # no updatedAt -> no date FK
+    assert gold["dim_mercado_gaming"].count() == 1
