@@ -44,7 +44,7 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def punct_ratio(col: Column) -> Column:
-    """Fraction of non-space characters that are punctuation/symbols.
+    r"""Fraction of non-space characters that are punctuation/symbols.
 
     The letter/digit whitelist is UNICODE (``\p{L}\p{N}``, identical
     semantics in Java regex and RE2): an ASCII-only class counted every

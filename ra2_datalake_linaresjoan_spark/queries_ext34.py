@@ -67,7 +67,10 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
         "props",
     )
-    b = F.col("event_id") % 3
+    # coalesce: a NULL event_id must belong to exactly ONE batch (0) —
+    # a bare % left it out of all three, silently shrinking `evolved`
+    # in an audit that claims the schema-evolved read loses no data
+    b = F.coalesce(F.col("event_id") % 3, F.lit(0))
     b0 = ev.where(b == 0).select("event_id", "event_type", "cents")
     b1 = ev.where(b == 1).select(
         "event_id", "event_type", "user_id", "props"
@@ -77,7 +80,9 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         b2, allowMissingColumns=True
     )
     return (
-        evolved.groupBy((F.col("event_id") % 3).alias("batch"))
+        evolved.groupBy(
+            F.coalesce(F.col("event_id") % 3, F.lit(0)).alias("batch")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("user_id").isNull().cast("long")).alias(
@@ -99,16 +104,16 @@ WITH ev AS (
 ), evolved AS (
   SELECT event_id, event_type, cents,
          CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS VARCHAR) AS props
-  FROM ev WHERE event_id % 3 = 0
+  FROM ev WHERE coalesce(event_id % 3, 0) = 0
   UNION ALL
   SELECT event_id, event_type, CAST(NULL AS BIGINT) AS cents,
          user_id, props
-  FROM ev WHERE event_id % 3 = 1
+  FROM ev WHERE coalesce(event_id % 3, 0) = 1
   UNION ALL
   SELECT event_id, event_type, cents, user_id, props
-  FROM ev WHERE event_id % 3 = 2
+  FROM ev WHERE coalesce(event_id % 3, 0) = 2
 )
-SELECT event_id % 3 AS batch,
+SELECT coalesce(event_id % 3, 0) AS batch,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS null_user_id,
@@ -298,9 +303,13 @@ def q_zorder_vs_linear_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 F.struct(
                     F.lit("zorder").alias("layout"),
-                    (z / F.lit(65536 // _ZV_FILES))
-                    .cast("long")
-                    .alias("f"),
+                    # integer DIV, matching the two linear layouts and the
+                    # oracle's `//` — the float divide was exact only while
+                    # z stayed within double's 2^53 integer range
+                    F.expr(
+                        f"({_zv_interleave('a', 'b', 'DIV')})"
+                        f" DIV {65536 // _ZV_FILES}"
+                    ).alias("f"),
                 ),
             )
         ).alias("lf"),

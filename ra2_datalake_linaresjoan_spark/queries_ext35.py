@@ -138,8 +138,13 @@ def q_epoch_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch permutation.  The shuffle must collapse the clumping rate
     from ~1 toward the independence baseline Σp².  Both orders are
     windows PARTITIONED BY SHARD (ordered within; never a global
-    sort), and the rates are exact-integer ratios."""
-    docs = _t(spark, sf_dir, "documents").select(
+    sort), and the rates are exact-integer ratios. NULL-source docs are
+    filtered on BOTH engines before the ordering windows — Spark sorts
+    NULLS FIRST and DuckDB NULLS LAST by default, so an unfiltered
+    nullable order column is a latent cross-engine divergence."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("source").isNotNull()
+    ).select(
         "doc_id",
         "source",
         (
@@ -193,7 +198,7 @@ WITH docs AS (
          CAST(concat('0x', substr(md5(concat('e:', doc_id)), 1, 4))
               AS BIGINT) % {_ES_SHARDS} AS shard,
          md5(concat('p:', doc_id)) AS perm
-  FROM documents
+  FROM documents WHERE source IS NOT NULL
 ), pairs AS (
   SELECT source,
          lag(source) OVER (PARTITION BY shard ORDER BY source, doc_id)

@@ -65,7 +65,12 @@ def q_content_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type"),
             F.round(F.col("value") * 100).cast("long"),
         ).alias("h"),
-        (F.col("event_id") % _CF_DELTA_MOD == 0).alias("is_delta"),
+        # coalesce: a NULL event_id must land in ONE slice (base), not
+        # fall out of both while staying in digest_full — that broke the
+        # xor identity on a clean table
+        (
+            F.coalesce(F.col("event_id") % _CF_DELTA_MOD, F.lit(-1)) == 0
+        ).alias("is_delta"),
     )
     agg = ev.agg(
         F.count(F.lit(1)).alias("n_full"),
@@ -106,7 +111,7 @@ WITH tok AS (
   FROM events
 ), ev AS (
   SELECT CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h,
-         event_id % {_CF_DELTA_MOD} = 0 AS is_delta
+         coalesce(event_id % {_CF_DELTA_MOD}, -1) = 0 AS is_delta
   FROM tok
 )
 SELECT CAST(count(*) AS BIGINT) AS n_full,
@@ -139,14 +144,22 @@ def q_two_phase_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact integer cents), with the load numbers that justify it: the
     max (user, salt) partial group is what a reduce task actually
     holds under salting vs the max raw user group without it.  The
-    verification join is user-grain and key-shuffled."""
+    verification join is user-grain, key-shuffled and NULL-SAFE: an
+    all-NULL-cents user has s1 = s2 = NULL (equal, not a mismatch), and
+    a NULL user_id matches itself across the two routes — `==` / USING
+    semantics counted both as false mismatches in an audit whose whole
+    job is proving equality. ``partial`` (|users|x16 rows, bounded) is
+    localCheckpointed so its two consumers don't re-scan the corpus
+    (the ext37 discipline; 3 scans -> 2)."""
     ev = _events(spark, sf_dir).select(
         "user_id",
-        F.pmod(F.col("event_id"), F.lit(_TP_SALTS)).alias("salt"),
+        (F.col("event_id") % _TP_SALTS).alias("salt"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    partial = ev.groupBy("user_id", "salt").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    partial = (
+        ev.groupBy("user_id", "salt")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+        .localCheckpoint()
     )
     merged = partial.groupBy("user_id").agg(
         F.sum("n").alias("n2"), F.sum("s").alias("s2")
@@ -154,9 +167,14 @@ def q_two_phase_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n1"), F.sum("cents").alias("s1")
     )
-    cmp = direct.join(merged, "user_id", "full_outer")
+    cmp = direct.join(
+        merged,
+        direct["user_id"].eqNullSafe(merged["user_id"]),
+        "full_outer",
+    )
     mismatch = F.when(
-        (F.col("n1") == F.col("n2")) & (F.col("s1") == F.col("s2")),
+        F.col("n1").eqNullSafe(F.col("n2"))
+        & F.col("s1").eqNullSafe(F.col("s2")),
         F.lit(0),
     ).otherwise(1)
     audit = cmp.agg(
@@ -198,11 +216,14 @@ WITH ev AS (
   FROM ev GROUP BY 1
 ), cmp AS (
   SELECT CAST(count(*) AS BIGINT) AS n_users,
-         CAST(sum(CASE WHEN n1 = n2 AND s1 = s2 THEN 0 ELSE 1 END)
+         CAST(sum(CASE WHEN n1 IS NOT DISTINCT FROM n2
+                        AND s1 IS NOT DISTINCT FROM s2
+                       THEN 0 ELSE 1 END)
               AS BIGINT) AS mismatch_users,
          CAST(max(n1) AS BIGINT) AS max_group_rows,
          CAST(sum(s1) AS BIGINT) AS total_cents
-  FROM direct FULL OUTER JOIN merged USING (user_id)
+  FROM direct FULL OUTER JOIN merged
+    ON direct.user_id IS NOT DISTINCT FROM merged.user_id
 ), load AS (
   SELECT CAST(max(n) AS BIGINT) AS max_partial_rows FROM partial
 )

@@ -668,3 +668,46 @@ def test_multimodal_null_meta_and_mode_validation(spark):
         extract_features(media, decode_mode="Numpy")
     with _pytest.raises(ValueError, match="decode_mode"):
         resize_images(media, decode_mode="Numpy")
+
+
+def test_audits_null_safe_on_null_keys(spark, tmp_path):
+    """The round-7 audits must stay CLEAN on tables with NULL keys/values
+    — the review found three that reported corruption (or lost rows) on
+    perfectly healthy data: xor identity broken by a NULL event_id
+    falling out of both slices, two-phase mismatches from non-null-safe
+    compares/joins, and schema-evolution silently dropping NULL-id rows."""
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.queries_ext34 import (
+        q_schema_evolution_union,
+    )
+    from ra2_datalake_linaresjoan_spark.queries_ext36 import (
+        q_content_fingerprint_audit,
+        q_two_phase_agg_audit,
+    )
+
+    d = tmp_path / "nullkeys"
+    spark.createDataFrame(
+        [
+            (None, "click", None, 3.0, "{}"),
+            (1, "view", 7, None, "{}"),
+            (10, "view", None, 4.0, "{}"),
+            (11, "view", 7, None, "{}"),
+        ],
+        "event_id long, event_type string, user_id long, value double, props string",
+    ).select(
+        "event_id",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(str(d / "events.parquet"))
+
+    cf = q_content_fingerprint_audit(spark, str(d)).collect()[0]
+    assert cf["xor_identity"] == 0
+    assert cf["n_base"] + cf["n_delta"] == cf["n_full"] == 4
+
+    tp = q_two_phase_agg_audit(spark, str(d)).collect()[0]
+    assert tp["mismatch_users"] == 0  # NULL cents / NULL user_id are equal
+    assert tp["n_users"] == 2  # the two NULL-user rows group as ONE user
+
+    se = q_schema_evolution_union(spark, str(d)).collect()
+    assert sum(r["n_rows"] for r in se) == 4  # NULL id routed, not dropped
