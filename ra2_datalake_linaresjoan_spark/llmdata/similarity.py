@@ -141,7 +141,14 @@ def _cosine_topk_numpy(
     spark = queries.sparkSession
     np_id, sql_id = _id_dtypes(corpus, id_col)
     out_schema = f"query_id {sql_id}, neighbor_id {sql_id}, cos_sim double"
-    rows = corpus.select(id_col, vec_col).collect()
+    # null ids/vectors cannot participate (the expr path's cosine over a
+    # NULL array is NULL and fails every threshold/rank — same outcome);
+    # unfiltered they crash np.array/np.stack with NoneType
+    rows = (
+        corpus.select(id_col, vec_col)
+        .where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .collect()
+    )
     if not rows:
         # empty corpus: no neighbors exist — the degenerate partition every
         # 100-TB job eventually meets must yield an empty frame, not an
@@ -155,6 +162,7 @@ def _cosine_topk_numpy(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c_ids, c_mat = bc.value
         for pdf in batches:
+            pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
             if pdf.empty:
                 continue
             q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
@@ -274,7 +282,11 @@ def cosine_neardup_pairs(
     spark = df.sparkSession
     np_id, sql_id = _id_dtypes(df, id_col)
     pair_schema = f"id_a {sql_id}, id_b {sql_id}, cos_sim double"
-    rows = df.select(id_col, vec_col).collect()
+    rows = (
+        df.select(id_col, vec_col)
+        .where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .collect()
+    )
     if not rows:
         # empty corpus: no pairs — return an empty frame instead of an
         # ndim crash in the normalizer (same guard as _cosine_topk_numpy)
@@ -287,6 +299,7 @@ def cosine_neardup_pairs(
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c_ids, c_mat = bc.value
         for pdf in batches:
+            pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
             if pdf.empty:
                 continue
             q_ids = pdf[id_col].to_numpy(dtype=np_id)
@@ -434,6 +447,7 @@ def ivf_ann(
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = bc.value
         for pdf in batches:
+            pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
             if pdf.empty:
                 continue
             q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)

@@ -72,3 +72,47 @@ def test_every_registered_query_survives_identical_docs(spark, identical_docs_sf
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def null_riddled_sf(spark, tmp_path_factory):
+    """Adversarial NULL corpus: every table keeps its schema and ~50 real
+    rows, but one row in three has EVERY nullable column nulled — keys,
+    text, values, timestamps. The round-7 NULL-safety review found three
+    audits that were silently WRONG (not crashing) on such data; this
+    sweep at least pins the no-crash half of the contract for all
+    registered queries."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path_factory.mktemp("nulls_sf")
+    for f in os.listdir(SF):
+        if not f.endswith(".parquet"):
+            continue
+        df = spark.read.parquet(os.path.join(SF, f)).limit(60)
+        nullable = [fl.name for fl in df.schema.fields if fl.nullable]
+        out = df.select(
+            *[
+                F.when(
+                    (F.monotonically_increasing_id() % 3 == 0)
+                    & F.lit(fl.name in nullable),
+                    F.lit(None).cast(fl.dataType),
+                )
+                .otherwise(F.col(fl.name))
+                .alias(fl.name)
+                for fl in df.schema.fields
+            ]
+        )
+        out.write.mode("overwrite").parquet(str(d / f))
+    return str(d)
+
+
+def test_every_registered_query_survives_null_riddled_tables(
+    spark, null_riddled_sf
+):
+    failures = []
+    for name, fn in q.queries().items():
+        try:
+            assert fn(spark, null_riddled_sf).count() >= 0
+        except Exception as ex:  # noqa: BLE001 - collecting all failures
+            failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
+    assert not failures, "\n".join(failures)
