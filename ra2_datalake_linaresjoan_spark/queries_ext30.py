@@ -111,7 +111,10 @@ def q_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     as multiples of the uniform share. A real writer uses this before
     committing a bucketed layout; a skewed shard is a straggler at read
     time."""
-    docs = _t(spark, sf_dir, "documents")
+    # a NULL doc_id has no shard (md5 of NULL is NULL) — unfiltered it
+    # formed a 65th pseudo-shard counted into sum_n2/rows_total while the
+    # chi-square still used S=64, biasing the statistic on both engines
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     shards = docs.groupBy(
         (
             F.conv(
@@ -159,7 +162,7 @@ WITH shards AS (
            % {_SB_SHARDS} AS shard,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(n_chars) AS BIGINT) AS tok
-  FROM documents GROUP BY 1
+  FROM documents WHERE doc_id IS NOT NULL GROUP BY 1
 ), s AS (
   SELECT CAST(count(*) AS BIGINT) AS shards_used,
          CAST(sum(n) AS BIGINT) AS rows_total,
@@ -210,8 +213,15 @@ def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame
     out = src.crossJoin(F.broadcast(tot))
     weight = F.col("qw") / F.col("qw_all")
     natural = F.col("tok") / F.col("tok_all")
-    epochs = (F.col("qw") * F.col("tok_all")) / (
-        F.col("qw_all") * F.col("tok")
+    # DECIMAL(38,0) products: qw ~ tok^0.7 * 1e6, so qw*tok_all passes
+    # 2^63 around GB-scale corpora — a raw BIGINT product wraps silently
+    # in Spark and raises in DuckDB (the join_reorder_advisor rule)
+    qw_d = F.col("qw").cast("decimal(38,0)")
+    tok_all_d = F.col("tok_all").cast("decimal(38,0)")
+    qw_all_d = F.col("qw_all").cast("decimal(38,0)")
+    tok_d = F.col("tok").cast("decimal(38,0)")
+    epochs = (qw_d * tok_all_d).cast("double") / (
+        (qw_all_d * tok_d).cast("double")
     )
     return (
         out.select(
@@ -220,8 +230,7 @@ def q_mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(natural, 6).alias("natural_share"),
             F.round(weight, 6).alias("weight"),
             F.round(epochs, 4).alias("epochs"),
-            (F.col("qw") * F.col("tok_all") > F.col("qw_all") * F.col("tok"))
-            .alias("upsampled"),
+            (qw_d * tok_all_d > qw_all_d * tok_d).alias("upsampled"),
         )
         .orderBy("source")
     )
@@ -244,8 +253,10 @@ WITH src AS (
 SELECT source, tok,
        round(tok * 1.0 / tok_all, 6) AS natural_share,
        round(qw * 1.0 / qw_all, 6) AS weight,
-       round((qw * 1.0 * tok_all) / (qw_all * 1.0 * tok), 4) AS epochs,
-       qw * tok_all > qw_all * tok AS upsampled
+       round(CAST(CAST(qw AS HUGEINT) * tok_all AS DOUBLE)
+             / CAST(CAST(qw_all AS HUGEINT) * tok AS DOUBLE), 4) AS epochs,
+       CAST(qw AS HUGEINT) * tok_all > CAST(qw_all AS HUGEINT) * tok
+         AS upsampled
 FROM q, tot
 ORDER BY source
 """
@@ -278,7 +289,15 @@ def _sign_bucket_sql() -> str:
 
 
 def _bg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _t(spark, sf_dir, "embeddings")
+    """(bucket, label) group sizes over LABELED, BUCKETABLE rows only:
+    a NULL label is not a gold class (its members would otherwise count
+    as pairwise matches of each other) and a NULL embedding has no
+    bucket — filtering on both engines also keeps this population
+    identical to bcubed_cluster_eval's, whose inner joins drop the
+    same rows."""
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    )
     return emb.groupBy(
         _sign_bucket_col().alias("bucket"), F.col("label")
     ).agg(F.count(F.lit(1)).alias("n_bg"))
@@ -287,7 +306,9 @@ def _bg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BG_SQL = f"""
   SELECT {_sign_bucket_sql()} AS bucket, label,
          CAST(count(*) AS BIGINT) AS n_bg
-  FROM embeddings GROUP BY 1, 2
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+  GROUP BY 1, 2
 """
 
 
@@ -451,7 +472,12 @@ def q_matryoshka_prefix_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = F.sqrt(
             F.aggregate(vb, F.lit(0.0), lambda acc, v: acc + v * v)
         )
-        return dot / (na * nb)
+        # zero-norm prefix convention: cos = 0.0 (a raw 0/0 was NaN,
+        # which Spark's long cast silently turned into a perfect q_err=0
+        # while DuckDB raised on CAST(NaN AS BIGINT))
+        return F.when((na != 0.0) & (nb != 0.0), dot / (na * nb)).otherwise(
+            F.lit(0.0)
+        )
 
     full = cos(_MP_DIMS[-1])
     rows = pairs.select(
@@ -489,7 +515,11 @@ def _mp_cos_sql(d: int) -> str:
     )
     na = f"sqrt(list_sum(list_transform(range(1, {d} + 1), i -> va[i] * va[i])))"
     nb = f"sqrt(list_sum(list_transform(range(1, {d} + 1), i -> vb[i] * vb[i])))"
-    return f"({dot} / ({na} * {nb}))"
+    # zero-norm convention mirrors the Spark side: cos = 0.0
+    return (
+        f"(CASE WHEN {na} <> 0 AND {nb} <> 0"
+        f" THEN ({dot} / ({na} * {nb})) ELSE 0.0 END)"
+    )
 
 
 _MP_STRUCTS = ", ".join(
@@ -583,11 +613,15 @@ def q_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("band").alias("band_b"),
         F.col("clen").alias("clen_b"),
     )
+    # eqNullSafe: a NULL field on either side is a defined NON-match
+    # (bit 0), never a NULL pattern — a plain == propagated NULL through
+    # the sum, Spark then crashed on c[None] while DuckDB's CASE dropped
+    # the pair from every c_j but not from tot, biasing all EM ratios
     pattern = (
-        (F.col("seg_a") == F.col("seg_b")).cast("int")
-        + (F.col("nat_a") == F.col("nat_b")).cast("int") * 2
-        + (F.col("band_a") == F.col("band_b")).cast("int") * 4
-        + (F.col("clen_a") == F.col("clen_b")).cast("int") * 8
+        F.col("seg_a").eqNullSafe(F.col("seg_b")).cast("int")
+        + F.col("nat_a").eqNullSafe(F.col("nat_b")).cast("int") * 2
+        + F.col("band_a").eqNullSafe(F.col("band_b")).cast("int") * 4
+        + F.col("clen_a").eqNullSafe(F.col("clen_b")).cast("int") * 8
     )
     pat_counts = (
         a.join(b, "pid")
@@ -689,11 +723,15 @@ def _fs_sum_sql(bit: int | None) -> str:
     return expr
 
 
+# IS NOT DISTINCT FROM: a NULL field is a defined NON-match, mirroring
+# the Spark side's eqNullSafe — a plain = left f_j NULL, which fell out
+# of every CASE count but not out of tot, biasing all EM denominators
 _FS_PAIR_FIELDS = """
-  SELECT (a.c_mktsegment = b.c_mktsegment) AS f0,
-         (a.c_nationkey = b.c_nationkey) AS f1,
-         (floor(a.c_acctbal / 100) = floor(b.c_acctbal / 100)) AS f2,
-         ((a.c_acctbal < 0) = (b.c_acctbal < 0)) AS f3
+  SELECT (a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment) AS f0,
+         (a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey) AS f1,
+         (floor(a.c_acctbal / 100) IS NOT DISTINCT FROM
+          floor(b.c_acctbal / 100)) AS f2,
+         ((a.c_acctbal < 0) IS NOT DISTINCT FROM (b.c_acctbal < 0)) AS f3
   FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
 """
 

@@ -51,9 +51,14 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB one).  Event values are quantized to exact integer cents
     BEFORE the join so the output is bit-identical to the plain-join
     oracle no matter how execution reorders the sum."""
+    # coalesce: a NULL event_id still needs A salt — a NULL salt never
+    # equi-joins and the event's cents silently vanished from the salted
+    # route while the plain-join oracle (user_id only) kept them
     ev = _events(spark, sf_dir).select(
         "user_id",
-        F.pmod(F.col("event_id"), F.lit(_SJ_SALTS)).alias("salt"),
+        F.coalesce(
+            F.pmod(F.col("event_id"), F.lit(_SJ_SALTS)), F.lit(0)
+        ).alias("salt"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     dim = (
@@ -127,8 +132,12 @@ def q_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     length rows), not over documents; the selection itself is a
     cumulative-count crossing, the same count-bucket discipline as
     ``vocab_coverage_curve``."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "lang", "n_chars", (F.col("doc_id") % 5).alias("part")
+    # NULL n_chars cannot be scored (and Spark/DuckDB disagree on NULL
+    # placement in the ordering window) — filter on both engines
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select("lang", "n_chars", (F.col("doc_id") % 5).alias("part"))
     )
     fit = (
         docs.where(F.col("part") <= 2)
@@ -179,8 +188,15 @@ def q_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "threshold_q", "k", "n_cal"
     ).agg(
         F.count(F.lit(1)).alias("n_test"),
+        # cover-everything fallback: with k > n_cal (tiny calibration
+        # split) no bucket crosses the rank, threshold_q is NULL, and
+        # conformal semantics say the threshold is +infinity — without
+        # the coalesce Spark summed NULLs while DuckDB's CASE gave 0
         F.sum(
-            (F.col("q") <= F.col("threshold_q")).cast("long")
+            (
+                F.col("q")
+                <= F.coalesce(F.col("threshold_q"), F.lit(1 << 62))
+            ).cast("long")
         ).alias("covered"),
     )
     return cov.select(
@@ -197,6 +213,7 @@ def q_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONFORMAL_CALIBRATION = f"""
 WITH docs AS (
   SELECT lang, n_chars, doc_id % 5 AS part FROM documents
+  WHERE n_chars IS NOT NULL
 ), fit AS (
   SELECT lang, sum(n_chars) * 1.0 / count(*) AS mu
   FROM docs WHERE part <= 2 GROUP BY 1
@@ -221,9 +238,11 @@ WITH docs AS (
 )
 SELECT lang, n_cal, k, threshold_q,
        CAST(count(*) AS BIGINT) AS n_test,
-       CAST(sum(CASE WHEN q <= threshold_q THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(sum(CASE WHEN q <= coalesce(threshold_q, {1 << 62})
+                     THEN 1 ELSE 0 END) AS BIGINT)
          AS covered,
-       round(sum(CASE WHEN q <= threshold_q THEN 1 ELSE 0 END) * 1.0
+       round(sum(CASE WHEN q <= coalesce(threshold_q, {1 << 62})
+                      THEN 1 ELSE 0 END) * 1.0
              / count(*), 6) AS coverage
 FROM test, thr
 GROUP BY 1, 2, 3, 4
@@ -246,9 +265,15 @@ def q_group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``leak_groups`` column MEASURES the invariant the construction
     guarantees (groups spanning >1 fold; always 0) — the audit a
     pipeline runs after any re-shard.  One shuffle on the group key,
-    fold grain is 5 rows."""
-    docs = _t(spark, sf_dir, "documents").select(
-        F.md5(F.col("text")).alias("grp"), "n_chars"
+    fold grain is 5 rows. NULL text has no content group (md5 of NULL
+    is NULL) and is excluded on BOTH engines — unfiltered, Spark's
+    countDistinct(grp, fold) skips the NULL rows while DuckDB's
+    count(DISTINCT (grp, fold)) counts the (NULL, NULL) struct, raising
+    a false leakage alarm on the invariant this audit guards."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.md5(F.col("text")).alias("grp"), "n_chars")
     )
     grouped = docs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -310,7 +335,7 @@ def q_group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_GROUP_KFOLD_ASSIGN = f"""
 WITH docs AS (
-  SELECT md5(text) AS grp, n_chars FROM documents
+  SELECT md5(text) AS grp, n_chars FROM documents WHERE text IS NOT NULL
 ), grouped AS (
   SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_chars
@@ -360,8 +385,14 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band table finds each exact target rank ceil(b*N/8).  Output:
     7 interior boundaries with their target and achieved cumulative
     rank — `boundary_band` is the exact b/8-quantile at dollar grain."""
-    orders = _t(spark, sf_dir, "orders").select(
-        F.floor(F.col("o_totalprice")).alias("band")
+    # quantiles are over PRICED orders: a NULL price has no band, and
+    # the engines disagree on NULL placement in the ordering window
+    # (Spark NULLS FIRST shifts every cumulative rank, DuckDB NULLS
+    # LAST) — filter on both sides
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull())
+        .select(F.floor(F.col("o_totalprice")).alias("band"))
     )
     bands = orders.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window
@@ -400,7 +431,7 @@ SQL_EQUI_DEPTH_HISTOGRAM = f"""
 WITH bands AS (
   SELECT CAST(floor(o_totalprice) AS BIGINT) AS band,
          CAST(count(*) AS BIGINT) AS n
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
 ), cum AS (
   SELECT band, n,
          CAST(sum(n) OVER (ORDER BY band

@@ -83,8 +83,16 @@ def q_ivm_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("mx"),
         )
 
+    # a NULL day (null/unparseable ts) must land in exactly ONE slice —
+    # `day < cut` and `day >= cut` are both NULL for it, so the row fell
+    # out of old AND delta while staying in the full recompute, and the
+    # "always 0" invariant reported a false mismatch on clean data
     old = daily(tagged.where(F.col("day") < F.col("cut")))
-    delta = daily(tagged.where(F.col("day") >= F.col("cut")))
+    delta = daily(
+        tagged.where(
+            (F.col("day") >= F.col("cut")) | F.col("day").isNull()
+        )
+    )
     merged = (
         old.unionByName(delta)
         .groupBy("day")
@@ -96,14 +104,20 @@ def q_ivm_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     full = daily(tagged)
-    cmp = merged.alias("m").join(full.alias("f"), "day", "full_outer")
+    # null-safe day join: the NULL-day group must match itself across
+    # the two routes
+    cmp = merged.alias("m").join(
+        full.alias("f"),
+        F.col("m.day").eqNullSafe(F.col("f.day")),
+        "full_outer",
+    )
     # when(cond, 0).otherwise(1): an unmatched full-outer row yields a
     # NULL comparison and must COUNT as a mismatch, not be sum-skipped
     mismatch = F.when(
-        (F.col("m.n") == F.col("f.n"))
-        & (F.col("m.s") == F.col("f.s"))
-        & (F.col("m.mn") == F.col("f.mn"))
-        & (F.col("m.mx") == F.col("f.mx")),
+        F.col("m.n").eqNullSafe(F.col("f.n"))
+        & F.col("m.s").eqNullSafe(F.col("f.s"))
+        & F.col("m.mn").eqNullSafe(F.col("f.mn"))
+        & F.col("m.mx").eqNullSafe(F.col("f.mx")),
         F.lit(0),
     ).otherwise(1)
     audit = cmp.agg(
@@ -147,7 +161,7 @@ WITH ev AS (
 ), daily_delta AS (
   SELECT day, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s,
          CAST(min(cents) AS BIGINT) AS mn, CAST(max(cents) AS BIGINT) AS mx
-  FROM ev, cut WHERE day >= cut GROUP BY 1
+  FROM ev, cut WHERE day >= cut OR day IS NULL GROUP BY 1
 ), merged AS (
   SELECT day, CAST(sum(n) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
          CAST(min(mn) AS BIGINT) AS mn, CAST(max(mx) AS BIGINT) AS mx
@@ -159,12 +173,16 @@ WITH ev AS (
   FROM ev GROUP BY 1
 ), audit AS (
   SELECT CAST(count(*) AS BIGINT) AS days_total,
-         CAST(sum(CASE WHEN m.n = f.n AND m.s = f.s AND m.mn = f.mn
-                        AND m.mx = f.mx THEN 0 ELSE 1 END) AS BIGINT)
+         CAST(sum(CASE WHEN m.n IS NOT DISTINCT FROM f.n
+                        AND m.s IS NOT DISTINCT FROM f.s
+                        AND m.mn IS NOT DISTINCT FROM f.mn
+                        AND m.mx IS NOT DISTINCT FROM f.mx
+                       THEN 0 ELSE 1 END) AS BIGINT)
            AS mismatch_days,
          CAST(sum(f.n) AS BIGINT) AS rows_total,
          CAST(sum(f.s) AS BIGINT) AS cents_total
-  FROM merged m FULL OUTER JOIN complete f USING (day)
+  FROM merged m FULL OUTER JOIN complete f
+    ON m.day IS NOT DISTINCT FROM f.day
 ), sizes AS (
   SELECT CAST(sum(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS BIGINT)
            AS rows_delta,

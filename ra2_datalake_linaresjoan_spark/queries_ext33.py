@@ -48,8 +48,15 @@ def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-bounded window orders ids within one value.  A chunk
     survives pruning iff chunk_min <= hi AND chunk_max >= lo; the
     pruned fraction under each layout is the measured value of sorting
-    100 TB by its hottest filter column."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    100 TB by its hottest filter column. NULL n_chars is filtered on
+    BOTH engines: a zone map has no statistics for NULL and the two
+    engines disagree on NULL placement in the start-rank window (Spark
+    NULLS FIRST would shift every sorted-layout rank)."""
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars").isNotNull())
+        .select("doc_id", "n_chars")
+    )
 
     nat = (
         docs.groupBy((F.col("doc_id") / _ZM_CHUNK).cast("long").alias("chunk"))
@@ -104,7 +111,7 @@ def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ZONE_MAP_PRUNING = f"""
 WITH docs AS (
-  SELECT doc_id, n_chars FROM documents
+  SELECT doc_id, n_chars FROM documents WHERE n_chars IS NOT NULL
 ), nat AS (
   SELECT CAST(count(*) AS BIGINT) AS chunks_natural,
          CAST(sum(CASE WHEN mn <= {_ZM_HI} AND mx >= {_ZM_LO}
@@ -168,9 +175,14 @@ def q_pq_codebook_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     utilization (distinct codewords won) comes along for free — a dead
     codeword is a wasted 4-bit code.  Cost: one broadcast of a 16-row
     codebook, a 16x8 in-row expansion, one (vec, sub)-keyed reduce;
-    this is the codebook side of IVF-PQ ANN at 100 TB."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    this is the codebook side of IVF-PQ ANN at 100 TB. NULL vec_ids /
+    embeddings are filtered on BOTH engines — Spark's ORDER BY takes
+    NULLS FIRST and DuckDB NULLS LAST, so an unfiltered NULL id would
+    seed DIFFERENT codebooks per engine."""
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     seeds = (
         emb.orderBy("vec_id")
@@ -236,6 +248,7 @@ _PQ_STRUCTS = ", ".join(
 SQL_PQ_CODEBOOK_DISTORTION = f"""
 WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
 ), seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
   FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {_PQ_CENTROIDS})

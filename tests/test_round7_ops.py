@@ -711,3 +711,49 @@ def test_audits_null_safe_on_null_keys(spark, tmp_path):
 
     se = q_schema_evolution_union(spark, str(d)).collect()
     assert sum(r["n_rows"] for r in se) == 4  # NULL id routed, not dropped
+
+
+def test_ext30_33_audits_null_safe_values(spark, tmp_path):
+    """Value-class NULL pins for the second hardening pass: the IVM
+    merge invariant stays 0 with a NULL-timestamp event, the salted
+    join keeps a NULL-event_id event's revenue, and Fellegi-Sunter
+    does not crash (and fits on consistent counts) when a compared
+    field is NULL."""
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.queries_ext30 import (
+        q_fellegi_sunter_em,
+    )
+    from ra2_datalake_linaresjoan_spark.queries_ext31 import (
+        q_salted_skew_join,
+    )
+    from ra2_datalake_linaresjoan_spark.queries_ext32 import (
+        q_ivm_merge_audit,
+    )
+
+    d = tmp_path / "nullvals"
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", 3.0, "{}"),
+            (None, "2024-01-02 00:00:00", 7, "view", 5.0, "{}"),
+            (3, None, 7, "view", 9.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.parquet(str(d / "events.parquet"))
+    spark.createDataFrame(
+        [(7, "BUILDING", None, 100.0), (8, None, 3, -50.0)],
+        "c_custkey long, c_mktsegment string, c_nationkey int, c_acctbal double",
+    ).write.parquet(str(d / "customer.parquet"))
+
+    ivm = q_ivm_merge_audit(spark, str(d)).collect()[0]
+    assert ivm["mismatch_days"] == 0  # NULL-day row in exactly one slice
+
+    sj = q_salted_skew_join(spark, str(d)).collect()
+    rev = {r["segment"]: r["revenue_cents"] for r in sj}
+    assert rev.get("BUILDING") == 300 + 500 + 900  # NULL event_id kept
+
+    fs = q_fellegi_sunter_em(spark, str(d)).collect()  # must not crash
+    assert len(fs) in (0, 4)  # empty frame or 4 field rows
