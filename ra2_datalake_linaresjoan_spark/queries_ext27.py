@@ -97,8 +97,13 @@ def q_js_divergence_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             q > 0, q * F.log(q / m)
         ).otherwise(F.lit(0.0))
 
-    jsd = F.aggregate("a", F.lit(0.0), lambda acc, x: acc + term(x)) / F.lit(
-        2.0
+    # an empty split (t_tr or t_va = 0) has no distribution to compare:
+    # jsd is NULL on both engines (an unguarded divide throws under
+    # ANSI Spark and returned NULL in DuckDB)
+    jsd = F.when(
+        (F.col("t_tr") > 0) & (F.col("t_va") > 0),
+        F.aggregate("a", F.lit(0.0), lambda acc, x: acc + term(x))
+        / F.lit(2.0),
     )
     return tot.select(
         F.col("t_tr").alias("n_train"),
@@ -123,6 +128,7 @@ WITH by_lang AS (
   FROM by_lang
 )
 SELECT t_tr AS n_train, t_va AS n_val, n_langs,
+       CASE WHEN t_tr > 0 AND t_va > 0 THEN
        round(list_sum(list_transform(a, x ->
            (CASE WHEN x.n_tr > 0
                  THEN (x.n_tr * 1.0 / t_tr)
@@ -133,7 +139,7 @@ SELECT t_tr AS n_train, t_va AS n_val, n_langs,
                  THEN (x.n_va * 1.0 / t_va)
                       * ln((x.n_va * 1.0 / t_va)
                            / ((x.n_tr * 1.0 / t_tr + x.n_va * 1.0 / t_va) / 2.0))
-                 ELSE 0.0 END))) / 2.0, 6) AS jsd_nats
+                 ELSE 0.0 END))) / 2.0, 6) END AS jsd_nats
 FROM tot
 """
 
@@ -266,6 +272,12 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("cents")).alias("swx"),
             F.sum("w").alias("sw"),
         )
+        # sw = 0 (a replicate whose Poisson weights all drew 0 — near
+        # certain on tiny inputs): the replicate has NO resample and is
+        # EXCLUDED on both engines; an unguarded divide throws under
+        # ANSI Spark and silently yielded NULL in DuckDB, and the two
+        # engines then disagreed on whether ms kept the NULL
+        .where(F.col("sw") > 0)
         .select("b", (F.col("swx") / F.col("sw")).alias("mean_b"))
     )
     agg = rep.agg(
@@ -315,6 +327,7 @@ WITH hexed AS (
   SELECT b,
          CAST(sum(w * cents) AS BIGINT) * 1.0 / CAST(sum(w) AS BIGINT) AS mean_b
   FROM weighted GROUP BY b
+  HAVING sum(w) > 0
 ), agg AS (
   SELECT max(CASE WHEN b = 0 THEN mean_b END) AS mean_exact,
          coalesce(list(mean_b ORDER BY mean_b) FILTER (b > 0), []) AS ms
@@ -379,10 +392,14 @@ def q_acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # a CONSTANT daily series has denom = 0 (no variance): acf is NULL
+    # on both engines — the unguarded divide threw under ANSI Spark
     return lags.select(
         "lag",
         "n_days",
-        F.round(num / F.col("denom"), 6).alias("acf"),
+        F.round(
+            F.when(F.col("denom") != 0.0, num / F.col("denom")), 6
+        ).alias("acf"),
     ).orderBy("lag")
 
 
@@ -408,8 +425,9 @@ WITH daily AS (
   FROM denom
 )
 SELECT CAST(lag AS INT) AS lag, n_days,
-       round(list_sum(list_transform(range(1, CAST(len(c) - lag AS INT) + 1),
-                 i -> c[i] * c[i + lag])) / denom, 6) AS acf
+       round(CASE WHEN denom <> 0
+             THEN list_sum(list_transform(range(1, CAST(len(c) - lag AS INT) + 1),
+                 i -> c[i] * c[i + lag])) / denom END, 6) AS acf
 FROM lags
 ORDER BY lag
 """
@@ -458,11 +476,18 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x["a"],
         ).alias("denom")
     )
+    # denom = 0 when EVERY source has constant doc length (all sigma 0
+    # — e.g. the identical-docs adversarial corpus): no variance-based
+    # allocation exists, raw is NULL on both engines (the unguarded
+    # divide threw under ANSI Spark)
     j = m2.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "sigma",
-        (F.lit(_NEY_BUDGET) * F.col("a") / F.col("denom")).alias("raw"),
+        F.when(
+            F.col("denom") != 0.0,
+            F.lit(_NEY_BUDGET) * F.col("a") / F.col("denom"),
+        ).alias("raw"),
     )
     j = j.select(
         "source",
@@ -519,7 +544,7 @@ WITH m AS (
   FROM m2
 ), j AS (
   SELECT source, n_docs, sigma,
-         {_NEY_BUDGET} * a / denom AS raw
+         CASE WHEN denom <> 0 THEN {_NEY_BUDGET} * a / denom END AS raw
   FROM m2 CROSS JOIN tot
 ), k AS (
   SELECT source, n_docs, sigma,
@@ -560,10 +585,14 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     float thresholds compare exact-integer ratios, identical on both
     engines."""
     docs = _t(spark, sf_dir, "documents")
+    # coalesce: a NULL-text doc has ZERO words and must FAIL the
+    # word-count rule — unfixed, every flag evaluated NULL and the doc
+    # silently passed the whole gate on both engines, deflating rates
     words = docs.select(
-        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "").alias(
-            "w"
-        )
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z]+"),
+            lambda x: x != "",
+        ).alias("w")
     )
     stats = words.select(
         F.size("w").alias("wc"),
@@ -627,7 +656,8 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_GOPHER_QUALITY_RULES = f"""
 WITH words AS (
-  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+  SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[^a-z]+'),
                      x -> x <> '') AS w
   FROM documents
 ), stats AS (
@@ -719,7 +749,10 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return F.struct(new_l.alias("l"), new_b.alias("b"))
 
-    fitted = arr.select(
+    # n_days >= 1 guard: on an EMPTY orders table element_at(obs, 1)
+    # throws under ANSI, and the oracle's recursive CTE cross join
+    # yields 0 rows — both engines now return 0 rows
+    fitted = arr.where(F.col("n_days") >= 1).select(
         "n_days",
         F.aggregate(
             F.slice("obs", 2, F.greatest(F.size("obs") - 1, F.lit(0))),
@@ -871,12 +904,17 @@ def q_runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(2.0) * n1 * n2 - n1 - n2)
         / (n * n * (n - F.lit(1)))
     )
+    # a MONOTONE series (n_up or n_down = 0, a perfectly plausible
+    # input) has var = 0 and the z statistic is undefined — NULL on
+    # both engines instead of an ANSI divide-by-zero crash; same for
+    # n <= 1 where the var denominator itself is 0
+    defined = (n1 > 0) & (n2 > 0) & (n > 1)
     return agg.select(
         "n_up",
         "n_down",
         "n_runs",
-        F.round(mu, 4).alias("expected_runs"),
-        F.round((r - mu) / F.sqrt(var), 4).alias("z_stat"),
+        F.round(F.when(n > 0, mu), 4).alias("expected_runs"),
+        F.round(F.when(defined, (r - mu) / F.sqrt(var)), 4).alias("z_stat"),
     )
 
 
@@ -903,11 +941,14 @@ WITH daily AS (
   FROM runs
 )
 SELECT n_up, n_down, n_runs,
-       round(2.0 * n_up * n_down / (n_up + n_down) + 1.0, 4) AS expected_runs,
-       round((n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
+       round(CASE WHEN n_up + n_down > 0
+             THEN 2.0 * n_up * n_down / (n_up + n_down) + 1.0 END, 4)
+         AS expected_runs,
+       round(CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+             THEN (n_runs - (2.0 * n_up * n_down / (n_up + n_down) + 1.0))
              / sqrt(2.0 * n_up * n_down * (2.0 * n_up * n_down - n_up - n_down)
                     / ((n_up + n_down) * (n_up + n_down) * 1.0
-                       * (n_up + n_down - 1))), 4) AS z_stat
+                       * (n_up + n_down - 1))) END, 4) AS z_stat
 FROM agg
 """
 
@@ -985,10 +1026,14 @@ def q_embedding_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coalesce below: DuckDB's list_sum over an EMPTY array is NULL while
+# Spark's 0.0-seeded fold gives 0.0 -- a zero-length embedding must norm
+# to 0.0 identically on both engines
 SQL_EMBEDDING_NORM_TOPK = """
 SELECT vec_id, label,
-       round(sqrt(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+       round(sqrt(coalesce(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)), 6)
+         AS l2_norm
 FROM embeddings
 ORDER BY l2_norm DESC, vec_id
 LIMIT 10

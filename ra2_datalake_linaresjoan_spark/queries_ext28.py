@@ -300,9 +300,22 @@ def q_dp_count_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles (uniform clamped away from 0/1 so the log never hits -inf)."""
     docs = _t(spark, sf_dir, "documents")
     m = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    # coalesce the hash input: for a NULL lang group Spark's concat is
+    # NULL (noise NULL -> released silently 0) while DuckDB's concat
+    # SKIPS the NULL (hashing 'dp:') — the sentinel gives the NULL-lang
+    # group real, engine-identical noise
     u = (
         F.conv(
-            F.substring(F.md5(F.concat(F.lit("dp:"), F.col("lang"))), 1, 8),
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp:"),
+                        F.coalesce(F.col("lang"), F.lit("<null>")),
+                    )
+                ),
+                1,
+                8,
+            ),
             16,
             10,
         ).cast("long")
@@ -349,10 +362,10 @@ WITH m AS (
          greatest(CAST(0 AS BIGINT),
            CAST(round(n_true
              + (-{1.0 / _DP_EPS!r})
-               * sign((CAST(concat('0x', substr(md5(concat('dp:', lang)), 1, 8))
+               * sign((CAST(concat('0x', substr(md5(concat('dp:', coalesce(lang, '<null>'))), 1, 8))
                             AS BIGINT) / 4294967296.0) - 0.5)
                * ln(1.0 - least(greatest(
-                     abs((CAST(concat('0x', substr(md5(concat('dp:', lang)), 1, 8))
+                     abs((CAST(concat('0x', substr(md5(concat('dp:', coalesce(lang, '<null>'))), 1, 8))
                               AS BIGINT) / 4294967296.0) - 0.5) * 2.0,
                      {_DP_CLAMP!r}), {1.0 - _DP_CLAMP!r}))) AS BIGINT))
            AS released

@@ -80,9 +80,13 @@ def q_bh_fdr_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a full-frame window on the bounded (type, day) table; the
     listed rows are the p-ascending head."""
     ev = _t(spark, sf_dir, "events")
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    # sentinel for NULL types: the per-type stats equi-join silently
+    # dropped NULL-type hypotheses from the family (m undercounted ->
+    # every BH threshold loosened) while both engines agreed
+    daily = ev.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("<null>")).alias("event_type"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
     m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("d"),
         F.sum("c").alias("s1"),
@@ -146,7 +150,8 @@ def q_bh_fdr_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BH_FDR_DAILY_ANOMALIES = f"""
 WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  SELECT coalesce(event_type, '<null>') AS event_type,
+         CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
   FROM events GROUP BY 1, 2
 ), m AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS d,

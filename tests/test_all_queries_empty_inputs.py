@@ -26,11 +26,20 @@ def empty_sf(spark, tmp_path_factory):
     return str(d)
 
 
+def _force_evaluate(df) -> int:
+    """collect(), NOT count(): Catalyst prunes every column under a
+    count, so a count-based sweep never evaluates pure projections —
+    the exact trap bench.py's noop-write note documents. This gap hid
+    an ANSI element_at crash (holt) and several divide-by-zero crashes
+    until the round-7 ext27 review executed the projections."""
+    return len(df.collect())
+
+
 def test_every_registered_query_survives_empty_tables(spark, empty_sf):
     failures = []
     for name, fn in q.queries().items():
         try:
-            assert fn(spark, empty_sf).count() >= 0
+            assert _force_evaluate(fn(spark, empty_sf)) >= 0
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
     assert not failures, "\n".join(failures)
@@ -68,7 +77,7 @@ def test_every_registered_query_survives_identical_docs(spark, identical_docs_sf
     failures = []
     for name, fn in q.queries().items():
         try:
-            assert fn(spark, identical_docs_sf).count() >= 0
+            assert _force_evaluate(fn(spark, identical_docs_sf)) >= 0
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
     assert not failures, "\n".join(failures)
@@ -112,7 +121,7 @@ def test_every_registered_query_survives_null_riddled_tables(
     failures = []
     for name, fn in q.queries().items():
         try:
-            assert fn(spark, null_riddled_sf).count() >= 0
+            assert _force_evaluate(fn(spark, null_riddled_sf)) >= 0
         except Exception as ex:  # noqa: BLE001 - collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:160]}")
     assert not failures, "\n".join(failures)
