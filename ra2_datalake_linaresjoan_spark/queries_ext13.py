@@ -135,8 +135,9 @@ def q_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(w).alias("cuma"),
         F.sum("cb").over(w).alias("cumb"),
     ).crossJoin(F.broadcast(tot))
-    gap = F.abs(
-        F.col("cuma") / F.col("na") - F.col("cumb") / F.col("nb")
+    gap = F.when(
+        (F.col("na") != 0) & (F.col("nb") != 0),
+        F.abs(F.col("cuma") / F.col("na") - F.col("cumb") / F.col("nb")),
     )
     scored = cum.select(
         "v", "na", "nb", F.round(gap, 6).alias("gap")
@@ -174,7 +175,9 @@ WITH vals AS (
   FROM vals
 )
 SELECT na, nb,
-       round(abs(cuma / CAST(na AS DOUBLE) - cumb / CAST(nb AS DOUBLE)), 6)
+       round(CASE WHEN na = 0 OR nb = 0 THEN NULL
+             ELSE abs(cuma / CAST(na AS DOUBLE)
+                      - cumb / CAST(nb AS DOUBLE)) END, 6)
          AS ks_d,
        v AS argmax_value
 FROM cum, tot

@@ -271,7 +271,7 @@ def q_exact_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "lang",
         "n",
-        F.round(num / den, 6).alias("pearson_r"),
+        F.round(F.when(den != 0, num / den), 6).alias("pearson_r"),
     ).orderBy("lang")
 
 
@@ -291,9 +291,12 @@ WITH xy AS (
   FROM xy GROUP BY lang
 )
 SELECT lang, n,
-       round((n * sxy - sx * sy)
-             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+       round(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+             THEN NULL
+             ELSE (n * sxy - sx * sy)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END, 6)
+         AS pearson_r
 FROM m ORDER BY lang
 """
 

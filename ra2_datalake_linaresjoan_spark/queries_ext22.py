@@ -69,7 +69,11 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     types = p.select(F.col("w1").alias("t")).distinct()
     n_types = types.count()
-    v = types.select("t", (F.lit(1.0) / F.lit(float(n_types))).alias("val"))
+    # max(..., 1) guards constant-folded DIVIDE_BY_ZERO under ANSI when the
+    # corpus is empty (zero types -> zero rows anyway, so the value is moot).
+    v = types.select(
+        "t", F.lit(1.0 / float(max(n_types, 1))).alias("val")
+    )
     for _ in range(_MK_ITERS):
         v = (
             p.join(v, p["w1"] == v["t"])

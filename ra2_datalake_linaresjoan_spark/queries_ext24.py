@@ -200,8 +200,12 @@ def q_doc_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             sa, sb = F.col(f"s_{fa}").cast("double"), F.col(f"s_{fb}").cast("double")
             ssa, ssb = F.col(f"ss_{fa}").cast("double"), F.col(f"ss_{fb}").cast("double")
             sp = F.col(f"sp_{fa}_{fb}").cast("double")
-            r = (n * sp - sa * sb) / F.sqrt(
-                (n * ssa - sa * sa) * (n * ssb - sb * sb)
+            var_a = n * ssa - sa * sa
+            var_b = n * ssb - sb * sb
+            # zero-variance features (degenerate corpora) -> NULL, not 0/0
+            r = F.when(
+                (var_a != 0) & (var_b != 0),
+                (n * sp - sa * sb) / F.sqrt(var_a * var_b),
             )
             pair_rows.append(
                 F.struct(
@@ -241,39 +245,57 @@ WITH feats AS (
   FROM feats
 ), pairs AS (
   SELECT 'n_chars~n_tok' AS pair,
-         round((CAST(n AS DOUBLE)*sp_n_chars_n_tok - CAST(s_n_chars AS DOUBLE)*s_n_tok)
-               / sqrt((CAST(n AS DOUBLE)*ss_n_chars - CAST(s_n_chars AS DOUBLE)*s_n_chars)
-                      * (CAST(n AS DOUBLE)*ss_n_tok - CAST(s_n_tok AS DOUBLE)*s_n_tok)), 6) AS corr
+         round(CASE WHEN (CAST(n AS DOUBLE)*ss_n_chars - CAST(s_n_chars AS DOUBLE)*s_n_chars) = 0
+                     OR (CAST(n AS DOUBLE)*ss_n_tok - CAST(s_n_tok AS DOUBLE)*s_n_tok) = 0
+               THEN NULL
+               ELSE (CAST(n AS DOUBLE)*sp_n_chars_n_tok - CAST(s_n_chars AS DOUBLE)*s_n_tok)
+                    / sqrt((CAST(n AS DOUBLE)*ss_n_chars - CAST(s_n_chars AS DOUBLE)*s_n_chars)
+                           * (CAST(n AS DOUBLE)*ss_n_tok - CAST(s_n_tok AS DOUBLE)*s_n_tok)) END, 6) AS corr
   FROM m
   UNION ALL
-  SELECT 'n_chars~n_distinct',
-         round((CAST(n AS DOUBLE)*sp_n_chars_n_distinct - CAST(s_n_chars AS DOUBLE)*s_n_distinct)
-               / sqrt((CAST(n AS DOUBLE)*ss_n_chars - CAST(s_n_chars AS DOUBLE)*s_n_chars)
-                      * (CAST(n AS DOUBLE)*ss_n_distinct - CAST(s_n_distinct AS DOUBLE)*s_n_distinct)), 6)
+  SELECT 'n_chars~n_distinct' AS pair,
+         round(CASE WHEN (CAST(n AS DOUBLE)*ss_n_chars - CAST(s_n_chars AS DOUBLE)*s_n_chars) = 0
+                     OR (CAST(n AS DOUBLE)*ss_n_distinct - CAST(s_n_distinct AS DOUBLE)*s_n_distinct) = 0
+               THEN NULL
+               ELSE (CAST(n AS DOUBLE)*sp_n_chars_n_distinct - CAST(s_n_chars AS DOUBLE)*s_n_distinct)
+                    / sqrt((CAST(n AS DOUBLE)*ss_n_chars - CAST(s_n_chars AS DOUBLE)*s_n_chars)
+                           * (CAST(n AS DOUBLE)*ss_n_distinct - CAST(s_n_distinct AS DOUBLE)*s_n_distinct)) END, 6) AS corr
   FROM m
   UNION ALL
-  SELECT 'n_chars~max_wlen',
-         round((CAST(n AS DOUBLE)*sp_n_chars_max_wlen - CAST(s_n_chars AS DOUBLE)*s_max_wlen)
-               / sqrt((CAST(n AS DOUBLE)*ss_n_chars - CAST(s_n_chars AS DOUBLE)*s_n_chars)
-                      * (CAST(n AS DOUBLE)*ss_max_wlen - CAST(s_max_wlen AS DOUBLE)*s_max_wlen)), 6)
+  SELECT 'n_chars~max_wlen' AS pair,
+         round(CASE WHEN (CAST(n AS DOUBLE)*ss_n_chars - CAST(s_n_chars AS DOUBLE)*s_n_chars) = 0
+                     OR (CAST(n AS DOUBLE)*ss_max_wlen - CAST(s_max_wlen AS DOUBLE)*s_max_wlen) = 0
+               THEN NULL
+               ELSE (CAST(n AS DOUBLE)*sp_n_chars_max_wlen - CAST(s_n_chars AS DOUBLE)*s_max_wlen)
+                    / sqrt((CAST(n AS DOUBLE)*ss_n_chars - CAST(s_n_chars AS DOUBLE)*s_n_chars)
+                           * (CAST(n AS DOUBLE)*ss_max_wlen - CAST(s_max_wlen AS DOUBLE)*s_max_wlen)) END, 6) AS corr
   FROM m
   UNION ALL
-  SELECT 'n_tok~n_distinct',
-         round((CAST(n AS DOUBLE)*sp_n_tok_n_distinct - CAST(s_n_tok AS DOUBLE)*s_n_distinct)
-               / sqrt((CAST(n AS DOUBLE)*ss_n_tok - CAST(s_n_tok AS DOUBLE)*s_n_tok)
-                      * (CAST(n AS DOUBLE)*ss_n_distinct - CAST(s_n_distinct AS DOUBLE)*s_n_distinct)), 6)
+  SELECT 'n_tok~n_distinct' AS pair,
+         round(CASE WHEN (CAST(n AS DOUBLE)*ss_n_tok - CAST(s_n_tok AS DOUBLE)*s_n_tok) = 0
+                     OR (CAST(n AS DOUBLE)*ss_n_distinct - CAST(s_n_distinct AS DOUBLE)*s_n_distinct) = 0
+               THEN NULL
+               ELSE (CAST(n AS DOUBLE)*sp_n_tok_n_distinct - CAST(s_n_tok AS DOUBLE)*s_n_distinct)
+                    / sqrt((CAST(n AS DOUBLE)*ss_n_tok - CAST(s_n_tok AS DOUBLE)*s_n_tok)
+                           * (CAST(n AS DOUBLE)*ss_n_distinct - CAST(s_n_distinct AS DOUBLE)*s_n_distinct)) END, 6) AS corr
   FROM m
   UNION ALL
-  SELECT 'n_tok~max_wlen',
-         round((CAST(n AS DOUBLE)*sp_n_tok_max_wlen - CAST(s_n_tok AS DOUBLE)*s_max_wlen)
-               / sqrt((CAST(n AS DOUBLE)*ss_n_tok - CAST(s_n_tok AS DOUBLE)*s_n_tok)
-                      * (CAST(n AS DOUBLE)*ss_max_wlen - CAST(s_max_wlen AS DOUBLE)*s_max_wlen)), 6)
+  SELECT 'n_tok~max_wlen' AS pair,
+         round(CASE WHEN (CAST(n AS DOUBLE)*ss_n_tok - CAST(s_n_tok AS DOUBLE)*s_n_tok) = 0
+                     OR (CAST(n AS DOUBLE)*ss_max_wlen - CAST(s_max_wlen AS DOUBLE)*s_max_wlen) = 0
+               THEN NULL
+               ELSE (CAST(n AS DOUBLE)*sp_n_tok_max_wlen - CAST(s_n_tok AS DOUBLE)*s_max_wlen)
+                    / sqrt((CAST(n AS DOUBLE)*ss_n_tok - CAST(s_n_tok AS DOUBLE)*s_n_tok)
+                           * (CAST(n AS DOUBLE)*ss_max_wlen - CAST(s_max_wlen AS DOUBLE)*s_max_wlen)) END, 6) AS corr
   FROM m
   UNION ALL
-  SELECT 'n_distinct~max_wlen',
-         round((CAST(n AS DOUBLE)*sp_n_distinct_max_wlen - CAST(s_n_distinct AS DOUBLE)*s_max_wlen)
-               / sqrt((CAST(n AS DOUBLE)*ss_n_distinct - CAST(s_n_distinct AS DOUBLE)*s_n_distinct)
-                      * (CAST(n AS DOUBLE)*ss_max_wlen - CAST(s_max_wlen AS DOUBLE)*s_max_wlen)), 6)
+  SELECT 'n_distinct~max_wlen' AS pair,
+         round(CASE WHEN (CAST(n AS DOUBLE)*ss_n_distinct - CAST(s_n_distinct AS DOUBLE)*s_n_distinct) = 0
+                     OR (CAST(n AS DOUBLE)*ss_max_wlen - CAST(s_max_wlen AS DOUBLE)*s_max_wlen) = 0
+               THEN NULL
+               ELSE (CAST(n AS DOUBLE)*sp_n_distinct_max_wlen - CAST(s_n_distinct AS DOUBLE)*s_max_wlen)
+                    / sqrt((CAST(n AS DOUBLE)*ss_n_distinct - CAST(s_n_distinct AS DOUBLE)*s_n_distinct)
+                           * (CAST(n AS DOUBLE)*ss_max_wlen - CAST(s_max_wlen AS DOUBLE)*s_max_wlen)) END, 6) AS corr
   FROM m
 )
 SELECT pair, corr FROM pairs ORDER BY pair

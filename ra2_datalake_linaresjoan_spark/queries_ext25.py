@@ -199,7 +199,12 @@ def q_mutual_knn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_directed_edges",
             "n_mutual_pairs",
             F.round(
-                F.lit(2.0) * F.col("n_mutual_pairs") / F.col("n_directed_edges"),
+                F.when(
+                    F.col("n_directed_edges") != 0,
+                    F.lit(2.0)
+                    * F.col("n_mutual_pairs")
+                    / F.col("n_directed_edges"),
+                ),
                 4,
             ).alias("mutuality_rate"),
         )
@@ -227,8 +232,9 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 = 0)
          AS n_vectors,
        (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_directed_edges,
        (SELECT CAST(count(*) AS BIGINT) FROM mutual) AS n_mutual_pairs,
-       round(2.0 * (SELECT count(*) FROM mutual)
-             / (SELECT count(*) FROM edges), 4) AS mutuality_rate
+       round(CASE WHEN (SELECT count(*) FROM edges) = 0 THEN NULL
+             ELSE 2.0 * (SELECT count(*) FROM mutual)
+                  / (SELECT count(*) FROM edges) END, 4) AS mutuality_rate
 """
 
 

@@ -58,7 +58,11 @@ def q_hll_register_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "estimate",
         "n_exact",
         F.round(
-            (F.col("estimate") - F.col("n_exact")) / F.col("n_exact"), 4
+            F.when(
+                F.col("n_exact") != 0,
+                (F.col("estimate") - F.col("n_exact")) / F.col("n_exact"),
+            ),
+            4,
         ).alias("rel_err"),
     )
 
@@ -91,7 +95,8 @@ WITH keyed AS (
   SELECT CAST(count(DISTINCT k) AS BIGINT) AS n_exact FROM keyed
 )
 SELECT n_registers_set, estimate, n_exact,
-       round((estimate - n_exact) / n_exact, 4) AS rel_err
+       round(CASE WHEN n_exact = 0 THEN NULL
+             ELSE (estimate - n_exact) / n_exact END, 4) AS rel_err
 FROM est CROSS JOIN exact
 """
 

@@ -340,11 +340,17 @@ def q_compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("compacted_groups")
         ).alias("files_after"),
         F.round(
-            F.col("files_total")
-            / (
+            F.when(
                 F.col("files_total")
                 - F.col("small_files")
                 + F.col("compacted_groups")
+                != 0,
+                F.col("files_total")
+                / (
+                    F.col("files_total")
+                    - F.col("small_files")
+                    + F.col("compacted_groups")
+                ),
             ),
             4,
         ).alias("open_file_reduction_x"),
@@ -379,8 +385,10 @@ SELECT files_total, rows_total, small_files,
        CAST(coalesce(small_rows, 0) AS BIGINT) AS small_rows,
        compacted_groups,
        files_total - small_files + compacted_groups AS files_after,
-       round(files_total * 1.0
-             / (files_total - small_files + compacted_groups), 4)
+       round(CASE WHEN files_total - small_files + compacted_groups = 0
+             THEN NULL
+             ELSE files_total * 1.0
+                  / (files_total - small_files + compacted_groups) END, 4)
          AS open_file_reduction_x
 FROM tot, plan
 """

@@ -431,8 +431,12 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins the flattened semantics (map internals are engine-local;
     the contract is what comes out)."""
     ev = _t(spark, sf_dir, "events")
-    per_type = ev.groupBy("user_id", "event_type").agg(
-        F.count(F.lit(1)).alias("n")
+    # NULL event_type cannot be a map key (NULL_MAP_KEY under ANSI) —
+    # drop it on both engines (lockstep filter in SQL_MAP_OPS).
+    per_type = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     mapped = per_type.groupBy("user_id").agg(
         F.map_from_entries(
@@ -450,7 +454,7 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MAP_OPS = """
 WITH per_type AS (
   SELECT user_id, event_type, count(*) AS n
-  FROM events GROUP BY user_id, event_type
+  FROM events WHERE event_type IS NOT NULL GROUP BY user_id, event_type
 )
 SELECT user_id,
        CAST(count(*) AS INT) AS n_types,

@@ -280,13 +280,17 @@ def q_auc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("neg").alias("n_neg"),
         F.count(F.lit(1)).alias("n_scores"),
         F.round(
-            F.sum(
-                F.col("pos") * (F.lit(2) * F.col("neg_below") + F.col("neg"))
-            ).cast("double")
-            / (
-                F.lit(2.0)
-                * F.sum("pos").cast("double")
-                * F.sum("neg").cast("double")
+            F.when(
+                (F.sum("pos") != 0) & (F.sum("neg") != 0),
+                F.sum(
+                    F.col("pos")
+                    * (F.lit(2) * F.col("neg_below") + F.col("neg"))
+                ).cast("double")
+                / (
+                    F.lit(2.0)
+                    * F.sum("pos").cast("double")
+                    * F.sum("neg").cast("double")
+                ),
             ),
             6,
         ).alias("auc"),
@@ -309,8 +313,9 @@ WITH buckets AS (
 SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
        CAST(sum(neg) AS BIGINT) AS n_neg,
        CAST(count(*) AS BIGINT) AS n_scores,
-       round(CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
-             / (2.0 * sum(pos) * sum(neg)), 6) AS auc
+       round(CASE WHEN sum(pos) = 0 OR sum(neg) = 0 THEN NULL
+             ELSE CAST(sum(pos * (2 * neg_below + neg)) AS DOUBLE)
+                  / (2.0 * sum(pos) * sum(neg)) END, 6) AS auc
 FROM b
 """
 
