@@ -49,10 +49,17 @@ def asof_join(
         F.col(by),
         F.col(on),
         rvals.alias("_rvals"),
-        # deterministic tie order among equal-timestamp right rows
-        F.xxhash64(*[F.col(c).cast("string") for c in value_cols]).alias(
-            "_rfp"
-        ),
+        # deterministic tie order among equal-timestamp right rows;
+        # per-column NULL tokens keep rows differing only in WHICH
+        # column is null from colliding (xxhash64 skips null inputs)
+        F.xxhash64(
+            *[
+                F.coalesce(
+                    F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n")
+                )
+                for c in value_cols
+            ]
+        ).alias("_rfp"),
     ).withColumn("_side", F.lit(0))
     lt = left.withColumn("_side", F.lit(1))
 

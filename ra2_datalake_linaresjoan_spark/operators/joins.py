@@ -30,9 +30,18 @@ def semi_filter(df: DataFrame, keys_df: DataFrame, on: str | Sequence[str]) -> D
     (e.g. one id per market) must not be force-broadcast past AQE's size
     checks — at 100 TB that is a driver OOM. A capped count probe (stops
     scanning at CAP+1 rows) chooses broadcast for genuinely small sets
-    and leaves big ones to AQE's own shuffle/broadcast decision."""
+    and leaves big ones to AQE's own shuffle/broadcast decision.
+
+    Streaming inputs skip the probe entirely (a count on a streaming
+    frame throws) — the call stays a pure transformation and Spark's
+    own stream-static/stream-stream planning applies."""
     on = [on] if isinstance(on, str) else list(on)
     keys = keys_df.select(*on).distinct()
+    if df.isStreaming or keys_df.isStreaming:
+        return df.join(keys, on=on, how="left_semi")
+    # materialize the distinct key set ONCE; the size probe and the join
+    # both read the checkpointed result instead of recomputing it
+    keys = keys.localCheckpoint(eager=True)
     small = keys.limit(SEMI_BROADCAST_CAP + 1).count() <= SEMI_BROADCAST_CAP
     return df.join(F.broadcast(keys) if small else keys, on=on, how="left_semi")
 

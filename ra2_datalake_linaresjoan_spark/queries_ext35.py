@@ -58,12 +58,15 @@ def q_bucket_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_probe = (
         F.col("o_custkey") % _BP_PROBE_MOD == _BP_PROBE_RES
     ).cast("long")
+    # coalesce the key into a sentinel BEFORE hashing: Spark concat
+    # NULL-propagates while DuckDB concat skips NULLs, so an unguarded
+    # NULL key lands in different buckets per engine (ext28/ext30
+    # convention).
+    key = F.coalesce(F.col("o_custkey").cast("string"), F.lit("<null>"))
     per_bucket = orders.groupBy(
         (
             F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("b:"), F.col("o_custkey"))), 1, 4
-                ),
+                F.substring(F.md5(F.concat(F.lit("b:"), key)), 1, 4),
                 16,
                 10,
             ).cast("long")
@@ -101,7 +104,8 @@ def q_bucket_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_BUCKET_PRUNING_AUDIT = f"""
 WITH per_bucket AS (
-  SELECT CAST(concat('0x', substr(md5(concat('b:', o_custkey)), 1, 4))
+  SELECT CAST(concat('0x', substr(md5(concat('b:',
+              coalesce(CAST(o_custkey AS VARCHAR), '<null>'))), 1, 4))
               AS BIGINT) % {_BP_BUCKETS} AS bucket,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CASE WHEN o_custkey % {_BP_PROBE_MOD} = {_BP_PROBE_RES}
@@ -142,8 +146,12 @@ def q_epoch_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered on BOTH engines before the ordering windows — Spark sorts
     NULLS FIRST and DuckDB NULLS LAST by default, so an unfiltered
     nullable order column is a latent cross-engine divergence."""
+    # doc_id joins source in the not-null filter (lockstep in SQL): a
+    # NULL doc_id would hash to a NULL shard in Spark but a real shard
+    # in DuckDB (concat NULL semantics differ), and would order
+    # NULLS-FIRST vs NULLS-LAST in the tie-break.
     docs = _t(spark, sf_dir, "documents").where(
-        F.col("source").isNotNull()
+        F.col("source").isNotNull() & F.col("doc_id").isNotNull()
     ).select(
         "doc_id",
         "source",
@@ -198,7 +206,7 @@ WITH docs AS (
          CAST(concat('0x', substr(md5(concat('e:', doc_id)), 1, 4))
               AS BIGINT) % {_ES_SHARDS} AS shard,
          md5(concat('p:', doc_id)) AS perm
-  FROM documents WHERE source IS NOT NULL
+  FROM documents WHERE source IS NOT NULL AND doc_id IS NOT NULL
 ), pairs AS (
   SELECT source,
          lag(source) OVER (PARTITION BY shard ORDER BY source, doc_id)

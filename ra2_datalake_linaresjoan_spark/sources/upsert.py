@@ -77,8 +77,21 @@ def merge_upsert(
     # row_number tie falls to partition-internal order and the survivor
     # can flip between runs
     data_cols = [c for c in merged.columns if c != "_pref"]
+    # NULL-distinguishing per-column tokens: xxhash64 SKIPS null inputs,
+    # so ('x', NULL) and (NULL, 'x') would collide and the survivor tie
+    # would fall back to partition order — the nondeterminism this
+    # fingerprint exists to remove (streaming/sketches.row_digest_col
+    # convention).
     merged = merged.withColumn(
-        "_row_fp", F.xxhash64(*[F.col(c).cast("string") for c in data_cols])
+        "_row_fp",
+        F.xxhash64(
+            *[
+                F.coalesce(
+                    F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n")
+                )
+                for c in data_cols
+            ]
+        ),
     )
     resolved = dedup_keep_newest(
         merged, keys, "_pref", tiebreak=("_row_fp",)

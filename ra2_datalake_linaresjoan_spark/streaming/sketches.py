@@ -382,7 +382,12 @@ def quantile_estimate(hist: DataFrame, qs: tuple[float, ...], lo: float,
     width = (hi - lo) / buckets
     out = None
     for q in qs:
-        rank = F.ceil(F.lit(q) * F.col("total")).cast("long")
+        # clamp to rank >= 1: q=0 gives ceil(0·N)=0, which every bucket's
+        # cum satisfies — bucket 0's upper edge would be reported instead
+        # of the minimum, outside the one-bucket-width contract
+        rank = F.greatest(
+            F.ceil(F.lit(q) * F.col("total")).cast("long"), F.lit(1)
+        )
         hit = (
             cum.filter(F.col("cum") >= rank)
             .orderBy("bucket")
