@@ -2271,108 +2271,103 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: 50 in insertion order), so the registry is emitted with the queries
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
+#: Queries whose implementation or DuckDB oracle changed in ROUND 8 —
+#: each must re-enter the driver window for a fresh correctness row
+#: (tests/test_driver_window.py exempts exactly this declared set from
+#: the max-staleness jumper count and asserts every name sits inside
+#: the first-50 window).  Rewrite this list every round.
+_CHANGED_THIS_ROUND: frozenset[str] = frozenset({
+    # (a) degenerate-input ANSI crash fixes: F.when guards with lockstep
+    #     oracle CASE WHEN edits (round-7 verdict task 1)
+    "markov_stationary", "mutual_knn_rate", "hll_register_estimate",
+    "compaction_plan_audit", "ks_distance", "exact_corr_moments",
+    "auc_quality_score", "doc_feature_corr", "map_ops",
+    # (b) round-7 advisor fixes: NULL-key hash sentinels (ext35), the
+    #     NULL-distinguishing tiebreak fingerprint in operators/asof.py
+    #     (asof_join + purchase_attribution consume it), and the
+    #     localCheckpoint/streaming-guard rework of semi_filter
+    #     (semi_join consumes it)
+    "bucket_pruning_audit", "epoch_shuffle_quality",
+    "asof_join", "purchase_attribution", "semi_join",
+    # (c) changed late in round 7 (NULL-hardening commits d396473 /
+    #     3519398) AFTER their last driver row — the r7 RESERVE could
+    #     not fit them; the round-7 verdict (What's wrong #3) and the
+    #     verify skill both require them to lead the round-8 window
+    "shard_balance_audit", "mixture_temperature_weights",
+    "matryoshka_prefix_fidelity", "fellegi_sunter_em",
+    "salted_skew_join", "conformal_calibration", "group_kfold_assign",
+    "equi_depth_histogram", "ivm_merge_audit", "zone_map_pruning",
+    "js_divergence_splits", "acf_daily_events", "neyman_allocation",
+    "bh_fdr_daily_anomalies", "dp_count_noise_audit",
+    "bcubed_cluster_eval", "pq_codebook_distortion",
+})
+
+
+#: Names the correctness driver should hit FIRST. The driver verifies the
+#: first 50 queries() entries per round, so the registry is emitted with
+#: this round's changed implementations and additions ahead of the
+#: stalest re-verifies; everything else follows in registry insertion
+#: order via `ordered.update(merged)`.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-7 rotation ------------------------------------------------
-    # Cumulative driver coverage after CORRECTNESS_r06 is 283/283 —
-    # zero never-checked queries remain, so the window is now pure
-    # rotation: (1) implementations changed in round 7 (the batch-32
-    # broadcast-guard/exact-arithmetic fixes and the two ADVICE r6
-    # parity fixes), (2) round-7 additions (never driver-checked),
-    # (3) the stalest re-verifies — every query whose last green row
-    # is CORRECTNESS_r01 (5 rounds stale).  Rotation is enforced by
-    # tests/test_driver_window.py: never-checked queries must sit in
-    # the first 50 AND at most RESERVE in-window slots may be fresher
-    # than the stalest query left outside (max-staleness gate).
-    # Only the window needs listing here; everything else follows in
-    # registry insertion order via `ordered.update(merged)`.
-    # 1. implementation changed in round 7
-    "bloom_join_prefilter",
-    "join_reorder_advisor",
-    "blocking_quality_audit",
-    "poisson_bootstrap_ci",
-    # 1b. changed late in round 7: the _spread scan-width guard was added
-    #     to the two queries where the A/B measured a win (tri-scale
-    #     parity re-verified locally; the guard is result-invariant —
-    #     row-local entropy / exact-integer k-means — but a changed
-    #     implementation re-enters the window on principle)
-    "char_entropy_filter",
-    "semantic_kmeans",
-    # 1c. changed by the round-7 deep-review fixes (text_analysis unicode
-    #     punct / email case / fingerprint trim / bpe null-safety, and the
-    #     multimodal null-meta guard) — every Spark/oracle pair updated in
-    #     lockstep and re-verified tri-scale locally
-    "quality_curriculum",
-    "pii_redact",
-    "multimodal_features",
-    # 2. round-7 additions (batch 34: schema evolution, MERGE parity,
-    #    multi-column layout pruning, jackknife variance)
-    "schema_evolution_union",
-    "merge_upsert_audit",
-    "zorder_vs_linear_pruning",
-    "jackknife_ratio_variance",
-    # 2b. round-7 additions (batch 35: hash-bucket pruning, epoch-shuffle
-    #     quality, shuffle-partition advisor)
+    # -- round-8 rotation ------------------------------------------------
+    # 1. the 31 _CHANGED_THIS_ROUND queries (crash fixes first, then the
+    #    advisor-fix consumers, then the late-r7 NULL-hardening batch)
+    "markov_stationary",
+    "mutual_knn_rate",
+    "hll_register_estimate",
+    "compaction_plan_audit",
+    "ks_distance",
+    "exact_corr_moments",
+    "auc_quality_score",
+    "doc_feature_corr",
+    "map_ops",
     "bucket_pruning_audit",
     "epoch_shuffle_quality",
-    "shuffle_partition_advisor",
-    # 2c. round-7 additions (batch 36: XOR content fingerprints,
-    #     two-phase salted aggregation)
-    "content_fingerprint_audit",
-    "two_phase_agg_audit",
-    # 2d. round-7 addition (batch 37: the quantile-sketch accuracy audit
-    #     — the oracle-gated batch kernel of the streaming quantile
-    #     histogram, completing the one-per-sketch pattern)
-    "quantile_sketch_audit",
-    # 3. stalest re-verifies: last driver-confirmed in round 1
-    "shipping_priority",
+    "asof_join",
+    "purchase_attribution",
     "semi_join",
-    "anti_join_orphans",
-    "broadcast_brand_revenue",
-    "avg_max_group",
-    "bucket_histogram",
-    "ratio_stats",
-    "small_qty_revenue",
-    "above_avg_balance",
-    "market_share",
-    "doc_token_stats",
-    "doc_quality",
-    "lang_id_confusion",
-    "exact_dedup_docs",
-    "ngram_jaccard",
-    "minhash_lsh",
-    "multimodal_bytes",
-    "regex_filter_docs",
-    "curate_corpus",
-    "json_props",
-    "volumetry",
-    "cheapest_supplier",
-    "percentiles",
-    "quantize_embeddings",
-    "argmax_events",
-    "lag_gaps",
-    "rank_parts",
-    # (ntile_quartiles, rollup_orders — r1-stale — yielded their slots to
-    # the 1c deep-review re-verifies; they rotate in round 8)
-    "set_ops",
-    "normalize_numeric_parity",
-    "pricing_summary",
-    "top_orders",
-    "window_dedup",
+    "shard_balance_audit",
+    "mixture_temperature_weights",
+    "matryoshka_prefix_fidelity",
+    "fellegi_sunter_em",
+    "salted_skew_join",
+    "conformal_calibration",
+    "group_kfold_assign",
+    "equi_depth_histogram",
+    "ivm_merge_audit",
+    "zone_map_pruning",
+    "js_divergence_splits",
+    "acf_daily_events",
+    "neyman_allocation",
+    "bh_fdr_daily_anomalies",
+    "dp_count_noise_audit",
+    "bcubed_cluster_eval",
+    "pq_codebook_distortion",
+    # 2. round-8 additions (never driver-checked) are inserted here as
+    #    they land — the never-checked gate forces them into the window
+    # 3. the 11 queries last driver-confirmed in round 1 (the final
+    #    r1-stale cohort — retires r1 staleness entirely)
+    "classifier_parity",
+    "clean_string_parity",
+    "cosine_topk",
     "date_dim",
-    # (cosine_topk — r1-stale — yielded its slot to the 1c re-verifies)
-    "tumbling_windows",
-    "sliding_windows",
-    # normalize_boolean_parity re-entered late in round 7: its engine
-    # function's numeric fallback changed (int32-overflow fix) — results
-    # provably identical for this query's inputs, but a changed
-    # implementation re-enters the window on principle. It is itself
-    # r1-stale, so the swap (for event_sessionization) is
-    # staleness-neutral.
+    "event_sessionization",
     "normalize_boolean_parity",
-    # (event_sessionization, clean_string_parity and
-    # classifier_parity — r1-stale — yielded
-    # their slots; they rotate in round 8
-    # with the rest of the r1/r2 stale pool)
+    "ntile_quartiles",
+    "rollup_orders",
+    "sliding_windows",
+    "tumbling_windows",
+    "window_dedup",
+    # 4. stalest r2 re-verifies fill the remaining slots (the rest of
+    #    the r2 cohort rotates in round 9 under the one-round slack)
+    "ann_ivf",
+    "ann_lsh",
+    "approx_distinct_guarantee",
+    "cluster_tightness",
+    "cosine_neardup",
+    "cube_orders",
+    "customer_distribution",
+    "discounted_revenue",
 )
 
 
