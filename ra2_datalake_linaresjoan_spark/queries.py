@@ -2343,8 +2343,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dp_count_noise_audit",
     "bcubed_cluster_eval",
     "pq_codebook_distortion",
-    # 2. round-8 additions (never driver-checked) are inserted here as
-    #    they land — the never-checked gate forces them into the window
+    # 2. round-8 additions (batch 38, never driver-checked — the
+    #    never-checked gate forces them inside the window)
+    "ivfpq_ann_recall",
+    "liquid_recluster_audit",
+    "quantile_drift_detect",
     # 3. the 11 queries last driver-confirmed in round 1 (the final
     #    r1-stale cohort — retires r1 staleness entirely)
     "classifier_parity",
@@ -2365,9 +2368,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "approx_distinct_guarantee",
     "cluster_tightness",
     "cosine_neardup",
-    "cube_orders",
-    "customer_distribution",
-    "discounted_revenue",
+    # (cube_orders, customer_distribution, discounted_revenue — r2-stale
+    # — yielded their slots to the three batch-38 additions; they rotate
+    # in round 9 with the rest of the r2 cohort)
 )
 
 
@@ -2422,6 +2425,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext35 import REGISTRY_EXT35
     from ra2_datalake_linaresjoan_spark.queries_ext36 import REGISTRY_EXT36
     from ra2_datalake_linaresjoan_spark.queries_ext37 import REGISTRY_EXT37
+    from ra2_datalake_linaresjoan_spark.queries_ext38 import REGISTRY_EXT38
 
     merged = {
         **_REGISTRY,
@@ -2475,6 +2479,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT35,
         **REGISTRY_EXT36,
         **REGISTRY_EXT37,
+        **REGISTRY_EXT38,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

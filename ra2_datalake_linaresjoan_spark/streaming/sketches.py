@@ -399,3 +399,75 @@ def quantile_estimate(hist: DataFrame, qs: tuple[float, ...], lo: float,
         )
         out = hit if out is None else out.unionByName(hit)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KS-style drift between two quantile histograms
+# ---------------------------------------------------------------------------
+
+
+def ks_from_joint(joint: DataFrame) -> DataFrame:
+    """One-row KS distance from a JOINT per-bucket count table with
+    columns ``(bucket, na, nb)`` — the shared math behind
+    ``hist_ks_distance`` (two state-store histograms) and the batch
+    ``quantile_drift_detect`` query (one conditional-count scan).
+
+    D = max over bucket edges of |CDF_a − CDF_b|, computed as an
+    EXACT-integer rational max |cuma·nb_tot − cumb·na_tot| before the
+    single final division (engine-identical; summation-order-free).
+    The argmax bucket ties to the LOWEST bucket. Every window runs over
+    the ≤``QH_BUCKETS``-row joint table — state-bounded, never
+    data-bounded. Degenerate sides (an empty histogram) yield a NULL
+    ``ks_d`` instead of 0/0."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = joint.agg(
+        F.coalesce(F.sum("na"), F.lit(0)).alias("na_tot"),
+        F.coalesce(F.sum("nb"), F.lit(0)).alias("nb_tot"),
+    )
+    cum = joint.select(
+        "bucket",
+        F.sum("na").over(w).alias("cuma"),
+        F.sum("nb").over(w).alias("cumb"),
+    ).crossJoin(F.broadcast(tot))
+    gap_num = F.abs(
+        F.col("cuma") * F.col("nb_tot") - F.col("cumb") * F.col("na_tot")
+    )
+    best = (
+        cum.select("bucket", "na_tot", "nb_tot", gap_num.alias("gnum"))
+        .orderBy(F.col("gnum").desc(), "bucket")
+        .limit(1)
+    )
+    return best.select(
+        F.col("na_tot").alias("n_a"),
+        F.col("nb_tot").alias("n_b"),
+        F.round(
+            F.when(
+                (F.col("na_tot") != 0) & (F.col("nb_tot") != 0),
+                F.col("gnum") / (F.col("na_tot") * F.col("nb_tot")),
+            ),
+            6,
+        ).alias("ks_d"),
+        F.col("bucket").alias("argmax_bucket"),
+    )
+
+
+def hist_ks_distance(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
+    """KS distance between two ``(bucket, n)`` quantile histograms (the
+    state-store output of ``streaming_quantile_hist`` after the
+    max-re-merge, or any batch ``quantile_hist``): full-outer join on
+    bucket (≤QH_BUCKETS rows a side), then the shared exact-integer
+    rational max. Drift detection between a stream's live sketch and a
+    frozen reference window costs O(buckets) — never a rescan."""
+    a = hist_a.groupBy("bucket").agg(F.max("n").alias("na"))
+    b = hist_b.groupBy("bucket").agg(F.max("n").alias("nb"))
+    joint = (
+        a.join(b, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    return ks_from_joint(joint)

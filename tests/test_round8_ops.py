@@ -1,0 +1,129 @@
+"""Batch-38 semantic pins (round 8): the invariants the DuckDB oracle
+cannot express — streaming parity for the KS drift kernel, IVF-PQ
+pruning/recall floors, and liquid re-clustering's monotonic-improvement
+contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_split_dir(spark, tmp_path_factory):
+    """Events split into 4 part files so maxFilesPerTrigger=1 forces
+    FOUR micro-batches for the streaming side of the drift kernel."""
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("events_split_r8")
+    t = pq.read_table(f"{SF}/events.parquet")
+    n = t.num_rows
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(t.slice(i * step, step), str(d / f"part{i}.parquet"))
+    return str(d)
+
+
+def test_hist_ks_distance_streaming_matches_batch(spark, events_split_dir):
+    """The drift kernel over two STREAM-maintained histogram state
+    stores (4 forced micro-batches each) must equal the same kernel
+    over the batch histograms — the mergeable-sketch property extended
+    through ks_from_joint. Split rule: even vs odd event_id (within the
+    same files, so both streams see all four micro-batches)."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        hist_ks_distance,
+        quantile_hist,
+        streaming_quantile_hist,
+    )
+    from ra2_datalake_linaresjoan_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    lo, hi = 0.0, 500.0
+    batch = spark.read.parquet(events_split_dir)
+    ba = quantile_hist(batch.where("event_id % 2 = 0"), "value", lo, hi)
+    bb = quantile_hist(batch.where("event_id % 2 = 1"), "value", lo, hi)
+    want = hist_ks_distance(ba, bb).collect()[0]
+
+    sa = run_to_memory(
+        streaming_quantile_hist(
+            read_events_stream(
+                spark, events_split_dir, max_files_per_trigger=1
+            ).where("event_id % 2 = 0"),
+            "value",
+            lo,
+            hi,
+        ),
+        "t_r8_hist_a",
+        spark,
+    )
+    sb = run_to_memory(
+        streaming_quantile_hist(
+            read_events_stream(
+                spark, events_split_dir, max_files_per_trigger=1
+            ).where("event_id % 2 = 1"),
+            "value",
+            lo,
+            hi,
+        ),
+        "t_r8_hist_b",
+        spark,
+    )
+    got = hist_ks_distance(sa, sb).collect()[0]
+    assert got.asDict() == want.asDict()
+    assert want["n_a"] > 0 and want["n_b"] > 0
+    assert 0.0 <= want["ks_d"] <= 1.0
+
+
+def test_hist_ks_distance_degenerate_sides(spark):
+    """An empty side yields NULL ks_d (never 0/0); two identical
+    histograms yield ks_d = 0 at argmax bucket 0 (lowest-bucket tie)."""
+    from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+        hist_ks_distance,
+    )
+
+    h = spark.createDataFrame([(0, 5), (3, 2)], "bucket int, n long")
+    empty = spark.createDataFrame([], "bucket int, n long")
+    r = hist_ks_distance(h, empty).collect()[0]
+    assert r["n_b"] == 0 and r["ks_d"] is None
+    same = hist_ks_distance(h, h).collect()[0]
+    assert same["ks_d"] == 0.0
+    assert same["argmax_bucket"] == 0
+
+
+def test_ivfpq_prunes_and_recalls(spark):
+    """IVF-PQ must actually PRUNE (candidates well under corpus size)
+    while keeping recall@5 usefully high — the whole point of the
+    index. Floors are loose (recall depends on the seed codebook) but
+    a broken ADC or cell routing lands at ~0."""
+    from ra2_datalake_linaresjoan_spark.queries_ext38 import (
+        q_ivfpq_ann_recall,
+    )
+
+    n_corpus = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    rows = q_ivfpq_ann_recall(spark, SF).collect()
+    assert rows, "no query rows"
+    for r in rows:
+        assert 0 <= r["n_candidates"] < n_corpus  # pruned, never all-pairs
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+    mean_recall = sum(r["recall_at_5"] for r in rows) / len(rows)
+    assert mean_recall >= 0.4, f"IVF-PQ mean recall collapsed: {mean_recall}"
+
+
+def test_liquid_recluster_improves_probe(spark):
+    """Re-clustering only the wide files must never WORSEN the probe:
+    rows scanned after <= before, and the rewrite set is a strict
+    subset of the manifest on skewed-enough data."""
+    from ra2_datalake_linaresjoan_spark.queries_ext38 import (
+        q_liquid_recluster_audit,
+    )
+
+    r = q_liquid_recluster_audit(spark, SF).collect()[0]
+    assert r["files_rewritten"] <= r["files_total"]
+    assert r["probe_rows_after"] <= r["probe_rows_before"]
+    if r["rows_matched"]:
+        assert r["amp_after"] <= r["amp_before"]
+        assert r["amp_after"] >= 1.0  # can never scan fewer than matched
