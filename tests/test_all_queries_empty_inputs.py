@@ -90,8 +90,16 @@ def null_riddled_sf(spark, tmp_path_factory):
     text, values, timestamps. The round-7 NULL-safety review found three
     audits that were silently WRONG (not crashing) on such data; this
     sweep at least pins the no-crash half of the contract for all
-    registered queries."""
+    registered queries.
+
+    Round-8 extension (r7 verdict task 7): ARRAY columns get a second
+    null mode — one row in three KEEPS the array but nulls every third
+    ELEMENT. Element-interior nulls are a distinct crash class from
+    whole-column nulls (`map_ops`' NULL_MAP_KEY came from an element-
+    level null, and an `isNotNull` filter on the column passes them
+    straight through)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType
 
     d = tmp_path_factory.mktemp("nulls_sf")
     for f in os.listdir(SF):
@@ -99,18 +107,26 @@ def null_riddled_sf(spark, tmp_path_factory):
             continue
         df = spark.read.parquet(os.path.join(SF, f)).limit(60)
         nullable = [fl.name for fl in df.schema.fields if fl.nullable]
-        out = df.select(
-            *[
-                F.when(
-                    (F.monotonically_increasing_id() % 3 == 0)
-                    & F.lit(fl.name in nullable),
-                    F.lit(None).cast(fl.dataType),
+
+        def _nulled(fl):
+            rid = F.monotonically_increasing_id()
+            whole_null = F.when(
+                (rid % 3 == 0) & F.lit(fl.name in nullable),
+                F.lit(None).cast(fl.dataType),
+            )
+            if isinstance(fl.dataType, ArrayType):
+                holed = F.transform(
+                    F.col(fl.name),
+                    lambda x, i: F.when(i % 3 == 0, F.lit(None)).otherwise(x),
                 )
-                .otherwise(F.col(fl.name))
-                .alias(fl.name)
-                for fl in df.schema.fields
-            ]
-        )
+                return (
+                    whole_null.when(rid % 3 == 1, holed)
+                    .otherwise(F.col(fl.name))
+                    .alias(fl.name)
+                )
+            return whole_null.otherwise(F.col(fl.name)).alias(fl.name)
+
+        out = df.select(*[_nulled(fl) for fl in df.schema.fields])
         out.write.mode("overwrite").parquet(str(d / f))
     return str(d)
 

@@ -127,3 +127,39 @@ def test_liquid_recluster_improves_probe(spark):
     if r["rows_matched"]:
         assert r["amp_after"] <= r["amp_before"]
         assert r["amp_after"] >= 1.0  # can never scan fewer than matched
+
+
+def test_quantile_sketch_audit_all_mass_out_of_domain(
+    spark, tmp_path_factory
+):
+    """r7 verdict task 7: when EVERY value sits outside [lo, hi), the
+    sketch must clamp all mass into the edge bucket (never drop rows),
+    every estimate lands on the domain edge, and within_bound honestly
+    reports False — the contract is one-bucket-width error for
+    IN-domain data, and the audit must say so rather than flatter
+    itself on clamped input."""
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.queries_ext37 import (
+        _QS_HI,
+        q_quantile_sketch_audit,
+    )
+
+    d = tmp_path_factory.mktemp("qs_out_of_domain")
+    for f in ("events.parquet",):
+        src = spark.read.parquet(f"{SF}/{f}")
+        # shift every value far above hi; keep schema/ts intact
+        src.withColumn("value", F.col("value") + 1000.0).write.parquet(
+            str(d / f)
+        )
+    n_src = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .where("value IS NOT NULL")
+        .count()
+    )
+    rows = q_quantile_sketch_audit(spark, str(d)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_total"] == n_src  # clamped, never dropped
+        assert r["est"] == _QS_HI  # all mass in the top edge bucket
+        assert r["within_bound"] is False  # honest out-of-domain report
