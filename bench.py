@@ -103,6 +103,11 @@ HEADLINE = [
     "content_fingerprint_audit",
     "two_phase_agg_audit",
     "quantile_sketch_audit",
+    # round 8: full IVF-PQ retrieval (index build + ADC + refine),
+    # incremental liquid re-clustering, histogram-sketch KS drift
+    "ivfpq_ann_recall",
+    "liquid_recluster_audit",
+    "quantile_drift_detect",
 ]
 
 

@@ -381,6 +381,210 @@ def probe(spark, docs: DataFrame) -> dict[str, float]:
         )
 
     timed("poisson_weights", poisson_weights)
+
+    # round-8 hot operators ------------------------------------------------
+
+    # liquid re-clustering manifest math: per-file spans + wide-file
+    # flags + closed-form value-bucket regroup of the rewritten rows —
+    # all file/bucket-grain aggregates, should scale as ~one scan
+    def liquid_recluster():
+        d = docs.select(
+            (F.col("doc_id") / 128).cast("long").alias("file_id"), "n_chars"
+        ).where(F.col("n_chars").isNotNull())
+        glob = d.agg(
+            F.min("n_chars").alias("glo"),
+            F.max("n_chars").alias("ghi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        files = d.groupBy("file_id").agg(
+            F.min("n_chars").alias("mn"),
+            F.max("n_chars").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).crossJoin(F.broadcast(glob))
+        wide = (
+            (F.col("mx") - F.col("mn")) * F.col("n_rows")
+            > 2 * (F.col("ghi") - F.col("glo")) * F.col("n")
+        )
+        rew = files.where(wide).select("file_id", "glo", "ghi")
+        d.join(rew, "file_id").groupBy(
+            F.floor(
+                (F.col("n_chars") - F.col("glo")).cast("long")
+                * 64
+                / (F.col("ghi") - F.col("glo") + 1)
+            ).alias("nfid")
+        ).agg(F.count(F.lit(1))).count()
+
+    timed("liquid_recluster", liquid_recluster)
+
+    # histogram KS drift: ONE conditional-count scan into the 256-row
+    # joint table + the exact-integer rational max over it
+    def ks_drift():
+        from ra2_datalake_linaresjoan_spark.streaming.sketches import (
+            ks_from_joint,
+            quantile_bucket,
+        )
+
+        joint = (
+            docs.select(
+                F.length("text").cast("double").alias("v"),
+                (F.col("doc_id") % 2 == 0).cast("long").alias("is_ref"),
+            )
+            .select(
+                quantile_bucket("v", 0.0, 4096.0).alias("bucket"), "is_ref"
+            )
+            .groupBy("bucket")
+            .agg(
+                F.sum("is_ref").alias("na"),
+                F.sum(F.lit(1) - F.col("is_ref")).alias("nb"),
+            )
+        )
+        ks_from_joint(joint).count()
+
+    timed("ks_drift", ks_drift)
+    return out
+
+
+def scaled_emb(emb: DataFrame, copies: int) -> DataFrame:
+    n = emb.select(F.max("vec_id")).first()[0] + 1
+    k = F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("k")
+    return emb.select("vec_id", "embedding", k).select(
+        (F.col("vec_id") + F.col("k") * n).alias("vec_id"),
+        # per-copy perturbation so the 10x corpus is not 10 exact
+        # duplicates of every vector (ties would distort the argmins,
+        # not the timings — but keep the geometry honest)
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x + F.col("k") * 0.001,
+        ).alias("embedding"),
+    )
+
+
+def probe_emb(spark, emb: DataFrame) -> dict[str, float]:
+    """IVF-PQ scaling: index build (cells + codes) and the ADC search
+    path for a fixed query sample — the production claim is that BOTH
+    scale as ~one corpus scan (the exact-recall baseline is audit-only
+    and intentionally not probed)."""
+    from ra2_datalake_linaresjoan_spark import queries_ext38 as x8
+    from pyspark.sql import Window
+
+    emb = emb.select(
+        "vec_id", F.col("embedding").alias("v")
+    ).localCheckpoint()
+    out: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        out[name] = round(time.perf_counter() - t0, 3)
+
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(16)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cid"),
+            F.col("v").alias("c"),
+        )
+    )
+
+    def per_cent(frame):
+        wide = frame.crossJoin(F.broadcast(seeds)).select(
+            "vec_id",
+            "cid",
+            *[x8._ip_subq(s).alias(f"s{s}") for s in range(8)],
+        )
+        total = F.lit(0).cast("long")
+        for s in range(8):
+            total = total + F.col(f"s{s}")
+        return wide.withColumn("fullq", total)
+
+    def index_build():
+        pc = per_cent(emb)
+        pc.groupBy("vec_id").agg(
+            F.min(F.struct("fullq", "cid"))
+        ).count()  # cells
+        pc.select(
+            "vec_id",
+            "cid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(s).alias("sub"), F.col(f"s{s}").alias("dq"))
+                        for s in range(8)
+                    ]
+                )
+            ).alias("m"),
+        ).groupBy("vec_id", "m.sub").agg(
+            F.min(F.struct(F.col("m.dq").alias("dq"), "cid"))
+        ).count()  # codes
+
+    timed("ivfpq_index_build", index_build)
+
+    def adc_search():
+        # the full search path minus the exact baseline (audit-only),
+        # built from the SAME _ip_subq expressions the shipped query uses
+        pc = per_cent(emb)
+        cells = pc.groupBy("vec_id").agg(
+            F.min(F.struct("fullq", "cid")).alias("b")
+        ).select("vec_id", F.col("b.cid").alias("cell"))
+        codes = pc.select(
+            "vec_id",
+            "cid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(s).alias("sub"), F.col(f"s{s}").alias("dq"))
+                        for s in range(8)
+                    ]
+                )
+            ).alias("m"),
+        ).select("vec_id", "cid", "m.sub", "m.dq").groupBy(
+            "vec_id", "sub"
+        ).agg(F.min(F.struct("dq", "cid")).alias("b")).select(
+            "vec_id", "sub", F.col("b.cid").alias("code")
+        )
+        qids = emb.where(F.col("vec_id") % 200 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        qpc = per_cent(
+            qids.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v"))
+        )
+        wq = Window.partitionBy("vec_id").orderBy("fullq", "cid")
+        probes = (
+            qpc.withColumn("rk", F.row_number().over(wq))
+            .where(F.col("rk") <= 4)
+            .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+        )
+        adc_tab = qpc.select(
+            F.col("vec_id").alias("query_id"),
+            "cid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(s).alias("sub"), F.col(f"s{s}").alias("partq"))
+                        for s in range(8)
+                    ]
+                )
+            ).alias("m"),
+        ).select("query_id", "cid", "m.sub", "m.partq")
+        cand = (
+            probes.join(cells, "cell")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        )
+        (
+            cand.join(codes, cand["neighbor_id"] == codes["vec_id"])
+            .join(
+                F.broadcast(adc_tab),
+                (adc_tab["query_id"] == cand["query_id"])
+                & (adc_tab["cid"] == codes["code"])
+                & (adc_tab["sub"] == codes["sub"]),
+            )
+            .groupBy(cand["query_id"].alias("query_id"), "neighbor_id")
+            .agg(F.sum("partq").alias("adcq"))
+            .count()
+        )
+
+    timed("ivfpq_adc_search", adc_search)
     return out
 
 
@@ -392,6 +596,10 @@ def main() -> None:
     probe(spark, scaled_docs(docs, 1))  # warm-up: JVM, codegen, Arrow workers
     base = probe(spark, scaled_docs(docs, 1))
     big = probe(spark, scaled_docs(docs, 10))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe_emb(spark, scaled_emb(emb, 1))  # warm-up
+    base.update(probe_emb(spark, scaled_emb(emb, 1)))
+    big.update(probe_emb(spark, scaled_emb(emb, 10)))
     report = {
         "sf_dir": sf_dir,
         "rows_1x": docs.count(),
