@@ -39,11 +39,16 @@ def semi_filter(df: DataFrame, keys_df: DataFrame, on: str | Sequence[str]) -> D
     keys = keys_df.select(*on).distinct()
     if df.isStreaming or keys_df.isStreaming:
         return df.join(keys, on=on, how="left_semi")
-    # materialize the distinct key set ONCE; the size probe and the join
-    # both read the checkpointed result instead of recomputing it
-    keys = keys.localCheckpoint(eager=True)
-    small = keys.limit(SEMI_BROADCAST_CAP + 1).count() <= SEMI_BROADCAST_CAP
-    return df.join(F.broadcast(keys) if small else keys, on=on, how="left_semi")
+    # materialize at most CAP+1 distinct keys: the probe frame is bounded
+    # regardless of key-set size, and on the small path it IS the complete
+    # key set (limit returned everything), so the join reuses it with no
+    # recompute.  The large path joins the lazy distinct unhinted — one
+    # pass inside the join, AQE picks the strategy — instead of pinning a
+    # corpus-scale key set in executor storage before the probe.
+    probe = keys.limit(SEMI_BROADCAST_CAP + 1).localCheckpoint(eager=True)
+    if probe.count() <= SEMI_BROADCAST_CAP:
+        return df.join(F.broadcast(probe), on=on, how="left_semi")
+    return df.join(keys, on=on, how="left_semi")
 
 
 def anti_orphans(fact: DataFrame, dim: DataFrame, on: str | Sequence[str]) -> DataFrame:

@@ -95,9 +95,20 @@ def q_ivfpq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     it on a query sample, exactly as here: |queries| = N/50). All
     ranking keys are exact BIGINTs (1e-6-quantized before summing), so
     argmins and tie-breaks (lowest cid / vec_id) are engine-stable."""
+    # lockstep dirty-vector guard (both engines): drop vectors that are
+    # NULL, wrong-dimension, or have a NULL ELEMENT — an interior NULL
+    # makes every quantized distance NULL, and Spark's min(struct) sorts
+    # NULLs FIRST while DuckDB's QUALIFY row_number defaults NULLS LAST,
+    # so cell routing would silently diverge per engine (the ext28/ext30
+    # sentinel convention, applied here as a filter).
     emb = (
         _t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .where(
+            F.col("vec_id").isNotNull()
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") == _IP_DIM)
+            & ~F.exists("embedding", lambda x: x.isNull())
+        )
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .localCheckpoint()
     )
@@ -294,6 +305,8 @@ SQL_IVFPQ_ANN_RECALL = f"""
 WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = {_IP_DIM}
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ), seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
   FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {_IP_CELLS})
@@ -409,7 +422,6 @@ def q_liquid_recluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("glo"),
         F.max("n_chars").alias("ghi"),
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("file_id").alias("files_total"),
     )
     files = docs.groupBy("file_id").agg(
         F.min("n_chars").alias("mn"),
@@ -468,7 +480,10 @@ def q_liquid_recluster_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     probe_hit = (F.col("mn") <= _LC_PROBE_HI) & (F.col("mx") >= _LC_PROBE_LO)
-    before = files.agg(
+    # aggregate the CHECKPOINTED file-grain frame, not `files` — the
+    # same mn/mx/n columns exist there, and re-aggregating `files`
+    # would pay a second full docs scan the checkpoint exists to avoid
+    before = flagged.agg(
         F.coalesce(F.sum(probe_hit.cast("long")), F.lit(0)).alias(
             "probe_files_before"
         ),
@@ -626,11 +641,13 @@ def q_quantile_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a live ``streaming_quantile_hist`` state store for O(buckets) per
     check (``hist_ks_distance``; micro-batch parity pinned in tests).
 
-    ONE corpus scan builds BOTH histograms (conditional counts per
-    bucket); the shared ``ks_from_joint`` kernel turns the ≤256-row
-    joint table into max |CDF_a − CDF_b| as an exact-integer rational
-    (division-last, guarded for empty sides). The time midpoint is
-    exact integer microseconds from one min/max aggregate."""
+    TWO corpus scans total — one min/max for the time midpoint, one
+    histogram build with BOTH sides as conditional counts per bucket —
+    and the ≤256-row joint table is localCheckpointed so the kernel's
+    two branches (totals + cumulative window) read the bounded table
+    instead of re-scanning events. ``ks_from_joint`` turns it into
+    max |CDF_a − CDF_b| as an exact-integer rational (division-last,
+    guarded for empty sides)."""
     from ra2_datalake_linaresjoan_spark.streaming.sketches import (
         ks_from_joint,
         quantile_bucket,
@@ -662,6 +679,7 @@ def q_quantile_drift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_ref").alias("na"),
             F.sum(F.lit(1) - F.col("is_ref")).alias("nb"),
         )
+        .localCheckpoint()  # ≤256 rows; tot + cum branches both read it
     )
     out = ks_from_joint(joint)
     return out.select(

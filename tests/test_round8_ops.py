@@ -118,11 +118,21 @@ def test_liquid_recluster_improves_probe(spark):
     rows scanned after <= before, and the rewrite set is a strict
     subset of the manifest on skewed-enough data."""
     from ra2_datalake_linaresjoan_spark.queries_ext38 import (
+        _LC_FILE,
         q_liquid_recluster_audit,
     )
 
     r = q_liquid_recluster_audit(spark, SF).collect()[0]
     assert r["files_rewritten"] <= r["files_total"]
+    # the improvement pin only holds in the multi-bucket regime: with
+    # <= _LC_FILE rewritten rows nf clamps to 1 and the single new
+    # bucket legally spans the global range (no guarantee either way).
+    # Assert the fixture still exercises the meaningful regime so a
+    # data refresh fails LOUDLY here instead of looking like a code bug.
+    assert r["rows_rewritten"] > _LC_FILE, (
+        f"fixture left the multi-bucket regime (rows_rewritten="
+        f"{r['rows_rewritten']} <= {_LC_FILE}); re-pin the expectations"
+    )
     assert r["probe_rows_after"] <= r["probe_rows_before"]
     if r["rows_matched"]:
         assert r["amp_after"] <= r["amp_before"]
