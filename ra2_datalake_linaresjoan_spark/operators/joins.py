@@ -51,6 +51,19 @@ def semi_filter(df: DataFrame, keys_df: DataFrame, on: str | Sequence[str]) -> D
     return df.join(keys, on=on, how="left_semi")
 
 
+def maybe_broadcast(df: DataFrame, cap: int = SEMI_BROADCAST_CAP) -> DataFrame:
+    """Capped-count broadcast guard (the queries_ext32 ``_maybe_broadcast``
+    convention, shared): probe at most ``cap``+1 rows — never an exact
+    count of a huge side — and attach the broadcast hint only when the
+    side is provably bounded.  Large sides fall through UNHINTED so
+    AQE/shuffle handles linear-growth sides without driver OOM at scale.
+    Streaming frames skip the probe (count would throw)."""
+    if df.isStreaming:
+        return df
+    small = df.limit(cap + 1).count() <= cap
+    return F.broadcast(df) if small else df
+
+
 def anti_orphans(fact: DataFrame, dim: DataFrame, on: str | Sequence[str]) -> DataFrame:
     """Rows of ``fact`` with no match in ``dim`` (J1-J3 orphan detection,
     reference validator_warehouse.py:108-162)."""

@@ -2300,6 +2300,15 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "js_divergence_splits", "acf_daily_events", "neyman_allocation",
     "bh_fdr_daily_anomalies", "dp_count_noise_audit",
     "bcubed_cluster_eval", "pq_codebook_distortion",
+    # (d) round-8 adversarial review fixes over the never-reviewed
+    #     batch-13..16 files: complete-grid chi-square, guarded/widened
+    #     arithmetic (zipf denominator, gini + corr DECIMAL/HUGEINT
+    #     products), NULL-ordering lockstep filters (ks_distance,
+    #     event_trigram_paths), and nation_jaccard's capped supplier
+    #     broadcast (ks_distance / exact_corr_moments already listed
+    #     under (a); their review fixes ride the same re-verify)
+    "chi2_independence", "nation_jaccard", "zipf_fit", "gini_spend",
+    "event_trigram_paths",
 })
 
 
@@ -2343,6 +2352,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "dp_count_noise_audit",
     "bcubed_cluster_eval",
     "pq_codebook_distortion",
+    # 1d. round-8 adversarial-review fixes (see _CHANGED_THIS_ROUND (d))
+    "chi2_independence",
+    "nation_jaccard",
+    "zipf_fit",
+    "gini_spend",
+    "event_trigram_paths",
     # 2. round-8 additions (batch 38, never driver-checked — the
     #    never-checked gate forces them inside the window)
     "ivfpq_ann_recall",
@@ -2361,16 +2376,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sliding_windows",
     "tumbling_windows",
     "window_dedup",
-    # 4. stalest r2 re-verifies fill the remaining slots (the rest of
-    #    the r2 cohort rotates in round 9 under the one-round slack)
-    "ann_ivf",
-    "ann_lsh",
-    "approx_distinct_guarantee",
-    "cluster_tightness",
-    "cosine_neardup",
-    # (cube_orders, customer_distribution, discounted_revenue — r2-stale
-    # — yielded their slots to the three batch-38 additions; they rotate
-    # in round 9 with the rest of the r2 cohort)
+    # (ann_ivf, ann_lsh, approx_distinct_guarantee, cluster_tightness,
+    # cosine_neardup — r2-stale — yielded their slots to the five
+    # adversarial-review-fixed queries, as cube_orders /
+    # customer_distribution / discounted_revenue earlier yielded theirs
+    # to the batch-38 additions; the whole r2 cohort rotates in round 9
+    # under the one-round slack)
 )
 
 

@@ -115,8 +115,14 @@ def q_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     support point (ties broken by lowest value). Binless — detects
     shape drift PSI's fixed bins smear out."""
     docs = _t(spark, sf_dir, "documents")
+    # text IS NOT NULL in lockstep: a NULL text gives a NULL word count
+    # in both engines, but Spark's cumulative window orders NULL FIRST
+    # while DuckDB orders it LAST — every CDF value after the NULL group
+    # would silently diverge between engines
     vals = (
-        docs.filter(F.col("source").isin("src0", "src1"))
+        docs.filter(
+            F.col("source").isin("src0", "src1") & F.col("text").isNotNull()
+        )
         .select(
             "source", F.size(F.split("text", " ")).alias("v")
         )
@@ -159,7 +165,7 @@ WITH vals AS (
          CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
            AS cb
   FROM documents
-  WHERE source IN ('src0', 'src1')
+  WHERE source IN ('src0', 'src1') AND text IS NOT NULL
   GROUP BY 1
 ), tot AS (
   SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb

@@ -246,10 +246,16 @@ def q_exact_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose partial accumulations drift per partitioning), and r is one
     in-row IEEE expression over them, rounded at 6 dp. The same
     partial+final shape ``regr_slope`` uses, hardened for cross-engine
-    hashing. Moment magnitudes: x ≤ ~10³, y ≤ ~10², n ≤ corpus size —
-    Σx² ≤ n·10⁶ stays exact in int64 to ~10¹² docs."""
+    hashing. Complete cases only: a row with NULL x or NULL y is
+    excluded from EVERY moment including n (per-sum null-skipping would
+    mix row sets and corrupt r — it can even leave |r| > 1). The sums
+    themselves stay exact in int64 to ~10¹² docs, but the FINAL
+    products n·Σx² − (Σx)² widen to DECIMAL(38,0)/HUGEINT (int64 would
+    overflow at ~5e6 docs per language) before the double conversion."""
     docs = _t(spark, sf_dir, "documents")
-    xy = docs.select(
+    xy = docs.where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    ).select(
         "lang",
         F.col("n_chars").alias("x"),
         F.size(F.array_distinct(F.split("text", " "))).cast("long").alias("y"),
@@ -262,11 +268,20 @@ def q_exact_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dec = "decimal(38,0)"
+    num = (
+        F.col("n").cast(dec) * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    ).cast("double")
     den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        (
+            F.col("n").cast(dec) * F.col("sxx")
+            - F.col("sx").cast(dec) * F.col("sx")
+        ).cast("double")
     ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        (
+            F.col("n").cast(dec) * F.col("syy")
+            - F.col("sy").cast(dec) * F.col("sy")
+        ).cast("double")
     )
     return m.select(
         "lang",
@@ -280,6 +295,7 @@ WITH xy AS (
   SELECT lang, n_chars AS x,
          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
   FROM documents
+  WHERE n_chars IS NOT NULL AND text IS NOT NULL
 ), m AS (
   SELECT lang,
          CAST(count(*) AS BIGINT) AS n,
@@ -291,11 +307,15 @@ WITH xy AS (
   FROM xy GROUP BY lang
 )
 SELECT lang, n,
-       round(CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0
+       round(CASE WHEN (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) = 0
+                    OR (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) = 0
              THEN NULL
-             ELSE (n * sxy - sx * sy)
-                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) END, 6)
+             ELSE CAST(CAST(n AS HUGEINT) * sxy
+                       - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                  / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                               - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                     * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                                 - CAST(sy AS HUGEINT) * sy AS DOUBLE))) END, 6)
          AS pearson_r
 FROM m ORDER BY lang
 """

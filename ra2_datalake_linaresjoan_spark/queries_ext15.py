@@ -39,8 +39,18 @@ from ra2_datalake_linaresjoan_spark.queries import _t
 def q_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most frequent 3-step event paths across users: per-user
     lead/lead² over (ts, event_id) order, then one path-vocabulary
-    aggregate. Deterministic tiebreak (count desc, path asc)."""
-    ev = _t(spark, sf_dir, "events")
+    aggregate. Deterministic tiebreak (count desc, path asc).
+
+    NULL rows are dropped in lockstep BEFORE the window: a NULL
+    event_type makes Spark's concat_ws silently skip the token (a
+    2-token 'path') while DuckDB's || nulls the whole path, and NULL
+    ts/event_id order NULLS FIRST in Spark vs LAST in DuckDB —
+    different sequences per engine."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     paths = (
         ev.select(
@@ -67,6 +77,7 @@ WITH seq AS (
          lead(event_type, 1) OVER w AS e1,
          lead(event_type, 2) OVER w AS e2
   FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_type || '>' || e1 || '>' || e2 AS path,

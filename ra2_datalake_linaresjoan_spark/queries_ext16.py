@@ -19,8 +19,9 @@ similarity, power-law fitting, and inequality measurement.
   cents. Like ``revenue_decile_lift`` the global rank window runs over
   the per-customer aggregate (documented inherent cost; the 100-TB
   variant buckets by approxQuantile boundaries and loses exactness).
-  Σ rank·cents stays < 2⁶³ through ~10⁸ customers; the DECIMAL(38,0)
-  escape applies beyond.
+  Σ rank·cents accumulates in DECIMAL(38,0)/HUGEINT on the two engines
+  (the int64 product would overflow at only ~2.7e5 customers at
+  observed spend levels); the final ratio is double over exact sums.
 """
 
 from __future__ import annotations
@@ -40,10 +41,18 @@ from ra2_datalake_linaresjoan_spark.queries import _t
 
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row chi-square independence report: statistic (4 dp), degrees
-    of freedom, cell count, N. Marginals broadcast onto the cell table;
-    all counts exact integers."""
+    of freedom, cell count, N. The statistic sums over the COMPLETE
+    r×c grid (marginal cross join), so unobserved cells contribute
+    their full (0−exp)²/exp = exp term — Pearson's chi-square, not the
+    observed-cells-only understatement. All counts exact integers;
+    the grid is marginal-bounded (|types|·7 rows). NULL event_type/ts
+    rows are excluded in lockstep — a NULL category would be counted
+    by the grid but skipped by COUNT(DISTINCT) in both engines, making
+    dof inconsistent with n_cells."""
     ev = _t(spark, sf_dir, "events")
-    base = ev.select(
+    base = ev.where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "event_type", ((F.dayofweek(F.to_date("ts")) + 5) % 7 + 1).alias("iso_dow")
     )
     cells = base.groupBy("event_type", "iso_dow").agg(
@@ -52,12 +61,16 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_m = base.groupBy("event_type").agg(F.count(F.lit(1)).alias("row_n"))
     col_m = base.groupBy("iso_dow").agg(F.count(F.lit(1)).alias("col_n"))
     n = base.agg(F.count(F.lit(1)).alias("n"))
+    grid = row_m.crossJoin(F.broadcast(col_m))
     joined = (
-        cells.join(F.broadcast(row_m), "event_type")
-        .join(F.broadcast(col_m), "iso_dow")
+        grid.join(F.broadcast(cells), ["event_type", "iso_dow"], "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0)))
         .crossJoin(F.broadcast(n))
     )
-    exp = F.col("row_n") * F.col("col_n") / F.col("n")
+    # widen BEFORE the marginal product: row_n·col_n in int64 overflows
+    # at ~3e9 events (row_n ~ col_n ~ n); double conversion of exact
+    # longs is deterministic IEEE on both engines
+    exp = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
     contrib = (F.col("obs") - exp) * (F.col("obs") - exp) / exp
     return joined.agg(
         F.first("n").alias("n_events"),
@@ -73,6 +86,7 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CHI2_INDEPENDENCE = """
 WITH base AS (
   SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS INT) AS iso_dow FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
 ), cells AS (
   SELECT event_type, iso_dow, CAST(count(*) AS BIGINT) AS obs
   FROM base GROUP BY 1, 2
@@ -80,15 +94,21 @@ WITH base AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS row_n FROM base GROUP BY 1
 ), col_m AS (
   SELECT iso_dow, CAST(count(*) AS BIGINT) AS col_n FROM base GROUP BY 1
-), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+grid AS (
+  SELECT r.event_type, r.row_n, c.iso_dow, c.col_n,
+         coalesce(cells.obs, 0) AS obs
+  FROM row_m r CROSS JOIN col_m c
+  LEFT JOIN cells USING (event_type, iso_dow)
+)
 SELECT CAST(any_value(n.n) AS BIGINT) AS n_events,
        CAST(count(*) AS BIGINT) AS n_cells,
-       CAST((count(DISTINCT cells.event_type) - 1)
-            * (count(DISTINCT cells.iso_dow) - 1) AS BIGINT) AS dof,
-       round(sum((obs - row_n * col_n / CAST(n.n AS DOUBLE))
-                 * (obs - row_n * col_n / CAST(n.n AS DOUBLE))
-                 / (row_n * col_n / CAST(n.n AS DOUBLE))), 4) AS chi2
-FROM cells JOIN row_m USING (event_type) JOIN col_m USING (iso_dow) CROSS JOIN n
+       CAST((count(DISTINCT grid.event_type) - 1)
+            * (count(DISTINCT grid.iso_dow) - 1) AS BIGINT) AS dof,
+       round(sum((obs - CAST(row_n AS DOUBLE) * col_n / n.n)
+                 * (obs - CAST(row_n AS DOUBLE) * col_n / n.n)
+                 / (CAST(row_n AS DOUBLE) * col_n / n.n)), 4) AS chi2
+FROM grid CROSS JOIN n
 """
 
 
@@ -100,14 +120,18 @@ FROM cells JOIN row_m USING (event_type) JOIN col_m USING (iso_dow) CROSS JOIN n
 def q_nation_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 nation pairs by Jaccard similarity of the part sets their
     suppliers ship. Distinct (nation, part) extraction → part-keyed
-    self-join for intersections → nation-pair-bounded output. Supplier
-    and nation dims broadcast."""
+    self-join for intersections → nation-pair-bounded output. The
+    supplier side grows linearly with scale, so its broadcast goes
+    through the capped-count guard; nation (25 rows) broadcasts
+    unconditionally."""
+    from ra2_datalake_linaresjoan_spark.operators.joins import maybe_broadcast
+
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     np_ = (
         li.select("l_suppkey", "l_partkey")
-        .join(F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+        .join(maybe_broadcast(sup.select("s_suppkey", "s_nationkey")),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat.select("n_nationkey", "n_name")),
               F.col("s_nationkey") == F.col("n_nationkey"))
@@ -115,8 +139,11 @@ def q_nation_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # materialize once: the (nation, part) set feeds three consumers
         # (sizes + both self-join sides) — without this the lineitem⋈dims
-        # subtree re-scans the fact table per consumer
-        .localCheckpoint()
+        # subtree re-scans the fact table per consumer.  persist (not
+        # localCheckpoint): the set is ≤25·|part| but |part| grows with
+        # the corpus, so keep the lineage recoverable and the storage
+        # spillable instead of pinning an eager checkpoint
+        .persist()
     )
     sizes = np_.groupBy("nation").agg(F.count(F.lit(1)).alias("n_parts"))
     inter = (
@@ -201,8 +228,12 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
-    slope = (F.col("n_vocab") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n_vocab") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # a single-word vocabulary gives x = ln(1) = 0 for every row, so the
+    # denominator is exactly 0 — NULL slope in lockstep, never ANSI DIV/0
+    den = F.col("n_vocab") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0,
+        (F.col("n_vocab") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
     )
     return agg.select(
         "lang", "n_vocab", F.round(slope, 4).alias("zipf_slope")
@@ -228,8 +259,9 @@ WITH wc AS (
   FROM xy GROUP BY lang
 )
 SELECT lang, n_vocab,
-       round((n_vocab * sxy - sx * sy) / (n_vocab * sxx - sx * sx), 4)
-         AS zipf_slope
+       round(CASE WHEN n_vocab * sxx - sx * sx = 0 THEN NULL
+             ELSE (n_vocab * sxy - sx * sy) / (n_vocab * sxx - sx * sx)
+             END, 4) AS zipf_slope
 FROM agg
 ORDER BY lang
 """
@@ -252,13 +284,22 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = per_cust.select(
         "cents", F.row_number().over(w).cast("long").alias("rk")
     )
+    # Σ rank·cents accumulates in DECIMAL(38,0): the int64 product
+    # rk·cents overflows at only ~2.7e5 customers (rk ~ n, cents ~
+    # 2.5e8), so the exact path must widen BEFORE the multiply; the
+    # final ratio converts the exact integers to double (deterministic
+    # IEEE on both engines), never multiplying two longs
+    s_rk = F.sum(
+        F.col("rk").cast("decimal(38,0)") * F.col("cents")
+    ).cast("double")
+    n_ = F.count(F.lit(1))
     return ranked.agg(
-        F.count(F.lit(1)).alias("n_customers"),
+        n_.alias("n_customers"),
         F.sum("cents").alias("total_cents"),
         F.round(
-            (2.0 * F.sum(F.col("rk") * F.col("cents")))
-            / (F.count(F.lit(1)) * F.sum("cents"))
-            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            (2.0 * s_rk)
+            / (n_.cast("double") * F.sum("cents").cast("double"))
+            - (n_ + 1.0) / n_,
             6,
         ).alias("gini"),
     )
@@ -276,7 +317,8 @@ WITH per_cust AS (
 )
 SELECT CAST(count(*) AS BIGINT) AS n_customers,
        CAST(sum(cents) AS BIGINT) AS total_cents,
-       round((2.0 * CAST(sum(rk * cents) AS BIGINT)) / (count(*) * CAST(sum(cents) AS BIGINT))
+       round((2.0 * CAST(sum(CAST(rk AS HUGEINT) * cents) AS DOUBLE))
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(cents) AS DOUBLE))
              - (count(*) + 1.0) / count(*), 6) AS gini
 FROM ranked
 """
