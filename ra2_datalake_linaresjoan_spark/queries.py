@@ -2309,6 +2309,17 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     #     under (a); their review fixes ride the same re-verify)
     "chi2_independence", "nation_jaccard", "zipf_fit", "gini_spend",
     "event_trigram_paths",
+    # (e) second review pass (batches 17-21): NULL-ordering lockstep
+    #     filters (cusum, decayed counts, interval islands, trigram
+    #     class), dirty-vector guards (knn_accuracy), degenerate-
+    #     denominator guards (ndcg idcg=0, kappa p_e=1, assortativity
+    #     zero variance), DECIMAL/HUGEINT widening (assortativity),
+    #     Benford positive-magnitude domain, NULL-fingerprint copy
+    #     inflation, and the capped supplier broadcast (hhi)
+    "benford_digits", "cusum_changepoint", "decayed_event_counts",
+    "interval_union_coverage", "degree_assortativity", "ndcg_eval",
+    "knn_accuracy", "cohens_kappa", "hhi_concentration",
+    "dup_inflation_by_source",
 })
 
 
@@ -2358,30 +2369,33 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "zipf_fit",
     "gini_spend",
     "event_trigram_paths",
+    # 1e. second review pass, batches 17-21 (_CHANGED_THIS_ROUND (e))
+    "benford_digits",
+    "cusum_changepoint",
+    "decayed_event_counts",
+    "interval_union_coverage",
+    "degree_assortativity",
+    "ndcg_eval",
+    "knn_accuracy",
+    "cohens_kappa",
+    "hhi_concentration",
+    "dup_inflation_by_source",
     # 2. round-8 additions (batch 38, never driver-checked — the
     #    never-checked gate forces them inside the window)
     "ivfpq_ann_recall",
     "liquid_recluster_audit",
     "quantile_drift_detect",
-    # 3. the 11 queries last driver-confirmed in round 1 (the final
-    #    r1-stale cohort — retires r1 staleness entirely)
-    "classifier_parity",
-    "clean_string_parity",
-    "cosine_topk",
-    "date_dim",
-    "event_sessionization",
+    # 3. normalize_boolean_parity keeps its slot (r1-stale AND its
+    #    engine function changed in round 7 — the round-7 verdict put it
+    #    first among the re-verifies)
     "normalize_boolean_parity",
-    "ntile_quartiles",
-    "rollup_orders",
-    "sliding_windows",
-    "tumbling_windows",
-    "window_dedup",
-    # (ann_ivf, ann_lsh, approx_distinct_guarantee, cluster_tightness,
-    # cosine_neardup — r2-stale — yielded their slots to the five
-    # adversarial-review-fixed queries, as cube_orders /
-    # customer_distribution / discounted_revenue earlier yielded theirs
-    # to the batch-38 additions; the whole r2 cohort rotates in round 9
-    # under the one-round slack)
+    # (the other ten r1-stale re-verifies — classifier_parity,
+    # clean_string_parity, cosine_topk, date_dim, event_sessionization,
+    # ntile_quartiles, rollup_orders, sliding_windows, tumbling_windows,
+    # window_dedup — and the r2 fills yielded their slots to the fifteen
+    # adversarial-review-fixed queries: a CHANGED implementation must
+    # re-enter the window before any unchanged re-verify. They lead the
+    # round-9 rotation with the r2 cohort under the one-round slack.)
 )
 
 

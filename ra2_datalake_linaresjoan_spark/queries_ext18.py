@@ -110,19 +110,30 @@ def q_dup_inflation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact-duplicate inflation: a doc is a redundant COPY
     when a smaller-id doc anywhere in the corpus shares its md5
     fingerprint. Reports per source: docs, redundant copies, copy rate,
-    and the wasted whitespace-token count those copies carry."""
+    and the wasted whitespace-token count those copies carry.
+
+    NULL-text docs all share fp = md5(NULL) = NULL — unrelated failed
+    extractions must never count as copies of each other, so is_copy
+    requires a NON-NULL fingerprint (lockstep on both engines). An
+    empty/whitespace-only text counts 0 tokens, not the 1 that
+    split-of-empty-string yields in both engines."""
     docs = _t(spark, sf_dir, "documents")
     keyed = docs.select(
         "doc_id",
         "source",
         F.md5("text").alias("fp"),
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        F.when(F.length(F.trim("text")) == 0, 0)
+        .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+        .alias("n_tok"),
     )
     w = Window.partitionBy("fp")
     flagged = keyed.select(
         "source",
         "n_tok",
-        (F.col("doc_id") > F.min("doc_id").over(w)).alias("is_copy"),
+        (
+            F.col("fp").isNotNull()
+            & (F.col("doc_id") > F.min("doc_id").over(w))
+        ).alias("is_copy"),
     )
     return (
         flagged.groupBy("source")
@@ -143,11 +154,13 @@ def q_dup_inflation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DUP_INFLATION_BY_SOURCE = r"""
 WITH keyed AS (
   SELECT doc_id, source, md5(text) AS fp,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
   FROM documents
 ), flagged AS (
   SELECT source, n_tok,
-         doc_id > min(doc_id) OVER (PARTITION BY fp) AS is_copy
+         fp IS NOT NULL AND doc_id > min(doc_id) OVER (PARTITION BY fp)
+           AS is_copy
   FROM keyed
 )
 SELECT source,

@@ -24,10 +24,10 @@ layout advice, and graph structure over the relational tables.
   partitioned (≤7 rows per order — bounded fan-in at any scale).
 - ``degree_assortativity`` — Pearson degree-degree correlation of the
   customer–supplier bipartite trade graph: do high-degree customers
-  trade with high-degree suppliers? All moments are exact integer sums
-  cast to double only for the final closed-form correlation (at ≥10⁹
-  edges move the moment sums to DECIMAL(38,0) — same escape as the
-  other exact-moment queries).
+  trade with high-degree suppliers? All moments accumulate in
+  DECIMAL(38,0)/HUGEINT (degree sums/products are Σ deg² shaped and
+  overflow int64 on hub-heavy graphs) and cast to double only for the
+  final closed-form correlation, which NULLs on zero-variance graphs.
 """
 
 from __future__ import annotations
@@ -49,8 +49,14 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per leading digit d ∈ 1..9 of o_totalprice: observed count and
     share vs the Benford expectation log10(1 + 1/d), plus the chi-square
     term (n_d − N·p_d)²/(N·p_d). Scan → 9-row aggregate; shares at 6 dp,
-    chi2 terms at 4 dp."""
-    o = _t(spark, sf_dir, "orders")
+    chi2 terms at 4 dp.
+
+    Benford's law applies to positive magnitudes ≥ 1, so totals below 1
+    are excluded in lockstep: a sub-unit total yields leading digit 0
+    (1/digit is an ANSI DIVIDE_BY_ZERO in Spark but a NULL row in
+    DuckDB) and a negative total crashes the digit cast on both
+    engines."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
     per = (
         o.select(
             F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
@@ -82,7 +88,7 @@ SQL_BENFORD_DIGITS = """
 WITH per AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
          CAST(count(*) AS BIGINT) AS n_orders
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
 ), tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM per)
 SELECT digit, n_orders,
        round(CAST(n_orders AS DOUBLE) / total, 6) AS obs_share,
@@ -105,8 +111,10 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scaling by n_days keeps the statistic an exact integer:
     S_i·nd = cum_i·nd − i·tot. Events aggregate to (type, day) first —
     map-side combine — and every window runs over that bounded
-    days×types table, never the event stream."""
-    ev = _t(spark, sf_dir, "events")
+    days×types table, never the event stream. NULL-ts rows drop in
+    lockstep: a NULL day sorts FIRST in Spark's cumulative window but
+    LAST in DuckDB's, corrupting every prefix sum after it."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -141,7 +149,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CUSUM_CHANGEPOINT = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), c AS (
   SELECT event_type, day,
          CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
@@ -173,8 +181,10 @@ def q_decayed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (weight 0.5^(days_ago/7) to the corpus max day). Decay applies to
     the per-day AGGREGATE — the float fold touches ≤ n_days values per
     type, over a sorted array so both engines sum in the same order.
-    Counts exact; decayed values at 4 dp."""
-    ev = _t(spark, sf_dir, "events")
+    Counts exact; decayed values at 4 dp. NULL-ts rows drop in
+    lockstep: a NULL day would NULL Spark's whole fold (acc + NULL)
+    while DuckDB's list_sum silently skips the element."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -208,7 +218,7 @@ def q_decayed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DECAYED_EVENT_COUNTS = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), mx AS (SELECT max(day) AS max_day FROM daily),
 per AS (
   SELECT event_type, n, date_diff('day', day, max_day) AS d
@@ -315,8 +325,13 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     [shipdate, shipdate + quantity days), summarized per priority:
     orders, avg/max covered days, avg island count. The sweep window is
     order-key-partitioned — ≤7 rows per partition at any corpus size —
-    and the island arithmetic is all integer day math."""
-    li = _t(spark, sf_dir, "lineitem")
+    and the island arithmetic is all integer day math. NULL shipdate /
+    quantity rows drop in lockstep: a NULL interval start sorts FIRST
+    in Spark's sweep window but LAST in DuckDB's, forming a different
+    island count per engine."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull() & F.col("l_quantity").isNotNull()
+    )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     iv = li.select(
         "l_orderkey",
@@ -357,6 +372,7 @@ WITH iv AS (
   SELECT l_orderkey, CAST(l_shipdate AS DATE) AS s,
          CAST(l_shipdate AS DATE) + to_days(CAST(l_quantity AS INT)) AS e
   FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
 ), flagged AS (
   SELECT l_orderkey, s, e,
          CASE WHEN max(e) OVER (PARTITION BY l_orderkey ORDER BY s, e
@@ -397,9 +413,12 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation of (customer degree, supplier degree) over
     distinct customer–supplier trade edges. Degrees come from two
     aggregates of the distinct edge table, join back by key, and the
-    correlation is the closed-form over five moment sums — integers
-    cast to double only in the final expression (DECIMAL(38,0) escape
-    past ~10⁹ edges)."""
+    correlation is the closed-form over five moment sums. The degree
+    products accumulate in DECIMAL(38,0)/HUGEINT (an int64 cd·sd
+    product overflows on hub-heavy graphs where DuckDB would silently
+    promote), and a zero-variance graph (e.g. a single edge, or
+    perfectly regular degrees) yields NULL assortativity in lockstep
+    instead of an ANSI DIVIDE_BY_ZERO."""
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
@@ -409,21 +428,26 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cdeg = edges.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cd"))
     sdeg = edges.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("sd"))
+    dec = "decimal(38,0)"
     m = (
         edges.join(cdeg, "o_custkey")
         .join(sdeg, "l_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("cd").alias("sx"),
-            F.sum("sd").alias("sy"),
-            F.sum(F.col("cd") * F.col("sd")).alias("sxy"),
-            F.sum(F.col("cd") * F.col("cd")).alias("sxx"),
-            F.sum(F.col("sd") * F.col("sd")).alias("syy"),
+            # Σ_edges cd = Σ_customers cd² — same overflow class as the
+            # squared sums, so these widen too (DuckDB sum(BIGINT)
+            # auto-promotes to HUGEINT)
+            F.sum(F.col("cd").cast(dec)).alias("sx"),
+            F.sum(F.col("sd").cast(dec)).alias("sy"),
+            F.sum(F.col("cd").cast(dec) * F.col("sd")).alias("sxy"),
+            F.sum(F.col("cd").cast(dec) * F.col("cd")).alias("sxx"),
+            F.sum(F.col("sd").cast(dec) * F.col("sd")).alias("syy"),
         )
     )
     n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
     sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
-    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = F.when(den2 != 0, (n * sxy - sx * sy) / F.sqrt(den2))
     return m.select(
         F.col("n").alias("n_edges"),
         F.round(sx / n, 4).alias("avg_cust_degree"),
@@ -443,16 +467,18 @@ WITH edges AS (
 ), m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(cd) AS DOUBLE) AS sx, CAST(sum(sd) AS DOUBLE) AS sy,
-         CAST(sum(cd * sd) AS DOUBLE) AS sxy,
-         CAST(sum(cd * cd) AS DOUBLE) AS sxx,
-         CAST(sum(sd * sd) AS DOUBLE) AS syy
+         CAST(sum(CAST(cd AS HUGEINT) * sd) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(cd AS HUGEINT) * cd) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(sd AS HUGEINT) * sd) AS DOUBLE) AS syy
   FROM edges JOIN cdeg USING (o_custkey) JOIN sdeg USING (l_suppkey)
 )
 SELECT n AS n_edges,
        round(sx / n, 4) AS avg_cust_degree,
        round(sy / n, 4) AS avg_supp_degree,
-       round((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS assortativity
+       round(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+             ELSE (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END,
+             6) AS assortativity
 FROM m
 """
 

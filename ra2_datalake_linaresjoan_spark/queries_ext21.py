@@ -161,7 +161,11 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             F.round("dcg", 6).alias("dcg_at_10"),
             F.round("idcg", 6).alias("idcg_at_10"),
-            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+            # all-zero relevance in the top-10 => idcg = 0: NULL nDCG in
+            # lockstep, never an ANSI DIVIDE_BY_ZERO
+            F.round(
+                F.when(F.col("idcg") != 0, F.col("dcg") / F.col("idcg")), 6
+            ).alias("ndcg_at_10"),
         )
         .orderBy("lang")
     )
@@ -198,7 +202,8 @@ WITH base AS (
 SELECT lang, n_docs,
        round(dcg, 6) AS dcg_at_10,
        round(idcg, 6) AS idcg_at_10,
-       round(dcg / idcg, 6) AS ndcg_at_10
+       round(CASE WHEN idcg = 0 THEN NULL ELSE dcg / idcg END, 6)
+         AS ndcg_at_10
 FROM n JOIN dcg USING (lang) JOIN idcg USING (lang)
 ORDER BY lang
 """
@@ -217,7 +222,24 @@ def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB path."""
     from ra2_datalake_linaresjoan_spark.llmdata.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # lockstep dirty-vector guard: cosine_topk's numpy path silently
+    # drops NULL embeddings while the SQL side would hand such a query 5
+    # arbitrary all-NULL-similarity neighbors; interior-NULL and
+    # zero-norm vectors likewise diverge (DuckDB list_sum skips NULL
+    # elements; a zero norm is an ANSI DIVIDE_BY_ZERO on the expr path)
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+        & (
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+            > 0
+        )
+    )
     qs = emb.filter(F.col("vec_id") % 10 == 0)
     top = cosine_topk(qs, emb, k=5)
     nb = top.join(
@@ -251,11 +273,16 @@ def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_KNN_ACCURACY = """
-WITH top AS (
+WITH emb AS (
+  SELECT * FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+), top AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nb_label,
          round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                       CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
-  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  FROM emb q JOIN emb c ON q.vec_id <> c.vec_id
   WHERE q.vec_id % 10 = 0
   QUALIFY row_number() OVER (PARTITION BY q.vec_id
                              ORDER BY cos_sim DESC, c.vec_id ASC) <= 5
@@ -271,7 +298,7 @@ SELECT e.label,
        CAST(sum(CASE WHEN pred = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
        round(sum(CASE WHEN pred = e.label THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
          AS accuracy
-FROM embeddings e JOIN pred ON e.vec_id = pred.query_id
+FROM emb e JOIN pred ON e.vec_id = pred.query_id
 GROUP BY e.label
 ORDER BY e.label
 """
@@ -319,7 +346,11 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("agree").alias("n_agree"),
             F.round(po, 6).alias("p_observed"),
             F.round(pe, 6).alias("p_expected"),
-            F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+            # a single-class corpus concentrates the marginals to
+            # p_e = 1: NULL kappa in lockstep, never ANSI DIVIDE_BY_ZERO
+            F.round(
+                F.when(F.lit(1) - pe != 0, (po - pe) / (1 - pe)), 6
+            ).alias("kappa"),
         )
     )
 
@@ -356,8 +387,10 @@ crossed AS (
 SELECT nn AS n_docs, agree AS n_agree,
        round(CAST(agree AS DOUBLE) / nn, 6) AS p_observed,
        round(crossv / (CAST(nn AS DOUBLE) * nn), 6) AS p_expected,
-       round((CAST(agree AS DOUBLE) / nn - crossv / (CAST(nn AS DOUBLE) * nn))
-             / (1 - crossv / (CAST(nn AS DOUBLE) * nn)), 6) AS kappa
+       round(CASE WHEN 1 - crossv / (CAST(nn AS DOUBLE) * nn) = 0 THEN NULL
+             ELSE (CAST(agree AS DOUBLE) / nn
+                   - crossv / (CAST(nn AS DOUBLE) * nn))
+                  / (1 - crossv / (CAST(nn AS DOUBLE) * nn)) END, 6) AS kappa
 FROM diag CROSS JOIN tot CROSS JOIN crossed
 """
 
@@ -370,7 +403,12 @@ FROM diag CROSS JOIN tot CROSS JOIN crossed
 def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl–Hirschman index of supplier revenue share per nation:
     HHI = Σ share², plus the top-supplier share. Revenue accumulates in
-    exact integer cents; shares go double only in the final squares."""
+    exact integer cents; shares go double only in the final squares.
+    The supplier side grows linearly with scale, so its broadcast goes
+    through the capped-count guard; nation (25 rows) broadcasts
+    unconditionally."""
+    from ra2_datalake_linaresjoan_spark.operators.joins import maybe_broadcast
+
     li = _t(spark, sf_dir, "lineitem")
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -380,7 +418,7 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_sup = (
-        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        li.join(maybe_broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
         .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
         .groupBy("n_name", "s_suppkey")
         .agg(cents.alias("c"))

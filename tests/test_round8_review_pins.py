@@ -163,3 +163,179 @@ def test_exact_corr_moments_complete_cases_only(spark, fixdir):
         math.sqrt(nn * sxx - sx * sx) * math.sqrt(nn * syy - sy * sy)
     )
     assert math.isclose(rows["yy"]["pearson_r"], round(want, 6), abs_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Second review pass (batches 17-21) — degenerate/dirty-input pins
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fixdir2(spark, tmp_path_factory):
+    """Tmp sf_dir exercising the batch-17..21 dirty inputs: NULL ts
+    events, sub-unit order totals, NULL shipdates, dirty embedding
+    vectors, a single-class corpus, and NULL-text documents."""
+    d = tmp_path_factory.mktemp("r8_review_pins2")
+    events = spark.createDataFrame(
+        [
+            Row(event_id=1, user_id=1, event_type="view",
+                ts="2024-01-01 10:00:00", value=1.0),
+            Row(event_id=2, user_id=1, event_type="view",
+                ts="2024-01-02 10:00:00", value=2.0),
+            Row(event_id=3, user_id=1, event_type="view",
+                ts="2024-01-03 10:00:00", value=9.0),
+            Row(event_id=4, user_id=2, event_type="view",
+                ts=None, value=1.0),  # NULL ts
+        ]
+    ).withColumn("ts", F.to_timestamp("ts"))
+    events.write.parquet(str(d / "events.parquet"))
+    orders = spark.createDataFrame(
+        [
+            Row(o_orderkey=1, o_custkey=1, o_totalprice=123.0,
+                o_orderpriority="1-URGENT"),
+            Row(o_orderkey=2, o_custkey=1, o_totalprice=0.5,
+                o_orderpriority="1-URGENT"),   # digit 0 -> excluded
+            Row(o_orderkey=3, o_custkey=2, o_totalprice=-40.0,
+                o_orderpriority="1-URGENT"),   # negative -> excluded
+            Row(o_orderkey=4, o_custkey=2, o_totalprice=456.0,
+                o_orderpriority="1-URGENT"),
+        ]
+    )
+    orders.write.parquet(str(d / "orders.parquet"))
+    lineitem = spark.createDataFrame(
+        [
+            Row(l_orderkey=1, l_suppkey=1, l_partkey=1,
+                l_shipdate="2024-01-01", l_quantity=5.0,
+                l_extendedprice=10.0, l_discount=0.0),
+            Row(l_orderkey=1, l_suppkey=1, l_partkey=2,
+                l_shipdate="2024-02-01", l_quantity=5.0,
+                l_extendedprice=10.0, l_discount=0.0),
+            Row(l_orderkey=1, l_suppkey=1, l_partkey=3,
+                l_shipdate=None, l_quantity=5.0,
+                l_extendedprice=10.0, l_discount=0.0),  # NULL shipdate
+        ]
+    ).withColumn("l_shipdate", F.to_date("l_shipdate"))
+    lineitem.write.parquet(str(d / "lineitem.parquet"))
+    emb = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.0], label=1),   # query, clean
+            Row(vec_id=10, embedding=None, label=1),        # NULL -> out
+            Row(vec_id=20, embedding=[0.0, 0.0], label=1),  # zero-norm
+            Row(vec_id=1, embedding=[1.0, 0.1], label=1),
+            Row(vec_id=2, embedding=[0.9, 0.2], label=1),
+            Row(vec_id=3, embedding=[1.0, None], label=2),  # interior NULL
+            Row(vec_id=4, embedding=[0.8, 0.3], label=1),
+            Row(vec_id=5, embedding=[0.7, 0.1], label=1),
+            Row(vec_id=6, embedding=[0.6, 0.2], label=1),
+        ]
+    )
+    emb.write.parquet(str(d / "embeddings.parquet"))
+    docs = spark.createDataFrame(
+        [
+            # every doc english and predicted english -> kappa p_e = 1;
+            # doc_ids all % 4 == 0 -> ndcg idcg = 0 for this lang
+            Row(doc_id=4, lang="en", source="s0",
+                text="the cat and the dog", n_chars=19),
+            Row(doc_id=8, lang="en", source="s0",
+                text="the bird of the hour is a bird", n_chars=30),
+            # two UNRELATED failed extractions (NULL text, same source)
+            Row(doc_id=12, lang="en", source="s0", text=None, n_chars=0),
+            Row(doc_id=16, lang="en", source="s0", text=None, n_chars=0),
+        ]
+    )
+    docs.write.parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_benford_excludes_subunit_and_negative_totals(spark, fixdir2):
+    from ra2_datalake_linaresjoan_spark.queries_ext20 import q_benford_digits
+
+    rows = q_benford_digits(spark, fixdir2).collect()
+    got = {r["digit"]: r["n_orders"] for r in rows}
+    assert got == {1: 1, 4: 1}  # 123.0 and 456.0 only; no crash, no 0
+
+
+def test_cusum_and_decay_drop_null_ts(spark, fixdir2):
+    from ra2_datalake_linaresjoan_spark.queries_ext20 import (
+        q_cusum_changepoint,
+        q_decayed_event_counts,
+    )
+
+    c = q_cusum_changepoint(spark, fixdir2).collect()
+    assert len(c) == 1 and c[0]["n_days"] == 3  # NULL-ts day never forms
+    assert c[0]["change_day"] is not None
+    dec = q_decayed_event_counts(spark, fixdir2).collect()[0]
+    assert dec["n_events"] == 3
+    assert dec["decayed_count"] is not None  # NULL element never folds in
+
+
+def test_interval_union_drops_null_shipdate(spark, fixdir2):
+    from ra2_datalake_linaresjoan_spark.queries_ext20 import (
+        q_interval_union_coverage,
+    )
+
+    r = q_interval_union_coverage(spark, fixdir2).collect()[0]
+    # two disjoint 5-day islands from the non-null rows
+    assert r["avg_islands"] == 2.0
+    assert r["avg_coverage_days"] == 10.0
+
+
+def test_assortativity_single_edge_null(spark, fixdir2):
+    from ra2_datalake_linaresjoan_spark.queries_ext20 import (
+        q_degree_assortativity,
+    )
+
+    r = q_degree_assortativity(spark, fixdir2).collect()[0]
+    # all edges share one supplier: zero variance -> NULL, no ANSI crash
+    assert r["assortativity"] is None
+
+
+def test_ndcg_zero_ideal_gain_null(spark, fixdir2):
+    from ra2_datalake_linaresjoan_spark.queries_ext21 import q_ndcg_eval
+
+    r = q_ndcg_eval(spark, fixdir2).collect()[0]
+    assert r["idcg_at_10"] == 0.0
+    assert r["ndcg_at_10"] is None  # 0/0 -> NULL, no ANSI crash
+
+
+def test_kappa_single_class_null(spark, tmp_path_factory):
+    """A corpus where every doc is labeled AND predicted the same class
+    concentrates the marginals to p_e = 1 — NULL kappa, no ANSI crash
+    (the shared fixture's NULL-text docs predict 'und' and would
+    dilute p_e, so this pin writes its own single-class corpus)."""
+    from ra2_datalake_linaresjoan_spark.queries_ext21 import q_cohens_kappa
+
+    d = tmp_path_factory.mktemp("r8_kappa_single_class")
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="en", source="s0",
+                text="the cat and the dog", n_chars=19),
+            Row(doc_id=2, lang="en", source="s0",
+                text="the bird of the hour", n_chars=20),
+        ]
+    ).write.parquet(str(d / "documents.parquet"))
+    r = q_cohens_kappa(spark, str(d)).collect()[0]
+    assert r["p_expected"] == 1.0
+    assert r["kappa"] is None  # p_e = 1 -> NULL, no ANSI crash
+
+
+def test_knn_accuracy_excludes_dirty_vectors(spark, fixdir2):
+    from ra2_datalake_linaresjoan_spark.queries_ext21 import q_knn_accuracy
+
+    rows = q_knn_accuracy(spark, fixdir2).collect()
+    # the only surviving query is vec 0 (10 = NULL, 20 = zero-norm);
+    # its 5 clean neighbors all carry label 1
+    assert len(rows) == 1
+    assert rows[0]["label"] == 1 and rows[0]["n_queries"] == 1
+    assert rows[0]["accuracy"] == 1.0
+
+
+def test_dup_inflation_null_texts_are_not_copies(spark, fixdir2):
+    from ra2_datalake_linaresjoan_spark.queries_ext18 import (
+        q_dup_inflation_by_source,
+    )
+
+    r = q_dup_inflation_by_source(spark, fixdir2).collect()[0]
+    assert r["n_docs"] == 4
+    assert r["n_copies"] == 0  # the two NULL-text docs are NOT duplicates
+    assert r["wasted_tokens"] == 0
