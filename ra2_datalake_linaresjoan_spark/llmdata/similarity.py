@@ -32,8 +32,14 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<double> columns."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two array<double> columns.
+
+    A zero-norm vector has no defined cosine: the guard yields NULL
+    instead of an ANSI DIVIDE_BY_ZERO job crash (NULL sorts last under
+    the desc rank all call sites use, so degenerate vectors can never
+    outrank real neighbors)."""
+    den = _norm(a) * _norm(b)
+    return F.when(den != 0, _dot(a, b) / den)
 
 
 #: Above this corpus row count the ``auto`` strategy refuses to collect a
@@ -89,11 +95,18 @@ def cosine_topk(
       documented contract of a brute-force baseline; beyond that use
       ``lsh_bucket_ann``).
     - ``expr``: pure Column zip_with/aggregate — no Python anywhere, no
-      collect anywhere: the corpus moves via a broadcast *join*.
+      collect anywhere. The corpus side goes through the capped-count
+      broadcast guard: a bounded corpus moves via broadcast join, an
+      unbounded one is left UNHINTED so Spark's nested-loop planning
+      broadcasts whichever side is genuinely smaller (usually the query
+      sample) — never a forced table-sized broadcast. Past that, the
+      real scale path is ``lsh_bucket_ann``.
 
     Ranking happens on the ROUNDED similarity with neighbor-id tiebreak so
     results are deterministic and engine-portable. Self-matches excluded.
     """
+    from ra2_datalake_linaresjoan_spark.operators.joins import maybe_broadcast
+
     if method == "auto":
         small = corpus.limit(MAX_COLLECT_ROWS + 1).count() <= MAX_COLLECT_ROWS
         method = "numpy" if small else "expr"
@@ -108,7 +121,10 @@ def cosine_topk(
         F.col(vec_col).cast("array<double>").alias("_cv"),
     )
     scored = (
-        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        q.join(
+            maybe_broadcast(c, cap=MAX_COLLECT_ROWS),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
         .select(
             "query_id",
             "neighbor_id",

@@ -28,6 +28,39 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+#: Lockstep WHERE fragment for the embeddings table, mirrored by
+#: ``_emb_clean``: DuckDB's list_cosine_similarity/list_distance REJECT
+#: NULL elements outright (the Spark side silently NULLs or drops), so
+#: every cosine-path oracle pair must agree on which vectors exist
+#: before any distance math. Zero-norm vectors have no defined cosine
+#: on either engine and are excluded with the same fragment.
+EMB_CLEAN_SQL = (
+    "vec_id IS NOT NULL AND embedding IS NOT NULL"
+    " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
+    " AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))"
+    " > 0"
+)
+
+
+def _emb_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table with dirty vectors dropped in lockstep with
+    ``EMB_CLEAN_SQL`` — NULL ids, NULL vectors, NULL ELEMENTS, and
+    zero-norm vectors are all excluded before any similarity math."""
+    return _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+        & (
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+            > 0
+        )
+    )
+
+
 def normalize_events_ts(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Normalize the events ``ts`` column to TIMESTAMP_LTZ whose
     epoch-micros equal the stored wall-clock value interpreted as UTC —
@@ -975,17 +1008,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for engine-portable determinism."""
     from ra2_datalake_linaresjoan_spark.llmdata.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_clean(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     return cosine_topk(qs, emb, k=5).orderBy(
         "query_id", F.col("cos_sim").desc(), "neighbor_id"
     )
 
 
-SQL_COSINE_TOPK = """
+SQL_COSINE_TOPK = f"""
+WITH embc AS (SELECT * FROM embeddings WHERE {EMB_CLEAN_SQL})
 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
-FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+FROM embc q JOIN embc c ON q.vec_id <> c.vec_id
 WHERE q.vec_id % 50 = 0
 QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY cos_sim DESC, c.vec_id ASC) <= 5
 ORDER BY query_id, cos_sim DESC, neighbor_id
@@ -1017,6 +1051,7 @@ def _ann_lsh_oracle_sql(
     return f"""
 WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {EMB_CLEAN_SQL}
 ), sig AS (
   SELECT vec_id,
     {buckets}
@@ -1049,16 +1084,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only check."""
     from ra2_datalake_linaresjoan_spark.llmdata.similarity import lsh_bucket_ann
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_clean(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     return lsh_bucket_ann(qs, emb, dim=64, k=5, planes=6, tables=6).orderBy(
         "query_id", F.col("cos_sim").desc(), "neighbor_id"
     )
 
 
-SQL_ANN_IVF = """
+SQL_ANN_IVF = f"""
 WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE {EMB_CLEAN_SQL}
 ), cents AS (
   SELECT vec_id AS cell, v AS cv FROM emb ORDER BY vec_id LIMIT 16
 ), assign AS (
@@ -1090,7 +1126,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests)."""
     from ra2_datalake_linaresjoan_spark.llmdata.similarity import ivf_ann
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_clean(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     return ivf_ann(qs, emb, k=5, n_cells=16, n_probe=4, quantizer="seed").orderBy(
         "query_id", F.col("cos_sim").desc(), "neighbor_id"
@@ -2188,14 +2224,15 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold filter, id_a < id_b dedup — no shuffle."""
     from ra2_datalake_linaresjoan_spark.llmdata.similarity import cosine_neardup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_clean(spark, sf_dir)
     return cosine_neardup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
 
 
-SQL_COSINE_NEARDUP = """
+SQL_COSINE_NEARDUP = f"""
+WITH embc AS (SELECT * FROM embeddings WHERE {EMB_CLEAN_SQL})
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM embc a JOIN embc b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
 ORDER BY id_a, id_b
 """
@@ -2320,7 +2357,47 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "interval_union_coverage", "degree_assortativity", "ndcg_eval",
     "knn_accuracy", "cohens_kappa", "hhi_concentration",
     "dup_inflation_by_source",
+    # (f) third review pass (batches 22-26 + llmdata/similarity):
+    #     NULL-sentinel '0x' hash parity (DuckDB's CAST(concat('0x',
+    #     NULL-md5)) errors where Spark's conv returns NULL), NULL-ts
+    #     sequence-window filters (markov pair), NULL-fingerprint
+    #     phantom clusters, degenerate-denominator guards (bloom fp
+    #     rate, contamination rate, laspeyres), complete-case moment
+    #     filters, and the cosine kernel's zero-norm guard + unhinted
+    #     large-corpus expr join (cosine-path consumers inherit it)
+    "cms_width_sweep", "ngram_contamination", "quality_survivor_dedup",
+    "markov_absorption", "dup_rate_sample_estimate",
+    "join_size_sample_estimate", "split_srm_check",
+    "laspeyres_price_index", "dedup_method_venn",
+    "bloom_membership_audit",
+    "cosine_topk", "cosine_neardup", "ann_lsh", "ann_ivf",
+    "neardup_components",
 })
+
+#: Changed queries that could NOT fit the 50-slot driver window this
+#: round (the window already holds 46 changed + 3 never-checked + 1
+#: forced re-verify).  They sit at positions 51+ in the emitted registry
+#: — the FIRST cohort outside the window — and MUST lead the round-9
+#: rotation (move them into the window head next round).  Every name
+#: here was locally re-verified MATCH at sf0.001/0.01/0.1 after its
+#: change; the driver row is deferred one round, not skipped.
+_CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
+    "cms_width_sweep",
+    "ngram_contamination",
+    "quality_survivor_dedup",
+    "markov_absorption",
+    "dup_rate_sample_estimate",
+    "join_size_sample_estimate",
+    "split_srm_check",
+    "laspeyres_price_index",
+    "dedup_method_venn",
+    "bloom_membership_audit",
+    "cosine_topk",
+    "cosine_neardup",
+    "ann_lsh",
+    "ann_ivf",
+    "neardup_components",
+)
 
 
 #: Names the correctness driver should hit FIRST. The driver verifies the
@@ -2396,6 +2473,25 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # adversarial-review-fixed queries: a CHANGED implementation must
     # re-enter the window before any unchanged re-verify. They lead the
     # round-9 rotation with the r2 cohort under the one-round slack.)
+    # 4. _CHANGED_OVERFLOW_NEXT_ROUND — the third-review-pass changed
+    #    cohort, pinned to positions 51+ so it is the FIRST thing the
+    #    round-9 window picks up (tests/test_driver_window.py enforces
+    #    the placement).
+    "cms_width_sweep",
+    "ngram_contamination",
+    "quality_survivor_dedup",
+    "markov_absorption",
+    "dup_rate_sample_estimate",
+    "join_size_sample_estimate",
+    "split_srm_check",
+    "laspeyres_price_index",
+    "dedup_method_venn",
+    "bloom_membership_audit",
+    "cosine_topk",
+    "cosine_neardup",
+    "ann_lsh",
+    "ann_ivf",
+    "neardup_components",
 )
 
 

@@ -19,7 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _t
 
 
 # ---------------------------------------------------------------------------
@@ -484,8 +484,9 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ra2_datalake_linaresjoan_spark.operators.components import (
         connected_components,
     )
+    from ra2_datalake_linaresjoan_spark.queries import _emb_clean
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_clean(spark, sf_dir)
     pairs = cosine_neardup_pairs(emb, threshold=0.4)
     return (
         connected_components(pairs, src="id_a", dst="id_b")
@@ -494,10 +495,12 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NEARDUP_COMPONENTS = """
-WITH RECURSIVE pairs AS (
+SQL_NEARDUP_COMPONENTS = f"""
+WITH RECURSIVE embc AS (
+  SELECT * FROM embeddings WHERE {EMB_CLEAN_SQL}
+), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  FROM embc a JOIN embc b ON a.vec_id < b.vec_id
   WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
 ), edges AS (

@@ -51,8 +51,17 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uniform over the event-type transition matrix, next to each
     type's empirical share. P and v are |types|-sized; every step is a
     vocabulary-keyed join-aggregate — the corpus is touched once for
-    the bigram counts."""
-    ev = _t(spark, sf_dir, "events")
+    the bigram counts.
+
+    NULL event_type/ts/event_id rows drop in lockstep BEFORE the
+    sequence window: NULL ts orders FIRST in Spark but LAST in DuckDB,
+    silently producing different bigrams (hence a different transition
+    matrix) per engine."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     big = (
         ev.select(
@@ -103,6 +112,7 @@ WITH big AS (
     SELECT event_type AS w1,
            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS w2
     FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
   ) WHERE w2 IS NOT NULL GROUP BY 1, 2
 ), rt AS (SELECT w1, CAST(sum(c) AS BIGINT) AS rt FROM big GROUP BY 1),
 p AS (
@@ -113,7 +123,9 @@ v0 AS (SELECT t, 1.0 / nt AS val FROM types CROSS JOIN n),
 v1 AS (SELECT w2 AS t, sum(p * val) AS val FROM p JOIN v0 ON w1 = v0.t GROUP BY w2),
 v2 AS (SELECT w2 AS t, sum(p * val) AS val FROM p JOIN v1 ON w1 = v1.t GROUP BY w2),
 v3 AS (SELECT w2 AS t, sum(p * val) AS val FROM p JOIN v2 ON w1 = v2.t GROUP BY w2),
-emp AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+emp AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+        GROUP BY 1),
 tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM emp)
 SELECT v3.t AS event_type,
        round(val, 6) AS stationary_p,
@@ -136,8 +148,11 @@ def q_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     overestimate (CMS estimates are never under). All widths build in a
     single event pass (one (width, depth, cell) explode); probes are
     the distinct event types with exact counts; estimates use the
-    left-join + coalesce(0) semantics of ``cms_estimate``."""
-    ev = _t(spark, sf_dir, "events")
+    left-join + coalesce(0) semantics of ``cms_estimate``. NULL
+    event_type rows drop in lockstep — a NULL is not a sketch key, and
+    DuckDB's CAST(concat('0x', md5(NULL)...) would error where Spark's
+    conv returns NULL."""
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
 
     def cell(col, w, j):
         return (
@@ -196,13 +211,18 @@ def _cms_sweep_sql() -> str:
         for j in range(_CMS_DEPTH)
     )
     return f"""
-WITH ex AS (
+WITH evf AS (
+  -- filter BEFORE the lateral: DuckDB evaluates the hash expressions
+  -- for every joined row, so a trailing WHERE would still CAST '0x'
+  SELECT event_type FROM events WHERE event_type IS NOT NULL
+), ex AS (
   SELECT t.e.w AS w, t.e.j AS j, t.e.c AS cell
-  FROM events, LATERAL (SELECT unnest([{entries}]) AS e) t
+  FROM evf, LATERAL (SELECT unnest([{entries}]) AS e) t
 ), cells AS (
   SELECT w, j, cell, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY 1, 2, 3
 ), exact AS (
-  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM events GROUP BY 1
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM events
+  WHERE event_type IS NOT NULL GROUP BY 1
 ), probe AS (
   SELECT event_type, n_exact, t.e.w AS w, t.e.j AS j, t.e.c AS cell
   FROM exact, LATERAL (SELECT unnest([{entries}]) AS e) t

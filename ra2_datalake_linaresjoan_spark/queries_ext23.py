@@ -105,9 +105,15 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train",
         "n_eval",
         "n_contaminated",
-        F.round(F.col("n_contaminated") / F.col("n_train"), 6).alias(
-            "contamination_rate"
-        ),
+        # a corpus with zero train docs (every doc_id ≡ 0 mod 97) gives
+        # 0/0 — NULL in lockstep, never an ANSI DIVIDE_BY_ZERO
+        F.round(
+            F.when(
+                F.col("n_train") != 0,
+                F.col("n_contaminated") / F.col("n_train"),
+            ),
+            6,
+        ).alias("contamination_rate"),
         "n_shared_grams",
     )
 
@@ -134,8 +140,10 @@ WITH words AS (
 SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 97 <> 0) AS n_train,
        (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 97 = 0) AS n_eval,
        (SELECT CAST(count(*) AS BIGINT) FROM contaminated) AS n_contaminated,
-       round((SELECT count(*) FROM contaminated) * 1.0
-             / (SELECT count(*) FROM documents WHERE doc_id % 97 <> 0), 6)
+       round(CASE WHEN (SELECT count(*) FROM documents WHERE doc_id % 97 <> 0) = 0
+             THEN NULL
+             ELSE (SELECT count(*) FROM contaminated) * 1.0
+                  / (SELECT count(*) FROM documents WHERE doc_id % 97 <> 0) END, 6)
          AS contamination_rate,
        (SELECT CAST(count(*) AS BIGINT) FROM shared) AS n_shared_grams
 """
@@ -151,9 +159,22 @@ def q_quality_survivor_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters, dup clusters, docs dropped, and the clusters where the
     quality policy (longest doc, ties → smallest id) picks a DIFFERENT
     survivor than min-id. The fingerprint window sees only cluster-sized
-    partitions."""
+    partitions. NULL-text docs get a per-doc sentinel fingerprint in
+    lockstep — md5(NULL) is NULL on both engines and unrelated failed
+    extractions must stay singleton clusters, never one phantom
+    duplicate cluster."""
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select("doc_id", "n_chars", F.md5("text").alias("fp"))
+    fp = docs.select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(
+            F.md5("text"),
+            F.concat(
+                F.lit("<null>:"),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+            ),
+        ).alias("fp"),
+    )
     w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), "doc_id")
     marked = fp.withColumn("rn_q", F.row_number().over(w))
     per_cluster = marked.groupBy("fp").agg(
@@ -176,7 +197,10 @@ def q_quality_survivor_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QUALITY_SURVIVOR_DEDUP = """
 WITH fp AS (
-  SELECT doc_id, n_chars, md5(text) AS fp FROM documents
+  SELECT doc_id, n_chars,
+         coalesce(md5(text),
+                  '<null>:' || coalesce(CAST(doc_id AS VARCHAR), '')) AS fp
+  FROM documents
 ), marked AS (
   SELECT *, row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id) AS rn_q
   FROM fp
@@ -209,8 +233,14 @@ def q_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase absorbing: h₁(t) = P(t→p); hₖ₊₁(t) = P(t→p) +
     Σ_{s≠p} P(t,s)·hₖ(s). Every step is a |types|-sized join-aggregate
     against the checkpointed transition matrix; the corpus is scanned
-    once for the bigram counts."""
-    ev = _t(spark, sf_dir, "events")
+    once for the bigram counts. NULL event_type/ts/event_id rows drop
+    in lockstep before the sequence window (NULL ts orders FIRST in
+    Spark, LAST in DuckDB — different bigrams per engine)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     big = (
         ev.select(
@@ -269,6 +299,7 @@ WITH big AS (
     SELECT event_type AS w1,
            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS w2
     FROM events
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
   ) WHERE w2 IS NOT NULL GROUP BY 1, 2
 ), rt AS (SELECT w1, CAST(sum(c) AS BIGINT) AS rt FROM big GROUP BY 1),
 p AS (SELECT w1, w2, CAST(c AS DOUBLE) / rt AS p FROM big JOIN rt USING (w1)),
@@ -319,20 +350,47 @@ def q_dup_rate_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     systematic underestimate) while content-hash sampling keeps whole
     clusters and tracks the exact rate. One fingerprint shuffle per
     variant; the audit is the measured case for content-hash dedup
-    telemetry."""
+    telemetry.
+
+    NULL hardening in lockstep: NULL-text docs get a per-doc sentinel
+    fingerprint (md5(NULL) is NULL — unrelated docs must not form one
+    phantom cluster), and the sample hashes run over NULL-coalesced
+    keys (DuckDB's CAST(concat('0x', NULL-md5) AS BIGINT) errors where
+    Spark's conv returns NULL). Two-step select so md5(text) is
+    evaluated once (no CSE inside one projection)."""
     docs = _t(spark, sf_dir, "documents")
-    fp = docs.select(
+    fp0 = docs.select(
         "doc_id",
-        F.md5("text").alias("fp"),
+        F.coalesce(
+            F.md5("text"),
+            F.concat(
+                F.lit("<null>:"),
+                F.coalesce(F.col("doc_id").cast("string"), F.lit("")),
+            ),
+        ).alias("fp"),
+    )
+    fp = fp0.select(
+        "doc_id",
+        "fp",
         (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-            .cast("long")
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.coalesce(
+                            F.col("doc_id").cast("string"), F.lit("<null>")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
             % 10
             < 2
         ).alias("in_id_sample"),
         (
-            F.conv(F.substring(F.md5(F.md5("text")), 1, 8), 16, 10).cast("long")
-            % 10
+            F.conv(F.substring(F.md5("fp"), 1, 8), 16, 10).cast("long") % 10
             < 2
         ).alias("in_fp_sample"),
     ).localCheckpoint()
@@ -354,13 +412,18 @@ def q_dup_rate_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DUP_RATE_SAMPLE_ESTIMATE = """
-WITH fp AS (
-  SELECT doc_id, md5(text) AS fp,
-         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 2
-           AS in_id_sample,
-         CAST(concat('0x', substr(md5(md5(text)), 1, 8)) AS BIGINT) % 10 < 2
-           AS in_fp_sample
+WITH fp0 AS (
+  SELECT doc_id,
+         coalesce(md5(text),
+                  '<null>:' || coalesce(CAST(doc_id AS VARCHAR), '')) AS fp
   FROM documents
+), fp AS (
+  SELECT doc_id, fp,
+         CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 8)) AS BIGINT) % 10 < 2
+           AS in_id_sample,
+         CAST(concat('0x', substr(md5(fp), 1, 8)) AS BIGINT) % 10 < 2
+           AS in_fp_sample
+  FROM fp0
 ), exact AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
          round(coalesce(sum(CASE WHEN doc_id > mn THEN 1 ELSE 0 END) * 1.0

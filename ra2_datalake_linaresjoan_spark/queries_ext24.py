@@ -65,6 +65,10 @@ def q_join_size_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (key + a per-row salt via monotonically-increasing id is NOT
     # deterministic across partitionings — use the row's stable business
     # key columns instead)
+    # NULL key parts coalesce to a sentinel on BOTH engines: Spark's
+    # concat_ws drops a NULL part AND its separator ('123') while
+    # DuckDB's concat keeps the separator ('123:') — different md5s,
+    # different sample membership (the ext28/ext30 sentinel convention)
     li_rows = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").alias("k"),
         (
@@ -73,8 +77,14 @@ def q_join_size_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.md5(
                         F.concat_ws(
                             ":",
-                            F.col("l_orderkey"),
-                            F.col("l_linenumber"),
+                            F.coalesce(
+                                F.col("l_orderkey").cast("string"),
+                                F.lit("<null>"),
+                            ),
+                            F.coalesce(
+                                F.col("l_linenumber").cast("string"),
+                                F.lit("<null>"),
+                            ),
                         )
                     ),
                     1,
@@ -91,7 +101,18 @@ def q_join_size_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         (
             F.conv(
-                F.substring(F.md5(F.concat(F.lit("p:"), F.col("k").cast("string"))), 1, 8),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("p:"),
+                            F.coalesce(
+                                F.col("k").cast("string"), F.lit("<null>")
+                            ),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
                 16,
                 10,
             ).cast("long")
@@ -138,12 +159,15 @@ key_est AS (
   FROM joined WHERE in_key_sample
 ), ra AS (
   SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS na FROM lineitem
-  WHERE CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':',
-        CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) % 10 = 0
+  WHERE CAST(concat('0x', substr(md5(concat(
+          coalesce(CAST(l_orderkey AS VARCHAR), '<null>'), ':',
+          coalesce(CAST(l_linenumber AS VARCHAR), '<null>'))), 1, 8))
+        AS BIGINT) % 10 = 0
   GROUP BY 1
 ), rb AS (
   SELECT p_partkey AS k, CAST(count(*) AS BIGINT) AS nb FROM part
-  WHERE CAST(concat('0x', substr(md5(concat('p:', CAST(p_partkey AS VARCHAR))), 1, 8))
+  WHERE CAST(concat('0x', substr(md5(concat('p:',
+          coalesce(CAST(p_partkey AS VARCHAR), '<null>'))), 1, 8))
         AS BIGINT) % 10 = 0
   GROUP BY 1
 ), row_est AS (
@@ -169,8 +193,13 @@ def q_doc_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlations of (chars, tokens, distinct tokens,
     max word length) per document: all moments are exact integer sums in
     ONE aggregate over one scan; the six correlations are closed-form
-    doubles at 6 dp, ordered by feature-pair name."""
-    docs = _t(spark, sf_dir, "documents")
+    doubles at 6 dp, ordered by feature-pair name. Complete cases only
+    (text AND n_chars present) — a NULL text would be counted by n but
+    skipped by the token-moment sums, corrupting r identically on both
+    engines (the formula can even leave |r| > 1)."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
     words = docs.select(
         "n_chars",
         F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "").alias(
@@ -229,7 +258,8 @@ WITH feats AS (
   FROM (SELECT n_chars,
                list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
                            x -> x <> '') AS w
-        FROM documents)
+        FROM documents
+        WHERE text IS NOT NULL AND n_chars IS NOT NULL)
 ), m AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(n_chars) AS BIGINT) AS s_n_chars, CAST(sum(n_chars*n_chars) AS BIGINT) AS ss_n_chars,
@@ -313,10 +343,22 @@ def q_split_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample-ratio-mismatch audit of the 90/5/5 md5 split (the exact
     ``stratified_split_assign`` rule): per split, observed count and
     share vs the target, and the chi-square term (o − e)²/e. One scan
-    into a 3-row aggregate."""
+    into a 3-row aggregate. The id hashes through a NULL sentinel in
+    lockstep (DuckDB's CAST(concat('0x', NULL-md5)) errors where
+    Spark's conv returns NULL and silently fell to 'test')."""
     docs = _t(spark, sf_dir, "documents")
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
         .cast("long")
         % 100
     )
@@ -352,9 +394,9 @@ def q_split_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SPLIT_SRM_CHECK = """
 WITH assigned AS (
   SELECT CASE
-           WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           WHEN CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 8)) AS BIGINT)
                 % 100 < 90 THEN 'train'
-           WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           WHEN CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 8)) AS BIGINT)
                 % 100 < 95 THEN 'val'
            ELSE 'test' END AS split
   FROM documents

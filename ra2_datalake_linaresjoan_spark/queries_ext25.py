@@ -29,7 +29,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _t
 
 
 # ---------------------------------------------------------------------------
@@ -45,7 +45,10 @@ def q_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc count. A doc is flagged by a method when a SMALLER-id doc
     matches it under that method (the survivor convention all dedup
     queries share). Near-dup candidates come from the df-capped 3-gram
-    inverted index; exact Jaccard ≥ 0.5 verifies."""
+    inverted index; exact Jaccard ≥ 0.5 verifies. NULL-text docs all
+    share a NULL md5 fingerprint — unrelated failed extractions must
+    never flag each other, so every dup flag requires a NON-NULL
+    fingerprint (lockstep on both engines)."""
     docs = _t(spark, sf_dir, "documents")
     base = docs.select("doc_id", F.lower("text").alias("t"))
     fp_exact = base.select("doc_id", F.md5("t").alias("fp"))
@@ -56,7 +59,10 @@ def q_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("fp")
         return fp.select(
             "doc_id",
-            (F.col("doc_id") > F.min("doc_id").over(w)).alias(name),
+            (
+                F.col("fp").isNotNull()
+                & (F.col("doc_id") > F.min("doc_id").over(w))
+            ).alias(name),
         )
 
     ex = dup_flag(fp_exact, "exact")
@@ -120,11 +126,13 @@ WITH base AS (
   SELECT doc_id, lower(text) AS t FROM documents
 ), ex AS (
   SELECT doc_id,
-         doc_id > min(doc_id) OVER (PARTITION BY md5(t)) AS exact
+         t IS NOT NULL
+         AND doc_id > min(doc_id) OVER (PARTITION BY md5(t)) AS exact
   FROM base
 ), ca AS (
   SELECT doc_id,
-         doc_id > min(doc_id) OVER (
+         t IS NOT NULL
+         AND doc_id > min(doc_id) OVER (
            PARTITION BY md5(trim(regexp_replace(t, '[^a-z0-9]+', ' ', 'g')))
          ) AS canonical
   FROM base
@@ -178,7 +186,9 @@ def q_mutual_knn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable neighborhoods ⇒ SemDeDup-style pruning is well-posed."""
     from ra2_datalake_linaresjoan_spark.llmdata.similarity import cosine_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    from ra2_datalake_linaresjoan_spark.queries import _emb_clean
+
+    emb = _emb_clean(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") % 5 == 0)
     top = cosine_topk(qs, emb, k=5).filter(F.col("neighbor_id") % 5 == 0)
     edges = top.select("query_id", "neighbor_id").localCheckpoint()
@@ -211,12 +221,13 @@ def q_mutual_knn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_MUTUAL_KNN_RATE = """
-WITH top AS (
+SQL_MUTUAL_KNN_RATE = f"""
+WITH embc AS (SELECT * FROM embeddings WHERE {EMB_CLEAN_SQL}),
+top AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                       CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim
-  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  FROM embc q JOIN embc c ON q.vec_id <> c.vec_id
   WHERE q.vec_id % 5 = 0
   QUALIFY row_number() OVER (PARTITION BY q.vec_id
                              ORDER BY cos_sim DESC, c.vec_id ASC) <= 5
@@ -228,7 +239,7 @@ WITH top AS (
     ON e.query_id = r.neighbor_id AND e.neighbor_id = r.query_id
   WHERE e.query_id < e.neighbor_id
 )
-SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % 5 = 0)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embc WHERE vec_id % 5 = 0)
          AS n_vectors,
        (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_directed_edges,
        (SELECT CAST(count(*) AS BIGINT) FROM mutual) AS n_mutual_pairs,
@@ -321,8 +332,18 @@ def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     L_t = Σ pₜ(part)·q₀(part) / Σ p₀(part)·q₀(part) over parts traded in
     both the base year and year t; p = total cents / total quantity per
     (part, year) — exact integer sums, float only in the final ratios.
-    Index at 4 dp alongside the basket size."""
-    li = _t(spark, sf_dir, "lineitem")
+    Index at 4 dp alongside the basket size.
+
+    Row hygiene in lockstep: rows missing shipdate/quantity/price drop
+    up front (a NULL quantity would add cents to c but nothing to q,
+    silently inflating the unit price on both engines), zero-quantity
+    (part, year) cells have no defined price and are excluded, and an
+    all-zero base basket yields a NULL index instead of ANSI DIV/0."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
     py = (
         li.select(
             "l_partkey",
@@ -332,7 +353,7 @@ def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_partkey", "yr")
         .agg(F.sum("cents").alias("c"), F.sum("qty").alias("q"))
-    ).localCheckpoint()
+    ).localCheckpoint().where(F.col("q") != 0)
     base_yr = py.agg(F.min("yr").alias("yr0"))
     base = (
         py.join(F.broadcast(base_yr), py["yr"] == base_yr["yr0"])
@@ -353,7 +374,11 @@ def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_basket_parts"),
             F.round(
-                F.sum(F.col("pt") * F.col("q0")) / F.sum(F.col("p0") * F.col("q0")),
+                F.when(
+                    F.sum(F.col("p0") * F.col("q0")) != 0,
+                    F.sum(F.col("pt") * F.col("q0"))
+                    / F.sum(F.col("p0") * F.col("q0")),
+                ),
                 4,
             ).alias("laspeyres_index"),
         )
@@ -362,12 +387,16 @@ def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_LASPEYRES_PRICE_INDEX = """
-WITH py AS (
+WITH py0 AS (
   SELECT l_partkey, CAST(year(l_shipdate) AS BIGINT) AS yr,
          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
-  FROM lineitem GROUP BY 1, 2
-), base_yr AS (SELECT min(yr) AS yr0 FROM py),
+  FROM lineitem
+  WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+  GROUP BY 1, 2
+), py AS (SELECT * FROM py0 WHERE q <> 0),
+base_yr AS (SELECT min(yr) AS yr0 FROM py),
 base AS (
   SELECT l_partkey, CAST(c AS DOUBLE) / q AS p0, q AS q0
   FROM py CROSS JOIN base_yr WHERE yr = yr0
@@ -375,7 +404,8 @@ base AS (
   SELECT l_partkey, yr, CAST(c AS DOUBLE) / q AS pt FROM py
 )
 SELECT yr, CAST(count(*) AS BIGINT) AS n_basket_parts,
-       round(sum(pt * q0) / sum(p0 * q0), 4) AS laspeyres_index
+       round(CASE WHEN sum(p0 * q0) = 0 THEN NULL
+             ELSE sum(pt * q0) / sum(p0 * q0) END, 4) AS laspeyres_index
 FROM cur JOIN base USING (l_partkey)
 GROUP BY yr
 ORDER BY yr

@@ -42,9 +42,15 @@ def q_hll_register_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: registers set, HLL estimate, exact distinct users, and
     the signed relative error at 4 dp — the accuracy audit for the
     state-store HLL, oracle-checked against an independent SQL
-    re-implementation of the register math."""
-    ev = _t(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("k")
+    re-implementation of the register math. NULL user_ids drop in
+    lockstep: countDistinct skips NULL, so an unfiltered NULL key would
+    set a phantom (NULL, NULL) register and bias the estimate against
+    its own exact baseline — identically on both engines once DuckDB's
+    '0x'-cast crash is avoided."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("k"))
+        .where(F.col("k").isNotNull())
     )
     regs = (
         hll_registers(ev, "k")
@@ -69,7 +75,7 @@ def q_hll_register_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HLL_REGISTER_ESTIMATE = f"""
 WITH keyed AS (
-  SELECT CAST(user_id AS VARCHAR) AS k FROM events
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL
 ), obs AS (
   SELECT CAST(concat('0x', substr(md5(k), 1, 8)) AS BIGINT) % {HLL_M} AS register,
          CASE WHEN CAST(concat('0x', substr(md5(k), 9, 8)) AS BIGINT) = 0 THEN 33
@@ -105,14 +111,20 @@ def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: seen probes (all must flag maybe-member — the no-false-
     negative guarantee), unseen probes, unseen flagged (false
     positives), and the FP rate at 6 dp. Bit set and probes use the
-    library kernels the streaming state store runs."""
+    library kernels the streaming state store runs. NULL-text docs drop
+    in lockstep (md5(NULL) is not a filter key, and DuckDB's
+    '0x'-concat cast would error where Spark's conv returns NULL); a
+    probe set with zero unseen probes reports NULL fp_rate instead of
+    an ANSI DIVIDE_BY_ZERO."""
     docs = _t(spark, sf_dir, "documents")
-    corpus = docs.select(F.md5("text").alias("k"))
+    corpus = docs.where(F.col("text").isNotNull()).select(
+        F.md5("text").alias("k")
+    )
     bits = bloom_bits(corpus, "k").groupBy("bit").agg(
         F.count(F.lit(1)).alias("n")
     )
     seen = (
-        docs.filter(F.col("doc_id") % 7 == 0)
+        docs.filter((F.col("doc_id") % 7 == 0) & F.col("text").isNotNull())
         .select(F.md5("text").alias("k"), F.lit(True).alias("is_member"))
     )
     unseen = (
@@ -134,8 +146,13 @@ def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((~F.col("is_member")) & F.col("maybe_member")).cast("long")
         ).alias("n_false_positives"),
         F.round(
-            F.sum(((~F.col("is_member")) & F.col("maybe_member")).cast("long"))
-            / F.sum((~F.col("is_member")).cast("long")),
+            F.when(
+                F.sum((~F.col("is_member")).cast("long")) != 0,
+                F.sum(
+                    ((~F.col("is_member")) & F.col("maybe_member")).cast("long")
+                )
+                / F.sum((~F.col("is_member")).cast("long")),
+            ),
             6,
         ).alias("fp_rate"),
     )
@@ -154,12 +171,13 @@ def _bloom_audit_sql() -> str:
     )
     return f"""
 WITH corpus AS (
-  SELECT md5(text) AS k FROM documents
+  SELECT md5(text) AS k FROM documents WHERE text IS NOT NULL
 ), bits AS (
   SELECT DISTINCT unnest([{bits_of('k')}]) AS bit FROM corpus
 ), probes AS (
   SELECT DISTINCT * FROM (
-    SELECT md5(text) AS k, TRUE AS is_member FROM documents WHERE doc_id % 7 = 0
+    SELECT md5(text) AS k, TRUE AS is_member FROM documents
+    WHERE doc_id % 7 = 0 AND text IS NOT NULL
     UNION ALL
     SELECT concat('probe-', CAST(doc_id AS VARCHAR)), FALSE FROM documents
     WHERE doc_id % 11 = 0
@@ -174,8 +192,10 @@ SELECT CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_seen_prob
          AS n_unseen_probes,
        CAST(sum(CASE WHEN NOT is_member AND maybe_member THEN 1 ELSE 0 END) AS BIGINT)
          AS n_false_positives,
-       round(sum(CASE WHEN NOT is_member AND maybe_member THEN 1 ELSE 0 END) * 1.0
-             / sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 6) AS fp_rate
+       round(CASE WHEN sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) = 0
+             THEN NULL
+             ELSE sum(CASE WHEN NOT is_member AND maybe_member THEN 1 ELSE 0 END) * 1.0
+                  / sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) END, 6) AS fp_rate
 FROM flagged
 """
 

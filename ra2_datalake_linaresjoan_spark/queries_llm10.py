@@ -552,10 +552,25 @@ def q_training_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     different engine reproduce the exact same shards), with a per-shard
     balance audit: doc count, token count, and skew ratio vs the ideal
     uniform shard. One doc-grain scan, one 16-row aggregate."""
+    # the id hashes through a NULL sentinel in lockstep (DuckDB's
+    # CAST(concat('0x', NULL-md5)) errors where Spark's conv returns a
+    # NULL shard)
     docs = _t(spark, sf_dir, "documents")
     assigned = docs.select(
         (
-            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.coalesce(
+                            F.col("doc_id").cast("string"), F.lit("<null>")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
             .cast("long")
             % _N_SHARDS
         ).alias("shard"),
@@ -582,7 +597,7 @@ def q_training_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TRAINING_SHARD_ASSIGN = rf"""
 WITH assigned AS (
-  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+  SELECT CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 8)) AS BIGINT)
            % {_N_SHARDS} AS shard,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
   FROM documents

@@ -33,8 +33,19 @@ def q_stratified_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash split, with the target share alongside — the audit row a
     datacard quotes. One scan, one lang×3 aggregate."""
     docs = _t(spark, sf_dir, "documents")
+    # NULL sentinel in the id hash (lockstep '0x'-cast parity)
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.coalesce(F.col("doc_id").cast("string"), F.lit("<null>"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
         .cast("long")
         % 100
     )
@@ -67,9 +78,9 @@ SQL_STRATIFIED_SPLIT_ASSIGN = f"""
 WITH assigned AS (
   SELECT lang,
          CASE
-           WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           WHEN CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 8))
                      AS BIGINT) % 100 < {_SPLIT_TRAIN} THEN 'train'
-           WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+           WHEN CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 8))
                      AS BIGINT) % 100 < {_SPLIT_VAL} THEN 'val'
            ELSE 'test' END AS split
   FROM documents

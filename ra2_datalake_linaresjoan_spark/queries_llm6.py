@@ -70,6 +70,10 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # NULL-text rows drop in lockstep: md5(NULL) is not a filter key and
+    # DuckDB's CAST(concat('0x', NULL-md5)) errors where Spark's conv
+    # returns NULL
+    docs = docs.where(F.col("text").isNotNull())
     corpus = _pos(docs.select(F.md5("text").alias("h")))
     batch = docs.filter(F.col("doc_id") % 10 == 3).select(
         "doc_id", F.col("text").alias("btext")
@@ -125,11 +129,13 @@ WITH corpus AS (
          CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % {_BLOOM_M} AS p0,
          CAST(concat('0x', substr(md5(text), 9, 8)) AS BIGINT) % {_BLOOM_M} AS p1,
          CAST(concat('0x', substr(md5(text), 17, 8)) AS BIGINT) % {_BLOOM_M} AS p2
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), batch AS (
-  SELECT doc_id, text AS btext FROM documents WHERE doc_id % 10 = 3
+  SELECT doc_id, text AS btext FROM documents
+  WHERE doc_id % 10 = 3 AND text IS NOT NULL
   UNION ALL
-  SELECT -doc_id - 1, text || ' v2' FROM documents WHERE doc_id % 10 = 7
+  SELECT -doc_id - 1, text || ' v2' FROM documents
+  WHERE doc_id % 10 = 7 AND text IS NOT NULL
 ), probes AS (
   SELECT doc_id, md5(btext) AS h,
          CAST(concat('0x', substr(md5(btext), 1, 8)) AS BIGINT) % {_BLOOM_M} AS p0,

@@ -115,7 +115,10 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     report). Two aggregates on the fingerprint (fingerprint → split set,
     then split totals); the distinct-splits-per-fingerprint table is
     fingerprint-sized and joins back by fingerprint."""
-    docs = _t(spark, sf_dir, "documents")
+    # NULL-text docs drop in lockstep (no content fingerprint to leak;
+    # DuckDB's '0x'-concat cast errors on md5(NULL) where Spark's conv
+    # silently fell to the 'test' branch)
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     assigned = docs.select(
         "doc_id",
         F.substring("text", 1, 40).alias("fp"),
@@ -153,7 +156,7 @@ WITH assigned AS (
               WHEN CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT) % 10 = 8
                 THEN 'val'
               ELSE 'test' END AS split
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), fp_splits AS (
   SELECT fp, count(DISTINCT split) AS n_splits FROM assigned GROUP BY fp
 )

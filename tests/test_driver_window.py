@@ -132,8 +132,17 @@ def test_changed_this_round_declared_and_in_window():
     """The changed-cohort declaration is only honest if (a) every name
     resolves in the registry and (b) every declared query actually sits
     inside the driver window — declaring a change and then parking the
-    query outside the first 50 would dodge re-verification."""
+    query outside the first 50 would dodge re-verification.
+
+    When the changed cohort is BIGGER than the window (a heavy review
+    round), the excess must be declared in
+    ``_CHANGED_OVERFLOW_NEXT_ROUND`` and pinned to positions 51+ — the
+    first cohort the round-9 window picks up — never silently parked in
+    the registry tail.  Every overflow name must carry a local
+    tri-scale MATCH (the declaration's contract); the driver row is
+    deferred one round, not skipped."""
     from ra2_datalake_linaresjoan_spark.queries import (
+        _CHANGED_OVERFLOW_NEXT_ROUND,
         _CHANGED_THIS_ROUND,
         queries,
     )
@@ -143,10 +152,28 @@ def test_changed_this_round_declared_and_in_window():
     missing = sorted(q for q in _CHANGED_THIS_ROUND if q not in names)
     assert not missing, f"_CHANGED_THIS_ROUND names not in registry: {missing}"
     window = set(order[:WINDOW])
-    parked = sorted(q for q in _CHANGED_THIS_ROUND if q not in window)
+    overflow = list(_CHANGED_OVERFLOW_NEXT_ROUND)
+    assert set(overflow) <= set(_CHANGED_THIS_ROUND), (
+        "overflow names must be a subset of the declared changed cohort"
+    )
+    assert not (set(overflow) & window), (
+        "overflow names may not also occupy window slots"
+    )
+    # the overflow cohort must sit IMMEDIATELY after the window, in
+    # declaration order, so round 9's rotation starts with it
+    assert order[WINDOW : WINDOW + len(overflow)] == overflow, (
+        "overflow cohort not pinned to positions %d..%d: %r"
+        % (WINDOW + 1, WINDOW + len(overflow),
+           order[WINDOW : WINDOW + len(overflow)])
+    )
+    parked = sorted(
+        q
+        for q in _CHANGED_THIS_ROUND
+        if q not in window and q not in set(overflow)
+    )
     assert not parked, (
         "queries declared changed this round sit OUTSIDE the driver "
-        f"window: {parked}"
+        f"window and the declared overflow: {parked}"
     )
 
 

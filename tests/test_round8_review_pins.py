@@ -186,6 +186,8 @@ def fixdir2(spark, tmp_path_factory):
                 ts="2024-01-03 10:00:00", value=9.0),
             Row(event_id=4, user_id=2, event_type="view",
                 ts=None, value=1.0),  # NULL ts
+            Row(event_id=5, user_id=None, event_type="view",
+                ts=None, value=1.0),  # NULL user_id (HLL phantom register)
         ]
     ).withColumn("ts", F.to_timestamp("ts"))
     events.write.parquet(str(d / "events.parquet"))
@@ -339,3 +341,70 @@ def test_dup_inflation_null_texts_are_not_copies(spark, fixdir2):
     assert r["n_docs"] == 4
     assert r["n_copies"] == 0  # the two NULL-text docs are NOT duplicates
     assert r["wasted_tokens"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine DIRTY-DATA parity pins — the strongest form of the fix
+# contract: the registered Spark query and its DuckDB oracle must agree
+# on the NULL-riddled fixtures, not just on clean testdata. Every name
+# here was fixed in a round-8 review pass for a cross-engine divergence
+# (NULL ordering, concat-vs-concat_ws, '0x' hash casts, phantom NULL
+# fingerprints) and this pin holds the two engines together on the
+# exact dirty inputs that used to split them.
+# ---------------------------------------------------------------------------
+
+_PARITY_FIX1 = [
+    "ks_distance",
+    "event_trigram_paths",
+    "exact_corr_moments",
+    "zipf_fit",
+    "chi2_independence",
+    "markov_stationary",
+    "markov_absorption",
+    "cms_width_sweep",
+]
+_PARITY_FIX2 = [
+    "cusum_changepoint",
+    "decayed_event_counts",
+    "benford_digits",
+    "interval_union_coverage",
+    "degree_assortativity",
+    "hll_register_estimate",
+    "dup_inflation_by_source",
+    "quality_survivor_dedup",
+    "dedup_method_venn",
+    "dup_rate_sample_estimate",
+    "split_srm_check",
+    "doc_feature_corr",
+    "knn_accuracy",
+    "laspeyres_price_index",
+    "bloom_membership_audit",
+    "ngram_contamination",
+    "ndcg_eval",
+]
+
+
+def _assert_parity(spark, sf_dir, names):
+    from oracle_harness import compare, duck_con
+
+    from ra2_datalake_linaresjoan_spark.queries import oracle_sql, queries
+
+    qs, sqls = queries(), oracle_sql()
+    con = duck_con(sf_dir)
+    failures = []
+    for name in names:
+        try:
+            ok, msg = compare(qs[name](spark, sf_dir), con, sqls[name])
+        except Exception as e:  # noqa: BLE001 — collect, report all
+            ok, msg = False, f"exception: {e}"
+        if not ok:
+            failures.append(f"{name}: {msg}")
+    assert not failures, "dirty-data parity broken:\n" + "\n".join(failures)
+
+
+def test_dirty_parity_fixture1(spark, fixdir):
+    _assert_parity(spark, fixdir, _PARITY_FIX1)
+
+
+def test_dirty_parity_fixture2(spark, fixdir2):
+    _assert_parity(spark, fixdir2, _PARITY_FIX2)
