@@ -40,52 +40,66 @@ SF = "/root/testdata/sf0.001"
 #: round.  Every OTHER registry query must MATCH (the env-gated pytest
 #: sweep in tests/test_dirty_parity_gate.py enforces it); removing a
 #: name here requires its fix to show MATCH in a fresh audit run.
-#: Classes: float = summation-order / float-function divergence on
-#: NULL-perturbed groups; nullsem = NULL-handling semantics divergence
-#: not yet lockstep-fixed; stream = streaming-shaped query whose
-#: batch-parity oracle diverges on NULL ts; binary = multimodal byte
-#: paths; tie = tie-break divergence exposed by NULL-induced duplicate
-#: keys.
+#:
+#: Classes, refined from the round-8 one-line diffs (fix recipe each):
+#: - embclean: NULL/interior-NULL/zero-norm vectors diverge between the
+#:   numpy path's silent drops and the SQL side — route the query
+#:   through queries._emb_clean + EMB_CLEAN_SQL (the round-8 cosine
+#:   fix; semantic_kmeans/semantic_prune collapse 8 rows to 1 today).
+#: - nullts: a NULL-ts group survives as an extra row/day in DuckDB
+#:   while Spark's window()/to_date drops or reorders it — lockstep
+#:   `ts IS NOT NULL` before the time bucketing (row counts are off by
+#:   exactly the NULL group: 39 vs 40, 5 vs 6).
+#: - nulltext: token/flag counts on NULL-text docs differ (concat_ws
+#:   vs ||, size(split(NULL)), md5(NULL) groups) — lockstep text
+#:   filters or sentinels (the dup_inflation/quality_survivor recipe).
+#: - statsnull: NULL groups/values reach the closed-form statistic and
+#:   the two engines disagree on NULL propagation vs zero-fill —
+#:   per-query complete-case filters plus CASE-WHEN guards (the
+#:   exact_corr_moments recipe); gini/ntile are rank-tie variants
+#:   (NULL keys order first vs last in the rank window).
+#: - binary: multimodal byte paths (NULL payloads into the fake
+#:   decode) — guard the payload like the text class.
 KNOWN_DIVERGENT: dict[str, str] = {
-    "ab_test_readout": "nullsem",
-    "approx_quantile_guarantee": "nullsem",
-    "bcubed_cluster_eval": "nullsem",
-    "blocking_quality_audit": "nullsem",
-    "clean_string_parity": "nullsem",
-    "cluster_tightness": "float",
-    "corpus_datacard": "nullsem",
-    "cumulative_unique_users": "nullsem",
-    "dedup_survivors": "nullsem",
-    "emb_norm_outliers": "float",
-    "embedding_quantize": "nullsem",
-    "ess_importance_weights": "float",
-    "event_sessionization": "stream",
-    "gini_spend": "tie",
-    "hard_negative_mining": "nullsem",
-    "hll_daily_union": "nullsem",
-    "holt_linear_forecast": "stream",
-    "jackknife_ratio_variance": "float",
-    "jsonish_arrays_parity": "nullsem",
-    "matryoshka_prefix_fidelity": "nullsem",
-    "mmr_diverse_topk": "nullsem",
+    "ab_test_readout": "statsnull",
+    "approx_quantile_guarantee": "nullts",
+    "bcubed_cluster_eval": "embclean",
+    "blocking_quality_audit": "embclean",
+    "clean_string_parity": "nulltext",
+    "cluster_tightness": "embclean",
+    "corpus_datacard": "nulltext",
+    "cumulative_unique_users": "nullts",
+    "dedup_survivors": "nulltext",
+    "emb_norm_outliers": "embclean",
+    "embedding_quantize": "embclean",
+    "ess_importance_weights": "statsnull",
+    "event_sessionization": "nullts",
+    "gini_spend": "statsnull",
+    "hard_negative_mining": "embclean",
+    "hll_daily_union": "nullts",
+    "holt_linear_forecast": "nullts",
+    "jackknife_ratio_variance": "statsnull",
+    "jsonish_arrays_parity": "nulltext",
+    "matryoshka_prefix_fidelity": "embclean",
+    "mmr_diverse_topk": "embclean",
     "multimodal_features": "binary",
     "multimodal_frames": "binary",
     "multimodal_resize": "binary",
-    "ntile_quartiles": "tie",
-    "poisson_bootstrap_ci": "nullsem",
-    "pq_codebook_distortion": "nullsem",
-    "quantize_embeddings": "nullsem",
-    "score_calibration_bins": "nullsem",
-    "semantic_kmeans": "nullsem",
-    "semantic_prune": "nullsem",
-    "sliding_windows": "stream",
-    "sources_by_lang": "nullsem",
-    "tumbling_windows": "stream",
-    "udaf_centroids": "nullsem",
-    "waterfill_allocation": "nullsem",
-    "watermark_late_audit": "stream",
-    "wilson_ci": "float",
-    "winsorized_value_stats": "nullsem",
+    "ntile_quartiles": "statsnull",
+    "poisson_bootstrap_ci": "statsnull",
+    "pq_codebook_distortion": "embclean",
+    "quantize_embeddings": "embclean",
+    "score_calibration_bins": "statsnull",
+    "semantic_kmeans": "embclean",
+    "semantic_prune": "embclean",
+    "sliding_windows": "nullts",
+    "sources_by_lang": "nulltext",
+    "tumbling_windows": "nullts",
+    "udaf_centroids": "embclean",
+    "waterfill_allocation": "statsnull",
+    "watermark_late_audit": "nullts",
+    "wilson_ci": "statsnull",
+    "winsorized_value_stats": "statsnull",
 }
 
 
