@@ -107,9 +107,14 @@ def cosine_topk(
     """
     from ra2_datalake_linaresjoan_spark.operators.joins import maybe_broadcast
 
+    corpus_known_large = False
     if method == "auto":
         small = corpus.limit(MAX_COLLECT_ROWS + 1).count() <= MAX_COLLECT_ROWS
         method = "numpy" if small else "expr"
+        # the probe already established the corpus exceeds the broadcast
+        # cap — don't pay a second identical capped count inside
+        # maybe_broadcast; join unhinted directly.
+        corpus_known_large = not small
     if method == "numpy":
         return _cosine_topk_numpy(queries, corpus, id_col, vec_col, k, round_digits)
     q = queries.select(
@@ -122,7 +127,7 @@ def cosine_topk(
     )
     scored = (
         q.join(
-            maybe_broadcast(c, cap=MAX_COLLECT_ROWS),
+            c if corpus_known_large else maybe_broadcast(c, cap=MAX_COLLECT_ROWS),
             F.col("query_id") != F.col("neighbor_id"),
         )
         .select(
@@ -130,6 +135,11 @@ def cosine_topk(
             "neighbor_id",
             F.round(cosine(F.col("_qv"), F.col("_cv")), round_digits).alias("cos_sim"),
         )
+        # zero-norm/NULL vectors have no defined cosine: the guarded
+        # cosine() yields NULL — drop those pairs so the expr path agrees
+        # exactly with the numpy path, which filters degenerate vectors
+        # out of the matrix (they must never occupy top-k tail slots).
+        .where(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -157,12 +167,27 @@ def _cosine_topk_numpy(
     spark = queries.sparkSession
     np_id, sql_id = _id_dtypes(corpus, id_col)
     out_schema = f"query_id {sql_id}, neighbor_id {sql_id}, cos_sim double"
-    # null ids/vectors cannot participate (the expr path's cosine over a
-    # NULL array is NULL and fails every threshold/rank — same outcome);
-    # unfiltered they crash np.array/np.stack with NoneType
+    # degenerate vectors cannot participate: NULL ids/vectors crash
+    # np.array/np.stack with NoneType, and interior-NULL or zero-norm
+    # vectors have no defined cosine (0/0 = NaN would still occupy top-k
+    # tail slots under lexsort). The expr path drops exactly the same
+    # rows via its cos_sim IS NOT NULL filter — the two strategies must
+    # agree on dirty input, not just on _emb_clean-prefiltered corpora.
     rows = (
         corpus.select(id_col, vec_col)
-        .where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .where(
+            F.col(id_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+            & ~F.exists(vec_col, lambda x: x.isNull())
+            & (
+                F.aggregate(
+                    F.col(vec_col).cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+                > 0
+            )
+        )
         .collect()
     )
     if not rows:
@@ -182,7 +207,15 @@ def _cosine_topk_numpy(
             if pdf.empty:
                 continue
             q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            qn = np.linalg.norm(q, axis=1, keepdims=True)
+            # interior NULLs arrive as NaN through Arrow; drop NaN- and
+            # zero-norm queries in lockstep with the expr path's NULL-sim
+            # filter before the 0/0 division can mint NaN rows
+            good = np.isfinite(qn[:, 0]) & (qn[:, 0] > 0)
+            if not good.any():
+                continue
+            pdf, q, qn = pdf[good], q[good], qn[good]
+            q = q / qn
             sims = np.round(q @ c_mat.T, round_digits)
             out_q, out_n, out_s = [], [], []
             for qi, qid in enumerate(pdf[id_col].to_numpy()):
@@ -298,9 +331,25 @@ def cosine_neardup_pairs(
     spark = df.sparkSession
     np_id, sql_id = _id_dtypes(df, id_col)
     pair_schema = f"id_a {sql_id}, id_b {sql_id}, cos_sim double"
+    # same degenerate-vector filter as _cosine_topk_numpy: interior-NULL
+    # vectors crash the float64 matrix build and zero-norm vectors mint
+    # NaN rows; the lsh/expr paths exclude both via the guarded cosine's
+    # NULL failing the >= threshold filter — keep the strategies agreeing.
     rows = (
         df.select(id_col, vec_col)
-        .where(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .where(
+            F.col(id_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+            & ~F.exists(vec_col, lambda x: x.isNull())
+            & (
+                F.aggregate(
+                    F.col(vec_col).cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )
+                > 0
+            )
+        )
         .collect()
     )
     if not rows:

@@ -39,13 +39,14 @@ def semi_filter(df: DataFrame, keys_df: DataFrame, on: str | Sequence[str]) -> D
     keys = keys_df.select(*on).distinct()
     if df.isStreaming or keys_df.isStreaming:
         return df.join(keys, on=on, how="left_semi")
-    # materialize at most CAP+1 distinct keys: the probe frame is bounded
-    # regardless of key-set size, and on the small path it IS the complete
-    # key set (limit returned everything), so the join reuses it with no
-    # recompute.  The large path joins the lazy distinct unhinted — one
-    # pass inside the join, AQE picks the strategy — instead of pinning a
-    # corpus-scale key set in executor storage before the probe.
-    probe = keys.limit(SEMI_BROADCAST_CAP + 1).localCheckpoint(eager=True)
+    # plain capped count probe: scans at most CAP+1 distinct keys and
+    # pins NOTHING (a localCheckpoint here would leave its blocks in
+    # executor storage for the session lifetime on the large path —
+    # DataFrame.unpersist does not release checkpoint RDD blocks). The
+    # small path re-derives the bounded key set lazily inside the
+    # broadcast — one extra scan of a provably-small set; the large
+    # path joins the lazy distinct unhinted so AQE picks the strategy.
+    probe = keys.limit(SEMI_BROADCAST_CAP + 1)
     if probe.count() <= SEMI_BROADCAST_CAP:
         return df.join(F.broadcast(probe), on=on, how="left_semi")
     return df.join(keys, on=on, how="left_semi")

@@ -33,9 +33,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: NULL elements outright (the Spark side silently NULLs or drops), so
 #: every cosine-path oracle pair must agree on which vectors exist
 #: before any distance math. Zero-norm vectors have no defined cosine
-#: on either engine and are excluded with the same fragment.
+#: on either engine and are excluded with the same fragment. Ragged
+#: lengths are excluded too (len = EMB_DIM, the corpus convention the
+#: IVF-PQ queries already pin): DuckDB's list_cosine_similarity RAISES
+#: on mismatched lengths while Spark's zip_with dot silently yields
+#: NULL — the same engine-asymmetry class as interior NULLs.
+EMB_DIM = 64
 EMB_CLEAN_SQL = (
     "vec_id IS NOT NULL AND embedding IS NOT NULL"
+    f" AND len(embedding) = {EMB_DIM}"
     " AND len(list_filter(embedding, x -> x IS NULL)) = 0"
     " AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))"
     " > 0"
@@ -44,11 +50,13 @@ EMB_CLEAN_SQL = (
 
 def _emb_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table with dirty vectors dropped in lockstep with
-    ``EMB_CLEAN_SQL`` — NULL ids, NULL vectors, NULL ELEMENTS, and
-    zero-norm vectors are all excluded before any similarity math."""
+    ``EMB_CLEAN_SQL`` — NULL ids, NULL vectors, NULL ELEMENTS,
+    ragged lengths (≠ EMB_DIM), and zero-norm vectors are all excluded
+    before any similarity math."""
     return _t(spark, sf_dir, "embeddings").where(
         F.col("vec_id").isNotNull()
         & F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMB_DIM)
         & ~F.exists("embedding", lambda x: x.isNull())
         & (
             F.aggregate(

@@ -715,24 +715,29 @@ WITH vals AS (
 ), cum AS (
   SELECT bucket,
          CAST(sum(na) OVER (ORDER BY bucket
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
            AS cuma,
          CAST(sum(nb) OVER (ORDER BY bucket
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
            AS cumb
   FROM joint
 ), best AS (
-  SELECT bucket, abs(cuma * nb_tot - cumb * na_tot) AS gnum,
+  -- HUGEINT products mirror the engine's DECIMAL(38,0) widening: the
+  -- count cross-products overflow BIGINT past ~3e9 rows a side.
+  SELECT bucket,
+         abs(cuma * CAST(nb_tot AS HUGEINT)
+             - cumb * CAST(na_tot AS HUGEINT)) AS gnum,
          na_tot, nb_tot
   FROM cum, tot
   ORDER BY gnum DESC, bucket LIMIT 1
 )
 SELECT na_tot AS n_ref, nb_tot AS n_cur,
        round(CASE WHEN na_tot = 0 OR nb_tot = 0 THEN NULL
-             ELSE gnum * 1.0 / (na_tot * nb_tot) END, 6) AS ks_d,
+             ELSE gnum * 1.0 / (CAST(na_tot AS HUGEINT) * nb_tot) END, 6)
+         AS ks_d,
        bucket AS argmax_bucket,
        round(CASE WHEN na_tot = 0 OR nb_tot = 0 THEN NULL
-             ELSE gnum * 1.0 / (na_tot * nb_tot) END, 6)
+             ELSE gnum * 1.0 / (CAST(na_tot AS HUGEINT) * nb_tot) END, 6)
          > {_QD_THRESH!r} AS drifted
 FROM best
 """

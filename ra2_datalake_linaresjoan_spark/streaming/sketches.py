@@ -415,21 +415,26 @@ def ks_from_joint(joint: DataFrame) -> DataFrame:
     D = max over bucket edges of |CDF_a − CDF_b|, computed as an
     EXACT-integer rational max |cuma·nb_tot − cumb·na_tot| before the
     single final division (engine-identical; summation-order-free).
-    The argmax bucket ties to the LOWEST bucket. Every window runs over
-    the ≤``QH_BUCKETS``-row joint table — state-bounded, never
-    data-bounded. Degenerate sides (an empty histogram) yield a NULL
-    ``ks_d`` instead of 0/0."""
+    The count products are widened to DECIMAL(38,0) (HUGEINT in the
+    DuckDB oracle) so n_a·n_b beyond 2^63 — ~3e9 rows a side, well
+    inside the 100-TB envelope — cannot overflow BIGINT; the final
+    division is done in double (both engines round the same way at 6
+    decimals). The argmax bucket ties to the LOWEST bucket. Every
+    window runs over the ≤``QH_BUCKETS``-row joint table —
+    state-bounded, never data-bounded. Degenerate sides (an empty
+    histogram) yield a NULL ``ks_d`` instead of 0/0."""
     from pyspark.sql import Window
 
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    dec = "decimal(38,0)"
     tot = joint.agg(
-        F.coalesce(F.sum("na"), F.lit(0)).alias("na_tot"),
-        F.coalesce(F.sum("nb"), F.lit(0)).alias("nb_tot"),
+        F.coalesce(F.sum("na"), F.lit(0)).cast(dec).alias("na_tot"),
+        F.coalesce(F.sum("nb"), F.lit(0)).cast(dec).alias("nb_tot"),
     )
     cum = joint.select(
         "bucket",
-        F.sum("na").over(w).alias("cuma"),
-        F.sum("nb").over(w).alias("cumb"),
+        F.sum("na").over(w).cast(dec).alias("cuma"),
+        F.sum("nb").over(w).cast(dec).alias("cumb"),
     ).crossJoin(F.broadcast(tot))
     gap_num = F.abs(
         F.col("cuma") * F.col("nb_tot") - F.col("cumb") * F.col("na_tot")
@@ -440,12 +445,13 @@ def ks_from_joint(joint: DataFrame) -> DataFrame:
         .limit(1)
     )
     return best.select(
-        F.col("na_tot").alias("n_a"),
-        F.col("nb_tot").alias("n_b"),
+        F.col("na_tot").cast("long").alias("n_a"),
+        F.col("nb_tot").cast("long").alias("n_b"),
         F.round(
             F.when(
                 (F.col("na_tot") != 0) & (F.col("nb_tot") != 0),
-                F.col("gnum") / (F.col("na_tot") * F.col("nb_tot")),
+                F.col("gnum").cast("double")
+                / (F.col("na_tot") * F.col("nb_tot")).cast("double"),
             ),
             6,
         ).alias("ks_d"),
