@@ -311,12 +311,25 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     One shuffle on the fingerprint; survivor choice is deterministic
     (SURVEY §2.11: the engine always picks deterministic survivors).
+
+    Dedup runs only among docs with a NON-NULL fingerprint and id:
+    a NULL text carries no evidence of duplication (collapsing every
+    NULL-text doc to one survivor silently destroys corpus rows), and a
+    NULL id can never win — or match — the min-id semi join (the whole
+    group used to vanish). Both pass through as survivors.
     """
     from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import doc_fingerprint
 
     fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp"))
-    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    return df.join(keep.select(id_col), id_col, "left_semi")
+    participants = fp.where(F.col(id_col).isNotNull() & F.col("fp").isNotNull())
+    keep = participants.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    deduped = df.where(
+        F.col(id_col).isNotNull() & doc_fingerprint(F.col(text_col)).isNotNull()
+    ).join(keep.select(id_col), id_col, "left_semi")
+    passthrough = df.where(
+        F.col(id_col).isNull() | doc_fingerprint(F.col(text_col)).isNull()
+    )
+    return deduped.unionByName(passthrough)
 
 
 def incremental_dedup(

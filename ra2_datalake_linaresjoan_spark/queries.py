@@ -889,7 +889,10 @@ WITH fp AS (
 )
 SELECT doc_id, fingerprint
 FROM fp
+-- NULL-fingerprint / NULL-id docs pass through as survivors (the
+-- exact_dedup operator contract: no evidence of duplication)
 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+        OR fingerprint IS NULL OR doc_id IS NULL
 ORDER BY doc_id
 """
 
@@ -1235,12 +1238,21 @@ def q_jsonish_arrays_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_JSONISH_ARRAYS_PARITY = """
+-- every aggregate is guarded by the exact NULL condition of its
+-- synthesized input string (concat propagates NULL in Spark): a NULL
+-- component makes the whole array NULL, so it contributes neither
+-- elements nor values — count(*)*2 would overcount dirty rows
 SELECT count(*) AS n,
-       CAST(count(*) * 2 AS BIGINT)                   AS total_outcomes,
-       count(DISTINCT upper(p_brand))                 AS n_brands_upper,
-       CAST(count(*) * 2 AS BIGINT)                   AS total_prices,
-       round(sum(round(p_retailprice, 2)), 2)         AS sum_first_price,
-       round(sum(CAST(p_size AS DOUBLE)), 2)          AS sum_sizes
+       CAST(2 * sum(CASE WHEN p_brand IS NOT NULL AND p_type IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS total_outcomes,
+       count(DISTINCT CASE WHEN p_type IS NOT NULL
+                           THEN upper(p_brand) END)    AS n_brands_upper,
+       CAST(2 * sum(CASE WHEN p_retailprice IS NOT NULL AND p_size IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS total_prices,
+       round(sum(CASE WHEN p_size IS NOT NULL
+                      THEN round(p_retailprice, 2) END), 2) AS sum_first_price,
+       round(sum(CASE WHEN p_retailprice IS NOT NULL
+                      THEN CAST(p_size AS DOUBLE) END), 2)  AS sum_sizes
 FROM part
 """
 
@@ -1442,8 +1454,13 @@ def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same ``F.window`` expression the streaming path uses (streaming/windows
     module); here executed on the bounded events table so the DuckDB
-    time_bucket oracle can check it."""
-    ev = _t(spark, sf_dir, "events")
+    time_bucket oracle can check it.
+
+    NULL-ts rows are filtered in LOCKSTEP with the oracle: Spark's
+    window() generator silently drops them while time_bucket keeps a
+    NULL group — without the shared filter the engines disagree by
+    exactly that group on dirty data (round-8 parity audit)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(
             F.window("ts", "1 hour").alias("w"), F.col("event_type")
@@ -1468,6 +1485,7 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        count(*) AS n_events,
        round(sum(value), 4) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2
 ORDER BY window_start, event_type
 """
@@ -1475,8 +1493,10 @@ ORDER BY window_start, event_type
 
 def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1 hour long, 30-minute slide) per event_type —
-    every event lands in 2 windows; starts are on the 30-minute grid."""
-    ev = _t(spark, sf_dir, "events")
+    every event lands in 2 windows; starts are on the 30-minute grid.
+    NULL-ts rows filtered in lockstep with the oracle (window() drops
+    them; the UNION ALL bucket arithmetic keeps a NULL group)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -1487,9 +1507,11 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SLIDING_WINDOWS = """
 WITH starts AS (
-  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type FROM events
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type
+  FROM events WHERE ts IS NOT NULL
   UNION ALL
-  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type FROM events
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT window_start, event_type, count(*) AS n_events
 FROM starts
@@ -1501,8 +1523,10 @@ ORDER BY window_start, event_type
 def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (5-minute inactivity gap) per user via
     ``F.session_window`` — the streaming-native sessionization operator run
-    on the bounded table; oracle is the classic gaps-and-islands SQL."""
-    ev = _t(spark, sf_dir, "events")
+    on the bounded table; oracle is the classic gaps-and-islands SQL.
+    NULL-ts rows filtered in lockstep (session_window drops them; the
+    islands SQL would keep a NULL-ts session per user)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), F.col("user_id"))
         .agg(
@@ -1526,6 +1550,7 @@ WITH flagged AS (
                    > INTERVAL '5 minutes'
               THEN 1 ELSE 0 END AS new_session
   FROM events
+  WHERE ts IS NOT NULL
 ), islands AS (
   SELECT user_id, ts, value,
          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -2074,8 +2099,11 @@ def q_clean_string_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CLEAN_STRING_PARITY = r"""
 WITH cleaned AS (
+  -- '||' (not concat) so a NULL p_name stays NULL end-to-end: DuckDB's
+  -- concat swallows NULL args and would mint a ' ' string for NULL
+  -- names where Spark's concat (and F3's contract) yields NULL
   SELECT CASE WHEN c = '' THEN NULL ELSE c END AS c FROM (
-    SELECT substring(regexp_replace(regexp_replace(trim(concat('  ', regexp_replace(p_name, ' ', '   '), ' ' || chr(9))), '\s+', ' ', 'g'), '[\x00-\x1f]', '', 'g'), 1, 30) AS c
+    SELECT substring(regexp_replace(regexp_replace(trim('  ' || regexp_replace(p_name, ' ', '   ') || ' ' || chr(9)), '\s+', ' ', 'g'), '[\x00-\x1f]', '', 'g'), 1, 30) AS c
     FROM part
   )
 )

@@ -368,15 +368,23 @@ ORDER BY status, priority
 
 def q_sources_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set → sorted array → joined string per group (reference U3
-    distinct-union of parsed values, made deterministic by sorting)."""
+    distinct-union of parsed values, made deterministic by sorting).
+    A group with NO non-NULL sources yields a NULL string, matching
+    SQL's string_agg semantics — array_join over the empty set would
+    mint '' where the oracle says NULL (round-8 parity audit)."""
     docs = _t(spark, sf_dir, "documents")
     return (
         docs.groupBy("lang")
         .agg(
-            F.array_join(
-                F.array_sort(F.collect_set("source")), ","
-            ).alias("sources"),
+            F.array_sort(F.collect_set("source")).alias("_set"),
             F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            "lang",
+            F.when(F.size("_set") > 0, F.array_join("_set", ",")).alias(
+                "sources"
+            ),
+            "n_sources",
         )
         .orderBy("lang")
     )

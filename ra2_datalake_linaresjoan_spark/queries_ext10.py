@@ -119,7 +119,12 @@ def q_approx_quantile_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore NOT part of the contract (cf. ``hll_daily_union``). At
     100 TB the sketch is the only viable grouped-quantile plan: fixed
     memory per group, single pass, mergeable partials."""
-    ords = _t(spark, sf_dir, "orders")
+    # complete-case on the measured value: approx_percentile ignores NULL
+    # prices, so the guarantee's population — and its exact group size n —
+    # must be the NON-NULL prices on both engines (count(*) would include
+    # NULL rows the sketch never saw and break the rank tolerance on
+    # dirty data; identical on clean data).
+    ords = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
     est = ords.groupBy("o_orderpriority").agg(
         F.expr(
             f"approx_percentile(o_totalprice, array(0.5, 0.9), {_AQ_ACC})"
@@ -160,6 +165,7 @@ SELECT o_orderpriority,
        TRUE AS p50_within_rank_tol,
        TRUE AS p90_within_rank_tol
 FROM orders
+WHERE o_totalprice IS NOT NULL
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """

@@ -713,8 +713,15 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     The recursion folds over the day-sorted aggregate (≤ n_days
     structs) seeded from the first observation (level = x₀, trend = 0)
     — the same left-to-right float sequence both engines execute, and
-    the init convention DuckDB's ``list_reduce`` imposes."""
-    orders = _t(spark, sf_dir, "orders")
+    the init convention DuckDB's ``list_reduce`` imposes.
+
+    Complete-case in LOCKSTEP with the oracle: a NULL day sorts first in
+    Spark's sort_array but last under DuckDB's row_number ordering
+    (flipping the fold seed), and an all-NULL-price day would poison the
+    recursion with NULL. Identical on clean data."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "cents"
@@ -778,7 +785,9 @@ SQL_HOLT_LINEAR_FORECAST = f"""
 WITH RECURSIVE daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
 ), idx AS (
   SELECT row_number() OVER (ORDER BY day) AS i, CAST(cents AS DOUBLE) AS x
   FROM daily

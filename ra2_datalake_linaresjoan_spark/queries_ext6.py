@@ -166,8 +166,11 @@ def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts first-appearances per day, and takes a running sum over the
     tiny per-day series — linear in the fact, window over ~days rows
     only. The running sum is CAST to BIGINT in the oracle (HUGEINT
-    otherwise — the r2 driver-hash lesson)."""
-    ev = _t(spark, sf_dir, "events")
+    otherwise — the r2 driver-hash lesson). NULL-ts rows are filtered in
+    LOCKSTEP with the oracle: an all-NULL-ts user yields a NULL first_day
+    whose running-sum position differs between engines (Spark windows
+    order NULLS FIRST, DuckDB NULLS LAST)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     first_seen = (
         ev.select("user_id", F.to_date("ts").alias("day"))
         .groupBy("user_id")
@@ -190,7 +193,7 @@ def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CUMULATIVE_UNIQUE_USERS = """
 WITH first_seen AS (
   SELECT user_id, min(CAST(ts AS DATE)) AS first_day
-  FROM events GROUP BY user_id
+  FROM events WHERE ts IS NOT NULL GROUP BY user_id
 ), per_day AS (
   SELECT first_day, CAST(count(*) AS BIGINT) AS n_new_users
   FROM first_seen GROUP BY first_day
@@ -225,8 +228,15 @@ def q_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, bucket) table, broadcasts it back, and each row's seen-max is
     greatest(prefix-max of earlier buckets, running max within its own
     bucket) — the per-partition window now covers one bucket, not one
-    type, so parallelism is |types| × |buckets| and grows with the data."""
-    ev = _t(spark, sf_dir, "events").select(
+    type, so parallelism is |types| × |buckets| and grows with the data.
+
+    NULL ts/event_id rows are filtered in LOCKSTEP with the oracle:
+    lateness is undefined without both an event time and an arrival
+    sequence, and the engines disagree on NULL ordering inside the
+    prefix-max windows (Spark NULLS FIRST, DuckDB NULLS LAST)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
         "event_type", "event_id", F.unix_micros("ts").alias("_us")
     )
     bucketed = ev.withColumn("_bkt", F.expr("event_id div 10000"))
@@ -271,6 +281,7 @@ WITH flagged AS (
               - epoch_us(ts) > 30 * 60 * 1000000
               THEN 1 ELSE 0 END AS late
   FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,

@@ -257,8 +257,13 @@ def q_hll_daily_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-day estimate and the unioned global estimate within 5% of exact —
     lgConfigK=14 gives ~0.8% standard error, so 5% is a hard guarantee,
     not a hope). Like ``approx_distinct_guarantee``, the *guarantee* is
-    the oracle-checkable contract of an approximate operator."""
-    ev = _t(spark, sf_dir, "events")
+    the oracle-checkable contract of an approximate operator.
+
+    NULL-ts rows are filtered in LOCKSTEP with the oracle: Spark's
+    groupBy keeps a NULL day group while the oracle's
+    count(DISTINCT CAST(ts AS DATE)) skips NULL — off by exactly that
+    group on dirty data (round-8 parity audit)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.hll_sketch_agg(F.col("user_id"), F.lit(14)).alias("sketch"),
         F.countDistinct("user_id").alias("exact_users"),
@@ -294,6 +299,7 @@ SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
        CAST(count(DISTINCT user_id) AS BIGINT) AS exact_global,
        true AS global_within_5pct
 FROM events
+WHERE ts IS NOT NULL
 """
 
 

@@ -212,10 +212,13 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = exact_dedup(docs, text_col="text", id_col="doc_id")
     total = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     kept = survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_survivors"))
+    # null-safe (<=>) lang join: a NULL-lang group's survivor count must
+    # land on its total row, not fall out of the equi-join
     return (
-        total.join(kept, "lang", "left")
+        total.alias("t")
+        .join(kept.alias("k"), F.expr("t.lang <=> k.lang"), "left")
         .select(
-            "lang",
+            F.col("t.lang").alias("lang"),
             "n_docs",
             F.coalesce("n_survivors", F.lit(0)).alias("n_survivors"),
             (F.col("n_docs") - F.coalesce("n_survivors", F.lit(0))).alias("n_removed"),
@@ -226,15 +229,23 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_SURVIVORS = """
 WITH ranked AS (
-  SELECT lang, doc_id,
+  SELECT lang, doc_id, text,
          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
   FROM documents
+), flagged AS (
+  -- survivor rule in lockstep with exact_dedup: min-id per fingerprint
+  -- among non-NULL (text, id) docs; NULL-text / NULL-id docs pass
+  -- through as survivors (no evidence of duplication)
+  SELECT lang,
+         CASE WHEN text IS NULL OR doc_id IS NULL THEN 1
+              WHEN rn = 1 THEN 1 ELSE 0 END AS survivor
+  FROM ranked
 )
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
-       CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
-FROM ranked
+       CAST(sum(survivor) AS BIGINT) AS n_survivors,
+       CAST(sum(1 - survivor) AS BIGINT) AS n_removed
+FROM flagged
 GROUP BY lang
 ORDER BY lang
 """

@@ -259,7 +259,12 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
             F.countDistinct(F.md5("text")).alias("n_unique"),
             F.sum("n_chars").alias("sum_chars"),
-            F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+            # when/otherwise(0), not a bare boolean cast: a NULL lang must
+            # count as 0 (the oracle's CASE ... ELSE 0), not poison the
+            # sum to NULL on an all-NULL group
+            F.sum(
+                F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).cast("long")
+            ).alias("n_en"),
         )
         .select(
             "source",
