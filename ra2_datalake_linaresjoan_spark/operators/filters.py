@@ -25,6 +25,31 @@ def non_null_non_blank(*cols: str) -> Column:
     return pred
 
 
+def complete_case(df: DataFrame, *cols: str) -> DataFrame:
+    """Complete-case filter for closed-form statistics: keep only rows
+    where EVERY listed measurement column is non-NULL.
+
+    One audited convention instead of bespoke per-query guards (the
+    round-8 ``exact_corr_moments`` recipe, generalized): a statistic's
+    moment sums must all be computed over the SAME row population, or
+    engines that disagree on NULL propagation (sum skips NULLs, products
+    poison, CASE zero-fills) diverge on dirty data. Pair with
+    ``complete_case_sql`` so the DuckDB oracle filters identically.
+    Plain Column predicates — Catalyst pushes them into the scan."""
+    pred: Column | None = None
+    for c in cols:
+        p = F.col(c).isNotNull()
+        pred = p if pred is None else (pred & p)
+    assert pred is not None
+    return df.where(pred)
+
+
+def complete_case_sql(*cols: str) -> str:
+    """The oracle-side WHERE fragment matching ``complete_case``."""
+    assert cols
+    return " AND ".join(f"{c} IS NOT NULL" for c in cols)
+
+
 def keyword_pattern(keywords: Sequence[str], word_boundary: bool = False) -> str:
     """Escaped alternation regex from a keyword list (P7/P9,
     reference transformer_data.py:343-371, loader_NeonDB.py:749-781).

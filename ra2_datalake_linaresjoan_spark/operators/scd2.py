@@ -52,3 +52,49 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def scd2_apply(
+    episodes: DataFrame,
+    batch: DataFrame,
+    key: str,
+    state: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Incrementally apply a CDC ``batch`` to an existing SCD2
+    ``episodes`` table (the output schema of :func:`scd2_history`),
+    assuming CDC arrival order: every batch timestamp is ≥ every prior
+    timestamp (the contract a change-data feed provides).
+
+    The incremental invariant that makes this cheap at 100 TB: CLOSED
+    episodes can never change (all new rows are later), so the merge
+    touches only each key's OPEN episode — re-derive episodes from
+    {open episode as a synthetic change row} ∪ {batch rows}, then union
+    the untouched closed set back. Cost is |batch| + |live keys|, never
+    the full history; one (key) shuffle. A same-state batch row
+    collapses into the open episode (no new row) — the same no-change
+    collapse rule as the one-shot builder, so
+    ``scd2_apply(scd2_history(b1), b2) == scd2_history(b1 ∪ b2)``
+    exactly (``cdc_scd2_apply_audit`` oracle-pins this equality)."""
+    closed = episodes.where(~F.col("is_current")).select(
+        key, "state", "valid_from", "valid_to", "is_current"
+    )
+    # the open episode re-enters as a change row at its valid_from; a
+    # tiebreak below any real one keeps it FIRST among equal timestamps
+    open_rows = episodes.where(F.col("is_current")).select(
+        F.col(key),
+        F.col("state").alias(state),
+        F.col("valid_from").alias(ts),
+        F.lit(-1).cast("long").alias(tiebreak),
+    )
+    fresh = batch.select(
+        F.col(key),
+        F.col(state),
+        F.col(ts),
+        F.col(tiebreak).cast("long").alias(tiebreak),
+    )
+    rebuilt = scd2_history(
+        open_rows.unionByName(fresh), key, state, ts, tiebreak
+    )
+    return closed.unionByName(rebuilt)

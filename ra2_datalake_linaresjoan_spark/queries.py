@@ -1170,6 +1170,7 @@ SQL_MULTIMODAL_FEATURES = """
 WITH b AS (
   SELECT doc_id AS media_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
   FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ), pos AS (
   SELECT media_id, h, n, unnest(range(0, n, 8)) AS i FROM b WHERE n > 0
 ), acc AS (
@@ -1187,13 +1188,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads.
     The stub decoder's feature math is deterministic byte arithmetic
     (per-slot byte sums mod 1000 / payload length), so slot 0 is
-    oracle-checked exactly in DuckDB over hex(encode(text))."""
+    oracle-checked exactly in DuckDB over hex(encode(text)).
+
+    Complete-case on (doc_id, text): a NULL payload has nothing to
+    decode — the stub minted a fake zero-feature row where the oracle
+    carried NULLs (round-8 parity audit, binary class)."""
     from ra2_datalake_linaresjoan_spark.llmdata.multimodal import (
         attach_binary_payload,
         extract_features,
     )
+    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = complete_case(_t(spark, sf_dir, "documents"), "doc_id", "text")
     media = attach_binary_payload(docs, "text", "doc_id")
     feats = extract_features(media, dim=8)
     return feats.select(
@@ -1698,8 +1704,12 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of embedding vectors (storage/bandwidth
     op for vector pipelines): per-vector scale = 127/max|v|, elements
     rounded into [-127, 127]. Pure higher-order expressions — JVM-side,
-    no Python; oracle via DuckDB list lambdas."""
-    emb = _t(spark, sf_dir, "embeddings")
+    no Python; oracle via DuckDB list lambdas.
+
+    Routes through _emb_clean: a NULL element NULLs Spark's max-abs
+    fold (dropping the row's quantization) where DuckDB's list_reduce
+    skips it (round-8 parity audit)."""
+    emb = _emb_clean(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     max_abs = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
     scale = F.when(max_abs == 0, F.lit(1.0)).otherwise(127.0 / max_abs)
@@ -1720,7 +1730,7 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-SQL_QUANTIZE_EMBEDDINGS = """
+SQL_QUANTIZE_EMBEDDINGS = f"""
 WITH q AS (
   SELECT vec_id,
          CASE WHEN m = 0 THEN 1.0 ELSE 127.0 / m END AS scale_raw,
@@ -1729,7 +1739,8 @@ WITH q AS (
   FROM (SELECT vec_id, embedding,
                list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)),
                            (a, b) -> greatest(a, b)) AS m
-        FROM embeddings)
+        FROM embeddings
+        WHERE {EMB_CLEAN_SQL})
 )
 SELECT vec_id,
        round(scale_raw, 6) AS scale,
@@ -1864,8 +1875,17 @@ def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (one-partition window) — correct here and at dim scale; for
     100 TB fact quantiles use ``approxQuantile``/``percentile_approx``
     boundaries + a broadcast range join instead (sketch-based, no global
-    sort)."""
-    orders = _t(spark, sf_dir, "orders")
+    sort).
+
+    Complete-case on (o_totalprice, o_orderkey) in lockstep with the
+    oracle: a NULL price has no quartile, and the engines disagree on
+    where NULLs land in the ntile order (Spark NULLS FIRST, DuckDB
+    NULLS LAST), shifting every bucket boundary on dirty data."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
+
+    orders = complete_case(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey"
+    )
     w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
     return (
         orders.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
@@ -1887,6 +1907,7 @@ FROM (
   SELECT o_totalprice,
          ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
   FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
 )
 GROUP BY quartile ORDER BY quartile
 """
@@ -2344,63 +2365,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: 50 in insertion order), so the registry is emitted with the queries
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
-#: Queries whose implementation or DuckDB oracle changed in ROUND 8 —
+#: Queries whose implementation or DuckDB oracle changed in ROUND 9 —
 #: each must re-enter the driver window for a fresh correctness row
 #: (tests/test_driver_window.py exempts exactly this declared set from
 #: the max-staleness jumper count and asserts every name sits inside
-#: the first-50 window).  Rewrite this list every round.
+#: the first-50 window or the declared overflow).  Rewrite this list
+#: every round.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # (a) degenerate-input ANSI crash fixes: F.when guards with lockstep
-    #     oracle CASE WHEN edits (round-7 verdict task 1)
-    "markov_stationary", "mutual_knn_rate", "hll_register_estimate",
-    "compaction_plan_audit", "ks_distance", "exact_corr_moments",
-    "auc_quality_score", "doc_feature_corr", "map_ops",
-    # (b) round-7 advisor fixes: NULL-key hash sentinels (ext35), the
-    #     NULL-distinguishing tiebreak fingerprint in operators/asof.py
-    #     (asof_join + purchase_attribution consume it), and the
-    #     localCheckpoint/streaming-guard rework of semi_filter
-    #     (semi_join consumes it)
-    "bucket_pruning_audit", "epoch_shuffle_quality",
-    "asof_join", "purchase_attribution", "semi_join",
-    # (c) changed late in round 7 (NULL-hardening commits d396473 /
-    #     3519398) AFTER their last driver row — the r7 RESERVE could
-    #     not fit them; the round-7 verdict (What's wrong #3) and the
-    #     verify skill both require them to lead the round-8 window
-    "shard_balance_audit", "mixture_temperature_weights",
-    "matryoshka_prefix_fidelity", "fellegi_sunter_em",
-    "salted_skew_join", "conformal_calibration", "group_kfold_assign",
-    "equi_depth_histogram", "ivm_merge_audit", "zone_map_pruning",
-    "js_divergence_splits", "acf_daily_events", "neyman_allocation",
-    "bh_fdr_daily_anomalies", "dp_count_noise_audit",
-    "bcubed_cluster_eval", "pq_codebook_distortion",
-    # (d) round-8 adversarial review fixes over the never-reviewed
-    #     batch-13..16 files: complete-grid chi-square, guarded/widened
-    #     arithmetic (zipf denominator, gini + corr DECIMAL/HUGEINT
-    #     products), NULL-ordering lockstep filters (ks_distance,
-    #     event_trigram_paths), and nation_jaccard's capped supplier
-    #     broadcast (ks_distance / exact_corr_moments already listed
-    #     under (a); their review fixes ride the same re-verify)
-    "chi2_independence", "nation_jaccard", "zipf_fit", "gini_spend",
-    "event_trigram_paths",
-    # (e) second review pass (batches 17-21): NULL-ordering lockstep
-    #     filters (cusum, decayed counts, interval islands, trigram
-    #     class), dirty-vector guards (knn_accuracy), degenerate-
-    #     denominator guards (ndcg idcg=0, kappa p_e=1, assortativity
-    #     zero variance), DECIMAL/HUGEINT widening (assortativity),
-    #     Benford positive-magnitude domain, NULL-fingerprint copy
-    #     inflation, and the capped supplier broadcast (hhi)
-    "benford_digits", "cusum_changepoint", "decayed_event_counts",
-    "interval_union_coverage", "degree_assortativity", "ndcg_eval",
-    "knn_accuracy", "cohens_kappa", "hhi_concentration",
-    "dup_inflation_by_source",
-    # (f) third review pass (batches 22-26 + llmdata/similarity):
-    #     NULL-sentinel '0x' hash parity (DuckDB's CAST(concat('0x',
-    #     NULL-md5)) errors where Spark's conv returns NULL), NULL-ts
-    #     sequence-window filters (markov pair), NULL-fingerprint
-    #     phantom clusters, degenerate-denominator guards (bloom fp
-    #     rate, contamination rate, laspeyres), complete-case moment
-    #     filters, and the cosine kernel's zero-norm guard + unhinted
-    #     large-corpus expr join (cosine-path consumers inherit it)
+    # (a) the round-8 declared overflow, carried into this round's
+    #     window head (their round-8 review-fix implementations still
+    #     lack a driver row; tests enforce the placement) — five of
+    #     them (the cosine/ANN family) ALSO changed again this round
+    #     via the shared _emb_clean ragged-length guard and the
+    #     similarity.py zero-norm/auto-probe fixes
     "cms_width_sweep", "ngram_contamination", "quality_survivor_dedup",
     "markov_absorption", "dup_rate_sample_estimate",
     "join_size_sample_estimate", "split_srm_check",
@@ -2408,31 +2385,68 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "bloom_membership_audit",
     "cosine_topk", "cosine_neardup", "ann_lsh", "ann_ivf",
     "neardup_components",
+    # (b) round-8 advisor fixes + operator-contract changes:
+    #     ks_from_joint DECIMAL(38,0)/HUGEINT widening
+    #     (quantile_drift_detect), the bounded fixed-size ivfpq query
+    #     sample + one-pass index build, the EMB_CLEAN ragged-length
+    #     guard (mutual_knn_rate is the one pre-round-9 consumer not
+    #     already in (a)), semi_filter's plain capped probe (semi_join),
+    #     and exact_dedup's NULL-passthrough survivor contract
+    #     (exact_dedup_docs, curate_corpus, dedup_survivors — the last
+    #     rides in (c))
+    "quantile_drift_detect", "ivfpq_ann_recall", "mutual_knn_rate",
+    "semi_join", "exact_dedup_docs", "curate_corpus",
+    # (c) dirty-parity burn-down, nullts class: lockstep NULL-ts (or
+    #     measured-value) filters before time bucketing
+    "tumbling_windows", "sliding_windows", "event_sessionization",
+    "hll_daily_union", "cumulative_unique_users", "watermark_late_audit",
+    "holt_linear_forecast", "approx_quantile_guarantee",
+    #     nulltext class: NULL-propagating oracle concat, guarded
+    #     aggregates, NULL-for-empty-set, null-safe lang join
+    "clean_string_parity", "jsonish_arrays_parity", "sources_by_lang",
+    "dedup_survivors", "corpus_datacard",
+    #     statsnull class: complete_case() + CASE-ELSE-0 + exact
+    #     integer half-up rounding (winsorized)
+    "gini_spend", "ntile_quartiles", "winsorized_value_stats",
+    "ab_test_readout", "waterfill_allocation", "wilson_ci",
+    "poisson_bootstrap_ci", "score_calibration_bins",
+    "ess_importance_weights", "jackknife_ratio_variance",
+    #     binary class: complete-case payload guards
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
+    # (d) dirty-parity burn-down, embclean class: routed through the
+    #     shared _emb_clean/EMB_CLEAN_SQL lockstep filter (+ NULL-label
+    #     filters where the query joins on label) — the 13-name cohort
+    #     that could not fit the window; declared overflow below
+    "bcubed_cluster_eval", "blocking_quality_audit",
+    "matryoshka_prefix_fidelity", "cluster_tightness", "udaf_centroids",
+    "emb_norm_outliers", "embedding_quantize", "quantize_embeddings",
+    "semantic_kmeans", "semantic_prune", "hard_negative_mining",
+    "mmr_diverse_topk", "pq_codebook_distortion",
 })
 
 #: Changed queries that could NOT fit the 50-slot driver window this
-#: round (the window already holds 46 changed + 3 never-checked + 1
-#: forced re-verify).  They sit at positions 51+ in the emitted registry
-#: — the FIRST cohort outside the window — and MUST lead the round-9
-#: rotation (move them into the window head next round).  Every name
-#: here was locally re-verified MATCH at sf0.001/0.01/0.1 after its
-#: change; the driver row is deferred one round, not skipped.
+#: round (the window already holds the 15 round-8 overflow + 6
+#: advisor/operator fixes + 2 never-checked batch-39 additions + 26
+#: dirty-parity fixes + 1 r1-stale re-verify).  They sit at positions
+#: 51+ in the emitted registry — the FIRST cohort outside the window —
+#: and MUST lead the round-10 rotation.  Every name here was locally
+#: re-verified MATCH at sf0.001/0.01/0.1 after its change AND in the
+#: full dirty-parity audit; the driver row is deferred one round, not
+#: skipped.
 _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
-    "cms_width_sweep",
-    "ngram_contamination",
-    "quality_survivor_dedup",
-    "markov_absorption",
-    "dup_rate_sample_estimate",
-    "join_size_sample_estimate",
-    "split_srm_check",
-    "laspeyres_price_index",
-    "dedup_method_venn",
-    "bloom_membership_audit",
-    "cosine_topk",
-    "cosine_neardup",
-    "ann_lsh",
-    "ann_ivf",
-    "neardup_components",
+    "bcubed_cluster_eval",
+    "blocking_quality_audit",
+    "matryoshka_prefix_fidelity",
+    "cluster_tightness",
+    "udaf_centroids",
+    "emb_norm_outliers",
+    "embedding_quantize",
+    "quantize_embeddings",
+    "semantic_kmeans",
+    "semantic_prune",
+    "hard_negative_mining",
+    "mmr_diverse_topk",
+    "pq_codebook_distortion",
 )
 
 
@@ -2442,77 +2456,9 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
 #: stalest re-verifies; everything else follows in registry insertion
 #: order via `ordered.update(merged)`.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-8 rotation ------------------------------------------------
-    # 1. the 31 _CHANGED_THIS_ROUND queries (crash fixes first, then the
-    #    advisor-fix consumers, then the late-r7 NULL-hardening batch)
-    "markov_stationary",
-    "mutual_knn_rate",
-    "hll_register_estimate",
-    "compaction_plan_audit",
-    "ks_distance",
-    "exact_corr_moments",
-    "auc_quality_score",
-    "doc_feature_corr",
-    "map_ops",
-    "bucket_pruning_audit",
-    "epoch_shuffle_quality",
-    "asof_join",
-    "purchase_attribution",
-    "semi_join",
-    "shard_balance_audit",
-    "mixture_temperature_weights",
-    "matryoshka_prefix_fidelity",
-    "fellegi_sunter_em",
-    "salted_skew_join",
-    "conformal_calibration",
-    "group_kfold_assign",
-    "equi_depth_histogram",
-    "ivm_merge_audit",
-    "zone_map_pruning",
-    "js_divergence_splits",
-    "acf_daily_events",
-    "neyman_allocation",
-    "bh_fdr_daily_anomalies",
-    "dp_count_noise_audit",
-    "bcubed_cluster_eval",
-    "pq_codebook_distortion",
-    # 1d. round-8 adversarial-review fixes (see _CHANGED_THIS_ROUND (d))
-    "chi2_independence",
-    "nation_jaccard",
-    "zipf_fit",
-    "gini_spend",
-    "event_trigram_paths",
-    # 1e. second review pass, batches 17-21 (_CHANGED_THIS_ROUND (e))
-    "benford_digits",
-    "cusum_changepoint",
-    "decayed_event_counts",
-    "interval_union_coverage",
-    "degree_assortativity",
-    "ndcg_eval",
-    "knn_accuracy",
-    "cohens_kappa",
-    "hhi_concentration",
-    "dup_inflation_by_source",
-    # 2. round-8 additions (batch 38, never driver-checked — the
-    #    never-checked gate forces them inside the window)
-    "ivfpq_ann_recall",
-    "liquid_recluster_audit",
-    "quantile_drift_detect",
-    # 3. normalize_boolean_parity keeps its slot (r1-stale AND its
-    #    engine function changed in round 7 — the round-7 verdict put it
-    #    first among the re-verifies)
-    "normalize_boolean_parity",
-    # (the other ten r1-stale re-verifies — classifier_parity,
-    # clean_string_parity, cosine_topk, date_dim, event_sessionization,
-    # ntile_quartiles, rollup_orders, sliding_windows, tumbling_windows,
-    # window_dedup — and the r2 fills yielded their slots to the fifteen
-    # adversarial-review-fixed queries: a CHANGED implementation must
-    # re-enter the window before any unchanged re-verify. They lead the
-    # round-9 rotation with the r2 cohort under the one-round slack.)
-    # 4. _CHANGED_OVERFLOW_NEXT_ROUND — the third-review-pass changed
-    #    cohort, pinned to positions 51+ so it is the FIRST thing the
-    #    round-9 window picks up (tests/test_driver_window.py enforces
-    #    the placement).
+    # -- round-9 rotation ------------------------------------------------
+    # 1. the round-8 declared overflow (the placement gate requires it
+    #    to lead; 5 of the 15 also changed again this round)
     "cms_width_sweep",
     "ngram_contamination",
     "quality_survivor_dedup",
@@ -2528,6 +2474,68 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_lsh",
     "ann_ivf",
     "neardup_components",
+    # 2. round-9 advisor/operator-contract fixes
+    "quantile_drift_detect",
+    "ivfpq_ann_recall",
+    "mutual_knn_rate",
+    "semi_join",
+    "exact_dedup_docs",
+    "curate_corpus",
+    # 3. batch-39 additions (never driver-checked — the never-checked
+    #    gate forces them inside the window)
+    "ab_value_drift_ks",
+    "cdc_scd2_apply_audit",
+    # 4. dirty-parity fixes that fit the window: nullts (8), nulltext
+    #    (5), statsnull (10), binary (3) — 26 of the 39; the 13-name
+    #    embclean class is the declared overflow at positions 51+
+    "tumbling_windows",
+    "sliding_windows",
+    "event_sessionization",
+    "hll_daily_union",
+    "cumulative_unique_users",
+    "watermark_late_audit",
+    "holt_linear_forecast",
+    "approx_quantile_guarantee",
+    "clean_string_parity",
+    "jsonish_arrays_parity",
+    "sources_by_lang",
+    "dedup_survivors",
+    "corpus_datacard",
+    "gini_spend",
+    "ntile_quartiles",
+    "winsorized_value_stats",
+    "ab_test_readout",
+    "waterfill_allocation",
+    "wilson_ci",
+    "poisson_bootstrap_ci",
+    "score_calibration_bins",
+    "ess_importance_weights",
+    "jackknife_ratio_variance",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    # 5. one r1-stale re-verify fills the last slot (window_dedup is
+    #    the reference-core W1 surface; the other r1-stale names —
+    #    classifier_parity, date_dim, rollup_orders — rotate in round
+    #    10 with the r2 cohort once the overflow drains; five more of
+    #    the original r1 cohort got fresh rows via (c) this round)
+    "window_dedup",
+    # 6. _CHANGED_OVERFLOW_NEXT_ROUND — the embclean cohort, pinned to
+    #    positions 51+ so it is the FIRST thing the round-10 window
+    #    picks up (tests/test_driver_window.py enforces the placement).
+    "bcubed_cluster_eval",
+    "blocking_quality_audit",
+    "matryoshka_prefix_fidelity",
+    "cluster_tightness",
+    "udaf_centroids",
+    "emb_norm_outliers",
+    "embedding_quantize",
+    "quantize_embeddings",
+    "semantic_kmeans",
+    "semantic_prune",
+    "hard_negative_mining",
+    "mmr_diverse_topk",
+    "pq_codebook_distortion",
 )
 
 
@@ -2583,6 +2591,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext36 import REGISTRY_EXT36
     from ra2_datalake_linaresjoan_spark.queries_ext37 import REGISTRY_EXT37
     from ra2_datalake_linaresjoan_spark.queries_ext38 import REGISTRY_EXT38
+    from ra2_datalake_linaresjoan_spark.queries_ext39 import REGISTRY_EXT39
 
     merged = {
         **_REGISTRY,
@@ -2637,6 +2646,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT36,
         **REGISTRY_EXT37,
         **REGISTRY_EXT38,
+        **REGISTRY_EXT39,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)

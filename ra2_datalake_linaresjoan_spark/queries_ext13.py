@@ -36,12 +36,21 @@ def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     then the Wilson 95% score interval computed in-row from the exact
     (conversions, n) integers — the safe small-sample interval, and
     engine-bit-stable because it only uses division and sqrt. Rounded at
-    6 dp."""
-    ev = _t(spark, sf_dir, "events")
+    6 dp.
+
+    NULL user ids are filtered in lockstep with the oracle (no id = no
+    variant assignment), and a non-purchase/NULL event counts 0 via
+    when/otherwise — a bare boolean cast would poison the max to NULL
+    for users whose types are all NULL (round-8 parity audit)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     users = (
         ev.groupBy("user_id")
         .agg(
-            F.max((F.col("event_type") == "purchase").cast("long")).alias("converted")
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("converted")
         )
         .select((F.col("user_id") % 2).alias("variant"), "converted")
     )
@@ -69,7 +78,7 @@ SQL_AB_TEST_READOUT = """
 WITH users AS (
   SELECT user_id % 2 AS variant,
          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
-  FROM events GROUP BY user_id
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ), g AS (
   SELECT variant,
          CAST(count(*) AS BIGINT) AS n_users,

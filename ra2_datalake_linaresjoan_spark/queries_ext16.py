@@ -275,8 +275,17 @@ ORDER BY lang
 def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row exact Gini of per-customer spend (integer cents, rank
     formula). Ascending rank with customer-key tiebreak makes the
-    statistic deterministic under equal totals."""
-    orders = _t(spark, sf_dir, "orders")
+    statistic deterministic under equal totals.
+
+    Complete-case on (o_custkey, o_totalprice) in lockstep with the
+    oracle (operators.filters.complete_case): NULL spend groups rank
+    first in Spark but last in DuckDB, shifting every rank in the
+    Σ rank·cents sum on dirty data."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
+
+    orders = complete_case(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    )
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
@@ -309,7 +318,9 @@ SQL_GINI_SPEND = """
 WITH per_cust AS (
   SELECT o_custkey,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM orders GROUP BY o_custkey
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY o_custkey
 ), ranked AS (
   SELECT cents,
          CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS rk

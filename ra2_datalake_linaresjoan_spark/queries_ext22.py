@@ -263,7 +263,12 @@ def q_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     agg = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("k"),
+        # when/otherwise(0): a NULL lang counts 0 like the oracle's CASE
+        # ELSE 0 — a bare boolean cast poisons the sum to NULL on an
+        # all-NULL group (round-8 parity audit)
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ).alias("k"),
     )
     z2 = _WILSON_Z * _WILSON_Z
     n, k = F.col("n").cast("double"), F.col("k").cast("double")

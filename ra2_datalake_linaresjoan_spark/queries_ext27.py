@@ -238,8 +238,15 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate means come from ONE scan and ONE (b)-keyed aggregate with
     map-side combine; replicate means are exact-integer ratios
     (Σw·cents / Σw), so the sorted pick of ranks 2 and 38 (nearest-rank
-    p05/p95 of 40) is engine-identical."""
-    orders = _t(spark, sf_dir, "orders")
+    p05/p95 of 40) is engine-identical.
+
+    Complete-case on (o_orderkey, o_totalprice) in lockstep with the
+    oracle: a NULL key has no md5 weight stream and a NULL price adds
+    weight to a replicate's denominator but nothing to its numerator,
+    skewing replicate means differently per engine (round-8 audit)."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     # The replicate fan-out multiplies per-row CPU ~40x, so a small
     # single-file input would run the whole job on one task (measured:
     # the entire 8-9 s sf0.1 cost was one core doing the md5s). This was
@@ -320,6 +327,7 @@ WITH hexed AS (
                       w := {_pb_weight_sql(_PB_U_SQL)}))
            ))) AS ws
   FROM orders
+  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
 ), weighted AS (
   SELECT cents, u.b AS b, u.w AS w
   FROM (SELECT cents, unnest(ws) AS u FROM hexed)

@@ -208,7 +208,11 @@ def q_score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") - (F.col("n_chars") % _SCB_WIDTH)).alias("bin_lo")
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
+        # when/otherwise(0): NULL lang counts 0 like the oracle's CASE
+        # ELSE 0 (a bare boolean cast poisons an all-NULL group to NULL)
+        F.sum(
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).cast("long")
+        ).alias("pos"),
     )
     z2 = _SCB_Z * _SCB_Z
     p = F.col("pos") / F.col("n")

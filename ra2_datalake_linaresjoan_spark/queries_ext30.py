@@ -32,7 +32,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _emb_clean, _t
 
 _KA_K = 5
 _KA_BAND = 1000
@@ -294,10 +294,11 @@ def _bg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     as pairwise matches of each other) and a NULL embedding has no
     bucket — filtering on both engines also keeps this population
     identical to bcubed_cluster_eval's, whose inner joins drop the
-    same rows."""
-    emb = _t(spark, sf_dir, "embeddings").where(
-        F.col("label").isNotNull() & F.col("embedding").isNotNull()
-    )
+    same rows. The embedding side routes through the shared
+    _emb_clean/EMB_CLEAN_SQL lockstep filter: an interior-NULL
+    component makes the Spark sign-bucket NULL while the oracle's
+    CASE ELSE 0 still buckets the row (round-8 parity audit)."""
+    emb = _emb_clean(spark, sf_dir).where(F.col("label").isNotNull())
     return emb.groupBy(
         _sign_bucket_col().alias("bucket"), F.col("label")
     ).agg(F.count(F.lit(1)).alias("n_bg"))
@@ -307,7 +308,7 @@ _BG_SQL = f"""
   SELECT {_sign_bucket_sql()} AS bucket, label,
          CAST(count(*) AS BIGINT) AS n_bg
   FROM embeddings
-  WHERE label IS NOT NULL AND embedding IS NOT NULL
+  WHERE label IS NOT NULL AND {EMB_CLEAN_SQL}
   GROUP BY 1, 2
 """
 
@@ -451,8 +452,11 @@ def q_matryoshka_prefix_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices (engine-identical doubles); each pair's values quantize to
     1e-6 so the means are exact-integer ratios.  The pair set is
     id-adjacent (one 1-shifted self-join), so cost is linear in the
-    corpus, not quadratic."""
-    emb = _t(spark, sf_dir, "embeddings").select(
+    corpus, not quadratic. Routes through _emb_clean/EMB_CLEAN_SQL:
+    an interior-NULL component NULLs Spark's prefix dot (dropping the
+    struct under the long cast) while DuckDB's list_sum skips it
+    (round-8 parity audit)."""
+    emb = _emb_clean(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     a = emb.select(F.col("vec_id").alias("pid"), F.col("v").alias("va"))
@@ -531,10 +535,12 @@ _MP_STRUCTS = ", ".join(
 )
 
 SQL_MATRYOSHKA_PREFIX_FIDELITY = f"""
-WITH pairs AS (
+WITH clean AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {EMB_CLEAN_SQL}
+), pairs AS (
   SELECT CAST(a.embedding AS DOUBLE[]) AS va,
          CAST(b.embedding AS DOUBLE[]) AS vb
-  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  FROM clean a JOIN clean b ON b.vec_id = a.vec_id + 1
 ), rows_m AS (
   SELECT unnest([{_MP_STRUCTS}], recursive := true)
   FROM pairs

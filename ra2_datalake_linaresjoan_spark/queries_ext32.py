@@ -352,8 +352,14 @@ def q_ess_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-weighting preserves.  Per-source sums reduce to counts times a
     per-source constant, so the whole statistic folds over the
     source-sorted ~20-element array in-row — engine-identical float
-    order, corpus-size-independent cost beyond one aggregate."""
-    docs = _t(spark, sf_dir, "documents")
+    order, corpus-size-independent cost beyond one aggregate.
+
+    Complete-case on (source, n_chars): a NULL-token source has no
+    tempered weight, and its NULL poisons Spark's in-row fold while
+    DuckDB's list_sum silently skips it (round-8 parity audit)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
+
+    docs = complete_case(_t(spark, sf_dir, "documents"), "source", "n_chars")
     src = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("tok"),
@@ -403,7 +409,9 @@ SQL_ESS_IMPORTANCE_WEIGHTS = f"""
 WITH src AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS tok
-  FROM documents GROUP BY 1
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY 1
 ), q AS (
   SELECT source, n_docs, tok,
          CAST(round(pow(CAST(tok AS DOUBLE), CAST({_EW_TAU!r} AS DOUBLE))

@@ -32,7 +32,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _emb_clean, _t
 
 _ZM_CHUNK = 256
 _ZM_LO = 500
@@ -175,14 +175,13 @@ def q_pq_codebook_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     utilization (distinct codewords won) comes along for free — a dead
     codeword is a wasted 4-bit code.  Cost: one broadcast of a 16-row
     codebook, a 16x8 in-row expansion, one (vec, sub)-keyed reduce;
-    this is the codebook side of IVF-PQ ANN at 100 TB. NULL vec_ids /
-    embeddings are filtered on BOTH engines — Spark's ORDER BY takes
-    NULLS FIRST and DuckDB NULLS LAST, so an unfiltered NULL id would
-    seed DIFFERENT codebooks per engine."""
-    emb = (
-        _t(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
-        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    this is the codebook side of IVF-PQ ANN at 100 TB. The scan routes
+    through _emb_clean/EMB_CLEAN_SQL on BOTH engines: Spark's ORDER BY
+    takes NULLS FIRST and DuckDB NULLS LAST (an unfiltered NULL id
+    would seed DIFFERENT codebooks per engine), and an interior-NULL
+    element poisons the subspace distances asymmetrically."""
+    emb = _emb_clean(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     seeds = (
         emb.orderBy("vec_id")
@@ -248,7 +247,7 @@ _PQ_STRUCTS = ", ".join(
 SQL_PQ_CODEBOOK_DISTORTION = f"""
 WITH emb AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+  WHERE {EMB_CLEAN_SQL}
 ), seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
   FROM (SELECT * FROM emb ORDER BY vec_id LIMIT {_PQ_CENTROIDS})

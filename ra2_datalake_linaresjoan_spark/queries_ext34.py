@@ -419,8 +419,17 @@ def q_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     month-SORTED ratio array (engine-identical order).  Month count is
     calendar-bounded (~84), so the collected array is O(1) at any
     corpus size.  Returns zero rows when fewer than 2 months exist
-    (no jackknife is defined)."""
-    orders = _t(spark, sf_dir, "orders")
+    (no jackknife is defined).
+
+    Complete-case on (o_orderdate, o_totalprice): a NULL month or an
+    all-NULL-price month yields a NULL leave-one-out ratio that poisons
+    Spark's in-row folds while DuckDB's list_sum skips it (round-8
+    parity audit)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
+
+    orders = complete_case(
+        _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice"
+    )
     g = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(
@@ -493,7 +502,9 @@ WITH g AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS month,
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
 ), tot AS (
   SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
          CAST(count(*) AS BIGINT) AS dd

@@ -721,50 +721,74 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from one exact-percentile aggregate per type (tiny) joined back
     broadcast; the clamp is a pure Column expression. Complements
     ``mad_outliers`` (which FLAGS outliers) by showing the trimmed
-    estimate itself."""
-    ev = _t(spark, sf_dir, "events")
+    estimate itself.
+
+    All means run over exact integer CENTS (value and the [p5,p95]
+    bounds rounded to cents before clamping/summing), and the 4-dp
+    rounding itself is EXACT-integer half-up ((2·100·Σc + n) div 2n):
+    a cents mean can land exactly on a .00005 tie, where Spark rounds
+    the shortest-decimal representation up but DuckDB rounds the binary
+    double down (round-8 parity audit caught 23.17375 doing exactly
+    this). Complete-case on (event_type, value) — a NULL value has no
+    clamp and its row would split n between engines."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
+
+    ev = complete_case(_t(spark, sf_dir, "events"), "event_type", "value")
+    cents = F.round(F.col("value") * 100).cast("long")
     thr = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("_lo"),
-        F.expr("percentile(value, 0.95)").alias("_hi"),
+        F.round(F.expr("percentile(value, 0.05)") * 100).cast("long").alias("_lo"),
+        F.round(F.expr("percentile(value, 0.95)") * 100).cast("long").alias("_hi"),
     )
     clamped = (
         ev.join(F.broadcast(thr), "event_type")
         .select(
             "event_type",
-            "value",
-            F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")).alias("_w"),
+            cents.alias("_c"),
+            F.least(F.greatest(cents, F.col("_lo")), F.col("_hi")).alias("_w"),
         )
     )
-    return (
-        clamped.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 4).alias("raw_mean"),
-            F.round(F.avg("_w"), 4).alias("winsorized_mean"),
-            F.round(F.sum((F.col("value") != F.col("_w")).cast("long")) / F.count(F.lit(1)), 6)
-            .alias("clamped_ratio"),
-        )
-        .orderBy("event_type")
+    n_ = F.count(F.lit(1))
+    agg = clamped.groupBy("event_type").agg(
+        n_.alias("n_events"),
+        F.sum("_c").alias("_sc"),
+        F.sum("_w").alias("_sw"),
+        F.sum((F.col("_c") != F.col("_w")).cast("long")).alias("_ncl"),
     )
+    # values are non-negative, so div == floor == the half-up identity;
+    # 200·Σcents stays under int64 up to ~4.6e16 cents per group
+    return agg.selectExpr(
+        "event_type",
+        "n_events",
+        "((200 * _sc + n_events) div (2 * n_events)) / 10000 AS raw_mean",
+        "((200 * _sw + n_events) div (2 * n_events)) / 10000"
+        " AS winsorized_mean",
+        "((2000000 * _ncl + n_events) div (2 * n_events)) / 1000000"
+        " AS clamped_ratio",
+    ).orderBy("event_type")
 
 
 SQL_WINSORIZED_VALUE_STATS = """
-WITH thr AS (
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, value
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+), thr AS (
   SELECT event_type,
-         quantile_cont(value, 0.05) AS lo,
-         quantile_cont(value, 0.95) AS hi
-  FROM events GROUP BY event_type
+         CAST(round(quantile_cont(value, 0.05) * 100) AS BIGINT) AS lo,
+         CAST(round(quantile_cont(value, 0.95) * 100) AS BIGINT) AS hi
+  FROM ev GROUP BY event_type
 ), clamped AS (
-  SELECT e.event_type, e.value,
-         least(greatest(e.value, t.lo), t.hi) AS w
-  FROM events e JOIN thr t ON e.event_type = t.event_type
+  SELECT e.event_type, e.c,
+         least(greatest(e.c, t.lo), t.hi) AS w
+  FROM ev e JOIN thr t ON e.event_type = t.event_type
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(avg(value), 4) AS raw_mean,
-       round(avg(w), 4) AS winsorized_mean,
-       round(sum(CASE WHEN value <> w THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-         AS clamped_ratio
+       ((200 * CAST(sum(c) AS BIGINT) + count(*)) // (2 * count(*)))
+         / 10000 AS raw_mean,
+       ((200 * CAST(sum(w) AS BIGINT) + count(*)) // (2 * count(*)))
+         / 10000 AS winsorized_mean,
+       ((2000000 * CAST(sum(CASE WHEN c <> w THEN 1 ELSE 0 END) AS BIGINT)
+         + count(*)) // (2 * count(*))) / 1000000 AS clamped_ratio
 FROM clamped
 GROUP BY event_type
 ORDER BY event_type

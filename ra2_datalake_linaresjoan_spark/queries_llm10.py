@@ -292,8 +292,15 @@ def q_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FIRST feasible rank wins (all earlier ranks saturate). Windows
     and the 1-row candidate scan run over the source-cardinality
     aggregate (~10¹–10³ rows at any corpus size). Allocations at 2 dp,
-    epochs at 4 dp."""
-    docs = _t(spark, sf_dir, "documents")
+    epochs at 4 dp.
+
+    Complete-case on (source, text): a NULL source/capacity row cannot
+    receive an allocation, and its NULL cap sorts first in Spark's
+    waterline window but last in DuckDB's, shifting every rank
+    (round-8 parity audit)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
+
+    docs = complete_case(_t(spark, sf_dir, "documents"), "source", "text")
     per_src = docs.groupBy("source").agg(
         F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("n_tokens")
     )
@@ -347,7 +354,9 @@ SQL_WATERFILL_ALLOCATION = r"""
 WITH per_src AS (
   SELECT source,
          CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
-  FROM documents GROUP BY source
+  FROM documents
+  WHERE source IS NOT NULL AND text IS NOT NULL
+  GROUP BY source
 ), caps AS (
   SELECT source, n_tokens, n_tokens * 4 AS cap FROM per_src
 ), totals AS (

@@ -32,7 +32,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _emb_clean, _t
 from ra2_datalake_linaresjoan_spark.queries_llm10 import (
     _BM25_B,
     _BM25_K1,
@@ -108,9 +108,11 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows (pick 1..10): MMR-selected diverse top-k from the BM25
     top-50 pool (λ = 0.7), with each pick's rank-based relevance and
     its MMR score at selection time. Docs without a vector drop from
-    the pool (inner join) but keep their BM25 rank for relevance."""
+    the pool (inner join) but keep their BM25 rank for relevance.
+    The vector side routes through _emb_clean/EMB_CLEAN_SQL in
+    lockstep (round-8 parity audit: dirty vectors flipped pick order)."""
     pool = _bm25_pool(spark, sf_dir)
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _emb_clean(spark, sf_dir).select(
         F.col("vec_id").alias("doc_id"),
         F.transform(
             "embedding",
@@ -275,7 +277,9 @@ WITH tok AS MATERIALIZED (
          sqrt(CAST(list_sum(list_transform(embedding,
               x -> CAST(round(x * {_MMR_QSCALE}) AS INT)
                    * CAST(round(x * {_MMR_QSCALE}) AS INT))) AS DOUBLE)) AS nrm
-  FROM pool JOIN embeddings ON pool.doc_id = embeddings.vec_id
+  FROM pool
+  JOIN (SELECT vec_id, embedding FROM embeddings WHERE {EMB_CLEAN_SQL})
+    AS embeddings ON pool.doc_id = embeddings.vec_id
 ), {picks_sql}
 SELECT * FROM (
 {unions}

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # shared reader: routes `events` through the nanos-timestamp-safe helper
-from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _emb_clean, _t
 
 
 # ---------------------------------------------------------------------------
@@ -141,8 +141,14 @@ def q_cluster_tightness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the curation signal used for cluster-based pruning/balancing
     (e.g., SemDeDup-style embedding clustering) re-expressed as pure
-    DataFrame ops."""
-    base = _t(spark, sf_dir, "embeddings").select(
+    DataFrame ops.
+
+    Routes through _emb_clean (interior-NULL/zero-norm vectors poison
+    the in-row folds asymmetrically across engines) and drops NULL
+    labels in lockstep — an unlabeled vector belongs to no cluster,
+    and the label equi-joins would silently drop it on the Spark side
+    only (round-8 parity audit)."""
+    base = _emb_clean(spark, sf_dir).where(F.col("label").isNotNull()).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
     exploded = base.select(
@@ -192,10 +198,13 @@ def q_cluster_tightness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CLUSTER_TIGHTNESS = """
-WITH ex AS (
+SQL_CLUSTER_TIGHTNESS = f"""
+WITH clean AS (
+  SELECT label, vec_id, embedding FROM embeddings
+  WHERE label IS NOT NULL AND {EMB_CLEAN_SQL}
+), ex AS (
   SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS val
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  FROM clean, unnest(range(1, len(embedding) + 1)) AS t(i)
 ), cent AS (
   SELECT label, i, avg(val) AS cval FROM ex GROUP BY label, i
 ), cn AS (
@@ -332,13 +341,18 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable, so unlike a real ffmpeg kernel it oracles exactly).
     Output one row per frame with its byte length and an md5 over the hex
     encoding (hex() is case-identical in Spark and DuckDB; DuckDB's md5
-    only takes VARCHAR, so both sides hash the hex string)."""
+    only takes VARCHAR, so both sides hash the hex string).
+
+    Complete-case on (doc_id, text): a NULL payload has no frames —
+    the stub and the oracle disagreed on minting empty-frame rows for
+    it (round-8 parity audit, binary class)."""
     from ra2_datalake_linaresjoan_spark.llmdata.multimodal import (
         attach_binary_payload,
         sample_frames,
     )
+    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = complete_case(_t(spark, sf_dir, "documents"), "doc_id", "text")
     media = attach_binary_payload(docs, "text", "doc_id")
     frames = sample_frames(media, every_n=10, max_frames=4)
     return frames.select(
@@ -355,6 +369,7 @@ WITH m AS (
          hex(encode(text)) AS payload_hex,
          octet_length(encode(text)) AS len
   FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ), p AS (
   SELECT media_id, payload_hex, len,
          greatest(len // 10, 1) AS step,
@@ -381,13 +396,17 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates/zero-pads each payload to the deterministic
     ``width*height/64`` target (224×224 → 784 bytes), so the Arrow
     batching, 1:1 schema contract, and byte math all oracle exactly —
-    hex/md5 parity like ``multimodal_frames``."""
+    hex/md5 parity like ``multimodal_frames``.
+
+    Complete-case on (doc_id, text) in lockstep with the oracle —
+    a NULL payload has nothing to resize (round-8 parity audit)."""
     from ra2_datalake_linaresjoan_spark.llmdata.multimodal import (
         attach_binary_payload,
         resize_images,
     )
+    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = complete_case(_t(spark, sf_dir, "documents"), "doc_id", "text")
     media = attach_binary_payload(docs, "text", "doc_id")
     resized = resize_images(media, width=224, height=224)
     return resized.select(
@@ -405,7 +424,9 @@ SELECT doc_id AS media_id,
        CAST(784 AS INT) AS n_bytes,
        md5(rpad(substring(hex(encode(text)), 1, 784 * 2), 784 * 2, '00'))
          AS payload_md5
-FROM documents ORDER BY media_id
+FROM documents
+WHERE doc_id IS NOT NULL AND text IS NOT NULL
+ORDER BY media_id
 """
 
 
@@ -463,10 +484,14 @@ def q_udaf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors to one numpy reduction). Output is the centroid's L2 norm
     and first-dimension value, so the whole UDAF tier (the last UDF tier
     without a driver-verified query) is pinned against the exact
-    unnest-and-average oracle."""
+    unnest-and-average oracle.
+
+    Routes through _emb_clean + a lockstep NULL-label filter (an
+    unlabeled vector has no centroid group; the Spark label join would
+    drop the NULL group the oracle keeps — round-8 parity audit)."""
     from ra2_datalake_linaresjoan_spark.llmdata.udafs import embedding_centroid
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb_clean(spark, sf_dir).where(F.col("label").isNotNull())
     # GROUPED_AGG pandas UDFs cannot mix with JVM aggregates in one agg —
     # counts come from a separate (cheap) agg joined back
     cent = emb.groupBy("label").agg(embedding_centroid(F.col("embedding")).alias("c"))
@@ -480,15 +505,18 @@ def q_udaf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
-SQL_UDAF_CENTROIDS = """
-WITH ex AS (
+SQL_UDAF_CENTROIDS = f"""
+WITH clean AS (
+  SELECT label, vec_id, embedding FROM embeddings
+  WHERE label IS NOT NULL AND {EMB_CLEAN_SQL}
+), ex AS (
   SELECT label, vec_id, i, CAST(embedding[i] AS DOUBLE) AS val
-  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+  FROM clean, unnest(range(1, len(embedding) + 1)) AS t(i)
 ), cent AS (
   SELECT label, i, avg(val) AS cval FROM ex GROUP BY label, i
 )
 SELECT label,
-       CAST((SELECT count(*) FROM embeddings e WHERE e.label = cent.label) AS BIGINT)
+       CAST((SELECT count(*) FROM clean e WHERE e.label = cent.label) AS BIGINT)
          AS n_vecs,
        round(sqrt(sum(cval * cval)), 4) AS centroid_norm,
        round(max(CASE WHEN i = 1 THEN cval END), 4) AS c0

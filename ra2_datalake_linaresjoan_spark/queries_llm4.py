@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _emb_clean, _t
 
 _CHUNK = 64  # chars per chunk
 _STRIDE = 48  # chunk stride (overlap = _CHUNK - _STRIDE)
@@ -144,8 +144,12 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambdas (transform/aggregate) — no UDF, no shuffle before the final
     small aggregate; the evaluation order inside each vector is the array
     order in BOTH engines, so per-vector error is bit-identical and the
-    per-label mean only averages ~hundreds of values (noise ≪ rounding)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    per-label mean only averages ~hundreds of values (noise ≪ rounding).
+
+    Routes through _emb_clean + a lockstep NULL-label filter: interior
+    NULLs poison the Spark error fold asymmetrically and a zero-norm
+    vector divides by a zero scale (round-8 parity audit)."""
+    emb = _emb_clean(spark, sf_dir).where(F.col("label").isNotNull())
     v = F.transform("embedding", lambda x: x.cast("double"))
     absmax = F.aggregate(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
@@ -169,11 +173,12 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_QUANTIZE = """
+SQL_EMBEDDING_QUANTIZE = f"""
 WITH v AS (
   SELECT label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
   FROM embeddings
+  WHERE label IS NOT NULL AND {EMB_CLEAN_SQL}
 ), scaled AS (
   SELECT label, vec,
          127.0 / list_aggregate(list_transform(vec, x -> abs(x)), 'max') AS scale

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ra2_datalake_linaresjoan_spark.queries import _spread, _t
+from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _emb_clean, _spread, _t
 
 _SPAN = 16  # words per dedup span
 _KMEANS_K = 8
@@ -56,12 +56,16 @@ def _icos(a: Column, b: Column) -> Column:
 
 
 # Shared SQL fragment: quantized embeddings unnested to (vec_id, pos, v).
-_SQL_QVEC = """
+#: shared embedding scan for the kmeans/prune/hard-negative oracles —
+#: EMB_CLEAN_SQL in lockstep with the Spark side's _emb_clean (interior
+#: NULLs poison Spark's integer-dot folds asymmetrically; round-8 audit)
+_SQL_QVEC = f"""
   SELECT vec_id, label,
          list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
            AS qv
   FROM embeddings
+  WHERE {EMB_CLEAN_SQL}
 """
 
 _SQL_QELEM = """
@@ -211,8 +215,11 @@ def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 6 dp) — and moves the per-row k-way dot products off the
     scan's single task when the input is one small file (A/B measured
     1.79 s -> 1.61 s at sf0.1; the assignment pipeline is broadcast-only
-    until the centroid-update shuffle, so map width is the bottleneck)."""
-    emb = _spread(spark, _t(spark, sf_dir, "embeddings"))
+    until the centroid-update shuffle, so map width is the bottleneck).
+
+    Routes through _emb_clean in lockstep with _SQL_QVEC (round-8
+    parity audit: dirty vectors collapsed the 8 clusters to 1)."""
+    emb = _spread(spark, _emb_clean(spark, sf_dir))
     vecs = emb.select("vec_id", _qvec(F.col("embedding")).alias("qv"))
     w0 = Window.orderBy("vec_id")
     seeds = (
@@ -309,8 +316,10 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     k clusters turn one n² pair space into k·(n/k)², and at 100 TB k
     grows with the corpus so the per-cluster block stays machine-sized).
     Exact integer cosines make the prune set engine-portable. Reports
-    per-cluster members, pruned count, and the kept fraction."""
-    emb = _t(spark, sf_dir, "embeddings")
+    per-cluster members, pruned count, and the kept fraction.
+    Routes through _emb_clean in lockstep with _SQL_QVEC (round-8
+    parity audit)."""
+    emb = _emb_clean(spark, sf_dir)
     vecs = emb.select("vec_id", _qvec(F.col("embedding")).alias("qv"))
     w0 = Window.orderBy("vec_id")
     seeds = (
@@ -417,8 +426,10 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     so top-3 membership is engine-portable. At 100 TB the same shape
     runs with probes as the small side of a broadcast join; for
     corpus-sized probe sets, route candidate generation through
-    ``lsh_bucket_ann`` and only exact-rank the bucket survivors."""
-    emb = _t(spark, sf_dir, "embeddings")
+    ``lsh_bucket_ann`` and only exact-rank the bucket survivors.
+    Routes through _emb_clean in lockstep with _SQL_QVEC (round-8
+    parity audit)."""
+    emb = _emb_clean(spark, sf_dir)
     vecs = emb.select("vec_id", "label", _qvec(F.col("embedding")).alias("qv"))
     probes = vecs.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("probe_id"),

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _emb_clean, _t
 
 
 # ---------------------------------------------------------------------------
@@ -185,8 +185,13 @@ def q_emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors beyond median ± 3·MAD (the corrupt-vector screen run before
     any ANN indexing). The label-level thresholds are a tiny aggregate
     broadcast back onto the norms; two scans of the vector column, one
-    shuffle each."""
-    emb = _t(spark, sf_dir, "embeddings")
+    shuffle each.
+
+    Routes through _emb_clean + a lockstep NULL-label filter: an
+    interior-NULL element NULLs Spark's norm fold where DuckDB's
+    list_sum skips it, and the label joins drop Spark's NULL-label
+    group the oracle keeps (round-8 parity audit)."""
+    emb = _emb_clean(spark, sf_dir).where(F.col("label").isNotNull())
     norms = emb.select(
         "vec_id",
         "label",
@@ -223,7 +228,7 @@ def q_emb_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMB_NORM_OUTLIERS = """
+SQL_EMB_NORM_OUTLIERS = f"""
 WITH norms AS (
   SELECT vec_id, label,
          CAST(list_sum(list_transform(embedding, e ->
@@ -231,6 +236,7 @@ WITH norms AS (
            * CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)
            AS norm2
   FROM embeddings
+  WHERE label IS NOT NULL AND {EMB_CLEAN_SQL}
 ), med AS (
   SELECT label, quantile_cont(norm2, 0.5) AS med FROM norms GROUP BY label
 ), mad AS (

@@ -4,8 +4,9 @@
 NULL-riddled corpus on BOTH engines and compares results — the class of
 defect the clean-data driver gate and the Spark-only null-riddled sweep
 are each blind to.  Round 8's first full audit found 49 divergent
-queries; 10 were fixed in-round and the remaining 39 are documented in
-``KNOWN_DIVERGENT`` with a class tag.
+queries; 10 were fixed in-round, and round 9 fixed the remaining 39 —
+``KNOWN_DIVERGENT`` is now EMPTY and must stay that way: a new
+divergence is a regression to fix, not a backlog entry to declare.
 
 Two enforcement layers:
 
@@ -61,6 +62,11 @@ def test_backlog_names_resolve_and_fixed_queries_stay_fixed():
     }
     regressed = sorted(fixed_r8 & set(mod.KNOWN_DIVERGENT))
     assert not regressed, f"fixed queries re-listed as divergent: {regressed}"
+    # round 9 drained the backlog entirely — it must stay empty
+    assert not mod.KNOWN_DIVERGENT, (
+        "the dirty-parity backlog was emptied in round 9; fix new "
+        f"divergences instead of declaring them: {sorted(mod.KNOWN_DIVERGENT)}"
+    )
 
 
 @pytest.mark.skipif(

@@ -35,11 +35,16 @@ from pyspark.sql.types import ArrayType
 
 SF = "/root/testdata/sf0.001"
 
-#: The round-8 audit's remaining cross-engine divergences on dirty data,
-#: by query name — the documented BACKLOG this audit ratchets down each
-#: round.  Every OTHER registry query must MATCH (the env-gated pytest
-#: sweep in tests/test_dirty_parity_gate.py enforces it); removing a
-#: name here requires its fix to show MATCH in a fresh audit run.
+#: Cross-engine divergences on dirty data, by query name — the
+#: documented BACKLOG this audit ratchets down each round.  Every OTHER
+#: registry query must MATCH (the env-gated pytest sweep in
+#: tests/test_dirty_parity_gate.py enforces it); removing a name here
+#: requires its fix to show MATCH in a fresh audit run.
+#:
+#: ROUND 9: the entire round-8 backlog of 39 names was fixed and
+#: re-audited to MATCH — the dict is now EMPTY and the gate fails on
+#: ANY divergence. The class recipes that closed it (keep for future
+#: regressions):
 #:
 #: Classes, refined from the round-8 one-line diffs (fix recipe each):
 #: - embclean: NULL/interior-NULL/zero-norm vectors diverge between the
@@ -60,47 +65,7 @@ SF = "/root/testdata/sf0.001"
 #:   (NULL keys order first vs last in the rank window).
 #: - binary: multimodal byte paths (NULL payloads into the fake
 #:   decode) — guard the payload like the text class.
-KNOWN_DIVERGENT: dict[str, str] = {
-    "ab_test_readout": "statsnull",
-    "approx_quantile_guarantee": "nullts",
-    "bcubed_cluster_eval": "embclean",
-    "blocking_quality_audit": "embclean",
-    "clean_string_parity": "nulltext",
-    "cluster_tightness": "embclean",
-    "corpus_datacard": "nulltext",
-    "cumulative_unique_users": "nullts",
-    "dedup_survivors": "nulltext",
-    "emb_norm_outliers": "embclean",
-    "embedding_quantize": "embclean",
-    "ess_importance_weights": "statsnull",
-    "event_sessionization": "nullts",
-    "gini_spend": "statsnull",
-    "hard_negative_mining": "embclean",
-    "hll_daily_union": "nullts",
-    "holt_linear_forecast": "nullts",
-    "jackknife_ratio_variance": "statsnull",
-    "jsonish_arrays_parity": "nulltext",
-    "matryoshka_prefix_fidelity": "embclean",
-    "mmr_diverse_topk": "embclean",
-    "multimodal_features": "binary",
-    "multimodal_frames": "binary",
-    "multimodal_resize": "binary",
-    "ntile_quartiles": "statsnull",
-    "poisson_bootstrap_ci": "statsnull",
-    "pq_codebook_distortion": "embclean",
-    "quantize_embeddings": "embclean",
-    "score_calibration_bins": "statsnull",
-    "semantic_kmeans": "embclean",
-    "semantic_prune": "embclean",
-    "sliding_windows": "nullts",
-    "sources_by_lang": "nulltext",
-    "tumbling_windows": "nullts",
-    "udaf_centroids": "embclean",
-    "waterfill_allocation": "statsnull",
-    "watermark_late_audit": "nullts",
-    "wilson_ci": "statsnull",
-    "winsorized_value_stats": "statsnull",
-}
+KNOWN_DIVERGENT: dict[str, str] = {}
 
 
 def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
