@@ -652,8 +652,13 @@ WHERE p.p_brand = 'Brand#1'
 def q_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated comparison against a per-group average: customers richer
     than their nation's mean balance, counted per nation — window-average
-    decorrelation again."""
-    cust = _t(spark, sf_dir, "customer")
+    decorrelation again. Complete-case on c_nationkey in LOCKSTEP
+    (round-9 decorrelated dirty audit): Spark's window keeps a
+    NULL-nation partition while the oracle's correlated subquery never
+    matches NULL = NULL and drops those rows."""
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_nationkey").isNotNull()
+    )
     w = Window.partitionBy("c_nationkey")
     flagged = cust.withColumn("_nation_avg", F.avg("c_acctbal").over(w))
     return (
@@ -670,7 +675,7 @@ def q_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ABOVE_AVG_BALANCE = """
 SELECT c_nationkey, count(*) AS n_above_avg, round(max(c_acctbal), 4) AS richest
 FROM customer c
-WHERE c_acctbal > (
+WHERE c_nationkey IS NOT NULL AND c_acctbal > (
   SELECT avg(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
 )
 GROUP BY c_nationkey ORDER BY c_nationkey
@@ -1642,8 +1647,14 @@ ORDER BY l_partkey
 
 def q_argmax_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by-style argmax: per event_type, the highest-value event
-    (deterministic via struct max ordering: value then event_id)."""
-    ev = _t(spark, sf_dir, "events")
+    (deterministic via struct max ordering: value then event_id).
+    Complete-case on (value, event_id) in LOCKSTEP (round-9 audit): an
+    argmax over a missing value or id is undefined, and Spark's
+    min(struct) ranks a NULL-value struct FIRST where DuckDB's ORDER BY
+    value ASC puts it LAST."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_id").isNotNull()
+    )
     best = F.max(F.struct(F.col("value"), F.col("event_id")))
     worst = F.min(F.struct(F.col("value"), F.col("event_id")))
     return (
@@ -1665,6 +1676,7 @@ SELECT event_type,
        first(event_id ORDER BY value ASC, event_id ASC)   AS bottom_event_id,
        round(min(value), 4)                               AS bottom_value
 FROM events
+WHERE value IS NOT NULL AND event_id IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -2422,6 +2434,33 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "emb_norm_outliers", "embedding_quantize", "quantize_embeddings",
     "semantic_kmeans", "semantic_prune", "hard_negative_mining",
     "mmr_diverse_topk", "pq_codebook_distortion",
+    # (e) round-9 adversarial review over the never-reviewed batches
+    #     27-32 (7 execution-confirmed cross-engine parity bugs the
+    #     correlated-nulls dirty generator could not see, + 2 dead-code
+    #     cleanups): lockstep NULL-ts/complete-case filters
+    #     (session_type_entropy_bands, acf_daily_events,
+    #     runs_test_revenue, bh_fdr_daily_anomalies), the
+    #     NULL-propagating '||' Bloom probe key (bloom_join_prefilter),
+    #     the interior-NULL norm guard (embedding_norm_topk), the
+    #     empty-list coalesce (ess_importance_weights — already listed
+    #     in (c)), and the dead-aggregate cleanups (group_kfold_assign,
+    #     join_reorder_advisor)
+    "session_type_entropy_bands", "acf_daily_events",
+    "bloom_join_prefilter", "runs_test_revenue", "embedding_norm_topk",
+    "bh_fdr_daily_anomalies", "group_kfold_assign",
+    "join_reorder_advisor",
+    # (f) fixes for the divergences the DECORRELATED dirty generator
+    #     surfaced (tools/dirty_parity_audit.py now nulls each column
+    #     on its own row phase): NULL-group equi-join losses
+    #     (above_avg_balance, approx_quantile_guarantee — sentinel/
+    #     filter), argmax over missing values (argmax_events), NULL
+    #     rank-position flips (percentrank_parts, brand_pareto), the
+    #     concat_ws-vs-'||' QI key split (k_anonymity), unlabeled-voter
+    #     exclusion + CASE-ELSE-0 (knn_accuracy), incomparable-part
+    #     filter (skyline_pareto), and blocking_quality_audit's
+    #     zero-denominator guards
+    "above_avg_balance", "argmax_events", "percentrank_parts",
+    "brand_pareto", "k_anonymity", "knn_accuracy", "skyline_pareto",
 })
 
 #: Changed queries that could NOT fit the 50-slot driver window this
@@ -2447,6 +2486,26 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "hard_negative_mining",
     "mmr_diverse_topk",
     "pq_codebook_distortion",
+    # round-9 adversarial-review fixes (batches 27-32) — found after
+    # the window filled; every one tri-scale MATCH + dirty-audit MATCH
+    # under the decorrelated generator
+    "session_type_entropy_bands",
+    "acf_daily_events",
+    "bloom_join_prefilter",
+    "runs_test_revenue",
+    "embedding_norm_topk",
+    "bh_fdr_daily_anomalies",
+    "group_kfold_assign",
+    "join_reorder_advisor",
+    # decorrelated-generator fixes (approx_quantile_guarantee and
+    # bloom_join_prefilter already hold window/overflow slots above)
+    "above_avg_balance",
+    "argmax_events",
+    "percentrank_parts",
+    "brand_pareto",
+    "k_anonymity",
+    "knn_accuracy",
+    "skyline_pareto",
 )
 
 
@@ -2536,6 +2595,21 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hard_negative_mining",
     "mmr_diverse_topk",
     "pq_codebook_distortion",
+    "session_type_entropy_bands",
+    "acf_daily_events",
+    "bloom_join_prefilter",
+    "runs_test_revenue",
+    "embedding_norm_topk",
+    "bh_fdr_daily_anomalies",
+    "group_kfold_assign",
+    "join_reorder_advisor",
+    "above_avg_balance",
+    "argmax_events",
+    "percentrank_parts",
+    "brand_pareto",
+    "k_anonymity",
+    "knn_accuracy",
+    "skyline_pareto",
 )
 
 

@@ -277,8 +277,11 @@ ORDER BY event_type
 def q_percentrank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank + cume_dist of retail price within each brand —
     rank-fraction analytics (well-defined under ties, no tiebreak needed
-    for the fractions themselves; row identity fixed by p_partkey)."""
-    part = _t(spark, sf_dir, "part")
+    for the fractions themselves; row identity fixed by p_partkey).
+    Complete-case on p_retailprice in LOCKSTEP (round-9 decorrelated
+    dirty audit): a NULL price ranks FIRST in Spark's window but LAST
+    in DuckDB's, shifting every fraction in the partition."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_retailprice").isNotNull())
     w = Window.partitionBy("p_brand").orderBy("p_retailprice")
     return (
         part.select(
@@ -296,6 +299,7 @@ SELECT p_brand, p_partkey,
        round(percent_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice), 6) AS price_pct_rank,
        round(cume_dist()    OVER (PARTITION BY p_brand ORDER BY p_retailprice), 6) AS price_cume_dist
 FROM part
+WHERE p_retailprice IS NOT NULL
 ORDER BY p_brand, p_partkey
 """
 

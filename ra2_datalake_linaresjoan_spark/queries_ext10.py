@@ -44,8 +44,13 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly-cheaper price offers ≥ size, or a same-price part is
     strictly larger (identical (price, size) pairs do not dominate each
     other under standard skyline semantics). Output = frontier rows
-    ordered by price; all integer comparisons."""
-    part = _t(spark, sf_dir, "part")
+    ordered by price; all integer comparisons. Complete-case on
+    (p_retailprice, p_size) in LOCKSTEP (round-9 decorrelated dirty
+    audit): a part missing either dimension is not comparable, and NULL
+    prices group/join/order differently per engine."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
     p = part.select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("price_cents"),
@@ -85,6 +90,7 @@ WITH p AS (
          CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
          CAST(p_size AS BIGINT) AS size
   FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
 ), g AS (
   SELECT p_partkey, price_cents, size,
          max(size) OVER (ORDER BY price_cents
@@ -123,8 +129,16 @@ def q_approx_quantile_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prices, so the guarantee's population — and its exact group size n —
     # must be the NON-NULL prices on both engines (count(*) would include
     # NULL rows the sketch never saw and break the rank tolerance on
-    # dirty data; identical on clean data).
-    ords = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    # dirty data; identical on clean data). A NULL group KEY takes the
+    # '<null>' sentinel in lockstep: the rank re-join is an equi-join
+    # that would silently drop the NULL-priority group Spark's groupBy
+    # (and the oracle's GROUP BY) keeps (round-9 decorrelated audit).
+    ords = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    ).withColumn(
+        "o_orderpriority",
+        F.coalesce(F.col("o_orderpriority"), F.lit("<null>")),
+    )
     est = ords.groupBy("o_orderpriority").agg(
         F.expr(
             f"approx_percentile(o_totalprice, array(0.5, 0.9), {_AQ_ACC})"
@@ -160,13 +174,13 @@ def q_approx_quantile_guarantee(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_APPROX_QUANTILE_GUARANTEE = """
-SELECT o_orderpriority,
+SELECT coalesce(o_orderpriority, '<null>') AS o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
        TRUE AS p50_within_rank_tol,
        TRUE AS p90_within_rank_tol
 FROM orders
 WHERE o_totalprice IS NOT NULL
-GROUP BY o_orderpriority
+GROUP BY 1
 ORDER BY o_orderpriority
 """
 

@@ -248,7 +248,14 @@ def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "neighbor_id",
     )
-    votes = nb.groupBy("query_id", "nb_label").agg(F.count(F.lit(1)).alias("v"))
+    # unlabeled neighbors cannot vote (round-9 decorrelated dirty
+    # audit): a NULL nb_label tie-breaks FIRST in Spark's asc window
+    # but LAST in DuckDB's, flipping the majority winner
+    votes = (
+        nb.where(F.col("nb_label").isNotNull())
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("v"), "nb_label")
     pred = (
         votes.withColumn("rn", F.row_number().over(w))
@@ -261,9 +268,19 @@ def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_queries"),
-            F.sum((F.col("pred") == F.col("label")).cast("long")).alias("n_correct"),
+            # when/otherwise(0): a NULL-label query counts 0 like the
+            # oracle's CASE ELSE 0, not a sum-poisoning NULL
+            F.sum(
+                F.when(F.col("pred") == F.col("label"), F.lit(1))
+                .otherwise(F.lit(0))
+                .cast("long")
+            ).alias("n_correct"),
             F.round(
-                F.sum((F.col("pred") == F.col("label")).cast("long"))
+                F.sum(
+                    F.when(F.col("pred") == F.col("label"), F.lit(1))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                )
                 / F.count(F.lit(1)),
                 4,
             ).alias("accuracy"),
@@ -287,7 +304,9 @@ WITH emb AS (
   QUALIFY row_number() OVER (PARTITION BY q.vec_id
                              ORDER BY cos_sim DESC, c.vec_id ASC) <= 5
 ), votes AS (
-  SELECT query_id, nb_label, count(*) AS v FROM top GROUP BY 1, 2
+  SELECT query_id, nb_label, count(*) AS v FROM top
+  WHERE nb_label IS NOT NULL
+  GROUP BY 1, 2
 ), pred AS (
   SELECT query_id, nb_label AS pred FROM votes
   QUALIFY row_number() OVER (PARTITION BY query_id

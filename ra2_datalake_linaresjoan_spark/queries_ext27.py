@@ -361,8 +361,11 @@ def q_acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-centered and normalized by the lag-0 sum of squares. The whole
     series collapses to one day-sorted array; every fold is in-row over
     ≤ n_days elements, executed left-to-right identically on both
-    engines."""
-    ev = _t(spark, sf_dir, "events")
+    engines. NULL-ts rows are filtered in LOCKSTEP (round-9 review):
+    the NULL day group otherwise enters the series FIRST in Spark's
+    sort_array but LAST in DuckDB's ORDER BY day, autocorrelating two
+    differently-ordered series."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -414,7 +417,7 @@ def q_acf_daily_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ACF_DAILY_EVENTS = f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
 ), arr AS (
   SELECT CAST(count(*) AS BIGINT) AS n_days,
          CAST(sum(n) AS BIGINT) AS total,
@@ -882,8 +885,14 @@ def q_runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row: up-days, down-days, observed runs of same-sign
     day-over-day revenue deltas, expected runs, and the z statistic.
     Exact integer counts from day-bounded lag windows; z is a closed
-    form of (n_up, n_down, n_runs)."""
-    orders = _t(spark, sf_dir, "orders")
+    form of (n_up, n_down, n_runs). Complete-case on
+    (o_orderdate, o_totalprice) in LOCKSTEP (round-9 review): the NULL
+    day group otherwise contributes a delta sign at opposite ends of
+    the series per engine (Spark windows order NULLS FIRST, DuckDB
+    NULLS LAST) — the same class holt_linear_forecast filters."""
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "cents"
@@ -939,7 +948,9 @@ SQL_RUNS_TEST_REVENUE = """
 WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM orders GROUP BY 1
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  GROUP BY 1
 ), signs AS (
   SELECT day,
          CASE WHEN cents > prev THEN 1 ELSE -1 END AS sgn
@@ -1027,8 +1038,16 @@ def q_embedding_norm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 vectors by L2 norm (6-dp rounded, vec_id tie-break) with
     labels — the outlier screen run before inner-product ANN. Scan +
     TakeOrderedAndProject; the square fold runs in array order on both
-    engines."""
-    emb = _t(spark, sf_dir, "embeddings")
+    engines. Dirty-vector guard in LOCKSTEP (round-9 review): a NULL or
+    interior-NULL vector has no defined norm — Spark's fold yields NULL
+    (sorted out of the top-10) while DuckDB's list_sum SKIPS the NULL
+    element and ranks a partial norm. Zero-norm vectors stay: norm 0.0
+    is a real, identical value on both engines."""
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
     norm = F.sqrt(
         F.aggregate(
             F.transform("embedding", lambda x: x.cast("double")),
@@ -1052,6 +1071,8 @@ SELECT vec_id, label,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)), 6)
          AS l2_norm
 FROM embeddings
+WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+  AND len(list_filter(embedding, x -> x IS NULL)) = 0
 ORDER BY l2_norm DESC, vec_id
 LIMIT 10
 """

@@ -188,8 +188,11 @@ def q_session_type_entropy_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (H ≈ 0) vs exploratory sessions. Gaps-and-islands sessionization
     (5-minute inactivity); the entropy fold covers each session's
     ≤ |types| type counts sorted by type, so the band floor is
-    engine-identical."""
-    ev = _t(spark, sf_dir, "events")
+    engine-identical. NULL-ts rows are filtered in LOCKSTEP (round-9
+    review): a NULL timestamp has no session position, and the engines
+    glue it to opposite ends of the user's history (Spark windows order
+    NULLS FIRST, DuckDB NULLS LAST), changing every session's mix."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     sess = ev.select(
         "user_id",
@@ -248,6 +251,7 @@ WITH flagged AS (
                    > {_STE_GAP_S}
               THEN 1 ELSE 0 END AS new_sess
   FROM events
+  WHERE ts IS NOT NULL
 ), sess AS (
   SELECT user_id, event_type,
          CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id

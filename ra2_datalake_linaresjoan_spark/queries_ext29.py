@@ -79,7 +79,11 @@ def q_bh_fdr_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     (largest rank whose p ≤ rank·q/m) is computed over ALL m hypotheses
     via a full-frame window on the bounded (type, day) table; the
     listed rows are the p-ascending head."""
-    ev = _t(spark, sf_dir, "events")
+    # ts IS NOT NULL in lockstep (round-9 review): a NULL-day hypothesis
+    # ties with real days at equal counts, and the engines break the
+    # (p, type, day) rank tie at opposite ends (Spark orders NULL day
+    # FIRST, DuckDB LAST) — bh_rank and the top-20 cut then diverge
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     # sentinel for NULL types: the per-type stats equi-join silently
     # dropped NULL-type hypotheses from the family (m undercounted ->
     # every BH threshold loosened) while both engines agreed
@@ -152,7 +156,7 @@ SQL_BH_FDR_DAILY_ANOMALIES = f"""
 WITH daily AS (
   SELECT coalesce(event_type, '<null>') AS event_type,
          CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
-  FROM events GROUP BY 1, 2
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), m AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS d,
          CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c * c) AS BIGINT) AS s2

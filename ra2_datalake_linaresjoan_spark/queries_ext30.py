@@ -335,16 +335,24 @@ def q_blocking_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(g.agg(c2("n_g").alias("gold")))
     )
     all_pairs = F.expr("items * (items - 1) DIV 2")
+    # zero-denominator guards (round-9 decorrelated dirty audit): a
+    # labeled population of singletons has gold = 0 (and a 1-item one
+    # has no pairs at all) — DuckDB's x/0 is NULL while unguarded Spark
+    # division ANSI-crashes the job
     return stats.select(
         "items",
         F.col("cand").alias("cand_pairs"),
         F.col("gold").alias("gold_pairs"),
         F.col("hit").alias("co_blocked_gold"),
-        F.round(F.col("hit") / F.col("gold"), 6).alias("completeness"),
-        F.round(F.col("hit") / F.col("cand"), 6).alias("cand_precision"),
-        F.round(F.lit(1.0) - F.col("cand") / all_pairs, 6).alias(
-            "reduction_ratio"
-        ),
+        F.round(
+            F.when(F.col("gold") > 0, F.col("hit") / F.col("gold")), 6
+        ).alias("completeness"),
+        F.round(
+            F.when(F.col("cand") > 0, F.col("hit") / F.col("cand")), 6
+        ).alias("cand_precision"),
+        F.round(
+            F.when(all_pairs > 0, F.lit(1.0) - F.col("cand") / all_pairs), 6
+        ).alias("reduction_ratio"),
     )
 
 

@@ -290,10 +290,7 @@ def q_group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),
     )
-    tot = per_fold.agg(
-        F.sum("n_docs").alias("docs_all"),
-        F.sum((F.col("n_groups") > 0).cast("long")).alias("_f"),
-    ).select("docs_all")
+    tot = per_fold.agg(F.sum("n_docs").alias("docs_all"))
     # leakage audit: a group's docs all carry one fold by construction;
     # measure distinct (grp, fold) minus distinct grp == 0.
     leak = (

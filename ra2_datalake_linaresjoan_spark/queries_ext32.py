@@ -293,9 +293,15 @@ def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bj_bit_sql(col: str, j: int) -> str:
+    # '||' (not concat) so a NULL probe key yields a NULL bit exactly
+    # like Spark's F.concat: DuckDB's concat SKIPS NULL args and would
+    # hash the literal 'b:', making every NULL-key row a Bloom
+    # candidate once the filter saturates (round-9 review)
+    # the outer '||' must be NULL-propagating too: concat('0x', NULL)
+    # is '0x' in DuckDB, which ERRORS under CAST AS BIGINT
     return (
-        f"CAST(concat('0x', substr(md5(concat('b:', {col})), "
-        f"{1 + 8 * j}, 8)) AS BIGINT) % {_BJ_M}"
+        f"CAST('0x' || substr(md5('b:' || CAST({col} AS VARCHAR)), "
+        f"{1 + 8 * j}, 8) AS BIGINT) % {_BJ_M}"
     )
 
 
@@ -418,22 +424,27 @@ WITH src AS (
                     * {_EW_Q}) AS BIGINT) AS qw
   FROM src
 ), arr AS (
-  SELECT list_sort(list(struct_pack(source := source, n_docs := n_docs,
-                                    tok := tok, qw := qw))) AS a,
+  -- coalesce: DuckDB's list() over ZERO rows is NULL while Spark's
+  -- collect_list gives [] — an all-dirty corpus must yield the same
+  -- empty-mixture row on both engines (round-9 review)
+  SELECT coalesce(list_sort(list(struct_pack(source := source, n_docs := n_docs,
+                                    tok := tok, qw := qw))), []) AS a,
          CAST(sum(tok) AS BIGINT) AS tok_all,
          CAST(sum(qw) AS BIGINT) AS qw_all,
          CAST(sum(n_docs) AS BIGINT) AS n_all
   FROM q
 ), folds AS (
+  -- coalesce(…, 0.0): list_sum over the EMPTY list is NULL in DuckDB
+  -- but Spark's 0.0-seeded fold gives 0.0 (round-9 review)
   SELECT n_all,
-         list_sum(list_transform(a, s ->
+         coalesce(list_sum(list_transform(a, s ->
            s.n_docs * (CAST(s.qw AS DOUBLE) * tok_all
-                       / (CAST(qw_all AS DOUBLE) * s.tok)))) AS sw,
-         list_sum(list_transform(a, s ->
+                       / (CAST(qw_all AS DOUBLE) * s.tok)))), 0.0) AS sw,
+         coalesce(list_sum(list_transform(a, s ->
            s.n_docs * (CAST(s.qw AS DOUBLE) * tok_all
                        / (CAST(qw_all AS DOUBLE) * s.tok))
                   * (CAST(s.qw AS DOUBLE) * tok_all
-                       / (CAST(qw_all AS DOUBLE) * s.tok)))) AS sw2,
+                       / (CAST(qw_all AS DOUBLE) * s.tok)))), 0.0) AS sw2,
          list_max(list_transform(a, s ->
            round(CAST(s.qw AS DOUBLE) * tok_all
                  / (CAST(qw_all AS DOUBLE) * s.tok), 6))) AS wmax,
@@ -472,9 +483,8 @@ def q_join_reorder_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     nation = _t(spark, sf_dir, "nation")
 
-    def stats(df: DataFrame, key: str, name: str) -> DataFrame:
+    def stats(df: DataFrame, key: str) -> DataFrame:
         return df.agg(
-            F.lit(name).alias("t"),
             F.count(F.lit(1)).alias("rows"),
             F.countDistinct(key).alias("ndv"),
         )
@@ -496,10 +506,10 @@ def q_join_reorder_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    cs = stats(cust, "c_custkey", "c").select(
+    cs = stats(cust, "c_custkey").select(
         F.col("rows").alias("l_rows"), F.col("ndv").alias("l_ndv")
     )
-    os_ = stats(orders, "o_custkey", "o").select(
+    os_ = stats(orders, "o_custkey").select(
         F.col("rows").alias("r_rows"), F.col("ndv").alias("r_ndv")
     )
     # truth for FK joins without materializing: child rows whose FK is
@@ -524,17 +534,17 @@ def q_join_reorder_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     ).count()
     r1 = est("customer*orders", cs, os_, F.lit(o_in_c))
-    ls = stats(li, "l_orderkey", "l").select(
+    ls = stats(li, "l_orderkey").select(
         F.col("rows").alias("l_rows"), F.col("ndv").alias("l_ndv")
     )
-    os2 = stats(orders, "o_orderkey", "o").select(
+    os2 = stats(orders, "o_orderkey").select(
         F.col("rows").alias("r_rows"), F.col("ndv").alias("r_ndv")
     )
     r2 = est("lineitem*orders", ls, os2, F.lit(l_in_o))
-    ns = stats(nation, "n_nationkey", "n").select(
+    ns = stats(nation, "n_nationkey").select(
         F.col("rows").alias("l_rows"), F.col("ndv").alias("l_ndv")
     )
-    cs2 = stats(cust, "c_nationkey", "c").select(
+    cs2 = stats(cust, "c_nationkey").select(
         F.col("rows").alias("r_rows"), F.col("ndv").alias("r_ndv")
     )
     r3 = est("nation*customer", ns, cs2, F.lit(c_in_n))

@@ -651,8 +651,15 @@ def q_brand_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's partition size is the brand's catalog slice, never the fact.
     Rank ties are impossible (part key is unique within the aggregate).
     Revenue compares happen on values rounded to cents so the 80% cut
-    falls identically in both engines."""
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    falls identically in both engines. Complete-case on l_extendedprice
+    in LOCKSTEP (round-9 decorrelated dirty audit): an all-NULL-price
+    part gets a NULL revenue whose window position and NULL cum_share
+    flags diverge between engines."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_extendedprice").isNotNull())
+        .select("l_partkey", "l_extendedprice")
+    )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     per_part = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -689,6 +696,7 @@ SQL_BRAND_PARETO = """
 WITH per_part AS (
   SELECT p_brand, p_partkey, round(sum(l_extendedprice), 2) AS rev
   FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_extendedprice IS NOT NULL
   GROUP BY p_brand, p_partkey
 ), ranked AS (
   SELECT p_brand,

@@ -271,20 +271,26 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each level is one groupBy whose output is QI-cardinality-sized; the
     levels share a scan via an exploded level tag (one shuffle keyed by
     (level, QI) — not one job per level, which is the per-check storm the
-    reference validator runs). Pure integer outputs."""
+    reference validator runs). Pure integer outputs.
+
+    NULL QI values take a '<null>' sentinel in LOCKSTEP (round-9
+    decorrelated dirty audit): Spark's concat_ws SKIPS NULL parts while
+    DuckDB's '||' NULLs the whole key, partitioning the equivalence
+    classes differently — and a NULL is itself a quasi-identifier value
+    a privacy audit must keep, not drop."""
     cust = _t(spark, sf_dir, "customer")
+    nat = F.coalesce(F.col("c_nationkey").cast("string"), F.lit("<null>"))
+    seg = F.coalesce(F.col("c_mktsegment"), F.lit("<null>"))
     tagged = cust.select(
         F.explode(
             F.array(
                 F.struct(
                     F.lit("nation+segment").alias("level"),
-                    F.concat_ws(
-                        "|", F.col("c_nationkey").cast("string"), "c_mktsegment"
-                    ).alias("qi"),
+                    F.concat_ws("|", nat, seg).alias("qi"),
                 ),
                 F.struct(
                     F.lit("nation-only").alias("level"),
-                    F.col("c_nationkey").cast("string").alias("qi"),
+                    nat.alias("qi"),
                 ),
             )
         ).alias("t")
@@ -307,10 +313,12 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_K_ANONYMITY = """
 WITH tagged AS (
   SELECT 'nation+segment' AS level,
-         CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS qi
+         coalesce(CAST(c_nationkey AS VARCHAR), '<null>') || '|'
+           || coalesce(c_mktsegment, '<null>') AS qi
   FROM customer
   UNION ALL
-  SELECT 'nation-only', CAST(c_nationkey AS VARCHAR) FROM customer
+  SELECT 'nation-only', coalesce(CAST(c_nationkey AS VARCHAR), '<null>')
+  FROM customer
 ), classes AS (
   SELECT level, qi, CAST(count(*) AS BIGINT) AS k
   FROM tagged GROUP BY 1, 2

@@ -69,6 +69,8 @@ KNOWN_DIVERGENT: dict[str, str] = {}
 
 
 def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
+    import zlib
+
     for f in os.listdir(SF):
         if not f.endswith(".parquet"):
             continue
@@ -77,8 +79,16 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
 
         def _nulled(fl):
             rid = F.monotonically_increasing_id()
+            # per-column phase (crc32 of the column name): columns go
+            # NULL on DIFFERENT rows. The round-8 generator nulled every
+            # column on the SAME 1-in-3 rows (correlated dirt), which
+            # hid an entire defect class — e.g. a NULL o_orderdate with
+            # a REAL o_totalprice, or a NULL ts with a real event_type,
+            # never existed, so NULL-group ordering divergences passed
+            # (the 7 round-9 review findings all lived in that shadow).
+            off = zlib.crc32(fl.name.encode()) % 3
             whole_null = F.when(
-                (rid % 3 == 0) & F.lit(fl.name in nullable),
+                ((rid + off) % 3 == 0) & F.lit(fl.name in nullable),
                 F.lit(None).cast(fl.dataType),
             )
             if isinstance(fl.dataType, ArrayType):
@@ -87,7 +97,7 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
                     lambda x, i: F.when(i % 3 == 0, F.lit(None)).otherwise(x),
                 )
                 return (
-                    whole_null.when(rid % 3 == 1, holed)
+                    whole_null.when((rid + off) % 3 == 1, holed)
                     .otherwise(F.col(fl.name))
                     .alias(fl.name)
                 )
