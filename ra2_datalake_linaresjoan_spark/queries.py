@@ -2461,6 +2461,12 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     #     zero-denominator guards
     "above_avg_balance", "argmax_events", "percentrank_parts",
     "brand_pareto", "k_anonymity", "knn_accuracy", "skyline_pareto",
+    # (g) second review pass (batches 33-37 + llm15):
+    #     compaction_plan_audit's NULL-key hash sentinel (the ext28/
+    #     ext30 concat-asymmetry class), the shared bm25_scores contract
+    #     (bm25_topk + the MMR pool de-duplicated), and the
+    #     zorder dead-expression cleanup
+    "compaction_plan_audit", "bm25_topk", "zorder_vs_linear_pruning",
 })
 
 #: Changed queries that could NOT fit the 50-slot driver window this
@@ -2506,6 +2512,9 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "k_anonymity",
     "knn_accuracy",
     "skyline_pareto",
+    "compaction_plan_audit",
+    "bm25_topk",
+    "zorder_vs_linear_pruning",
 )
 
 
@@ -2610,6 +2619,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "k_anonymity",
     "knn_accuracy",
     "skyline_pareto",
+    "compaction_plan_audit",
+    "bm25_topk",
+    "zorder_vs_linear_pruning",
 )
 
 

@@ -285,12 +285,27 @@ def q_compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x the mean — the greedy contiguous bin-packing real compactors
     run, one running-sum window over the MANIFEST (<= 1024 rows).
     Reported: file counts, planned groups, and the open-file read
-    amplification before vs after."""
+    amplification before vs after.
+
+    The hash key takes the '<null>' sentinel in LOCKSTEP (round-9
+    review — the ext28/ext30 convention): Spark's concat NULL-propagates
+    a NULL doc_id into its own NULL file while DuckDB's concat skips the
+    NULL and hashes the literal prefix into a real bucket."""
     docs = _t(spark, sf_dir, "documents").select(
         (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.lit("c:"), F.col("doc_id"))), 1, 8
+                    F.md5(
+                        F.concat(
+                            F.lit("c:"),
+                            F.coalesce(
+                                F.col("doc_id").cast("string"),
+                                F.lit("<null>"),
+                            ),
+                        )
+                    ),
+                    1,
+                    8,
                 ),
                 16,
                 10,
@@ -358,7 +373,8 @@ def q_compaction_plan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_COMPACTION_PLAN_AUDIT = f"""
 WITH files AS (
-  SELECT CAST(concat('0x', substr(md5(concat('c:', doc_id)), 1, 8))
+  SELECT CAST(concat('0x', substr(md5(concat('c:',
+                coalesce(CAST(doc_id AS VARCHAR), '<null>'))), 1, 8))
               AS BIGINT) % {_CP_FILES} AS file_id,
          CAST(count(*) AS BIGINT) AS rows
   FROM documents GROUP BY 1

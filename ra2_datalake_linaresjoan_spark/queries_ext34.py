@@ -286,7 +286,6 @@ def q_zorder_vs_linear_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("long") % 256
         ).alias("b"),
     )
-    z = F.expr(_zv_interleave("a", "b", "DIV"))
     width = 256 // _ZV_FILES  # 4
     stacked = ab.select(
         "a",

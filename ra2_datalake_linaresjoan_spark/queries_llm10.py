@@ -48,13 +48,15 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 documents by BM25 score for a fixed term set (k1=1.2,
-    b=0.75) — the retrieval-grade upgrade of ``tfidf_top_terms``: IDF
-    saturation plus document-length normalization. Postings (doc, word)
-    shuffle ONCE; df/N/avgdl are term-count-/1-row-sized aggregates that
-    broadcast back onto the doc-grain statistics. The per-doc score sums
-    ≤|terms| values, rounded at 4 dp."""
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25): every matching document's BM25 score for the
+    fixed term set (k1=1.2, b=0.75), 4-dp rounded — THE scoring
+    contract. Shared by ``q_bm25_topk`` and ``queries_llm15``'s MMR
+    candidate pool so a tuning change can never silently diverge the
+    two (round-9 review: the pool used to carry a verbatim copy).
+    Postings (doc, word) shuffle ONCE; df/N/avgdl are term-count-/
+    1-row-sized aggregates that broadcast back onto the doc-grain
+    statistics. The per-doc score sums ≤|terms| values."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
@@ -94,9 +96,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term_score"),
         )
     )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 4).alias("bm25")
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by BM25 score — the retrieval-grade upgrade of
+    ``tfidf_top_terms``: IDF saturation plus document-length
+    normalization, via the shared ``bm25_scores`` contract."""
     return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+        bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )

@@ -37,6 +37,7 @@ from ra2_datalake_linaresjoan_spark.queries_llm10 import (
     _BM25_B,
     _BM25_K1,
     _BM25_TERMS,
+    bm25_scores,
 )
 
 _MMR_K = 10
@@ -51,52 +52,12 @@ _ACC_TYPE = (
 
 
 def _bm25_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-`_MMR_POOL` docs by the ``bm25_topk`` scoring contract
-    (4-dp-rounded score, doc_id tie-break), with their pool rank."""
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
-    ).filter(F.col("word") != "")
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    coll = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        tok.agg(F.count(F.lit(1)).alias("n_tok"))
-    )
-    tf = (
-        tok.filter(F.col("word").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_), "word")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(coll))
-        .select(
-            "doc_id",
-            (
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5)
-                    / (F.col("df") + 0.5)
-                    + 1.0
-                )
-                * (F.col("tf") * (_BM25_K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + _BM25_K1
-                    * (
-                        1.0
-                        - _BM25_B
-                        + _BM25_B
-                        * F.col("dl")
-                        / (F.col("n_tok") / F.col("n_docs"))
-                    )
-                )
-            ).alias("term_score"),
-        )
-    )
+    """Top-`_MMR_POOL` docs by the SHARED ``bm25_scores`` contract
+    (4-dp-rounded score, doc_id tie-break), with their pool rank —
+    one scoring implementation for bm25_topk AND this pool (round-9
+    review de-duplication)."""
     top = (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+        bm25_scores(spark, sf_dir)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_MMR_POOL)
     )
