@@ -120,6 +120,12 @@ def test_semi_filter_large_path_pins_no_storage(spark, monkeypatch):
     import ra2_datalake_linaresjoan_spark.operators.joins as joins
 
     monkeypatch.setattr(joins, "SEMI_BROADCAST_CAP", 5)
+    # other tests in the shared session may legitimately hold
+    # checkpointed RDDs — assert semi_filter adds NOTHING, not that the
+    # session is globally clean
+    before = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
     df = spark.range(100).select(F.col("id").alias("k"))
     keys = spark.range(20).select(F.col("id").alias("k"))
     out = joins.semi_filter(df, keys, "k")
@@ -128,9 +134,11 @@ def test_semi_filter_large_path_pins_no_storage(spark, monkeypatch):
     # to Catalyst/AQE (which may still pick broadcast from real sizes)
     logical = out._jdf.queryExecution().optimizedPlan().toString()
     assert "ResolvedHint" not in logical, logical
-    # and no localCheckpoint blocks pinned in executor storage
-    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    assert len(infos) == 0, [str(i) for i in infos]
+    # and no NEW localCheckpoint blocks pinned in executor storage
+    after = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    assert after <= before, f"semi_filter pinned storage: {after - before}"
 
 
 # ---------------------------------------------------------------------------
