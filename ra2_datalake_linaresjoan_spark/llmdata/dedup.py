@@ -330,7 +330,10 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # a passthrough branch would scan df twice — measured 3.2x at
     # sf0.1): a row survives iff it IS its group's min id, or has no
     # group to lose to (NULL id / NULL fingerprint never match the
-    # left join and survive through the IS NULL arms).
+    # left join and survive through the IS NULL arms). The join is
+    # deliberately UNHINTED: a capped-count probe would re-execute the
+    # aggregate, and AQE's runtime re-plan already broadcasts the keep
+    # side from its REAL post-shuffle size when it is small.
     return (
         keyed.join(keep, "_ed_fp", "left")
         .where(
