@@ -1252,12 +1252,20 @@ SQL_JSONISH_ARRAYS_PARITY = """
 -- every aggregate is guarded by the exact NULL condition of its
 -- synthesized input string (concat propagates NULL in Spark): a NULL
 -- component makes the whole array NULL, so it contributes neither
--- elements nor values — count(*)*2 would overcount dirty rows
+-- elements nor values — and normalize_outcomes additionally DROPS
+-- empty elements, so a ''-valued component counts 0 and shifts outs[0]
+-- to the next non-empty element (round-9 empty-string corpus)
 SELECT count(*) AS n,
-       CAST(2 * sum(CASE WHEN p_brand IS NOT NULL AND p_type IS NOT NULL
-                         THEN 1 ELSE 0 END) AS BIGINT) AS total_outcomes,
-       count(DISTINCT CASE WHEN p_type IS NOT NULL
-                           THEN upper(p_brand) END)    AS n_brands_upper,
+       CAST(sum(CASE WHEN p_brand IS NOT NULL AND p_type IS NOT NULL
+                     THEN (CASE WHEN trim(p_brand) <> '' THEN 1 ELSE 0 END)
+                        + (CASE WHEN trim(p_type) <> '' THEN 1 ELSE 0 END)
+                     ELSE 0 END) AS BIGINT) AS total_outcomes,
+       count(DISTINCT CASE WHEN p_brand IS NOT NULL AND p_type IS NOT NULL
+                           THEN CASE WHEN trim(p_brand) <> ''
+                                     THEN upper(trim(p_brand))
+                                     WHEN trim(p_type) <> ''
+                                     THEN upper(trim(p_type)) END
+                      END)                             AS n_brands_upper,
        CAST(2 * sum(CASE WHEN p_retailprice IS NOT NULL AND p_size IS NOT NULL
                          THEN 1 ELSE 0 END) AS BIGINT) AS total_prices,
        round(sum(CASE WHEN p_size IS NOT NULL
@@ -1594,7 +1602,11 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_JSON_PROPS = """
-SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+-- json_valid guard: DuckDB's json_extract_string ERRORS on '' or
+-- malformed payloads where Spark's get_json_object is lenient (NULL)
+SELECT CAST(CASE WHEN json_valid(props)
+            THEN json_extract_string(props, '$.k') END AS INTEGER) % 10
+         AS k_mod,
        count(*) AS n,
        round(avg(value), 4) AS avg_value
 FROM events
@@ -2467,6 +2479,15 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     #     (bm25_topk + the MMR pool de-duplicated), and the
     #     zorder dead-expression cleanup
     "compaction_plan_audit", "bm25_topk", "zorder_vs_linear_pruning",
+    # (h) fixes for the ragged-vector / empty-string corpus classes the
+    #     round-9 generator v3 added: json_valid guards for DuckDB's
+    #     strict JSON parse vs Spark's lenient get_json_object /
+    #     try_parse_json (json_props, props_variant), the in-row
+    #     shingle-transform guard against descending sequence() on
+    #     sub-n-word docs (minhash_error_audit), knn_accuracy routed
+    #     through _emb_clean's length guard, and jsonish_arrays_parity's
+    #     oracle modeling the parser's drop-empty-elements rule
+    "json_props", "props_variant", "minhash_error_audit",
 })
 
 #: Changed queries that could NOT fit the 50-slot driver window this
@@ -2515,6 +2536,9 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "compaction_plan_audit",
     "bm25_topk",
     "zorder_vs_linear_pruning",
+    "json_props",
+    "props_variant",
+    "minhash_error_audit",
 )
 
 
@@ -2622,6 +2646,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "compaction_plan_audit",
     "bm25_topk",
     "zorder_vs_linear_pruning",
+    "json_props",
+    "props_variant",
+    "minhash_error_audit",
 )
 
 

@@ -533,9 +533,12 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props via the VARIANT type (Spark 4): parse_json once,
     then typed variant_get extraction — the modern engine path for JSON
     columns (binary-encoded, no re-parse per field access), vs the string
-    get_json_object path exercised by `json_props`."""
+    get_json_object path exercised by `json_props`. try_parse_json:
+    a '' or malformed payload must yield a NULL variant (lenient, like
+    get_json_object), not an ANSI parse crash — the oracle guards with
+    json_valid in lockstep (round-9 empty-string corpus)."""
     ev = _t(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     k = F.variant_get(v, "$.k", "int")
     return (
         ev.select(k.alias("k"), "value")
@@ -550,11 +553,17 @@ def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PROPS_VARIANT = """
-SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 5 AS k_bucket,
+WITH p AS (
+  SELECT CAST(CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS INTEGER) AS k,
+         value
+  FROM events
+)
+SELECT k % 5 AS k_bucket,
        count(*) AS n,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        round(max(value), 4) AS max_value
-FROM events
+FROM p
 GROUP BY k_bucket
 ORDER BY k_bucket
 """

@@ -34,7 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ra2_datalake_linaresjoan_spark.queries import _t
+from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _emb_clean, _t
 
 
 # ---------------------------------------------------------------------------
@@ -222,24 +222,11 @@ def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB path."""
     from ra2_datalake_linaresjoan_spark.llmdata.similarity import cosine_topk
 
-    # lockstep dirty-vector guard: cosine_topk's numpy path silently
-    # drops NULL embeddings while the SQL side would hand such a query 5
-    # arbitrary all-NULL-similarity neighbors; interior-NULL and
-    # zero-norm vectors likewise diverge (DuckDB list_sum skips NULL
-    # elements; a zero norm is an ANSI DIVIDE_BY_ZERO on the expr path)
-    emb = _t(spark, sf_dir, "embeddings").where(
-        F.col("vec_id").isNotNull()
-        & F.col("embedding").isNotNull()
-        & ~F.exists("embedding", lambda x: x.isNull())
-        & (
-            F.aggregate(
-                F.col("embedding").cast("array<double>"),
-                F.lit(0.0),
-                lambda a, x: a + x * x,
-            )
-            > 0
-        )
-    )
+    # lockstep dirty-vector guard via the SHARED _emb_clean filter —
+    # NULL ids/vectors, interior NULLs, zero norms, AND ragged lengths
+    # (a 48-long vector crashes numpy's matrix stack and DuckDB's
+    # list_cosine_similarity outright; round-9 ragged-corpus audit)
+    emb = _emb_clean(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") % 10 == 0)
     top = cosine_topk(qs, emb, k=5)
     nb = top.join(
@@ -289,12 +276,10 @@ def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_KNN_ACCURACY = """
+SQL_KNN_ACCURACY = f"""
 WITH emb AS (
   SELECT * FROM embeddings
-  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
-    AND len(list_filter(embedding, x -> x IS NULL)) = 0
-    AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) > 0
+  WHERE {EMB_CLEAN_SQL}
 ), top AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS nb_label,
          round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),

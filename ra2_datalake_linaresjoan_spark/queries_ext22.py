@@ -442,13 +442,21 @@ def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "").alias("wd"),
     )
+    # the shingle transform is guarded by an IN-ROW condition, not just
+    # the preceding filter: sequence(0, size-3) DESCENDS when size < 3
+    # (yielding slice(start=0) crashes), and plan rewrites around the
+    # eager checkpoints can evaluate the projection on pre-filter rows
+    # (round-9: ''-text rows hit exactly this)
     sh_arr = words.filter(F.size("wd") >= 3).select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("wd") - 3),
-                lambda j: F.concat_ws(" ", F.slice("wd", j + 1, 3)),
-            )
+        F.when(
+            F.size("wd") >= 3,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("wd") - 3),
+                    lambda j: F.concat_ws(" ", F.slice("wd", j + 1, 3)),
+                )
+            ),
         ).alias("sh"),
     )
     sig_cols = [

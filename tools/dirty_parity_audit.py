@@ -96,10 +96,35 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
                     F.col(fl.name),
                     lambda x, i: F.when(i % 3 == 0, F.lit(None)).otherwise(x),
                 )
+                # ragged: 1-in-5 rows lose the tail of the array — the
+                # wrong-dimension vector class EMB_CLEAN's len guard
+                # exists for (DuckDB's list_cosine RAISES on mismatched
+                # lengths; Spark zip_with silently NULLs)
+                ragged = F.slice(
+                    F.col(fl.name),
+                    1,
+                    F.greatest(
+                        (F.size(fl.name) * 3 / 4).cast("int"), F.lit(1)
+                    ),
+                )
                 return (
                     whole_null.when((rid + off) % 3 == 1, holed)
+                    .when((rid + off) % 5 == 2, ragged)
                     .otherwise(F.col(fl.name))
                     .alias(fl.name)
+                )
+            if fl.dataType.simpleString() == "string":
+                # empty-but-not-NULL strings: the ''-vs-NULL boundary
+                # (fingerprints of '', concat identities, blank-id
+                # filters) that an all-NULL generator never exercises
+                emptied = F.when(
+                    ((rid + off) % 7 == 3) & F.lit(fl.name in nullable),
+                    F.lit(""),
+                )
+                return (
+                    whole_null.otherwise(
+                        F.coalesce(emptied, F.col(fl.name))
+                    ).alias(fl.name)
                 )
             return whole_null.otherwise(F.col(fl.name)).alias(fl.name)
 
