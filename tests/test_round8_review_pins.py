@@ -170,6 +170,11 @@ def test_exact_corr_moments_complete_cases_only(spark, fixdir):
 # ---------------------------------------------------------------------------
 
 
+def _pad64(v):
+    """Zero-pad a short test vector to the corpus EMB_DIM=64."""
+    return v + [0.0] * (64 - len(v))
+
+
 @pytest.fixture(scope="module")
 def fixdir2(spark, tmp_path_factory):
     """Tmp sf_dir exercising the batch-17..21 dirty inputs: NULL ts
@@ -220,15 +225,17 @@ def fixdir2(spark, tmp_path_factory):
     lineitem.write.parquet(str(d / "lineitem.parquet"))
     emb = spark.createDataFrame(
         [
-            Row(vec_id=0, embedding=[1.0, 0.0], label=1),   # query, clean
+            # vectors padded to the corpus EMB_DIM=64 convention the
+            # round-9 _emb_clean ragged-length guard enforces
+            Row(vec_id=0, embedding=_pad64([1.0, 0.0]), label=1),   # query, clean
             Row(vec_id=10, embedding=None, label=1),        # NULL -> out
-            Row(vec_id=20, embedding=[0.0, 0.0], label=1),  # zero-norm
-            Row(vec_id=1, embedding=[1.0, 0.1], label=1),
-            Row(vec_id=2, embedding=[0.9, 0.2], label=1),
-            Row(vec_id=3, embedding=[1.0, None], label=2),  # interior NULL
-            Row(vec_id=4, embedding=[0.8, 0.3], label=1),
-            Row(vec_id=5, embedding=[0.7, 0.1], label=1),
-            Row(vec_id=6, embedding=[0.6, 0.2], label=1),
+            Row(vec_id=20, embedding=_pad64([0.0, 0.0]), label=1),  # zero-norm
+            Row(vec_id=1, embedding=_pad64([1.0, 0.1]), label=1),
+            Row(vec_id=2, embedding=_pad64([0.9, 0.2]), label=1),
+            Row(vec_id=3, embedding=_pad64([1.0, None]), label=2),  # interior NULL
+            Row(vec_id=4, embedding=_pad64([0.8, 0.3]), label=1),
+            Row(vec_id=5, embedding=_pad64([0.7, 0.1]), label=1),
+            Row(vec_id=6, embedding=_pad64([0.6, 0.2]), label=1),
         ]
     )
     emb.write.parquet(str(d / "embeddings.parquet"))
