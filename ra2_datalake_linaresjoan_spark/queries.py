@@ -1382,12 +1382,18 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CURATE_CORPUS = r"""
 WITH fp AS (
+  -- outer trim matches doc_fingerprint's final trim (punct stripping
+  -- can CREATE edge spaces); the QUALIFY carries exact_dedup's
+  -- NULL-id/NULL-fingerprint passthrough arms in lockstep (round-9
+  -- review — downstream quality/lang filters drop those rows anyway
+  -- on clean data, but the stage contracts must agree on dirty data)
   SELECT doc_id, lang, text,
-         md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS f
+         md5(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS f
   FROM documents
 ), exact_survivors AS (
   SELECT doc_id, lang, text FROM fp
   QUALIFY doc_id = min(doc_id) OVER (PARTITION BY f)
+          OR doc_id IS NULL OR f IS NULL
 ), feat AS (
   SELECT doc_id, lang, text,
          CASE WHEN trim(text) = '' OR text IS NULL THEN 0
@@ -2488,6 +2494,14 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     #     through _emb_clean's length guard, and jsonish_arrays_parity's
     #     oracle modeling the parser's drop-empty-elements rule
     "json_props", "props_variant", "minhash_error_audit",
+    # (i) third review pass (core queries.py + ext3 + llm2, the oldest
+    #     never-reviewed files): lockstep NULL filters for
+    #     scd2_user_state (episode ordering), waiting_suppliers (a NULL
+    #     suppkey counted as a distinct supplier where the oracle's <>
+    #     predicates never match NULL), seq_packing (NULL doc_id packs
+    #     first/last per engine); curate_corpus's oracle gains
+    #     exact_dedup's passthrough arms + the fingerprint's final trim
+    "scd2_user_state", "waiting_suppliers", "seq_packing",
 })
 
 #: Changed queries that could NOT fit the 50-slot driver window this
@@ -2539,6 +2553,9 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "json_props",
     "props_variant",
     "minhash_error_audit",
+    "scd2_user_state",
+    "waiting_suppliers",
+    "seq_packing",
 )
 
 
@@ -2649,6 +2666,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "json_props",
     "props_variant",
     "minhash_error_audit",
+    "scd2_user_state",
+    "waiting_suppliers",
+    "seq_packing",
 )
 
 

@@ -334,12 +334,19 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-expressed as two tiny per-order aggregates (distinct supplier
     count, distinct late-supplier count) joined back — three shuffles on
     the order key over already-distinct (orderkey, suppkey) pairs, instead
-    of the oracle's two correlated self-joins of the raw fact."""
+    of the oracle's two correlated self-joins of the raw fact.
+
+    NULL l_suppkey lines drop in LOCKSTEP (round-9 review): Spark's
+    per-order groupBy counted a NULL-key group as a distinct supplier
+    while the oracle's l2.l_suppkey <> l1.l_suppkey predicates never
+    match NULL — flipping both the multi-supplier and sole-late
+    qualifications."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
     li = (
         _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_suppkey").isNotNull())
         .select("l_orderkey", "l_suppkey", "l_shipdate")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     )
@@ -382,12 +389,15 @@ SELECT s_name, count(*) AS numwait
 FROM lineitem l1
 JOIN orders   ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
 JOIN supplier ON l1.l_suppkey = s_suppkey
-WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+WHERE l1.l_suppkey IS NOT NULL
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
   AND EXISTS (SELECT 1 FROM lineitem l2
               WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey IS NOT NULL
                 AND l2.l_suppkey <> l1.l_suppkey)
   AND NOT EXISTS (SELECT 1 FROM lineitem l3
                   WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey IS NOT NULL
                     AND l3.l_suppkey <> l1.l_suppkey
                     AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
 GROUP BY s_name
@@ -530,11 +540,20 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     treated as a dimension attribute; consecutive no-change rows collapse
     into one validity episode (`operators/scd2.scd2_history`). Validity
     bounds are emitted as epoch-micros BIGINTs (the feed carries
-    microsecond fractions — see `session_islands`)."""
+    microsecond fractions — see `session_islands`). Complete-case on
+    (ts, event_type, event_id) in LOCKSTEP (round-9 review): an episode
+    needs a position and a state — Spark's change window orders NULL ts
+    FIRST, DuckDB's LAST, splitting different episode sets, and the
+    oracle's lead(ts) IS NULL would conflate a NULL-ts successor with
+    end-of-history."""
     from ra2_datalake_linaresjoan_spark.operators.scd2 import scd2_history
     from ra2_datalake_linaresjoan_spark.queries import _events
 
-    ev = _events(spark, sf_dir)
+    ev = _events(spark, sf_dir).where(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
     hist = scd2_history(ev, key="user_id", state="event_type", ts="ts", tiebreak="event_id")
     return hist.select(
         "user_id",
@@ -552,6 +571,7 @@ WITH changed AS (
     SELECT user_id, event_type, ts, event_id,
            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
     FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL AND event_id IS NOT NULL
   )
   WHERE prev IS NULL OR prev <> event_type
 )

@@ -15,9 +15,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+# the SHARED table reader (round-9 review): a local raw-parquet copy
+# would silently skip queries._t's events-timestamp normalization if an
+# events-based query ever lands in this module
+from ra2_datalake_linaresjoan_spark.queries import _t  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -81,14 +82,24 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: documents concatenated in doc_id order WITHIN each
     language shard and chunked into 2048-token context windows; per-bin
     doc counts and token totals. Packing is per-shard (no global ordered
-    window — the 100-TB shape)."""
+    window — the 100-TB shape).
+
+    Complete-case on (doc_id, text) in LOCKSTEP (round-9 review): the
+    packing order is doc_id, and a NULL id packs FIRST in Spark's
+    window but LAST in DuckDB's, shifting every later document's bin
+    when the shard total crosses a capacity boundary — and a NULL text
+    has no tokens to pack."""
     from ra2_datalake_linaresjoan_spark.llmdata.packing import (
         pack_sequences,
         whitespace_tokens,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
-        "lang", "doc_id", whitespace_tokens("text").cast("long").alias("tokens")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .select(
+            "lang", "doc_id", whitespace_tokens("text").cast("long").alias("tokens")
+        )
     )
     packed = pack_sequences(
         docs, "doc_id", "tokens", _PACK_CAPACITY, shard_cols=["lang"]
@@ -108,6 +119,7 @@ WITH tok AS (
   SELECT lang, doc_id,
          len(regexp_split_to_array(trim(text), '\s+')) AS tokens
   FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ), cum AS (
   SELECT lang, doc_id, tokens,
          COALESCE(sum(tokens) OVER (
