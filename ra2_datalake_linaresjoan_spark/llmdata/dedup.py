@@ -318,24 +318,31 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     NULL id can never win — or match — the min-id semi join (the whole
     group used to vanish). Both pass through as survivors.
     """
+    from pyspark.sql import Window
+
     from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import doc_fingerprint
 
+    # ONE scan, ONE shuffle, NO join (round-10 A/B): a window min over
+    # the fingerprint partition replaces the r9 aggregate + left-join
+    # contract — that shape computed the fingerprint twice (once for
+    # the keep aggregate, once for the probe) and shuffled full rows
+    # into a sort-merge join, and at 100 TB the keep side is
+    # ~|distinct fingerprints| (corpus-scale, never broadcastable), so
+    # the join costs a SECOND full-row shuffle. Here the fingerprint is
+    # computed once and the only movement is the fp-hash shuffle the
+    # problem requires. Semantics are identical: a row survives iff it
+    # equals its group's min NON-NULL id, or has no group to lose to
+    # (NULL id / NULL fingerprint pass through — min() ignores NULL ids
+    # and the IS NULL arms never reach the comparison).
+    # A/B sf0.1 min-of-5, same session kind, back-to-back on one host:
+    # r9 left-join 1.51 s -> 1.08 s window shape (exact_dedup_docs).
     keyed = df.withColumn("_ed_fp", doc_fingerprint(F.col(text_col)))
-    keep = (
-        keyed.where(F.col(id_col).isNotNull() & F.col("_ed_fp").isNotNull())
-        .groupBy("_ed_fp")
-        .agg(F.min(id_col).alias("_ed_keep"))
-    )
-    # ONE probe scan + one fp-keyed aggregate (a union of a deduped and
-    # a passthrough branch would scan df twice — measured 3.2x at
-    # sf0.1): a row survives iff it IS its group's min id, or has no
-    # group to lose to (NULL id / NULL fingerprint never match the
-    # left join and survive through the IS NULL arms). The join is
-    # deliberately UNHINTED: a capped-count probe would re-execute the
-    # aggregate, and AQE's runtime re-plan already broadcasts the keep
-    # side from its REAL post-shuffle size when it is small.
+    w = Window.partitionBy("_ed_fp")
     return (
-        keyed.join(keep, "_ed_fp", "left")
+        keyed.withColumn(
+            "_ed_keep",
+            F.min(F.when(F.col(id_col).isNotNull(), F.col(id_col))).over(w),
+        )
         .where(
             F.col(id_col).isNull()
             | F.col("_ed_fp").isNull()

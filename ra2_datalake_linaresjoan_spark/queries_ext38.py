@@ -88,27 +88,45 @@ def q_ivfpq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes its 4 nearest cells and ranks ONLY those candidates by ADC —
     the sum of 8 precomputed query-to-codeword subdistances (table
     lookups, never a full-dim distance); (4) the exact metric re-ranks
-    the 40-deep ADC shortlist (the FAISS refine stage — measured here:
-    raw ADC recall 0.16 on these near-uniform synthetic vectors, 0.58
-    after refine ≈ the 4/16-probe IVF ceiling); (5) recall audits the
-    refined top-5 against the exact top-5 over all vectors.
+    the 40-deep ADC shortlist (the FAISS refine stage); (5) recall
+    audits the refined top-5 against the exact top-5 over all vectors.
 
-    Scale: cells+codes are the INDEX — built once (one corpus scan per
-    table, combine-enabled aggregates keyed by vec_id) and reused by
-    every query batch; the candidate join is cell-keyed (~probe/cells
-    of the corpus per query); the ADC table is queries x 8 x 16 rows —
-    broadcast. The exact baseline exists only to SCORE the index, and
-    the query sample is a FIXED 100 (md5-ordered — pseudo-random but
-    deterministic), so the baseline is O(100·N): linear in the corpus
-    at every scale, never the N²/50 a proportional sample becomes. All
-    ranking keys are exact BIGINTs (1e-6-quantized before summing), so
-    argmins and tie-breaks (lowest cid / vec_id) are engine-stable."""
+    Shape (round-10 rewrite, the production batch-ANN layout): the
+    query batch (FIXED 100 vectors) and the 16-codeword codebook are
+    BOUNDED — they live driver-side (exactly where a FAISS client keeps
+    them), all query-side tables (probe lists, the queries x 16 x 8 ADC
+    lookup) are precomputed in numpy, and ONE Arrow-batched pass over
+    the corpus computes, per vector: its cell, its 8 PQ codes, its ADC
+    sum per probing query, and its exact distance per query — emitting
+    only per-partition top-k slices (top-40/query ADC candidates,
+    top-5/query exact) plus per-query candidate counts. A final tiny
+    shuffle (|partitions| x 100 x 45 rows, corpus-size-independent)
+    merges partition winners. At 100 TB: one corpus scan, no corpus x 16
+    crossJoin, no full candidate shuffle — the classic broadcast-query
+    distributed top-k.
+
+    Round-10 A/B (sf0.1, min-of-3, this replaces the r9 DataFrame
+    chain whose 9-argmin one-pass index build measured 7.2-7.5 s): the
+    r9 cost was NOT data volume (100 x 2000 pairs is nothing) but plan
+    constants — three localCheckpoint jobs, ~15 stages, and whole-stage
+    codegen compiling 64-term expression trees per consumer (the
+    100-row qpc checkpoint alone took 1.2 s). This pass-based shape
+    measures 1.6-2.0 s — under the round-8 'done = ~2.5 s' bar.
+
+    Parity: all ranking keys are exact BIGINTs — each subspace distance
+    is a float64 sequential fold over ascending dims (numpy reproduces
+    Spark/DuckDB's `acc + d*d` association bit-for-bit), then
+    round-half-up(acc * 1e6) via floor(y + 0.5), exact for y < 2^51 and
+    identical to DuckDB's std::round half-away-from-zero on these
+    non-negative keys. Argmins/tie-breaks (lowest cid / vec_id) use
+    stable sorts over int64 — engine-stable."""
     # lockstep dirty-vector guard (both engines): drop vectors that are
     # NULL, wrong-dimension, or have a NULL ELEMENT — an interior NULL
-    # makes every quantized distance NULL, and Spark's min(struct) sorts
-    # NULLs FIRST while DuckDB's QUALIFY row_number defaults NULLS LAST,
-    # so cell routing would silently diverge per engine (the ext28/ext30
-    # sentinel convention, applied here as a filter).
+    # makes every quantized distance NULL and the two engines order
+    # NULL keys differently (the ext28/ext30 sentinel convention,
+    # applied here as a filter). localCheckpoint: three consumers
+    # (seeds, qids, the corpus pass) read the materialized blocks
+    # instead of re-running the scan+guard.
     emb = (
         _t(spark, sf_dir, "embeddings")
         .where(
@@ -120,173 +138,178 @@ def q_ivfpq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .localCheckpoint()
     )
-    seeds = (
-        emb.orderBy("vec_id")
-        .limit(_IP_CELLS)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cid"),
-            F.col("v").alias("c"),
-        )
+    out_schema = (
+        "query_id bigint, n_candidates bigint, n_hits bigint, "
+        "recall_at_5 double"
     )
-
-    def per_cent(frame: DataFrame) -> DataFrame:
-        # one row per (vector, seed) with the 8 quantized subdistances;
-        # the full distance is their exact-integer sum (2nd select —
-        # Spark does no CSE across an alias reused in the same select)
-        wide = frame.crossJoin(F.broadcast(seeds)).select(
-            "vec_id",
-            "cid",
-            *[_ip_subq(s).alias(f"s{s}") for s in range(_IP_SUBS)],
-        )
-        total = F.lit(0).cast("long")
-        for s in range(_IP_SUBS):
-            total = total + F.col(f"s{s}")
-        return wide.withColumn("fullq", total)
-
-    # (1)+(2) the ENTIRE index — coarse cell AND all 8 PQ codes — in ONE
-    # combine-enabled aggregate over the (vector, seed) subdistance
-    # table: the cell is argmin(fullq, cid), code s is argmin(s_s, cid),
-    # and all 9 argmins are min(struct) aggregates sharing the single
-    # vec_id shuffle. The previous shape (round-8) materialized pc via
-    # localCheckpoint and re-melted it into 8x long form for a second
-    # groupBy — one extra barrier plus a corpus x 16 x 8 explode+shuffle
-    # that this one-pass form never builds (sf0.1: ~1 s of the wall).
-    # At 100 TB this aggregate IS the index build: one O(corpus x 16)
-    # pass, map-side combined, reused by every query batch.
-    index = per_cent(emb).groupBy("vec_id").agg(
-        F.min(F.struct("fullq", "cid")).alias("b"),
-        *[
-            F.min(F.struct(F.col(f"s{s}"), F.col("cid"))).alias(f"bs{s}")
-            for s in range(_IP_SUBS)
-        ],
-    )
-    cells = index.select("vec_id", F.col("b.cid").alias("cell"))
-    # codes in long form via a shuffle-free explode of the wide argmins
-    codes = index.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        F.col(f"bs{s}.cid").alias("code"),
-                    )
-                    for s in range(_IP_SUBS)
-                ]
-            )
-        ).alias("m"),
-    ).select("vec_id", "m.sub", "m.code")
-
-    # TakeOrderedAndProject over the corpus, materialized once — three
-    # consumers (qpc, the rerank broadcast, the final left joins) would
-    # otherwise each re-run the md5 sample
-    qids = (
+    # BOUNDED driver-side collects (16 + 100 rows at ANY corpus size):
+    # the codebook and the query batch — the two things a production
+    # ANN service holds client-side by construction. Both are
+    # TakeOrderedAndProject over the checkpointed corpus.
+    seed_rows = emb.orderBy("vec_id").limit(_IP_CELLS).collect()
+    qid_rows = (
         emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(_IP_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-        .localCheckpoint()
+        .collect()
     )
-    qpc = per_cent(
-        qids.select(F.col("query_id").alias("vec_id"), F.col("qv").alias("v"))
-    ).localCheckpoint()  # tiny: |queries| x 16; reused by probes AND ADC
-    # (3a) probe list: 4 nearest cells per query
-    wq = Window.partitionBy("vec_id").orderBy("fullq", "cid")
-    probes = (
-        qpc.withColumn("rk", F.row_number().over(wq))
-        .where(F.col("rk") <= _IP_PROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    if not seed_rows or not qid_rows:
+        return spark.createDataFrame([], out_schema)
+
+    import numpy as np
+
+    S = np.array([r["v"] for r in seed_rows], dtype=np.float64)  # (C, 64)
+    Q = np.array([r["v"] for r in qid_rows], dtype=np.float64)  # (Nq, 64)
+    qid_arr = [int(r["vec_id"]) for r in qid_rows]
+    n_cells, n_q = S.shape[0], Q.shape[0]
+
+    def sub_dists(X: "np.ndarray", Y: "np.ndarray") -> "np.ndarray":
+        """(|X|, |Y|, 8) int64 quantized subspace sq-distances with the
+        exact engine fold: acc = acc + d*d over ascending dims, then
+        round-half-up(acc * 1e6) — floor(y+0.5) is exact HALF_UP for
+        these non-negative y << 2^51."""
+        out = np.empty((X.shape[0], Y.shape[0], _IP_SUBS), dtype=np.int64)
+        for s in range(_IP_SUBS):
+            lo = s * _IP_SUBDIM
+            acc = np.zeros((X.shape[0], Y.shape[0]), dtype=np.float64)
+            for i in range(lo, lo + _IP_SUBDIM):
+                d = X[:, i, None] - Y[None, :, i]
+                acc = acc + d * d
+            out[:, :, s] = np.floor(acc * _IP_Q + 0.5).astype(np.int64)
+        return out
+
+    # query-side tables, all driver-side numpy: per-query probe set
+    # (4 lowest (fullq, cid) — stable argsort = lowest-cid tie-break)
+    # and the ADC lookup (query x codeword x subspace).
+    adc_tab = sub_dists(Q, S)  # (Nq, C, 8)
+    probe_order = np.argsort(adc_tab.sum(axis=2), axis=1, kind="stable")
+    probe_mask = np.zeros((n_q, n_cells), dtype=bool)
+    for q in range(n_q):
+        probe_mask[q, probe_order[q, : _IP_PROBE]] = True
+    qid_np = np.array(qid_arr, dtype=np.int64)
+
+    po_schema = (
+        "kind int, query_id bigint, neighbor_id bigint, "
+        "adcq bigint, dq bigint, cnt bigint"
     )
-    # (3b) ADC lookup table: query x subspace x codeword subdistances
-    adc_tab = qpc.select(
-        F.col("vec_id").alias("query_id"),
-        "cid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"), F.col(f"s{s}").alias("partq")
-                    )
-                    for s in range(_IP_SUBS)
-                ]
+
+    def topk_per_query(qv, key1, key2, k):
+        """Row indices of the per-query top-k by (key1, key2), given
+        parallel arrays sorted-by-nothing; fully vectorized lexsort +
+        run-rank."""
+        order = np.lexsort((key2, key1, qv))
+        qs = qv[order]
+        run_start = np.r_[0, np.flatnonzero(qs[1:] != qs[:-1]) + 1]
+        rank = np.arange(qs.size) - np.repeat(
+            run_start, np.diff(np.r_[run_start, qs.size])
+        )
+        return order[rank < k]
+
+    def corpus_pass(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vd = sub_dists(V, S)  # (B, C, 8)
+            # (1) cell = argmin (fullq, cid); (2) codes = per-subspace
+            # argmin (subq, cid) — first-occurrence argmin == lowest cid
+            cell = np.argmin(vd.sum(axis=2), axis=1)  # (B,)
+            codes = np.argmin(vd, axis=1)  # (B, 8)
+            # exact quantized distance of every corpus vector to every
+            # query (the refine metric AND the scoring baseline)
+            dq = sub_dists(V, Q).sum(axis=2)  # (B, Nq)
+            not_self = vid[:, None] != qid_np[None, :]
+            # (3) candidates: vector's cell is probed by the query
+            cmask = probe_mask.T[cell] & not_self  # (B, Nq)
+            b_i, q_i = np.nonzero(cmask)
+            # ADC = sum of 8 table lookups at the neighbor's codes
+            adcq = adc_tab[q_i[:, None], codes[b_i], np.arange(_IP_SUBS)].sum(
+                axis=1
             )
-        ).alias("m"),
-    ).select("query_id", "cid", "m.sub", "m.partq")
-    # (3c) candidates = vectors in probed cells; ADC = sum of 8 lookups
-    cand = (
-        probes.join(cells, "cell")
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    adc = (
-        cand.join(codes, cand["neighbor_id"] == codes["vec_id"])
-        .join(
-            F.broadcast(adc_tab),
-            (adc_tab["query_id"] == cand["query_id"])
-            & (adc_tab["cid"] == codes["code"])
-            & (adc_tab["sub"] == codes["sub"]),
-        )
-        .groupBy(cand["query_id"].alias("query_id"), "neighbor_id")
-        .agg(F.sum("partq").alias("adcq"))
-    )
-    wtop = Window.partitionBy("query_id").orderBy("adcq", "neighbor_id")
-    shortlist = (
-        adc.withColumn("rk", F.row_number().over(wtop))
-        .where(F.col("rk") <= _IP_RERANK)
-        .select("query_id", "neighbor_id")
-    )
-    # refine: exact distance over ONLY the RERANK-per-query shortlist
-    rr = F.lit(0).cast("long")
-    for s in range(_IP_SUBS):
-        rr = rr + _ip_subq(s, "v", "qv")
-    reranked = (
-        shortlist.join(
-            emb.select(F.col("vec_id").alias("neighbor_id"), "v"),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qids), "query_id")
-        .select("query_id", "neighbor_id", rr.alias("dq"))
-    )
+            cand_dq = dq[b_i, q_i]
+            # per-partition shortlist trim: global top-40 only needs
+            # each partition's top-40 per query
+            keep = topk_per_query(q_i, adcq, vid[b_i], _IP_RERANK)
+            n_keep = keep.size
+            # per-query candidate counts (exact, pre-trim)
+            cq, cc = np.unique(q_i, return_counts=True)
+            # (5) exact baseline: per-partition top-5 per query
+            e_b, e_q = np.nonzero(not_self)
+            ekeep = topk_per_query(e_q, dq[e_b, e_q], vid[e_b], _IP_K)
+            yield pd.DataFrame(
+                {
+                    "kind": np.r_[
+                        np.zeros(n_keep, dtype=np.int32),
+                        np.full(cq.size, 2, dtype=np.int32),
+                        np.ones(ekeep.size, dtype=np.int32),
+                    ],
+                    "query_id": np.r_[
+                        qid_np[q_i[keep]], qid_np[cq], qid_np[e_q[ekeep]]
+                    ],
+                    "neighbor_id": np.r_[
+                        vid[b_i[keep]],
+                        np.zeros(cq.size, dtype=np.int64),
+                        vid[e_b[ekeep]],
+                    ],
+                    "adcq": np.r_[
+                        adcq[keep],
+                        np.zeros(cq.size, dtype=np.int64),
+                        np.zeros(ekeep.size, dtype=np.int64),
+                    ],
+                    "dq": np.r_[
+                        cand_dq[keep],
+                        np.zeros(cq.size, dtype=np.int64),
+                        dq[e_b[ekeep], e_q[ekeep]],
+                    ],
+                    "cnt": np.r_[
+                        np.zeros(n_keep, dtype=np.int64),
+                        cc.astype(np.int64),
+                        np.zeros(ekeep.size, dtype=np.int64),
+                    ],
+                }
+            )
+
+    # ONE corpus pass; output is |partitions| x 100 x (40+5+1) rows at
+    # most — corpus-size-independent — so the checkpoint that lets the
+    # three consumers share it is O(partitions), not O(corpus).
+    po = emb.mapInPandas(corpus_pass, schema=po_schema).localCheckpoint()
+
+    # (3)-(4) global shortlist-40 by (adcq, neighbor_id), then exact
+    # rerank top-5 by (dq, neighbor_id) — two windows over the SAME
+    # query_id partitioning: one tiny shuffle.
+    w_adc = Window.partitionBy("query_id").orderBy("adcq", "neighbor_id")
+    w_dq = Window.partitionBy("query_id").orderBy("dq", "neighbor_id")
     approx = (
-        reranked.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy("dq", "neighbor_id")
-            ),
-        )
-        .where(F.col("rk") <= _IP_K)
+        po.where(F.col("kind") == 0)
+        .withColumn("rk", F.row_number().over(w_adc))
+        .where(F.col("rk") <= _IP_RERANK)
+        .withColumn("rk2", F.row_number().over(w_dq))
+        .where(F.col("rk2") <= _IP_K)
         .select("query_id", "neighbor_id")
     )
-    # (4) exact top-5 over ALL vectors (the scoring baseline)
-    pairs = qids.crossJoin(emb).where(
-        F.col("vec_id") != F.col("query_id")
-    )
-    exq = F.lit(0).cast("long")
-    for s in range(_IP_SUBS):
-        exq = exq + _ip_subq(s, "v", "qv")
     exact = (
-        pairs.select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), exq.alias("dq")
-        )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy("dq", "neighbor_id")
-            ),
-        )
+        po.where(F.col("kind") == 1)
+        .withColumn("rk", F.row_number().over(w_dq))
         .where(F.col("rk") <= _IP_K)
         .select("query_id", "neighbor_id")
     )
-    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
-        "query_id"
-    ).agg(F.count(F.lit(1)).alias("n_hits"))
-    # adc preserves (query, candidate) 1:1, so the candidate count reads
-    # the checkpointed frame instead of recomputing the cand join chain
-    ncand = adc.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_candidates")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ncand = (
+        po.where(F.col("kind") == 2)
+        .groupBy("query_id")
+        .agg(F.sum("cnt").alias("n_candidates"))
+    )
+    qframe = spark.createDataFrame(
+        [(v,) for v in qid_arr], "query_id bigint"
     )
     return (
-        qids.select("query_id")
-        .join(F.broadcast(ncand), "query_id", "left")
+        qframe.join(F.broadcast(ncand), "query_id", "left")
         .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",

@@ -45,12 +45,6 @@ _MMR_POOL = 50
 _MMR_LAMBDA = 0.7
 _MMR_QSCALE = 127
 
-_ACC_TYPE = (
-    "array<struct<doc_id:bigint,rel:double,mmr:double,"
-    "q:array<int>,nrm:double>>"
-)
-
-
 def _bm25_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-`_MMR_POOL` docs by the SHARED ``bm25_scores`` contract
     (4-dp-rounded score, doc_id tie-break), with their pool rank —
@@ -81,7 +75,7 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q"),
     )
 
-    def idot(a, b):
+    def idot_expr(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
             F.lit(0).cast("long"),
@@ -94,69 +88,67 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(_MMR_POOL + 1) - F.col("rank")) / F.lit(float(_MMR_POOL))
         ).alias("rel"),
         "q",
-        F.sqrt(idot(F.col("q"), F.col("q"))).alias("nrm"),
+        F.sqrt(idot_expr(F.col("q"), F.col("q"))).alias("nrm"),
     )
-    one = cand.agg(
-        F.collect_list(F.struct("doc_id", "rel", "q", "nrm")).alias("c")
-    )
+    # BOUNDED collect (<= pool = 50 rows at any corpus size; the
+    # quantization, norm, and rel rational stay Spark-side above) and a
+    # driver-side greedy loop: the K = 10 picks are O(K·pool·dim)
+    # scalar work on ONE bounded row whichever engine runs them, and
+    # the r9 in-row F.aggregate-over-sequence form paid whole-stage-
+    # codegen compile for its 10x-nested expression tree every call
+    # (round-10 A/B sf0.1: 1.68 -> 1.53 min-of-5 ab_bench; 1.22
+    # min-of-3 idle — the residual floor is the shared bm25_scores
+    # scan at ~0.65-0.77 s, not the greedy). Float
+    # parity is unchanged: integer dot products, and Python's IEEE
+    # double *, /, sqrt are the same correctly-rounded ops the JVM and
+    # DuckDB execute on the identical integer inputs.
+    rows = cand.collect()
+    import math
 
-    def sim(x, s):
-        return F.when(
-            (x["nrm"] > 0) & (s["nrm"] > 0),
-            idot(x["q"], s["q"]) / (x["nrm"] * s["nrm"]),
-        ).otherwise(F.lit(0.0))
-
-    def step(acc, _i):
-        sel_ids = F.transform(acc, lambda a: a["doc_id"])
-        rem = F.filter(
-            F.col("c"), lambda x: ~F.array_contains(sel_ids, x["doc_id"])
-        )
-        maxsim = lambda x: F.when(  # noqa: E731
-            F.size(acc) == 0, F.lit(0.0)
-        ).otherwise(F.array_max(F.transform(acc, lambda s: sim(x, s))))
-        scored = F.transform(
-            rem,
-            lambda x: F.struct(
-                (
-                    F.lit(_MMR_LAMBDA) * x["rel"]
-                    - F.lit(1.0 - _MMR_LAMBDA) * maxsim(x)
-                ).alias("m"),
-                (-x["doc_id"]).alias("g"),
-                x["doc_id"].alias("doc_id"),
-                x["rel"].alias("rel"),
-                x["q"].alias("q"),
-                x["nrm"].alias("nrm"),
-            ),
-        )
-        best = F.array_max(scored)
-        appended = F.concat(
-            acc,
-            F.array(
-                F.struct(
-                    best["doc_id"].alias("doc_id"),
-                    best["rel"].alias("rel"),
-                    best["m"].alias("mmr"),
-                    best["q"].alias("q"),
-                    best["nrm"].alias("nrm"),
+    pool_py = [
+        (r["doc_id"], r["rel"], r["q"], r["nrm"]) for r in rows
+    ]
+    selected: list[tuple[int, float, float]] = []  # (doc_id, rel, mmr)
+    sel_vecs: list[tuple[list[int], float]] = []
+    remaining = dict((d, (rel, qv, nrm)) for d, rel, qv, nrm in pool_py)
+    for _pick in range(min(_MMR_K, len(pool_py))):
+        best = None
+        for d in remaining:
+            rel, qv, nrm = remaining[d]
+            if sel_vecs:
+                maxsim = max(
+                    (
+                        sum(x * y for x, y in zip(qv, sq)) / (nrm * snrm)
+                        if nrm > 0 and snrm > 0
+                        else 0.0
+                    )
+                    for sq, snrm in sel_vecs
                 )
-            ),
-        )
-        return F.when(F.size(rem) > 0, appended).otherwise(acc)
-
-    picked = one.select(
-        F.aggregate(
-            F.sequence(F.lit(1), F.lit(_MMR_K)),
-            F.expr(f"CAST(array() AS {_ACC_TYPE})"),
-            step,
-        ).alias("sel")
+            else:
+                maxsim = 0.0
+            m = _MMR_LAMBDA * rel - (1.0 - _MMR_LAMBDA) * maxsim
+            key = (m, -d)
+            if best is None or key > best[0]:
+                best = (key, d, rel, m)
+        _, d, rel, m = best
+        rel_, qv, nrm = remaining.pop(d)
+        selected.append((d, rel, m))
+        sel_vecs.append((qv, nrm))
+    out = spark.createDataFrame(
+        [
+            (i + 1, int(d), float(rel), float(m))
+            for i, (d, rel, m) in enumerate(selected)
+        ],
+        "pick int, doc_id bigint, rel double, mmr_score double",
     )
-    return picked.select(
-        F.posexplode("sel").alias("pos", "s")
-    ).select(
-        (F.col("pos") + 1).alias("pick"),
-        F.col("s.doc_id").alias("doc_id"),
-        F.round("s.rel", 6).alias("rel"),
-        F.round("s.mmr", 6).alias("mmr_score"),
+    # final 6-dp rounding stays Spark-side: F.round is the same
+    # HALF_UP both engines already agree on (Python's round() is
+    # banker's and would diverge on ties)
+    return out.select(
+        "pick",
+        "doc_id",
+        F.round("rel", 6).alias("rel"),
+        F.round("mmr_score", 6).alias("mmr_score"),
     )
 
 
