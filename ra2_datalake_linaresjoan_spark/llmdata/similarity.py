@@ -195,41 +195,65 @@ def _cosine_topk_numpy(
         # 100-TB job eventually meets must yield an empty frame, not an
         # ndim crash in the normalizer
         return spark.createDataFrame([], schema=out_schema)
-    ids = np.array([r[0] for r in rows], dtype=np_id)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat_norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat_norm))
+    # one matrix PER DISTINCT VECTOR LENGTH: the expr path's zip_with
+    # NULL-pads mixed-length pairs, so their cosine is NULL and the pair
+    # drops — i.e. pairs score iff len(q) == len(c). A ragged corpus
+    # previously crashed np.array here while the expr path silently
+    # filtered (the round-9 advisor's auto-strategy asymmetry); grouping
+    # by length reproduces the expr semantics exactly AND removes the
+    # crash. Clean corpora have one group — zero overhead.
+    by_len: dict[int, tuple[list, list]] = {}
+    for r in rows:
+        gids, gvecs = by_len.setdefault(len(r[1]), ([], []))
+        gids.append(r[0])
+        gvecs.append(r[1])
+    groups = {}
+    for length, (gids, gvecs) in by_len.items():
+        m = np.array(gvecs, dtype=np.float64)
+        groups[length] = (
+            np.array(gids, dtype=np_id),
+            m / np.linalg.norm(m, axis=1, keepdims=True),
+        )
+    bc = spark.sparkContext.broadcast(groups)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c_ids, c_mat = bc.value
+        grp = bc.value
         for pdf in batches:
             pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
             if pdf.empty:
                 continue
-            q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
-            qn = np.linalg.norm(q, axis=1, keepdims=True)
-            # interior NULLs arrive as NaN through Arrow; drop NaN- and
-            # zero-norm queries in lockstep with the expr path's NULL-sim
-            # filter before the 0/0 division can mint NaN rows
-            good = np.isfinite(qn[:, 0]) & (qn[:, 0] > 0)
-            if not good.any():
-                continue
-            pdf, q, qn = pdf[good], q[good], qn[good]
-            q = q / qn
-            sims = np.round(q @ c_mat.T, round_digits)
-            out_q, out_n, out_s = [], [], []
-            for qi, qid in enumerate(pdf[id_col].to_numpy()):
-                s = sims[qi]
-                mask = c_ids != qid
-                # deterministic: sort by (-sim, neighbor_id)
-                order = np.lexsort((c_ids[mask], -s[mask]))[:k]
-                sel = np.where(mask)[0][order]
-                out_q.extend([qid] * len(sel))
-                out_n.extend(c_ids[sel])
-                out_s.extend(s[sel])
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
-            )
+            lens = pdf[vec_col].map(len).to_numpy()
+            for length in np.unique(lens):
+                if length not in grp:
+                    # no same-length corpus vectors: every pair's expr
+                    # cosine would be NULL — nothing to emit
+                    continue
+                c_ids, c_mat = grp[length]
+                sub = pdf[lens == length]
+                q = np.stack(sub[vec_col].map(np.asarray)).astype(np.float64)
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                # interior NULLs arrive as NaN through Arrow; drop NaN-
+                # and zero-norm queries in lockstep with the expr path's
+                # NULL-sim filter before the 0/0 division mints NaN rows
+                good = np.isfinite(qn[:, 0]) & (qn[:, 0] > 0)
+                if not good.any():
+                    continue
+                sub, q, qn = sub[good], q[good], qn[good]
+                q = q / qn
+                sims = np.round(q @ c_mat.T, round_digits)
+                out_q, out_n, out_s = [], [], []
+                for qi, qid in enumerate(sub[id_col].to_numpy()):
+                    s = sims[qi]
+                    mask = c_ids != qid
+                    # deterministic: sort by (-sim, neighbor_id)
+                    order = np.lexsort((c_ids[mask], -s[mask]))[:k]
+                    sel = np.where(mask)[0][order]
+                    out_q.extend([qid] * len(sel))
+                    out_n.extend(c_ids[sel])
+                    out_s.extend(s[sel])
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+                )
 
     return queries.select(id_col, vec_col).mapInPandas(score, schema=out_schema)
 
@@ -356,29 +380,56 @@ def cosine_neardup_pairs(
         # empty corpus: no pairs — return an empty frame instead of an
         # ndim crash in the normalizer (same guard as _cosine_topk_numpy)
         return spark.createDataFrame([], schema=pair_schema)
-    ids = np.array([r[0] for r in rows], dtype=np_id)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    # per-length matrices, same reasoning as _cosine_topk_numpy: the
+    # lsh/expr paths' zip_with cosine is NULL for mixed-length pairs (so
+    # they fail the >= threshold filter); a ragged corpus crashed
+    # np.array/np.stack here instead. Pairs exist only WITHIN a length
+    # group — clean corpora have one group, zero overhead.
+    by_len: dict[int, tuple[list, list]] = {}
+    for r in rows:
+        gids, gvecs = by_len.setdefault(len(r[1]), ([], []))
+        gids.append(r[0])
+        gvecs.append(r[1])
+    groups = {}
+    for length, (gids, gvecs) in by_len.items():
+        m = np.array(gvecs, dtype=np.float64)
+        groups[length] = (
+            np.array(gids, dtype=np_id),
+            m / np.linalg.norm(m, axis=1, keepdims=True),
+        )
+    bc = spark.sparkContext.broadcast(groups)
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c_ids, c_mat = bc.value
+        grp = bc.value
         for pdf in batches:
             pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
             if pdf.empty:
                 continue
-            q_ids = pdf[id_col].to_numpy(dtype=np_id)
-            q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(q @ c_mat.T, round_digits)
-            qi, ci = np.where((sims >= threshold) & (q_ids[:, None] < c_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": q_ids[qi],
-                    "id_b": c_ids[ci],
-                    "cos_sim": sims[qi, ci],
-                }
-            )
+            lens = pdf[vec_col].map(len).to_numpy()
+            for length in np.unique(lens):
+                if length not in grp:
+                    continue
+                c_ids, c_mat = grp[length]
+                sub = pdf[lens == length]
+                q_ids = sub[id_col].to_numpy(dtype=np_id)
+                q = np.stack(sub[vec_col].map(np.asarray)).astype(np.float64)
+                qn = np.linalg.norm(q, axis=1, keepdims=True)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    q = q / qn
+                    sims = np.round(q @ c_mat.T, round_digits)
+                # NaN sims (interior-NULL / zero-norm queries) fail the
+                # >= threshold comparison, matching the guarded cosine's
+                # NULL on the lsh/expr paths
+                qi, ci = np.where(
+                    (sims >= threshold) & (q_ids[:, None] < c_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "id_a": q_ids[qi],
+                        "id_b": c_ids[ci],
+                        "cos_sim": sims[qi, ci],
+                    }
+                )
 
     return df.select(id_col, vec_col).mapInPandas(score, schema=pair_schema)
 
@@ -513,6 +564,12 @@ def ivf_ann(
         cents = bc.value
         for pdf in batches:
             pdf = pdf[pdf[id_col].notna() & pdf[vec_col].notna()]
+            # ragged queries can't probe the fixed-dim centroid matrix
+            # (np.stack would raise); the downstream zip_with cosine
+            # would NULL-drop their pairs anyway — drop them here in
+            # lockstep (the round-9 advisor's ragged-batch class)
+            if not pdf.empty:
+                pdf = pdf[pdf[vec_col].map(len) == cents.shape[1]]
             if pdf.empty:
                 continue
             q = np.stack(pdf[vec_col].map(np.asarray)).astype(np.float64)

@@ -76,17 +76,31 @@ def scd2_apply(
     collapses into the open episode (no new row) — the same no-change
     collapse rule as the one-shot builder, so
     ``scd2_apply(scd2_history(b1), b2) == scd2_history(b1 ∪ b2)``
-    exactly (``cdc_scd2_apply_audit`` oracle-pins this equality)."""
+    exactly (``cdc_scd2_apply_audit`` oracle-pins this equality).
+
+    Tiebreak contract (the arrival-sequence invariant the equality
+    depends on): a batch row that shares the open episode's ``valid_from``
+    timestamp must carry a tiebreak ABOVE every row already folded into
+    the history — i.e. tiebreaks are monotonically assigned in arrival
+    order (a CDC sequence number). The open episode re-enters the
+    rebuild with the Long.MIN_VALUE sentinel, guaranteed below any real
+    domain value, so it always sorts FIRST among equal timestamps; a
+    batch that violates the contract (a same-timestamp row with a
+    tiebreak at/below ones already applied) reorders against the
+    one-shot rebuild — by construction, not by this function's choice
+    of sentinel (round-9 advisor note)."""
     closed = episodes.where(~F.col("is_current")).select(
         key, "state", "valid_from", "valid_to", "is_current"
     )
-    # the open episode re-enters as a change row at its valid_from; a
-    # tiebreak below any real one keeps it FIRST among equal timestamps
+    # the open episode re-enters as a change row at its valid_from; the
+    # Long.MIN_VALUE sentinel sorts below ANY real tiebreak (-1 only
+    # sorted below non-negative ones), keeping it FIRST among equal
+    # timestamps
     open_rows = episodes.where(F.col("is_current")).select(
         F.col(key),
         F.col("state").alias(state),
         F.col("valid_from").alias(ts),
-        F.lit(-1).cast("long").alias(tiebreak),
+        F.lit(-9223372036854775808).cast("long").alias(tiebreak),
     )
     fresh = batch.select(
         F.col(key),

@@ -305,7 +305,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_INCREMENTAL_DEDUP = r"""
 WITH fp AS (
   SELECT doc_id, lang,
-         md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fingerprint
+         -- full doc_fingerprint INCLUDING the final trim (punctuation
+         -- stripping can create edge spaces the initial trim ran too
+         -- early to see) — in lockstep with llmdata.text_analysis
+         md5(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
   FROM documents
 ), batch AS (
   SELECT doc_id, lang, fingerprint FROM fp WHERE doc_id % 10 = 9

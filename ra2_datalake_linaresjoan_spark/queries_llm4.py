@@ -205,9 +205,11 @@ ORDER BY label
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dedup survivor accounting: documents fingerprinted by
-    md5(text), survivor = min doc_id per fingerprint (the same
-    deterministic-survivor contract as ``llmdata.dedup.exact_dedup``),
+    """Exact-dedup survivor accounting: documents fingerprinted by the
+    normalized ``doc_fingerprint`` (lowercase / punctuation-strip /
+    whitespace-collapse / trim), survivor = min doc_id per fingerprint
+    (the same contract as ``llmdata.dedup.exact_dedup``, which this
+    calls directly),
     then per-lang totals / survivors / removed. One shuffle on the
     fingerprint, one on lang — both unavoidable and both map-side
     combined. The removed count is the dedup rate a crawl round reports."""
@@ -232,10 +234,18 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_SURVIVORS = """
+SQL_DEDUP_SURVIVORS = r"""
 WITH ranked AS (
+  -- the FULL doc_fingerprint normalization (lowercase, punctuation-
+  -- strip, whitespace-collapse, final trim) in lockstep with the
+  -- Spark side's exact_dedup: raw md5(text) would keep normalization-
+  -- only duplicates ('Hello!' vs 'hello') as survivors here while the
+  -- engine removes them (round-9 advisor catch)
   SELECT lang, doc_id, text,
-         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         row_number() OVER (
+           PARTITION BY md5(trim(regexp_replace(regexp_replace(
+             lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+           ORDER BY doc_id) AS rn
   FROM documents
 ), flagged AS (
   -- survivor rule in lockstep with exact_dedup: min-id per fingerprint

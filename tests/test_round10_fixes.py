@@ -1,0 +1,166 @@
+"""Round-10 contract pins: the round-9 advisor fixes (ragged-vector
+strategy agreement in the cosine paths, the SCD2 tiebreak sentinel) and
+the perf-rewrite parity invariants (exact_dedup window shape, the
+driver-side MMR greedy, the one-pass IVF-PQ quantization kernel).
+
+Each test pins a behavior the oracle gate alone cannot see (degenerate
+inputs the testdata lacks, or cross-strategy agreement inside ONE
+engine).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# similarity: ragged-length vectors must not flip behavior by strategy
+# ---------------------------------------------------------------------------
+
+_RAGGED = [
+    (1, [1.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0]),
+    (3, [0.0, 1.0, 0.0, 0.0]),  # ragged: len 4
+    (4, [0.1, 0.9, 0.0, 0.0]),  # ragged: len 4 — pairs with 3 only
+    (5, None),
+    (6, [0.5, None, 0.5]),  # interior NULL
+    (7, [0.0, 0.0, 0.0]),  # zero norm
+    (None, [1.0, 1.0, 1.0]),  # NULL id
+]
+
+
+def _ragged_df(spark):
+    return spark.createDataFrame(
+        _RAGGED, "vec_id long, embedding array<double>"
+    )
+
+
+def _rows(df):
+    return sorted(
+        [tuple(r) for r in df.collect()], key=lambda t: tuple(map(str, t))
+    )
+
+
+def test_cosine_topk_numpy_matches_expr_on_ragged_corpus(spark):
+    """round-9 advisor (medium): np.array on a mixed-length corpus used
+    to raise ValueError under method='numpy' while method='expr'
+    silently NULL-dropped the mixed pairs — auto-strategy behavior
+    flipped with corpus size. Per-length matrices must agree with the
+    expr path exactly, including the cross-length pair drops."""
+    from ra2_datalake_linaresjoan_spark.llmdata.similarity import cosine_topk
+
+    df = _ragged_df(spark)
+    got_np = _rows(cosine_topk(df, df, k=3, method="numpy"))
+    got_expr = _rows(cosine_topk(df, df, k=3, method="expr"))
+    assert got_np == got_expr
+    # the len-4 vectors must still find EACH OTHER (same-length pair)
+    qids = {t[0] for t in got_np}
+    assert 3 in qids and 4 in qids
+
+
+def test_cosine_neardup_numpy_matches_expr_on_ragged_corpus(spark):
+    from ra2_datalake_linaresjoan_spark.llmdata.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    df = _ragged_df(spark)
+    got_np = _rows(cosine_neardup_pairs(df, threshold=0.8, method="numpy"))
+    got_expr = _rows(cosine_neardup_pairs(df, threshold=0.8, method="expr"))
+    assert got_np == got_expr
+    # both same-length near-dup pairs survive, no cross-length pair does
+    pairs = {(t[0], t[1]) for t in got_np}
+    assert (1, 2) in pairs and (3, 4) in pairs
+    assert all(
+        not ((a in (1, 2)) and (b in (3, 4))) for a, b in pairs
+    )
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply: tiebreak sentinel must sit below the whole long domain
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_apply_open_episode_wins_negative_tiebreaks(spark):
+    """round-9 advisor (low): the old -1 sentinel lost to a batch row
+    carrying a NEGATIVE tiebreak at the open episode's valid_from,
+    breaking scd2_apply(scd2_history(b1), b2) == scd2_history(b1 ∪ b2).
+    The Long.MIN_VALUE sentinel restores the equality for any real
+    tiebreak domain."""
+    import datetime
+
+    from ra2_datalake_linaresjoan_spark.operators.scd2 import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    t1 = datetime.datetime(2024, 1, 2)
+    b1 = spark.createDataFrame(
+        [(1, "a", t0, -7), (1, "b", t1, -6)],
+        "k long, state string, ts timestamp, seq long",
+    )
+    # same timestamp as the open episode's valid_from, NEGATIVE seq
+    # that is still ABOVE the prior rows' (arrival order holds)
+    b2 = spark.createDataFrame(
+        [(1, "c", t1, -5)], "k long, state string, ts timestamp, seq long"
+    )
+    inc = scd2_apply(
+        scd2_history(b1, "k", "state", "ts", "seq"),
+        b2,
+        "k",
+        "state",
+        "ts",
+        "seq",
+    )
+    full = scd2_history(b1.unionByName(b2), "k", "state", "ts", "seq")
+    assert _rows(inc) == _rows(full)
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup window shape: NULL contract unchanged by the r10 rewrite
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_null_contract_survives_window_rewrite(spark):
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello!"),
+            (2, "hello"),  # normalization dup of 1 — must drop
+            (3, None),  # NULL text passes through
+            (4, None),  # ... every one of them
+            (None, "hello"),  # NULL id passes through
+            (5, "unique"),
+        ],
+        "doc_id long, text string",
+    )
+    got = exact_dedup(df, "doc_id", "text")
+    ids = sorted(str(r["doc_id"]) for r in got.collect())
+    assert ids == ["1", "3", "4", "5", "None"]
+
+
+# ---------------------------------------------------------------------------
+# ivfpq quantization kernel: floor(y+0.5) == engine HALF_UP on the domain
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_quantization_matches_spark_round(spark):
+    """The numpy kernel quantizes with floor(acc*1e6 + 0.5); Spark used
+    F.round(acc*1e6) (HALF_UP). Pin agreement on a value grid that
+    includes exact .5 fractions."""
+    import numpy as np
+
+    vals = [0.0, 1e-7, 4.9999995e-7, 5.000001e-7, 0.25, 1.0 / 3.0, 2.5e-6]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r["y"]
+        for r in df.select(
+            F.round(F.col("x") * 1_000_000).cast("long").alias("y")
+        ).collect()
+    ]
+    got_np = [
+        int(np.floor(np.float64(v) * 1_000_000 + 0.5)) for v in vals
+    ]
+    assert got_spark == got_np
