@@ -2395,125 +2395,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: 50 in insertion order), so the registry is emitted with the queries
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
-#: Queries whose implementation or DuckDB oracle changed in ROUND 9 —
+#: Queries whose implementation or DuckDB oracle changed in ROUND 10 —
 #: each must re-enter the driver window for a fresh correctness row
 #: (tests/test_driver_window.py exempts exactly this declared set from
 #: the max-staleness jumper count and asserts every name sits inside
 #: the first-50 window or the declared overflow).  Rewrite this list
 #: every round.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # (a) the round-8 declared overflow, carried into this round's
-    #     window head (their round-8 review-fix implementations still
-    #     lack a driver row; tests enforce the placement) — five of
-    #     them (the cosine/ANN family) ALSO changed again this round
-    #     via the shared _emb_clean ragged-length guard and the
-    #     similarity.py zero-norm/auto-probe fixes
-    "cms_width_sweep", "ngram_contamination", "quality_survivor_dedup",
-    "markov_absorption", "dup_rate_sample_estimate",
-    "join_size_sample_estimate", "split_srm_check",
-    "laspeyres_price_index", "dedup_method_venn",
-    "bloom_membership_audit",
-    "cosine_topk", "cosine_neardup", "ann_lsh", "ann_ivf",
-    "neardup_components",
-    # (b) round-8 advisor fixes + operator-contract changes:
-    #     ks_from_joint DECIMAL(38,0)/HUGEINT widening
-    #     (quantile_drift_detect), the bounded fixed-size ivfpq query
-    #     sample + one-pass index build, the EMB_CLEAN ragged-length
-    #     guard (mutual_knn_rate is the one pre-round-9 consumer not
-    #     already in (a)), semi_filter's plain capped probe (semi_join),
-    #     and exact_dedup's NULL-passthrough survivor contract
-    #     (exact_dedup_docs, curate_corpus, dedup_survivors — the last
-    #     rides in (c))
-    "quantile_drift_detect", "ivfpq_ann_recall", "mutual_knn_rate",
-    "semi_join", "exact_dedup_docs", "curate_corpus",
-    # (c) dirty-parity burn-down, nullts class: lockstep NULL-ts (or
-    #     measured-value) filters before time bucketing
-    "tumbling_windows", "sliding_windows", "event_sessionization",
-    "hll_daily_union", "cumulative_unique_users", "watermark_late_audit",
-    "holt_linear_forecast", "approx_quantile_guarantee",
-    #     nulltext class: NULL-propagating oracle concat, guarded
-    #     aggregates, NULL-for-empty-set, null-safe lang join
-    "clean_string_parity", "jsonish_arrays_parity", "sources_by_lang",
-    "dedup_survivors", "corpus_datacard",
-    #     statsnull class: complete_case() + CASE-ELSE-0 + exact
-    #     integer half-up rounding (winsorized)
-    "gini_spend", "ntile_quartiles", "winsorized_value_stats",
-    "ab_test_readout", "waterfill_allocation", "wilson_ci",
-    "poisson_bootstrap_ci", "score_calibration_bins",
-    "ess_importance_weights", "jackknife_ratio_variance",
-    #     binary class: complete-case payload guards
-    "multimodal_features", "multimodal_frames", "multimodal_resize",
-    # (d) dirty-parity burn-down, embclean class: routed through the
-    #     shared _emb_clean/EMB_CLEAN_SQL lockstep filter (+ NULL-label
-    #     filters where the query joins on label) — the 13-name cohort
-    #     that could not fit the window; declared overflow below
-    "bcubed_cluster_eval", "blocking_quality_audit",
-    "matryoshka_prefix_fidelity", "cluster_tightness", "udaf_centroids",
-    "emb_norm_outliers", "embedding_quantize", "quantize_embeddings",
-    "semantic_kmeans", "semantic_prune", "hard_negative_mining",
-    "mmr_diverse_topk", "pq_codebook_distortion",
-    # (e) round-9 adversarial review over the never-reviewed batches
-    #     27-32 (7 execution-confirmed cross-engine parity bugs the
-    #     correlated-nulls dirty generator could not see, + 2 dead-code
-    #     cleanups): lockstep NULL-ts/complete-case filters
-    #     (session_type_entropy_bands, acf_daily_events,
-    #     runs_test_revenue, bh_fdr_daily_anomalies), the
-    #     NULL-propagating '||' Bloom probe key (bloom_join_prefilter),
-    #     the interior-NULL norm guard (embedding_norm_topk), the
-    #     empty-list coalesce (ess_importance_weights — already listed
-    #     in (c)), and the dead-aggregate cleanups (group_kfold_assign,
-    #     join_reorder_advisor)
-    "session_type_entropy_bands", "acf_daily_events",
-    "bloom_join_prefilter", "runs_test_revenue", "embedding_norm_topk",
-    "bh_fdr_daily_anomalies", "group_kfold_assign",
-    "join_reorder_advisor",
-    # (f) fixes for the divergences the DECORRELATED dirty generator
-    #     surfaced (tools/dirty_parity_audit.py now nulls each column
-    #     on its own row phase): NULL-group equi-join losses
-    #     (above_avg_balance, approx_quantile_guarantee — sentinel/
-    #     filter), argmax over missing values (argmax_events), NULL
-    #     rank-position flips (percentrank_parts, brand_pareto), the
-    #     concat_ws-vs-'||' QI key split (k_anonymity), unlabeled-voter
-    #     exclusion + CASE-ELSE-0 (knn_accuracy), incomparable-part
-    #     filter (skyline_pareto), and blocking_quality_audit's
-    #     zero-denominator guards
-    "above_avg_balance", "argmax_events", "percentrank_parts",
-    "brand_pareto", "k_anonymity", "knn_accuracy", "skyline_pareto",
-    # (g) second review pass (batches 33-37 + llm15):
-    #     compaction_plan_audit's NULL-key hash sentinel (the ext28/
-    #     ext30 concat-asymmetry class), the shared bm25_scores contract
-    #     (bm25_topk + the MMR pool de-duplicated), and the
-    #     zorder dead-expression cleanup
-    "compaction_plan_audit", "bm25_topk", "zorder_vs_linear_pruning",
-    # (h) fixes for the ragged-vector / empty-string corpus classes the
-    #     round-9 generator v3 added: json_valid guards for DuckDB's
-    #     strict JSON parse vs Spark's lenient get_json_object /
-    #     try_parse_json (json_props, props_variant), the in-row
-    #     shingle-transform guard against descending sequence() on
-    #     sub-n-word docs (minhash_error_audit), knn_accuracy routed
-    #     through _emb_clean's length guard, and jsonish_arrays_parity's
-    #     oracle modeling the parser's drop-empty-elements rule
-    "json_props", "props_variant", "minhash_error_audit",
-    # (i) third review pass (core queries.py + ext3 + llm2, the oldest
-    #     never-reviewed files): lockstep NULL filters for
-    #     scd2_user_state (episode ordering), waiting_suppliers (a NULL
-    #     suppkey counted as a distinct supplier where the oracle's <>
-    #     predicates never match NULL), seq_packing (NULL doc_id packs
-    #     first/last per engine); curate_corpus's oracle gains
-    #     exact_dedup's passthrough arms + the fingerprint's final trim
-    "scd2_user_state", "waiting_suppliers", "seq_packing",
-})
-
-#: Changed queries that could NOT fit the 50-slot driver window this
-#: round (the window already holds the 15 round-8 overflow + 6
-#: advisor/operator fixes + 2 never-checked batch-39 additions + 26
-#: dirty-parity fixes + 1 r1-stale re-verify).  They sit at positions
-#: 51+ in the emitted registry — the FIRST cohort outside the window —
-#: and MUST lead the round-10 rotation.  Every name here was locally
-#: re-verified MATCH at sf0.001/0.01/0.1 after its change AND in the
-#: full dirty-parity audit; the driver row is deferred one round, not
-#: skipped.
-_CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
+    # (a) the round-9 declared overflow, carried into this round's
+    #     window head verbatim and in declaration order (the placement
+    #     gate requires it): 13 embclean dirty-parity fixes + 8
+    #     batch-27-32 review fixes + 16 decorrelated-generator /
+    #     late-review fixes.  Their round-9 implementations still lack
+    #     a driver row; every one is tri-scale + dirty-audit MATCH.
     "bcubed_cluster_eval",
     "blocking_quality_audit",
     "matryoshka_prefix_fidelity",
@@ -2527,9 +2421,6 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "hard_negative_mining",
     "mmr_diverse_topk",
     "pq_codebook_distortion",
-    # round-9 adversarial-review fixes (batches 27-32) — found after
-    # the window filled; every one tri-scale MATCH + dirty-audit MATCH
-    # under the decorrelated generator
     "session_type_entropy_bands",
     "acf_daily_events",
     "bloom_join_prefilter",
@@ -2538,8 +2429,6 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "bh_fdr_daily_anomalies",
     "group_kfold_assign",
     "join_reorder_advisor",
-    # decorrelated-generator fixes (approx_quantile_guarantee and
-    # bloom_join_prefilter already hold window/overflow slots above)
     "above_avg_balance",
     "argmax_events",
     "percentrank_parts",
@@ -2556,6 +2445,41 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "scd2_user_state",
     "waiting_suppliers",
     "seq_packing",
+    # (b) round-10 perf recovery (A/B-documented in SCALE.md):
+    #     ivfpq_ann_recall's one-Arrow-pass batch-ANN rewrite;
+    #     exact_dedup's window-min shape (fans out to exact_dedup_docs,
+    #     curate_corpus, dedup_survivors)
+    "ivfpq_ann_recall", "exact_dedup_docs", "curate_corpus",
+    "dedup_survivors",
+    # (c) round-9 advisor closures: dedup_survivors +
+    #     incremental_dedup oracles now use the FULL doc_fingerprint
+    #     normalization (final trim); scd2_apply's Long.MIN_VALUE
+    #     re-entry sentinel (cdc_scd2_apply_audit); the similarity
+    #     numpy paths' per-length matrices (cosine_topk,
+    #     cosine_neardup in-window; neardup_components,
+    #     mutual_knn_rate in the declared overflow — clean-data
+    #     results provably unchanged: per-length grouping is the
+    #     identity on _emb_clean corpora, cross-strategy agreement
+    #     pinned in tests/test_round10_fixes.py)
+    "incremental_dedup", "cdc_scd2_apply_audit",
+    "cosine_topk", "cosine_neardup",
+    "neardup_components", "mutual_knn_rate",
+    # (d) mmr_diverse_topk's driver-side greedy rewrite rides its
+    #     existing overflow slot in (a)
+})
+
+#: Changed queries that could NOT fit the 50-slot driver window this
+#: round (the window holds the 37-name round-9 overflow + 2 never-
+#: checked batch-40 additions + 8 round-10 changes + the 3 r1-stale
+#: re-verifies).  They sit at positions 51-52 — the FIRST cohort
+#: outside the window — and MUST lead the round-11 rotation.  Both are
+#: consumers of the similarity per-length plumbing whose clean-data
+#: results are unchanged (the numpy path groups by vector length;
+#: _emb_clean corpora have exactly one length), locally re-verified
+#: MATCH at sf0.001/0.01/0.1 and in the dirty-parity audit.
+_CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
+    "neardup_components",
+    "mutual_knn_rate",
 )
 
 
@@ -2565,73 +2489,9 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
 #: stalest re-verifies; everything else follows in registry insertion
 #: order via `ordered.update(merged)`.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-9 rotation ------------------------------------------------
-    # 1. the round-8 declared overflow (the placement gate requires it
-    #    to lead; 5 of the 15 also changed again this round)
-    "cms_width_sweep",
-    "ngram_contamination",
-    "quality_survivor_dedup",
-    "markov_absorption",
-    "dup_rate_sample_estimate",
-    "join_size_sample_estimate",
-    "split_srm_check",
-    "laspeyres_price_index",
-    "dedup_method_venn",
-    "bloom_membership_audit",
-    "cosine_topk",
-    "cosine_neardup",
-    "ann_lsh",
-    "ann_ivf",
-    "neardup_components",
-    # 2. round-9 advisor/operator-contract fixes
-    "quantile_drift_detect",
-    "ivfpq_ann_recall",
-    "mutual_knn_rate",
-    "semi_join",
-    "exact_dedup_docs",
-    "curate_corpus",
-    # 3. batch-39 additions (never driver-checked — the never-checked
-    #    gate forces them inside the window)
-    "ab_value_drift_ks",
-    "cdc_scd2_apply_audit",
-    # 4. dirty-parity fixes that fit the window: nullts (8), nulltext
-    #    (5), statsnull (10), binary (3) — 26 of the 39; the 13-name
-    #    embclean class is the declared overflow at positions 51+
-    "tumbling_windows",
-    "sliding_windows",
-    "event_sessionization",
-    "hll_daily_union",
-    "cumulative_unique_users",
-    "watermark_late_audit",
-    "holt_linear_forecast",
-    "approx_quantile_guarantee",
-    "clean_string_parity",
-    "jsonish_arrays_parity",
-    "sources_by_lang",
-    "dedup_survivors",
-    "corpus_datacard",
-    "gini_spend",
-    "ntile_quartiles",
-    "winsorized_value_stats",
-    "ab_test_readout",
-    "waterfill_allocation",
-    "wilson_ci",
-    "poisson_bootstrap_ci",
-    "score_calibration_bins",
-    "ess_importance_weights",
-    "jackknife_ratio_variance",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    # 5. one r1-stale re-verify fills the last slot (window_dedup is
-    #    the reference-core W1 surface; the other r1-stale names —
-    #    classifier_parity, date_dim, rollup_orders — rotate in round
-    #    10 with the r2 cohort once the overflow drains; five more of
-    #    the original r1 cohort got fresh rows via (c) this round)
-    "window_dedup",
-    # 6. _CHANGED_OVERFLOW_NEXT_ROUND — the embclean cohort, pinned to
-    #    positions 51+ so it is the FIRST thing the round-10 window
-    #    picks up (tests/test_driver_window.py enforces the placement).
+    # -- round-10 rotation -----------------------------------------------
+    # 1. the round-9 declared overflow leads (placement gate), in its
+    #    declaration order
     "bcubed_cluster_eval",
     "blocking_quality_audit",
     "matryoshka_prefix_fidelity",
@@ -2669,6 +2529,29 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "scd2_user_state",
     "waiting_suppliers",
     "seq_packing",
+    # 2. batch-40 additions (never driver-checked — the never-checked
+    #    gate forces them inside the window)
+    "hnsw_beam_ann_recall",
+    "scd2_stream_sink_audit",
+    # 3. round-10 changed implementations/oracles that fit the window
+    "ivfpq_ann_recall",
+    "exact_dedup_docs",
+    "curate_corpus",
+    "dedup_survivors",
+    "incremental_dedup",
+    "cdc_scd2_apply_audit",
+    "cosine_topk",
+    "cosine_neardup",
+    # 4. the three r1-stale re-verifies (round-8 ask #4, carried twice —
+    #    their first driver rows since round 1)
+    "date_dim",
+    "rollup_orders",
+    "classifier_parity",
+    # 5. _CHANGED_OVERFLOW_NEXT_ROUND — pinned to positions 51+ so it is
+    #    the FIRST thing the round-11 window picks up
+    #    (tests/test_driver_window.py enforces the placement).
+    "neardup_components",
+    "mutual_knn_rate",
 )
 
 
@@ -2725,6 +2608,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
     from ra2_datalake_linaresjoan_spark.queries_ext37 import REGISTRY_EXT37
     from ra2_datalake_linaresjoan_spark.queries_ext38 import REGISTRY_EXT38
     from ra2_datalake_linaresjoan_spark.queries_ext39 import REGISTRY_EXT39
+    from ra2_datalake_linaresjoan_spark.queries_ext40 import REGISTRY_EXT40
 
     merged = {
         **_REGISTRY,
@@ -2780,6 +2664,7 @@ def _full_registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame]
         **REGISTRY_EXT37,
         **REGISTRY_EXT38,
         **REGISTRY_EXT39,
+        **REGISTRY_EXT40,
     }
     ordered = {name: merged[name] for name in _DRIVER_PRIORITY if name in merged}
     ordered.update(merged)
