@@ -212,10 +212,15 @@ def q_cdc_scd2_apply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_type", "ts", "event_id"),
         "user_id", "event_type", "ts", "event_id",
     ).localCheckpoint()
+    # coalesce: sum over ZERO episodes (a fully-dirty feed) is NULL in
+    # Spark while the oracle's count() is 0 (round-10 review — same
+    # class fixed in scd2_stream_sink_audit)
     full_stats = full.agg(
         F.countDistinct("user_id").alias("n_keys"),
         F.count(F.lit(1)).alias("n_episodes"),
-        F.sum(F.col("is_current").cast("long")).alias("n_open"),
+        F.coalesce(
+            F.sum(F.col("is_current").cast("long")), F.lit(0).cast("long")
+        ).alias("n_open"),
     )
     inc_stats = inc.agg(
         F.count(F.lit(1)).alias("n_episodes_incremental")

@@ -406,9 +406,14 @@ def q_scd2_stream_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(streamed.exceptAll(full))
         .agg(F.count(F.lit(1)).alias("sym_diff"))
     )
+    # coalesce: sum over ZERO episodes (a fully-dirty feed filters every
+    # row) is NULL in Spark while the oracle's count() is 0 — the exact
+    # engine asymmetry the driver's hash gate fails on (round-10 review)
     stats = full.agg(
         F.count(F.lit(1)).alias("n_episodes"),
-        F.sum(F.col("is_current").cast("long")).alias("n_open"),
+        F.coalesce(
+            F.sum(F.col("is_current").cast("long")), F.lit(0).cast("long")
+        ).alias("n_open"),
     )
     streamed_stats = streamed.agg(
         F.count(F.lit(1)).alias("n_episodes_streamed")

@@ -103,8 +103,6 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double *, /, sqrt are the same correctly-rounded ops the JVM and
     # DuckDB execute on the identical integer inputs.
     rows = cand.collect()
-    import math
-
     pool_py = [
         (r["doc_id"], r["rel"], r["q"], r["nrm"]) for r in rows
     ]
@@ -131,7 +129,7 @@ def q_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if best is None or key > best[0]:
                 best = (key, d, rel, m)
         _, d, rel, m = best
-        rel_, qv, nrm = remaining.pop(d)
+        _rel, qv, nrm = remaining.pop(d)
         selected.append((d, rel, m))
         sel_vecs.append((qv, nrm))
     out = spark.createDataFrame(

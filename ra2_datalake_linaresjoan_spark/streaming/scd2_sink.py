@@ -27,14 +27,46 @@ partition and the parquet swap disappears.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ra2_datalake_linaresjoan_spark.operators.scd2 import scd2_apply, scd2_history
 
 _EPISODE_COLS = ("state", "valid_from", "valid_to", "is_current")
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` through the session's Hadoop
+    conf — resolves ANY scheme (hdfs://, s3a://, file:) the cluster
+    knows. A driver-local ``os.path.exists`` is only correct for local
+    paths and would silently report False for every remote URI (round-10
+    review catch: that turned every epoch into a bootstrap, destroying
+    the accumulated dimension)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _read_epoch_marker(spark: SparkSession, marker: str) -> int | None:
+    fs, jpath = _hadoop_fs(spark, marker)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        raw = bytes(stream.readAllBytes()).decode("ascii").strip()
+    finally:
+        stream.close()
+    return int(raw) if raw else None
+
+
+def _write_epoch_marker(spark: SparkSession, marker: str, epoch_id: int) -> None:
+    fs, jpath = _hadoop_fs(spark, marker)
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(bytearray(str(epoch_id).encode("ascii")))
+    finally:
+        stream.close()
 
 
 def scd2_apply_epoch(
@@ -45,25 +77,47 @@ def scd2_apply_epoch(
     state: str,
     ts: str,
     tiebreak: str,
+    epoch_id: int | None = None,
 ) -> None:
     """One epoch of the streaming fold: merge ``batch_df`` into the
     episodes table at ``path`` (bootstrapping with ``scd2_history`` on
     the first epoch). The exact body the foreachBatch sink runs — kept
     callable so audits/tests can drive epochs deterministically.
 
+    Replay guard: foreachBatch is AT-LEAST-ONCE — after a crash between
+    the sink write and the checkpoint commit, Spark re-delivers the
+    same micro-batch with the same ``epoch_id``, and re-applying a batch
+    is NOT idempotent (the open episode re-enters and its closed
+    predecessors would duplicate). The standard batchId-dedup pattern
+    (Spark's own foreachBatch guidance) skips any epoch at/below the
+    last applied marker (``<path>__epoch``, written AFTER the table).
+    The residual crash window — table written, marker not — is inherent
+    to a non-transactional sink; a Delta MERGE with
+    ``txnAppId/txnVersion`` closes it, and the wiring here is unchanged
+    under that swap.
+
     ``localCheckpoint`` materializes the merged episodes BEFORE the
     overwrite so the write never reads the parquet it is replacing
-    (the read-modify-write hazard of a non-transactional sink; a Delta
-    MERGE subsumes this)."""
+    (the read-modify-write hazard of the same non-transactional sink)."""
+    marker = f"{path}__epoch"
+    if epoch_id is not None:
+        last = _read_epoch_marker(spark, marker)
+        if last is not None and last >= epoch_id:
+            return  # replayed micro-batch: already folded into the table
     if batch_df.isEmpty():
+        if epoch_id is not None:
+            _write_epoch_marker(spark, marker, epoch_id)
         return
-    if os.path.exists(path):
+    fs, jpath = _hadoop_fs(spark, path)
+    if fs.exists(jpath):
         episodes = scd2_apply(
             spark.read.parquet(path), batch_df, key, state, ts, tiebreak
         )
     else:
         episodes = scd2_history(batch_df, key, state, ts, tiebreak)
     episodes.localCheckpoint().write.mode("overwrite").parquet(path)
+    if epoch_id is not None:
+        _write_epoch_marker(spark, marker, epoch_id)
 
 
 def scd2_stream_sink(
@@ -85,7 +139,14 @@ def scd2_stream_sink(
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         scd2_apply_epoch(
-            batch_df.sparkSession, path, batch_df, key, state, ts, tiebreak
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            key,
+            state,
+            ts,
+            tiebreak,
+            epoch_id=epoch_id,
         )
 
     return (

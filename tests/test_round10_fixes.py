@@ -240,3 +240,38 @@ def test_scd2_stream_sink_equals_batch_rebuild(spark, tmp_path):
     assert _rows(got) == _rows(want)
     # and the stream really ran more than one epoch
     assert got.count() > 0
+
+
+def test_scd2_apply_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an epoch (same
+    batch, same epoch_id) must NOT re-apply it — the round-10 review
+    showed a re-applied batch duplicates closed episodes. The batchId
+    marker skips replays; a HIGHER epoch still applies."""
+    import datetime
+
+    from ra2_datalake_linaresjoan_spark.streaming.scd2_sink import (
+        scd2_apply_epoch,
+    )
+
+    path = str(tmp_path / "episodes")
+    t = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+    b0 = spark.createDataFrame(
+        [(1, "a", t(1), 0), (1, "b", t(2), 1)],
+        "k long, state string, ts timestamp, seq long",
+    )
+    b1 = spark.createDataFrame(
+        [(1, "c", t(3), 2)], "k long, state string, ts timestamp, seq long"
+    )
+    args = ("k", "state", "ts", "seq")
+    scd2_apply_epoch(spark, path, b0, *args, epoch_id=0)
+    first = _rows(spark.read.parquet(path))
+    assert len(first) == 2
+    # replay of epoch 0: table must be byte-identical (no duplicates)
+    scd2_apply_epoch(spark, path, b0, *args, epoch_id=0)
+    assert _rows(spark.read.parquet(path)) == first
+    # a NEW epoch still applies
+    scd2_apply_epoch(spark, path, b1, *args, epoch_id=1)
+    assert len(_rows(spark.read.parquet(path))) == 3
+    # and replaying it is again a no-op
+    scd2_apply_epoch(spark, path, b1, *args, epoch_id=1)
+    assert len(_rows(spark.read.parquet(path))) == 3
