@@ -83,8 +83,20 @@ def fk_resolve(
 ) -> DataFrame:
     """Resolve a natural key to a dimension surrogate id via broadcast
     left join (J4/J5 — replaces the reference's driver-side dict probes,
-    loader_NeonDB.py:261-264, 523-528). Unmatched keys get null ids."""
-    d = dim.select(F.col(dim_key).alias("_fk_nat"), F.col(dim_id).alias(out_col))
+    loader_NeonDB.py:261-264, 523-528). Unmatched keys get null ids.
+
+    The dim side is reduced to ONE surrogate per natural key (min id —
+    deterministic) before the join: a dimension carrying duplicate
+    natural keys (double-loaded, or one-row-per-SCD-version) would
+    otherwise silently FAN OUT fact rows, multiplying downstream counts
+    (round-10 review; anti_orphans already guards the same way with
+    distinct). On a healthy unique-key dim the aggregate is a no-op
+    and the tiny frame still broadcasts."""
+    d = (
+        dim.select(F.col(dim_key).alias("_fk_nat"), F.col(dim_id).alias(out_col))
+        .groupBy("_fk_nat")
+        .agg(F.min(out_col).alias(out_col))
+    )
     if broadcast_dim:
         d = F.broadcast(d)
     return fact.join(d, fact[fact_key] == d["_fk_nat"], "left").drop("_fk_nat")

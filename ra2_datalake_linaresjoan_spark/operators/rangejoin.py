@@ -32,6 +32,18 @@ def interval_join(
     ``right.right_on ∈ [left.left_on − window, left.left_on]`` per ``by``.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (by, right_on)]
+    # silent-corruption guard (round-10 review): a right value column
+    # sharing a name with any left column would emit TWO columns of that
+    # name — every downstream F.col() reference then throws
+    # AMBIGUOUS_REFERENCE and a parquet write fails. Refuse up front
+    # (asof_join renames via suffix; here the caller picks right_cols,
+    # so the fix is theirs to choose).
+    clash = sorted(set(right_cols) & set(left.columns))
+    if clash:
+        raise ValueError(
+            "interval_join: right_cols %r collide with left columns — "
+            "alias them on the right side first" % (clash,)
+        )
     w_us = int(window_seconds * 1_000_000)
     if w_us <= 0:
         # DIV 0 is null (non-ANSI) or throws (ANSI): either way the

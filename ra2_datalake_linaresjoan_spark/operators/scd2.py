@@ -11,12 +11,30 @@ Spark-first shape: two window passes over the SAME (key) partitioning and
 second Window reuses the child's distribution. No self-joins, no driver
 loops; scales with the fact because state per key is the window buffer
 only.
+
+Complete-case input contract (round-10 review): a change row missing
+its key, state, ts, or tiebreak carries no episode identity, value,
+position, or order — both builders DROP such rows up front, in
+lockstep. Without the shared guard the two paths diverged on NULL
+states: the one-shot builder's ``prev != state`` filter dropped a
+NULL-state row but kept its successor (lag saw NULL), while the
+incremental path never saw the NULL row at all — silently breaking the
+documented ``scd2_apply(scd2_history(b1), b2) == scd2_history(b1 ∪ b2)``
+equality on dirty feeds.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _complete_rows(df: DataFrame, *cols: str) -> DataFrame:
+    cond = None
+    for c in cols:
+        term = F.col(c).isNotNull()
+        cond = term if cond is None else (cond & term)
+    return df.where(cond)
 
 
 def scd2_history(
@@ -31,19 +49,23 @@ def scd2_history(
     Returns columns: ``{key}``, ``state``, ``valid_from`` (from ``ts``),
     ``valid_to`` (next episode's start, null for the open episode) and
     ``is_current``. ``tiebreak`` makes same-timestamp ordering
-    deterministic.
+    deterministic; rows with a NULL key/state/ts/tiebreak are dropped
+    (the module's complete-case contract).
     """
+    clean = _complete_rows(df, key, state, ts, tiebreak)
     w = Window.partitionBy(key).orderBy(ts, tiebreak)
     changed = (
-        df.withColumn("_prev_state", F.lag(state).over(w))
+        clean.withColumn("_prev_state", F.lag(state).over(w))
         .filter(
             F.col("_prev_state").isNull() | (F.col("_prev_state") != F.col(state))
         )
         .drop("_prev_state")
     )
-    w2 = Window.partitionBy(key).orderBy(ts, tiebreak)
+    # the lead() pass reuses the SAME window spec object — the one-
+    # shuffle/one-sort plan guarantee depends on the two specs never
+    # drifting apart
     return (
-        changed.withColumn("valid_to", F.lead(ts).over(w2))
+        changed.withColumn("valid_to", F.lead(ts).over(w))
         .select(
             F.col(key),
             F.col(state).alias("state"),
@@ -76,39 +98,53 @@ def scd2_apply(
     collapses into the open episode (no new row) — the same no-change
     collapse rule as the one-shot builder, so
     ``scd2_apply(scd2_history(b1), b2) == scd2_history(b1 ∪ b2)``
-    exactly (``cdc_scd2_apply_audit`` oracle-pins this equality).
+    exactly (``cdc_scd2_apply_audit`` oracle-pins this equality; the
+    module-level complete-case guard keeps it true on dirty feeds).
 
     Tiebreak contract (the arrival-sequence invariant the equality
     depends on): a batch row that shares the open episode's ``valid_from``
     timestamp must carry a tiebreak ABOVE every row already folded into
     the history — i.e. tiebreaks are monotonically assigned in arrival
     order (a CDC sequence number). The open episode re-enters the
-    rebuild with the Long.MIN_VALUE sentinel, guaranteed below any real
-    domain value, so it always sorts FIRST among equal timestamps; a
-    batch that violates the contract (a same-timestamp row with a
-    tiebreak at/below ones already applied) reorders against the
-    one-shot rebuild — by construction, not by this function's choice
-    of sentinel (round-9 advisor note)."""
+    rebuild with a typed NULL sentinel: Spark's ascending windows are
+    NULLS FIRST, so NULL sorts below every real value of ANY orderable
+    tiebreak type (the round-9 Long.MIN_VALUE sentinel only covered
+    integral domains and the long cast silently nulled string tiebreaks
+    — round-10 review), and real NULL-tiebreak batch rows cannot
+    collide with it because the complete-case guard drops them."""
     closed = episodes.where(~F.col("is_current")).select(
         key, "state", "valid_from", "valid_to", "is_current"
     )
+    fresh = _complete_rows(batch, key, state, ts, tiebreak).select(
+        F.col(key), F.col(state), F.col(ts), F.col(tiebreak)
+    )
     # the open episode re-enters as a change row at its valid_from; the
-    # Long.MIN_VALUE sentinel sorts below ANY real tiebreak (-1 only
-    # sorted below non-negative ones), keeping it FIRST among equal
-    # timestamps
+    # typed-NULL tiebreak sorts FIRST among equal timestamps (asc =
+    # NULLS FIRST) whatever the tiebreak's type
+    sentinel = F.lit(None).cast(batch.schema[tiebreak].dataType)
     open_rows = episodes.where(F.col("is_current")).select(
         F.col(key),
         F.col("state").alias(state),
         F.col("valid_from").alias(ts),
-        F.lit(-9223372036854775808).cast("long").alias(tiebreak),
+        sentinel.alias(tiebreak),
     )
-    fresh = batch.select(
+    # rebuild WITHOUT the complete-case guard re-applied (the sentinel
+    # is deliberately NULL): inline the two window passes over the
+    # already-clean union
+    merged = open_rows.unionByName(fresh)
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    changed = (
+        merged.withColumn("_prev_state", F.lag(state).over(w))
+        .filter(
+            F.col("_prev_state").isNull() | (F.col("_prev_state") != F.col(state))
+        )
+        .drop("_prev_state")
+    )
+    rebuilt = changed.withColumn("valid_to", F.lead(ts).over(w)).select(
         F.col(key),
-        F.col(state),
-        F.col(ts),
-        F.col(tiebreak).cast("long").alias(tiebreak),
-    )
-    rebuilt = scd2_history(
-        open_rows.unionByName(fresh), key, state, ts, tiebreak
+        F.col(state).alias("state"),
+        F.col(ts).alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
     )
     return closed.unionByName(rebuilt)

@@ -2464,6 +2464,13 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "incremental_dedup", "cdc_scd2_apply_audit",
     "cosine_topk", "cosine_neardup",
     "neardup_components", "mutual_knn_rate",
+    # (e) second round-10 review pass (streaming/ + operators/): the
+    #     scd2 complete-case input guard + typed-NULL sentinel
+    #     (cdc_scd2_apply_audit / scd2_stream_sink_audit above,
+    #     scd2_user_state rides its overflow slot in (a)), and
+    #     interval_join's right_cols collision guard (raise-only —
+    #     results on non-colliding schemas unchanged)
+    "interval_join",
     # (d) mmr_diverse_topk's driver-side greedy rewrite rides its
     #     existing overflow slot in (a)
 })
@@ -2471,15 +2478,18 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 #: Changed queries that could NOT fit the 50-slot driver window this
 #: round (the window holds the 37-name round-9 overflow + 2 never-
 #: checked batch-40 additions + 8 round-10 changes + the 3 r1-stale
-#: re-verifies).  They sit at positions 51-52 — the FIRST cohort
-#: outside the window — and MUST lead the round-11 rotation.  Both are
+#: re-verifies).  They sit at positions 51-53 — the FIRST cohort
+#: outside the window — and MUST lead the round-11 rotation.  Two are
 #: consumers of the similarity per-length plumbing whose clean-data
 #: results are unchanged (the numpy path groups by vector length;
-#: _emb_clean corpora have exactly one length), locally re-verified
-#: MATCH at sf0.001/0.01/0.1 and in the dirty-parity audit.
+#: _emb_clean corpora have exactly one length); interval_join gained a
+#: raise-only right_cols collision guard (results on non-colliding
+#: schemas — including the registry query — unchanged).  All locally
+#: re-verified MATCH at sf0.001/0.01/0.1 and in the dirty-parity audit.
 _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "neardup_components",
     "mutual_knn_rate",
+    "interval_join",
 )
 
 
@@ -2552,6 +2562,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #    (tests/test_driver_window.py enforces the placement).
     "neardup_components",
     "mutual_knn_rate",
+    "interval_join",
 )
 
 

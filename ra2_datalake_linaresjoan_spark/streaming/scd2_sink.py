@@ -19,40 +19,53 @@ availableNow stream; the batch math itself is oracle-pinned by
 ``cdc_scd2_apply_audit`` and audited through THIS sink body by
 ``scd2_stream_sink_audit``).
 
+Durability (round-10 review hardening): all filesystem decisions go
+through the Hadoop FileSystem API (hdfs://, s3a://, file: — a
+driver-local os.path check is only correct for local paths and would
+have bootstrapped EVERY epoch on a remote URI, destroying the
+dimension); the table swap is write-to-stage → rename-old-to-backup →
+rename-stage-in (mirroring ``sources/upsert.py``: a crash at any point
+leaves the table at the path or the backup, which the next epoch
+auto-restores — never the bare delete-then-write window of a plain
+``mode('overwrite')``); and replays are deduplicated by batchId (the
+at-least-once foreachBatch contract) with the marker scoped to the
+CHECKPOINT, so a fresh checkpoint (whose epoch ids restart at 0) gets
+a fresh marker instead of silently skipping its first N batches.
+The residual window — table swapped, marker not yet written — is
+inherent to a non-transactional sink; a Delta MERGE with
+``txnAppId/txnVersion`` closes it, and the wiring here is unchanged
+under that swap.
+
 At 100 TB: the per-epoch cost is |batch| + |open episodes| (closed
 history is unioned back untouched, never re-sorted); with a
 Delta/Iceberg sink the same epoch body becomes a MERGE on the open
-partition and the parquet swap disappears.
+partition and the parquet stage-swap disappears.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from ra2_datalake_linaresjoan_spark.operators.scd2 import scd2_apply, scd2_history
 
-_EPISODE_COLS = ("state", "valid_from", "valid_to", "is_current")
 
-
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for ``path`` through the session's Hadoop
-    conf — resolves ANY scheme (hdfs://, s3a://, file:) the cluster
-    knows. A driver-local ``os.path.exists`` is only correct for local
-    paths and would silently report False for every remote URI (round-10
-    review catch: that turned every epoch into a bootstrap, destroying
-    the accumulated dimension)."""
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-factory) for ``path`` through the session's
+    Hadoop conf — resolves ANY scheme the cluster knows."""
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath
+    return fs, (lambda p: jvm.org.apache.hadoop.fs.Path(p))
 
 
 def _read_epoch_marker(spark: SparkSession, marker: str) -> int | None:
-    fs, jpath = _hadoop_fs(spark, marker)
-    if not fs.exists(jpath):
+    fs, jp = _fs(spark, marker)
+    if not fs.exists(jp(marker)):
         return None
-    stream = fs.open(jpath)
+    stream = fs.open(jp(marker))
     try:
         raw = bytes(stream.readAllBytes()).decode("ascii").strip()
     finally:
@@ -61,8 +74,8 @@ def _read_epoch_marker(spark: SparkSession, marker: str) -> int | None:
 
 
 def _write_epoch_marker(spark: SparkSession, marker: str, epoch_id: int) -> None:
-    fs, jpath = _hadoop_fs(spark, marker)
-    stream = fs.create(jpath, True)
+    fs, jp = _fs(spark, marker)
+    stream = fs.create(jp(marker), True)
     try:
         stream.write(bytearray(str(epoch_id).encode("ascii")))
     finally:
@@ -78,44 +91,56 @@ def scd2_apply_epoch(
     ts: str,
     tiebreak: str,
     epoch_id: int | None = None,
+    marker_scope: str = "default",
 ) -> None:
     """One epoch of the streaming fold: merge ``batch_df`` into the
     episodes table at ``path`` (bootstrapping with ``scd2_history`` on
     the first epoch). The exact body the foreachBatch sink runs — kept
     callable so audits/tests can drive epochs deterministically.
 
-    Replay guard: foreachBatch is AT-LEAST-ONCE — after a crash between
-    the sink write and the checkpoint commit, Spark re-delivers the
-    same micro-batch with the same ``epoch_id``, and re-applying a batch
-    is NOT idempotent (the open episode re-enters and its closed
-    predecessors would duplicate). The standard batchId-dedup pattern
-    (Spark's own foreachBatch guidance) skips any epoch at/below the
-    last applied marker (``<path>__epoch``, written AFTER the table).
-    The residual crash window — table written, marker not — is inherent
-    to a non-transactional sink; a Delta MERGE with
-    ``txnAppId/txnVersion`` closes it, and the wiring here is unchanged
-    under that swap.
+    ``epoch_id`` (when given) engages the replay guard: any epoch
+    at/below the last value recorded in ``<path>__epoch_<scope>`` is
+    skipped — re-applying a batch is NOT idempotent (the open episode
+    re-enters and its closed predecessors would duplicate).
+    ``marker_scope`` ties the marker to one logical stream (the sink
+    passes a digest of its checkpoint dir).
 
     ``localCheckpoint`` materializes the merged episodes BEFORE the
-    overwrite so the write never reads the parquet it is replacing
-    (the read-modify-write hazard of the same non-transactional sink)."""
-    marker = f"{path}__epoch"
+    stage write so the job never reads the parquet it is about to
+    replace."""
+    marker = f"{path}__epoch_{marker_scope}"
     if epoch_id is not None:
         last = _read_epoch_marker(spark, marker)
         if last is not None and last >= epoch_id:
             return  # replayed micro-batch: already folded into the table
+    fs, jp = _fs(spark, path)
+    bak = path.rstrip("/") + "__bak"
+    stage = path.rstrip("/") + "__stage"
+    # crash recovery: a previous epoch died between the swap renames —
+    # the backup IS the table
+    if not fs.exists(jp(path)) and fs.exists(jp(bak)):
+        fs.rename(jp(bak), jp(path))
     if batch_df.isEmpty():
         if epoch_id is not None:
             _write_epoch_marker(spark, marker, epoch_id)
         return
-    fs, jpath = _hadoop_fs(spark, path)
-    if fs.exists(jpath):
+    if fs.exists(jp(path)):
         episodes = scd2_apply(
             spark.read.parquet(path), batch_df, key, state, ts, tiebreak
         )
     else:
         episodes = scd2_history(batch_df, key, state, ts, tiebreak)
-    episodes.localCheckpoint().write.mode("overwrite").parquet(path)
+    fs.delete(jp(stage), True)  # leftover from a crashed stage write
+    episodes.localCheckpoint().write.mode("overwrite").parquet(stage)
+    # swap with backup: no instant at which the table exists at neither
+    # path nor bak (sources/upsert.py discipline)
+    fs.delete(jp(bak), True)
+    had_old = fs.exists(jp(path))
+    if had_old:
+        fs.rename(jp(path), jp(bak))
+    fs.rename(jp(stage), jp(path))
+    if had_old:
+        fs.delete(jp(bak), True)
     if epoch_id is not None:
         _write_epoch_marker(spark, marker, epoch_id)
 
@@ -136,6 +161,7 @@ def scd2_stream_sink(
     append output mode (raw feed rows, no streaming aggregation state —
     ALL episode state lives in the at-rest table, so the stream itself
     is stateless and restart-cheap)."""
+    scope = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         scd2_apply_epoch(
@@ -147,6 +173,7 @@ def scd2_stream_sink(
             ts,
             tiebreak,
             epoch_id=epoch_id,
+            marker_scope=scope,
         )
 
     return (

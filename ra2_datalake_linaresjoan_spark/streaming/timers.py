@@ -99,7 +99,14 @@ def session_close_on_timeout(
             elif ts_us - cur[1] > gap_us:
                 yield _frame(user_id, cur, "gap")
                 cur = [int(ts_us), int(ts_us), 0, 0.0]
-            cur[1] = int(ts_us)
+            # min/max, not assignment: a LATE (within-watermark) event
+            # from a later micro-batch can sort before the session's
+            # current bounds — overwriting last_us would regress it,
+            # firing false gap splits and a premature event-time timer
+            # (round-10 review); sort_values only orders within ONE
+            # batch, so cross-batch disorder reaches this line
+            cur[0] = min(cur[0], int(ts_us))
+            cur[1] = max(cur[1], int(ts_us))
             cur[2] += 1
             cur[3] += float(value)
         state.update(tuple(cur))

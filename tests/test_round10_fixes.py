@@ -85,7 +85,7 @@ def test_scd2_apply_open_episode_wins_negative_tiebreaks(spark):
     """round-9 advisor (low): the old -1 sentinel lost to a batch row
     carrying a NEGATIVE tiebreak at the open episode's valid_from,
     breaking scd2_apply(scd2_history(b1), b2) == scd2_history(b1 ∪ b2).
-    The Long.MIN_VALUE sentinel restores the equality for any real
+    The typed-NULL sentinel (asc = NULLS FIRST) restores the equality for any real
     tiebreak domain."""
     import datetime
 
@@ -275,3 +275,88 @@ def test_scd2_apply_epoch_replay_is_idempotent(spark, tmp_path):
     # and replaying it is again a no-op
     scd2_apply_epoch(spark, path, b1, *args, epoch_id=1)
     assert len(_rows(spark.read.parquet(path))) == 3
+
+
+# ---------------------------------------------------------------------------
+# second review pass: scd2 complete-case equality, typed sentinel,
+# fk_resolve fan-out guard, interval_join collision guard
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_null_state_rows_dropped_in_lockstep(spark):
+    """A NULL-state change row used to be dropped by the one-shot
+    builder's prev != state filter but its SUCCESSOR was kept (lag saw
+    NULL), while the incremental path never saw the NULL row — the
+    documented apply == rebuild equality broke on dirty feeds. The
+    shared complete-case guard drops such rows in BOTH builders."""
+    import datetime
+
+    from ra2_datalake_linaresjoan_spark.operators.scd2 import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    t = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+    feed = [(1, "A", t(1), 1), (1, None, t(2), 2), (1, "A", t(3), 3)]
+    schema = "k long, state string, ts timestamp, seq long"
+    full = scd2_history(spark.createDataFrame(feed, schema), "k", "state", "ts", "seq")
+    b1 = spark.createDataFrame(feed[:2], schema)
+    b2 = spark.createDataFrame(feed[2:], schema)
+    inc = scd2_apply(
+        scd2_history(b1, "k", "state", "ts", "seq"), b2, "k", "state", "ts", "seq"
+    )
+    assert _rows(inc) == _rows(full)
+    # the NULL-state row creates no episode: one open A episode
+    assert len(_rows(full)) == 1
+
+
+def test_scd2_apply_string_tiebreaks(spark):
+    """The r9 sentinel cast the batch tiebreak to long, silently
+    NULLing string CDC ids (which then sorted BEFORE the sentinel).
+    The typed-NULL sentinel keeps any orderable tiebreak domain."""
+    import datetime
+
+    from ra2_datalake_linaresjoan_spark.operators.scd2 import (
+        scd2_apply,
+        scd2_history,
+    )
+
+    t = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+    schema = "k long, state string, ts timestamp, seq string"
+    b1 = spark.createDataFrame([(1, "a", t(1), "s01"), (1, "b", t(2), "s02")], schema)
+    # same-timestamp row with a HIGHER string tiebreak (arrival order)
+    b2 = spark.createDataFrame([(1, "c", t(2), "s03")], schema)
+    inc = scd2_apply(
+        scd2_history(b1, "k", "state", "ts", "seq"), b2, "k", "state", "ts", "seq"
+    )
+    full = scd2_history(b1.unionByName(b2), "k", "state", "ts", "seq")
+    assert _rows(inc) == _rows(full)
+    assert len(_rows(full)) == 3
+
+
+def test_fk_resolve_duplicate_dim_keys_do_not_fan_out(spark):
+    from ra2_datalake_linaresjoan_spark.operators.joins import fk_resolve
+
+    fact = spark.createDataFrame([(1, "X"), (2, "Y")], "fid long, game string")
+    dim = spark.createDataFrame(
+        [("X", 10), ("X", 11), ("Y", 20)], "name string, game_id long"
+    )
+    out = fk_resolve(fact, dim, "game", "name", "game_id", "rid")
+    rows = {(r["fid"], r["rid"]) for r in out.collect()}
+    assert out.count() == 2  # no fan-out
+    assert rows == {(1, 10), (2, 20)}  # deterministic min surrogate
+
+
+def test_interval_join_rejects_colliding_right_cols(spark):
+    import datetime
+
+    import pytest as _pytest
+
+    from ra2_datalake_linaresjoan_spark.operators.rangejoin import interval_join
+
+    t = datetime.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t, 5.0)], "user_id long, ts timestamp, value double")
+    right = spark.createDataFrame([(1, t, 7.0)], "user_id long, rts timestamp, value double")
+    with _pytest.raises(ValueError, match="collide"):
+        interval_join(left, right, by="user_id", left_on="ts", right_on="rts",
+                      window_seconds=60, right_cols=["value"])
