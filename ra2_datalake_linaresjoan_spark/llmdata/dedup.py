@@ -380,9 +380,21 @@ def incremental_dedup(
         .distinct()
     )
     fresh = nb.join(seen, "fingerprint", "left_anti")
-    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    # NULL contract in lockstep with exact_dedup (round-10 review): a
+    # NULL fingerprint (NULL text) carries no evidence of duplication —
+    # such rows pass the anti join untouched (NULL never equi-matches)
+    # and must NOT then be collapsed to one survivor by the window; a
+    # NULL id can never win the min and passes through likewise.
+    w = Window.partitionBy("fingerprint")
     return (
-        fresh.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        fresh.withColumn(
+            "_id_keep",
+            F.min(F.when(F.col(id_col).isNotNull(), F.col(id_col))).over(w),
+        )
+        .where(
+            F.col(id_col).isNull()
+            | F.col("fingerprint").isNull()
+            | (F.col(id_col) == F.col("_id_keep"))
+        )
+        .drop("_id_keep")
     )

@@ -2471,6 +2471,20 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     #     interval_join's right_cols collision guard (raise-only —
     #     results on non-colliding schemas unchanged)
     "interval_join",
+    # (f) third round-10 review pass (queries_llm3/5/6/8/9 — the llm
+    #     batches without a dedicated prior review): NOT-IN NULL
+    #     poisoning in the incremental-dedup oracle + the operator's
+    #     NULL-fingerprint passthrough contract (incremental_dedup,
+    #     in-window above), span_dedup's NULL-id survivor flip
+    #     (opposite NULL ordering per engine), ngram_novelty's NULL-id
+    #     inner-join drop, cross_source_dups' collect_set-vs-list NULL
+    #     asymmetry, _icos's ANSI divide-by-zero on sub-quantum vectors
+    #     (semantic_kmeans / semantic_prune / hard_negative_mining, all
+    #     in-window via (a)), the shared BPE merge-chain extraction
+    #     (tokenizer_fertility, bpe_encode), and
+    #     unigram_logprob_filter's second corpus scan removed
+    "span_dedup", "ngram_novelty", "cross_source_dups",
+    "unigram_logprob_filter", "tokenizer_fertility", "bpe_encode",
     # (d) mmr_diverse_topk's driver-side greedy rewrite rides its
     #     existing overflow slot in (a)
 })
@@ -2490,6 +2504,12 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "neardup_components",
     "mutual_knn_rate",
     "interval_join",
+    "span_dedup",
+    "ngram_novelty",
+    "cross_source_dups",
+    "unigram_logprob_filter",
+    "tokenizer_fertility",
+    "bpe_encode",
 )
 
 
@@ -2563,6 +2583,12 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "neardup_components",
     "mutual_knn_rate",
     "interval_join",
+    "span_dedup",
+    "ngram_novelty",
+    "cross_source_dups",
+    "unigram_logprob_filter",
+    "tokenizer_fertility",
+    "bpe_encode",
 )
 
 

@@ -319,9 +319,18 @@ WITH fp AS (
 ), corpus AS (
   SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 <> 9
 ), kept AS (
-  SELECT * FROM batch
-  WHERE fingerprint NOT IN (SELECT fingerprint FROM corpus)
-  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fingerprint)
+  -- NOT EXISTS, never NOT IN: one NULL corpus fingerprint NULL-poisons
+  -- NOT IN and empties the whole kept set, where Spark's left_anti
+  -- keeps everything (round-10 review). NULL-fingerprint batch rows
+  -- pass through (exact_dedup's no-evidence-of-duplication contract,
+  -- mirrored by the engine's incremental_dedup).
+  SELECT * FROM batch b
+  WHERE b.fingerprint IS NULL
+     OR NOT EXISTS (SELECT 1 FROM corpus c
+                    WHERE c.fingerprint = b.fingerprint)
+  QUALIFY doc_id IS NULL OR fingerprint IS NULL
+       OR doc_id = min(CASE WHEN doc_id IS NOT NULL THEN doc_id END)
+                     OVER (PARTITION BY fingerprint)
 )
 SELECT b.lang,
        CAST(count(*) AS BIGINT) AS n_batch,

@@ -49,10 +49,16 @@ def _idot(a: Column, b: Column) -> Column:
 
 def _icos(a: Column, b: Column) -> Column:
     """Cosine from exact integer dot/norms; the single float divide sees
-    identical operands in every engine, so the result is bit-stable."""
-    return _idot(a, b).cast("double") / (
-        F.sqrt(_idot(a, a).cast("double")) * F.sqrt(_idot(b, b).cast("double"))
-    )
+    identical operands in every engine, so the result is bit-stable.
+
+    Zero guard (round-10 review): a vector whose elements are all below
+    0.5 micro-units passes _emb_clean's double-norm check yet quantizes
+    to the all-zero long vector — an unguarded divide then throws
+    DIVIDE_BY_ZERO under ANSI Spark while DuckDB's x/0.0 yields NULL.
+    The guard yields NULL in lockstep (a NULL cosine fails every
+    threshold filter on both engines)."""
+    den = F.sqrt(_idot(a, a).cast("double")) * F.sqrt(_idot(b, b).cast("double"))
+    return F.when(den != 0, _idot(a, b).cast("double") / den)
 
 
 # Shared SQL fragment: quantized embeddings unnested to (vec_id, pos, v).
@@ -91,7 +97,12 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window touches span-level row counts, so the shape survives
     100 TB (span keys also hash-distribute evenly; no skew salting
     needed)."""
-    docs = _t(spark, sf_dir, "documents")
+    # complete-case on doc_id (lockstep): the survivor tiebreak is
+    # (doc_id, start) and the two engines order NULL ids on OPPOSITE
+    # ends (Spark min(struct) sorts NULL first, DuckDB row_number
+    # defaults NULLS LAST) — a span shared between a NULL-id and a
+    # real-id doc flipped owners per engine (round-10 review)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     words = F.split("text", " ")
     spans = (
         docs.select(
@@ -143,6 +154,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SPAN_DEDUP = f"""
 WITH w AS (
   SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+  WHERE doc_id IS NOT NULL
 ), s AS (
   SELECT doc_id, lang,
          unnest(range(0, greatest(len(words), 1), {_SPAN})) AS start, words
@@ -502,7 +514,11 @@ def q_unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     words = docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
-    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    # total = sum over the Zipf-small vocab aggregate — exactly equal to
+    # count(*) over words but WITHOUT a second full scan+explode of the
+    # corpus (round-10 review; the oracle's count(*) form is unaffected
+    # since the two are the same exact integer)
+    total = vocab.agg(F.sum("n_w").alias("n_total"))
     doc_nll = (
         words.join(F.broadcast(vocab), "w")
         .crossJoin(F.broadcast(total))

@@ -183,6 +183,28 @@ _BPE_MERGES: tuple[tuple[str, str], ...] = (
 )
 
 
+def bpe_merge_chain(word) -> "F.Column":
+    """The 5-rule BPE merge chain as a Column rewrite over one word —
+    the SINGLE tokenizer-apply implementation shared by ``bpe_encode``
+    and ``tokenizer_fertility`` (queries_llm9 previously carried a
+    verbatim copy; a one-sided edit would have silently made the two
+    queries tokenize differently while claiming one merge table —
+    round-10 review)."""
+    s = F.concat(F.regexp_replace(word, "(.)", " $1"), F.lit(" "))
+    for a, b in _BPE_MERGES:
+        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    return s
+
+
+def sql_bpe_chain(col: str = "w") -> str:
+    """The identical merge chain in DuckDB SQL (shared, see
+    :func:`bpe_merge_chain`)."""
+    s = f"regexp_replace({col}, '(.)', ' \\1', 'g') || ' '"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
+    return s
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with a 5-rule BPE merge table: words become
     space-separated characters, each merge rule rewrites ``" a b "`` →
@@ -199,9 +221,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    s = F.concat(F.regexp_replace(F.col("w"), "(.)", " $1"), F.lit(" "))
-    for a, b in _BPE_MERGES:
-        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    s = bpe_merge_chain(F.col("w"))
     sym = vocab.select(
         "freq", F.explode(F.split(F.trim(s), " ")).alias("symbol")
     ).filter(F.length("symbol") > 0)
@@ -213,11 +233,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bpe_chain() -> str:
-    s = "regexp_replace(w, '(.)', ' \\1', 'g') || ' '"
-    for a, b in _BPE_MERGES:
-        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
-    return s
+_sql_bpe_chain = sql_bpe_chain  # legacy local name used below
 
 
 SQL_BPE_ENCODE = f"""

@@ -40,9 +40,14 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     is partition-invariant with one rounded division per row."""
     from ra2_datalake_linaresjoan_spark.llmdata.dedup import shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    # complete-case on doc_id (lockstep): the source re-attach is an
+    # equi-join on doc_id, which silently DROPPED NULL-id docs on the
+    # Spark side while the oracle grouped them (round-10 review); both
+    # engines now exclude them up front. (shingles() only needs
+    # (doc_id, text) — the old select passed source just to drop it.)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     sh = shingles(
-        docs.select("doc_id", "source", "text"), "doc_id", "text", n=3
+        docs.select("doc_id", "text"), "doc_id", "text", n=3
     ).join(
         docs.select("doc_id", "source"), "doc_id"
     )
@@ -82,6 +87,7 @@ WITH w AS (
   SELECT doc_id, source,
          regexp_split_to_array(trim(lower(text)), '\s+') AS words
   FROM documents
+  WHERE doc_id IS NOT NULL
 ), sh AS (
   SELECT DISTINCT doc_id, source,
          array_to_string(words[i:i+2], ' ') AS shingle
@@ -119,7 +125,11 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the list's index pairs) — fingerprint-sized data, no self-join, no
     shuffle larger than the pair aggregate. The standard corpus-lineage
     audit (which crawls/mirrors overlap) at any scale."""
-    docs = _t(spark, sf_dir, "documents")
+    # source IS NOT NULL in lockstep: Spark's collect_set silently
+    # drops NULL elements while DuckDB's list(DISTINCT source) keeps
+    # them — the oracle emitted (src, NULL) pairs Spark never saw
+    # (round-10 review)
+    docs = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
     fps = (
         docs.select(F.substring("text", 1, 40).alias("fp"), "source")
         .distinct()
@@ -147,7 +157,8 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CROSS_SOURCE_DUPS = """
 WITH fps AS (
   SELECT fp, list_sort(list(DISTINCT source)) AS srcs
-  FROM (SELECT DISTINCT substr(text, 1, 40) AS fp, source FROM documents)
+  FROM (SELECT DISTINCT substr(text, 1, 40) AS fp, source FROM documents
+        WHERE source IS NOT NULL)
   GROUP BY fp
   HAVING len(list(DISTINCT source)) >= 2
 ), pairs AS (

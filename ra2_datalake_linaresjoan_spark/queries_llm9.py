@@ -140,10 +140,9 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    s = F.concat(F.regexp_replace(F.col("w"), "(.)", " $1"), F.lit(" "))
-    for a, b in _BPE_MERGES:
-        s = F.replace(s, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
-    n_sym = F.size(F.split(F.trim(s), " "))
+    from ra2_datalake_linaresjoan_spark.queries_llm6 import bpe_merge_chain
+
+    n_sym = F.size(F.split(F.trim(bpe_merge_chain(F.col("w"))), " "))
     g = vocab.select(
         "lang",
         "freq",
@@ -165,11 +164,7 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_bpe_chain_w() -> str:
-    s = "regexp_replace(w, '(.)', ' \\1', 'g') || ' '"
-    for a, b in _BPE_MERGES:
-        s = f"replace({s}, ' {a} {b} ', ' {a}{b} ')"
-    return s
+from ra2_datalake_linaresjoan_spark.queries_llm6 import sql_bpe_chain as _sql_bpe_chain_w  # noqa: E501  (shared tokenizer-apply, round-10 review)
 
 
 SQL_TOKENIZER_FERTILITY = f"""

@@ -47,7 +47,10 @@ def get_spark(
         # parquet file otherwise becomes ONE scan task, serializing every
         # scan-heavy stage (measured 7x on the bootstrap's 40x row
         # fan-out). On a real cluster inputs have >= cores splits and
-        # this floor is a no-op.
+        # this floor is a no-op. Round-10 A/B: a floor of 8 saved ~6%
+        # scheduling overhead on light relational queries but cost the
+        # text-processing family 6 s (span_dedup 0.73 -> 4.58 s — the
+        # per-char shingle scans NEED the width) — 32 stays.
         .config("spark.sql.files.minPartitionNum", str(_DEF_CPUS))
         .config("spark.ui.enabled", "false")
         # local-mode note: the driver JVM runs ALL executor threads, so
