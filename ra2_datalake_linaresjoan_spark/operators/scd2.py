@@ -13,14 +13,18 @@ loops; scales with the fact because state per key is the window buffer
 only.
 
 Complete-case input contract (round-10 review): a change row missing
-its key, state, ts, or tiebreak carries no episode identity, value,
-position, or order — both builders DROP such rows up front, in
-lockstep. Without the shared guard the two paths diverged on NULL
-states: the one-shot builder's ``prev != state`` filter dropped a
-NULL-state row but kept its successor (lag saw NULL), while the
-incremental path never saw the NULL row at all — silently breaking the
-documented ``scd2_apply(scd2_history(b1), b2) == scd2_history(b1 ∪ b2)``
-equality on dirty feeds.
+its state, ts, or tiebreak carries no episode value, position, or
+order — both builders DROP such rows up front, in lockstep. Without
+the shared guard the two paths diverged on NULL states: the one-shot
+builder's ``prev != state`` filter dropped a NULL-state row but kept
+its successor (lag saw NULL), while the incremental path never saw the
+NULL row at all — silently breaking the documented
+``scd2_apply(scd2_history(b1), b2) == scd2_history(b1 ∪ b2)`` equality
+on dirty feeds. A NULL KEY is deliberately NOT filtered: window
+PARTITION BY groups NULL keys into one group identically in Spark and
+SQL engines, so NULL-key change rows form their own (degenerate but
+engine-consistent) dimension member — filtering them here would
+silently shrink feeds whose callers treat NULL as a real group.
 """
 
 from __future__ import annotations
@@ -49,10 +53,11 @@ def scd2_history(
     Returns columns: ``{key}``, ``state``, ``valid_from`` (from ``ts``),
     ``valid_to`` (next episode's start, null for the open episode) and
     ``is_current``. ``tiebreak`` makes same-timestamp ordering
-    deterministic; rows with a NULL key/state/ts/tiebreak are dropped
-    (the module's complete-case contract).
+    deterministic; rows with a NULL state/ts/tiebreak are dropped and
+    NULL keys form their own group (the module's complete-case
+    contract — see the module docstring).
     """
-    clean = _complete_rows(df, key, state, ts, tiebreak)
+    clean = _complete_rows(df, state, ts, tiebreak)
     w = Window.partitionBy(key).orderBy(ts, tiebreak)
     changed = (
         clean.withColumn("_prev_state", F.lag(state).over(w))
@@ -115,7 +120,7 @@ def scd2_apply(
     closed = episodes.where(~F.col("is_current")).select(
         key, "state", "valid_from", "valid_to", "is_current"
     )
-    fresh = _complete_rows(batch, key, state, ts, tiebreak).select(
+    fresh = _complete_rows(batch, state, ts, tiebreak).select(
         F.col(key), F.col(state), F.col(ts), F.col(tiebreak)
     )
     # the open episode re-enters as a change row at its valid_from; the

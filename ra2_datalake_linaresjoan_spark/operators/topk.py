@@ -4,6 +4,12 @@
 keeps a k-heap, the driver merges k·P candidates — no global sort, no full
 shuffle, safe at any scale. Always pass a deterministic tiebreak so the
 result set is reproducible across runs and engines.
+
+NULL ordering is EXPLICIT (round-10 dirty audit): Spark defaults to
+NULLS FIRST on asc while DuckDB/ANSI engines default to NULLS LAST, so
+a NULL tiebreak key at the LIMIT boundary selected DIFFERENT rows per
+engine; both directions here pin NULLS LAST (the ANSI default), which
+also keeps degenerate NULL-metric rows out of the head of a top-k.
 """
 
 from __future__ import annotations
@@ -23,8 +29,14 @@ def top_k(
 ) -> DataFrame:
     """Top-k rows by a metric (T1, reference extract_gaming_data.py:101-109
     ``nlargest(50, 'volume')``)."""
-    main = F.col(order_col).asc() if ascending else F.col(order_col).desc()
-    return df.orderBy(main, *[F.col(t).asc() for t in tiebreak]).limit(k)
+    main = (
+        F.col(order_col).asc_nulls_last()
+        if ascending
+        else F.col(order_col).desc_nulls_last()
+    )
+    return df.orderBy(
+        main, *[F.col(t).asc_nulls_last() for t in tiebreak]
+    ).limit(k)
 
 
 def top_k_groups(
@@ -38,6 +50,9 @@ def top_k_groups(
     return (
         df.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias(count_col))
-        .orderBy(F.col(count_col).desc(), *[F.col(c).asc() for c in group_cols])
+        .orderBy(
+            F.col(count_col).desc_nulls_last(),
+            *[F.col(c).asc_nulls_last() for c in group_cols],
+        )
         .limit(k)
     )

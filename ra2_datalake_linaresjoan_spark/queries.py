@@ -177,7 +177,13 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k by metric (T1) — TakeOrderedAndProject, no global sort."""
     from ra2_datalake_linaresjoan_spark.operators.topk import top_k
 
-    orders = _t(spark, sf_dir, "orders")
+    # complete-case on (price, key) in lockstep: a top-by-price rank
+    # has no place for unpriced orders, and rows tied on a NULL price
+    # with NULL orderkeys select nondeterministically at the LIMIT
+    # boundary whatever the engines' NULL order (round-10 dirty audit)
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderkey").isNotNull()
+    )
     return top_k(
         orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"),
         "o_totalprice",
@@ -189,6 +195,7 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TOP_ORDERS = """
 SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
 FROM orders
+WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
 ORDER BY o_totalprice DESC, o_orderkey ASC
 LIMIT 50
 """
@@ -1865,8 +1872,17 @@ FROM g GROUP BY user_id ORDER BY user_id
 def q_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rank() + row_number(): top-3 parts per brand by retail price.
     row_number uses a deterministic tiebreak; rank is exposed so tie
-    semantics are oracle-checked."""
-    part = _t(spark, sf_dir, "part")
+    semantics are oracle-checked.
+
+    Complete-case on (p_retailprice, p_partkey) in lockstep (round-10
+    dirty audit): an unpriced part has no rank, and among NULL-price
+    ties the engines break on p_partkey from OPPOSITE ends (Spark asc
+    NULLS FIRST, DuckDB NULLS LAST) — the ntile_quartiles convention."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
+
+    part = complete_case(
+        _t(spark, sf_dir, "part"), "p_retailprice", "p_partkey"
+    )
     w_det = Window.partitionBy("p_brand").orderBy(
         F.col("p_retailprice").desc(), F.col("p_partkey").asc()
     )
@@ -1892,6 +1908,7 @@ FROM (
          rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
          row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
   FROM part
+  WHERE p_retailprice IS NOT NULL AND p_partkey IS NOT NULL
 ) WHERE rn <= 3
 ORDER BY p_brand, p_partkey
 """
@@ -2485,6 +2502,24 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     #     unigram_logprob_filter's second corpus scan removed
     "span_dedup", "ngram_novelty", "cross_source_dups",
     "unigram_logprob_filter", "tokenizer_fertility", "bpe_encode",
+    # (g) the STRENGTHENED dirty generator (per-column null PERIODS, so
+    #     doc_id/text/lang and ts/user_id no longer null together) +
+    #     the fourth review pass (queries_llm4/10-14) surfaced 20 live
+    #     cross-engine divergences — every one fixed with the
+    #     established recipes (complete-case before order-sensitive
+    #     windows/top-k, CASE-ELSE-0 over bare boolean-cast sums,
+    #     NULL-propagating '||' for the '0x'-hash class, null-safe
+    #     joins for NULL group keys, rounded-threshold lockstep) and
+    #     re-audited to MATCH:
+    "time_travel_scd2", "top_orders", "event_type_top10", "rank_parts",
+    "first_last_events", "session_islands", "watermark_late_audit",
+    "purchase_attribution", "ohlc_bars", "markov_transitions",
+    "bigram_lm_perplexity", "tfidf_cosine_pairs",
+    "dup_inflation_by_source", "ngram_entropy_rate",
+    "boilerplate_blocks", "auc_quality_score", "pmi_phrases",
+    "weighted_sample_topk", "reciprocal_rank_fusion", "ndcg_eval",
+    "char_ngram_langid", "containment_pairs", "quota_sample_docs",
+    "bigram_vocab",
     # (d) mmr_diverse_topk's driver-side greedy rewrite rides its
     #     existing overflow slot in (a)
 })
@@ -2492,14 +2527,17 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 #: Changed queries that could NOT fit the 50-slot driver window this
 #: round (the window holds the 37-name round-9 overflow + 2 never-
 #: checked batch-40 additions + 8 round-10 changes + the 3 r1-stale
-#: re-verifies).  They sit at positions 51-53 — the FIRST cohort
-#: outside the window — and MUST lead the round-11 rotation.  Two are
-#: consumers of the similarity per-length plumbing whose clean-data
-#: results are unchanged (the numpy path groups by vector length;
-#: _emb_clean corpora have exactly one length); interval_join gained a
-#: raise-only right_cols collision guard (results on non-colliding
-#: schemas — including the registry query — unchanged).  All locally
-#: re-verified MATCH at sf0.001/0.01/0.1 and in the dirty-parity audit.
+#: re-verifies).  They sit at positions 51+ — the FIRST cohort outside
+#: the window — and MUST lead the round-11 rotation.  The cohort grew
+#: past the round-9 verdict's <= 10 target for a declared reason: the
+#: round-10 generator strengthening (per-column null PERIODS) exposed
+#: 20 LIVE cross-engine divergences that had hidden in the old
+#: correlated-null shadow, plus the llm-batch reviews confirmed 4 more
+#: on micro-corpora — leaving them unfixed (or the instrument weak) to
+#: meet a churn target would invert the round's priorities.  Every
+#: name here is locally re-verified MATCH at sf0.001/0.01/0.1 AND in
+#: the full strengthened dirty-parity audit; the driver row is
+#: deferred one round, not skipped.
 _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "neardup_components",
     "mutual_knn_rate",
@@ -2510,6 +2548,30 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "unigram_logprob_filter",
     "tokenizer_fertility",
     "bpe_encode",
+    "time_travel_scd2",
+    "top_orders",
+    "event_type_top10",
+    "rank_parts",
+    "first_last_events",
+    "session_islands",
+    "watermark_late_audit",
+    "purchase_attribution",
+    "ohlc_bars",
+    "markov_transitions",
+    "bigram_lm_perplexity",
+    "tfidf_cosine_pairs",
+    "dup_inflation_by_source",
+    "ngram_entropy_rate",
+    "boilerplate_blocks",
+    "auc_quality_score",
+    "pmi_phrases",
+    "weighted_sample_topk",
+    "reciprocal_rank_fusion",
+    "ndcg_eval",
+    "char_ngram_langid",
+    "containment_pairs",
+    "quota_sample_docs",
+    "bigram_vocab",
 )
 
 
@@ -2589,6 +2651,30 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "unigram_logprob_filter",
     "tokenizer_fertility",
     "bpe_encode",
+    "time_travel_scd2",
+    "top_orders",
+    "event_type_top10",
+    "rank_parts",
+    "first_last_events",
+    "session_islands",
+    "watermark_late_audit",
+    "purchase_attribution",
+    "ohlc_bars",
+    "markov_transitions",
+    "bigram_lm_perplexity",
+    "tfidf_cosine_pairs",
+    "dup_inflation_by_source",
+    "ngram_entropy_rate",
+    "boilerplate_blocks",
+    "auc_quality_score",
+    "pmi_phrases",
+    "weighted_sample_topk",
+    "reciprocal_rank_fusion",
+    "ndcg_eval",
+    "char_ngram_langid",
+    "containment_pairs",
+    "quota_sample_docs",
+    "bigram_vocab",
 )
 
 

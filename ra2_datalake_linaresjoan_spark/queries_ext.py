@@ -245,8 +245,15 @@ ORDER BY user_id, event_id
 def q_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value/last_value over the full partition frame per event_type:
     each type's earliest and latest event value (deterministic order by
-    (ts, event_id)). One row per type via distinct."""
-    ev = _t(spark, sf_dir, "events")
+    (ts, event_id)). One row per type via distinct.
+
+    Complete-case on (ts, event_id) in lockstep (round-10 dirty audit):
+    an undated event has no first/last position, and the engines order
+    NULL ts on OPPOSITE ends of the frame — first_value/last_value then
+    pick different rows per engine."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
@@ -268,6 +275,7 @@ SELECT DISTINCT event_type,
        round(first_value(value) OVER w, 4) AS first_value,
        round(last_value(value) OVER w, 4)  AS last_value
 FROM events
+WHERE ts IS NOT NULL AND event_id IS NOT NULL
 WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ORDER BY event_type
@@ -575,8 +583,14 @@ def q_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers the sessions, then a per-session rollup. The pure-window
     formulation of what `event_sessionization` does with session_window() —
     both shapes matter (this one composes with arbitrary per-row logic).
-    One shuffle on user_id; both windows share that partitioning."""
-    ev = _t(spark, sf_dir, "events")
+    One shuffle on user_id; both windows share that partitioning.
+
+    Complete-case on (ts, event_id) in lockstep (round-10 dirty audit):
+    an undated event has no session position — the engines order NULL
+    ts on opposite ends, renumbering every session after it."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact gap (unix_timestamp would truncate to seconds and
     # misclassify gaps whose fractional parts straddle the 1800 s boundary)
@@ -600,6 +614,7 @@ WITH flagged AS (
          CASE WHEN ts - lag(ts) OVER w <= INTERVAL '1800 seconds' THEN 0 ELSE 1 END AS is_break,
          event_id
   FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT user_id, value,

@@ -68,11 +68,16 @@ def q_time_travel_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TIME_TRAVEL_SCD2 = f"""
 WITH changed AS (
+  -- complete-case on (state, ts, tiebreak) in lockstep with
+  -- operators/scd2.scd2_history's round-10 input contract (a NULL-ts
+  -- row would order on OPPOSITE ends per engine; NULL keys keep their
+  -- own group on both)
   SELECT user_id, event_type, ts,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_state,
          event_id
   FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
 ), episodes AS (
   SELECT user_id, event_type AS state, ts AS valid_from,
          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

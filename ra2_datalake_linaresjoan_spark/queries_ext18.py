@@ -135,14 +135,17 @@ def q_dup_inflation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("doc_id") > F.min("doc_id").over(w))
         ).alias("is_copy"),
     )
+    # CASE-ELSE-0, never a bare boolean cast (round-10 dirty audit): a
+    # NULL-id doc's is_copy is NULL (no identity, no copy evidence) and
+    # a group of ONLY such docs summed to NULL in Spark while the
+    # oracle's CASE-ELSE-0 yielded 0
+    n_copies = F.sum(F.when(F.col("is_copy"), 1).otherwise(0)).cast("long")
     return (
         flagged.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("is_copy").cast("long")).alias("n_copies"),
-            F.round(
-                F.sum(F.col("is_copy").cast("long")) / F.count(F.lit(1)), 6
-            ).alias("copy_rate"),
+            n_copies.alias("n_copies"),
+            F.round(n_copies / F.count(F.lit(1)), 6).alias("copy_rate"),
             F.sum(F.when(F.col("is_copy"), F.col("n_tok")).otherwise(0)).alias(
                 "wasted_tokens"
             ),

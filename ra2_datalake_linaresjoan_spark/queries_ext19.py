@@ -30,8 +30,13 @@ from ra2_datalake_linaresjoan_spark.queries import _t
 def q_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(lang, n_tokens, unigram_entropy, bigram_cond_entropy) — both in
     nats at 4 dp; conditional ≤ unigram always (conditioning never
-    increases entropy; pinned by a semantic test)."""
-    docs = _t(spark, sf_dir, "documents")
+    increases entropy; pinned by a semantic test).
+
+    Complete-case on doc_id in lockstep (round-10 dirty audit): the
+    bigram chain is lead() over (doc_id, pos) — NULL-id docs merge into
+    one tied-pos partition with a nondeterministic, engine-divergent
+    bigram multiset (the bigram_lm_perplexity class)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     tok = docs.select(
         "lang",
         "doc_id",
@@ -90,7 +95,7 @@ WITH tok AS (
        LATERAL (SELECT generate_subscripts(
                          regexp_split_to_array(lower(text), '[^a-z]+'), 1) AS pos,
                        unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
-  WHERE t.word <> ''
+  WHERE t.word <> '' AND doc_id IS NOT NULL
 ), uni AS (
   SELECT lang, word, CAST(count(*) AS BIGINT) AS cu FROM tok GROUP BY 1, 2
 ), uni_tot AS (

@@ -51,15 +51,27 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-length ranking and a term-frequency ranking (term 'key'), each
     truncated to its top-100 (TakeOrderedAndProject — the rank windows
     only ever see 100 rows). Docs present in one ranking contribute a
-    single term (the standard RRF convention)."""
-    docs = _t(spark, sf_dir, "documents")
+    single term (the standard RRF convention).
+
+    Complete-case on (doc_id, n_chars) in lockstep (round-10 dirty
+    audit): rank order is (metric, doc_id) and NULLs rank on opposite
+    ends per engine at the top-100 cut; a NULL text counts tf = 0 on
+    both engines (coalesce — Spark size(NULL) and DuckDB len(NULL) are
+    both NULL and would re-introduce the same asymmetry in r2)."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
+    )
     base = docs.select(
         "doc_id",
         "n_chars",
-        F.size(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z]+"), lambda x: x == _RRF_TERM
-            )
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z]+"),
+                    lambda x: x == _RRF_TERM,
+                )
+            ),
+            F.lit(0),
         ).alias("tf"),
     )
     r1 = (
@@ -98,9 +110,10 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_RECIPROCAL_RANK_FUSION = """
 WITH base AS (
   SELECT doc_id, n_chars,
-         len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-                         x -> x = 'key')) AS tf
+         coalesce(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x = 'key')), 0) AS tf
   FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
 ), r1 AS (
   SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS rank_len
   FROM base ORDER BY n_chars DESC, doc_id LIMIT 100
@@ -129,8 +142,15 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-pinned; ndcg = dcg/idcg at 6 dp. The per-lang rank windows
     are the documented top-k-per-group contract (`rank_parts`); at
     petabyte scale the top-10 extraction swaps to a grouped bounded
-    heap."""
-    docs = _t(spark, sf_dir, "documents")
+    heap.
+
+    Complete-case on (doc_id, n_chars) in lockstep (round-10 dirty
+    audit): rel derives from doc_id (NULL id -> NULL gains -> NULL
+    dcg), and NULL metrics rank on opposite ends per engine inside
+    both the system and ideal top-10 windows."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("n_chars").isNotNull()
+    )
     base = docs.select("lang", "doc_id", "n_chars", (F.col("doc_id") % 4).alias("rel"))
     w_sys = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
     w_ideal = Window.partitionBy("lang").orderBy(F.desc("rel"), "doc_id")
@@ -174,6 +194,7 @@ def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NDCG_EVAL = """
 WITH base AS (
   SELECT lang, doc_id, n_chars, doc_id % 4 AS rel FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
 ), sys_r AS (
   SELECT lang, rel,
          row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rk

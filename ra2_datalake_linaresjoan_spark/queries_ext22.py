@@ -361,18 +361,19 @@ def q_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", F.col("plang").alias("predicted"))
     )
+    # CASE-ELSE-0, never a bare boolean cast (round-10 dirty audit): a
+    # NULL-lang corpus slice builds a NULL profile whose prediction
+    # compares NULL against every label — Spark's bare-cast sum skipped
+    # those rows to NULL where the oracle's CASE yielded 0
+    correct = F.sum(
+        F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)
+    ).cast("long")
     return (
         pred.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_scored"),
-            F.sum((F.col("predicted") == F.col("lang")).cast("long")).alias(
-                "n_correct"
-            ),
-            F.round(
-                F.sum((F.col("predicted") == F.col("lang")).cast("long"))
-                / F.count(F.lit(1)),
-                4,
-            ).alias("accuracy"),
+            correct.alias("n_correct"),
+            F.round(correct / F.count(F.lit(1)), 4).alias("accuracy"),
         )
         .orderBy("lang")
     )

@@ -259,8 +259,20 @@ def q_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_prefix_max"),
     )
     late = ((seen_max - F.col("_us")) > F.lit(30 * 60 * 1_000_000)).cast("long")
+    # null-safe (<=>) on event_type: the window partitions group NULL
+    # types as a real group on both engines, but a plain equi-join here
+    # silently DROPPED the NULL-type group's rows on the Spark side
+    # while the oracle's pure-window form kept them (round-10 dirty
+    # audit: 6 vs 7 groups). The prefix side's keys are renamed so the
+    # downstream windows keep their unqualified references.
+    prefix_r = prefix.withColumnRenamed("event_type", "_p_et").withColumnRenamed(
+        "_bkt", "_p_bkt"
+    )
     return (
-        bucketed.join(F.broadcast(prefix), ["event_type", "_bkt"])
+        bucketed.join(
+            F.broadcast(prefix_r),
+            F.expr("event_type <=> _p_et AND _bkt = _p_bkt"),
+        )
         .select("event_type", F.coalesce(late, F.lit(0)).alias("_late"))
         .groupBy("event_type")
         .agg(
@@ -592,10 +604,19 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     backward join through the engine's union+carry-forward ``asof_join``
     — one shuffle, no per-row range scan), then attribution counts per
     touch type. The composition query that exercises the as-of operator
-    inside a larger plan rather than as a leaf."""
+    inside a larger plan rather than as a leaf.
+
+    Complete-case on (ts, user_id) in lockstep (round-10 dirty audit):
+    a NULL-ts touch sorted FIRST in Spark's carry-forward order and
+    became the attributed touch for early purchases while DuckDB's
+    ASOF predicate never matched it, and a NULL user_id groups in
+    Spark's partitioned carry but never equi-matches in the oracle's
+    ASOF join condition."""
     from ra2_datalake_linaresjoan_spark.operators.asof import asof_join
 
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("purchase_id")
     )
@@ -619,11 +640,13 @@ def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_PURCHASE_ATTRIBUTION = """
-WITH purchases AS (
-  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+WITH ev AS (
+  SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), purchases AS (
+  SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase'
 ), touches AS (
   SELECT user_id, ts, event_type AS touch_type
-  FROM events WHERE event_type IN ('click', 'view')
+  FROM ev WHERE event_type IN ('click', 'view')
 ), attributed AS (
   SELECT p.event_id, t.touch_type
   FROM purchases p

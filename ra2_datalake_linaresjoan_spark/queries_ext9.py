@@ -45,8 +45,16 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     window); high/low/count ride the same shuffle. All outputs are stored
     doubles or counts — zero float arithmetic, zero rounding. At 100 TB
     this is a single combine-enabled shuffle keyed (day, type); the
-    window-based alternative would sort every partition."""
-    ev = _t(spark, sf_dir, "events")
+    window-based alternative would sort every partition.
+
+    Complete-case on (ts, event_id) in lockstep (round-10 dirty audit):
+    a bar's open/close picks ride the (ts, event_id) composite, and a
+    NULL event_id tie ranks on OPPOSITE ends per engine (Spark struct
+    min NULLS FIRST, DuckDB row_number NULLS LAST), flipping which
+    row's value becomes open/close."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     key = F.struct(F.col("ts"), F.col("event_id"))
     return (
         ev.select(F.to_date("ts").alias("day"), "event_type", "value", "ts", "event_id")
@@ -70,6 +78,7 @@ WITH ranked AS (
          row_number() OVER (PARTITION BY CAST(ts AS DATE), event_type
                             ORDER BY ts DESC, event_id DESC) AS rn_d
   FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
 )
 SELECT day, event_type,
        max(CASE WHEN rn_a = 1 THEN value END) AS open,
@@ -217,8 +226,15 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle a sessionization needs), then an aggregate whose cardinality
     is |types|² — the probability normalization joins against a
     types-sized subtotal, never re-windowing the fact. Probability is a
-    single in-row division rounded at 6 dp of two exact counts."""
-    ev = _t(spark, sf_dir, "events")
+    single in-row division rounded at 6 dp of two exact counts.
+
+    Complete-case on (ts, event_id) in lockstep (round-10 dirty audit):
+    the chain order is (ts, event_id) and NULLs order on opposite ends
+    per engine, rewiring the (prev -> next) pairs. A NULL event_type
+    stays a legal STATE (both engines group it identically)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select("user_id", "ts", "event_id", "event_type")
@@ -246,6 +262,7 @@ WITH seq AS (
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
   FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL
 ), pairs AS (
   SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
   FROM seq WHERE prev_type IS NOT NULL

@@ -101,8 +101,14 @@ ORDER BY source
 def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train an add-one-smoothed bigram LM on the whole corpus, score
     every document's average bigram NLL, report per-language doc counts
-    and mean NLL (4 dp). P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V)."""
-    docs = _t(spark, sf_dir, "documents")
+    and mean NLL (4 dp). P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V).
+
+    Complete-case on doc_id in lockstep (round-10 dirty audit): the
+    bigram chain is lead() over (doc_id partition, pos order) — all
+    NULL-id docs merge into ONE partition with duplicate pos values,
+    whose tie order (and hence bigram multiset) is nondeterministic and
+    engine-divergent (the llm8 ngram_novelty class)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     tok = docs.select(
         "doc_id",
         "lang",
@@ -149,7 +155,7 @@ WITH tok AS (
        LATERAL (SELECT generate_subscripts(
                          regexp_split_to_array(lower(text), '[^a-z]+'), 1) AS pos,
                        unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
-  WHERE t.word <> ''
+  WHERE t.word <> '' AND doc_id IS NOT NULL
 ), big AS (
   SELECT doc_id, lang, word AS w1,
          lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
@@ -190,8 +196,16 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no rare unigrams to block on; at production scale the relative 2%
     ceiling should become an absolute df cap so per-key fan-out stays
     bounded as the corpus grows. The cosine itself is exact over the
-    candidates' shared terms (dot) and full vectors (norms)."""
-    docs = _t(spark, sf_dir, "documents")
+    candidates' shared terms (dot) and full vectors (norms).
+
+    Complete-case on doc_id in lockstep (round-10 dirty audit): the
+    bigram blocking keys come from lead() over (doc_id, pos) and all
+    NULL-id docs merge into one tied-pos partition whose bigrams are
+    nondeterministic (the bigram_lm_perplexity class). The final
+    threshold compares the 6-dp ROUNDED cosine on BOTH engines (the
+    oracle previously filtered the raw value — one-sided membership at
+    the boundary)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias("pos", "word"),
@@ -279,13 +293,14 @@ WITH tok AS (
        LATERAL (SELECT generate_subscripts(
                          regexp_split_to_array(lower(text), '[^a-z]+'), 1) AS pos,
                        unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
-  WHERE t.word <> ''
+  WHERE t.word <> '' AND doc_id IS NOT NULL
 ), tf AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
   FROM tok GROUP BY doc_id, word
 ), df AS (
   SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
-), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+         WHERE doc_id IS NOT NULL),
 wts AS (
   SELECT doc_id, word, tf * ln(CAST(n.n_docs AS DOUBLE) / df) AS wt
   FROM tf JOIN df USING (word) CROSS JOIN n
@@ -316,7 +331,7 @@ wts AS (
 )
 SELECT d1, d2, round(dot / (na.norm * nb.norm), 6) AS cos_tfidf
 FROM dots JOIN norms na ON na.doc_id = d1 JOIN norms nb ON nb.doc_id = d2
-WHERE dot / (na.norm * nb.norm) >= {_COS_MIN}
+WHERE round(dot / (na.norm * nb.norm), 6) >= {_COS_MIN}
 ORDER BY cos_tfidf DESC, d1, d2
 LIMIT 20
 """

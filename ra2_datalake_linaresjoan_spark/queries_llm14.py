@@ -64,8 +64,13 @@ def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs (boilerplate), boilerplate share (6 dp), and docs containing
     any. Word indexes come from a doc-partitioned row_number (split
     positions can be non-contiguous after the empty-token filter);
-    block text assembles from a sorted in-group array."""
-    docs = _t(spark, sf_dir, "documents")
+    block text assembles from a sorted in-group array.
+
+    Complete-case on doc_id in lockstep (round-10 dirty audit): block
+    indexes come from row_number over (doc_id, pos) and all NULL-id
+    docs merge into one tied-pos partition, interleaving words across
+    documents nondeterministically (the bigram_lm_perplexity class)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     tok = docs.select(
         "doc_id",
         "source",
@@ -114,7 +119,7 @@ WITH tok AS (
        LATERAL (SELECT generate_subscripts(
                          regexp_split_to_array(lower(text), '[^a-z]+'), 1) AS pos,
                        unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
-  WHERE t.word <> ''
+  WHERE t.word <> '' AND doc_id IS NOT NULL
 ), idx AS (
   SELECT doc_id, source, word,
          row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS i
@@ -161,8 +166,15 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 29× fewer candidate pairs (Σ df² 2.76M → 0.36M at sf0.1) —
     the width IS the blocking-selectivity dial. The shingle table is
     localCheckpointed once for its four consumers (df build, sizes,
-    both self-join sides)."""
-    docs = _t(spark, sf_dir, "documents")
+    both self-join sides).
+
+    Complete-case on doc_id in lockstep (round-10 review): the oracle's
+    global SELECT DISTINCT collapses identical (NULL, shingle) rows
+    from DIFFERENT NULL-id docs while Spark's per-row array_distinct
+    keeps one per doc — df counts then differ and shingles flip across
+    the df cap. The threshold compares the 6-dp ROUNDED containment on
+    BOTH engines (was raw in the oracle — one-sided at the boundary)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     words = docs.select(
         "doc_id",
         F.filter(
@@ -218,6 +230,7 @@ WITH words AS (
          list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
                      x -> x <> '') AS w
   FROM documents
+  WHERE doc_id IS NOT NULL
 ), sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, len(w) - 2),
@@ -240,7 +253,7 @@ WITH words AS (
 SELECT doc_a, doc_b, n_shared,
        round(n_shared * 1.0 / sz, 6) AS containment
 FROM shared JOIN sizes ON doc_a = sizes.doc_id
-WHERE n_shared * 1.0 / sz >= 0.6
+WHERE round(n_shared * 1.0 / sz, 6) >= 0.6
 ORDER BY containment DESC, doc_a, doc_b
 LIMIT 20
 """
@@ -261,8 +274,13 @@ def q_auc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n_pos·n_neg) ≈ n²/4 and overflows BIGINT past ~6·10⁹ docs — the
     DECIMAL(38,0) escape applies (cast the summand to decimal(38,0) on
     both engines), exactly as documented for the moment sums in
-    ``doc_feature_corr`` / ``degree_assortativity``."""
-    docs = _t(spark, sf_dir, "documents")
+    ``doc_feature_corr`` / ``degree_assortativity``.
+
+    Complete-case on n_chars in lockstep (round-10 dirty audit): a NULL
+    score cannot rank — Spark's cumulative window put the NULL bucket
+    FIRST (its negatives counted below every real score) while DuckDB
+    put it LAST, shifting the whole rank-sum (the statsnull recipe)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("n_chars").isNotNull())
     buckets = docs.groupBy("n_chars").agg(
         F.sum((F.col("lang") == "en").cast("long")).alias("pos"),
         F.sum((F.col("lang") != "en").cast("long")).alias("neg"),
@@ -302,7 +320,7 @@ WITH buckets AS (
   SELECT n_chars,
          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
          CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS neg
-  FROM documents GROUP BY 1
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
 ), b AS (
   SELECT *,
          CAST(coalesce(sum(neg) OVER (ORDER BY n_chars
@@ -331,8 +349,13 @@ def q_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent word pairs by PMI (pair count ≥ 5), ties on
     (w1, w2). Marginals are positional (w1 as first / w2 as second of a
     bigram) so they sum to N exactly; PMI is the 4-term log expression
-    — no integer products that could overflow at corpus scale."""
-    docs = _t(spark, sf_dir, "documents")
+    — no integer products that could overflow at corpus scale.
+
+    Complete-case on doc_id in lockstep (round-10 dirty audit): the
+    adjacency chain is lead() over (doc_id, pos); NULL-id docs merge
+    into one tied-pos partition with nondeterministic bigrams polluting
+    the global c12/c1/c2 tables (the bigram_lm_perplexity class)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias("pos", "word"),
@@ -373,7 +396,7 @@ WITH tok AS (
        LATERAL (SELECT generate_subscripts(
                          regexp_split_to_array(lower(text), '[^a-z]+'), 1) AS pos,
                        unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
-  WHERE t.word <> ''
+  WHERE t.word <> '' AND doc_id IS NOT NULL
 ), big AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (
     SELECT word AS w1,
@@ -405,8 +428,14 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ln(u)/w with u = md5-uniform(doc_id) ∈ (0,1); top-k by key is
     exactly Efraimidis–Spirakis sampling without replacement. The plan
     is a scan + TakeOrderedAndProject (bounded heap per partition) —
-    no global sort, no shuffle of the corpus."""
-    docs = _t(spark, sf_dir, "documents")
+    no global sort, no shuffle of the corpus.
+
+    Complete-case on doc_id in lockstep (round-10 dirty audit): the
+    sampling key is md5(doc_id) — no identity, no draw — and the
+    oracle's '0x' || substr(md5(NULL)) previously went through
+    NULL-SKIPPING concat(), minting a bare '0x' that crashed the
+    BIGINT cast (the known '0x'-hash class; || propagates NULL)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     u = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("double")
@@ -430,9 +459,9 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WEIGHTED_SAMPLE_TOPK = """
 WITH keyed AS (
   SELECT doc_id, n_chars,
-         ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
              + 0.5) / 4294967296.0) / n_chars AS es_key
-  FROM documents WHERE n_chars > 0
+  FROM documents WHERE n_chars > 0 AND doc_id IS NOT NULL
 ), top AS (
   SELECT * FROM keyed ORDER BY es_key DESC, doc_id LIMIT 50
 )

@@ -89,16 +89,19 @@ def q_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     count shuffle and a per-lang top-k window over the counted (small)
     result. Deterministic (count DESC, bigram ASC) ranking."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # project the split array ONCE, then derive bigrams from the column
+    # in a second select: Spark does no common-subexpression
+    # elimination inside lambda bodies, so the old inline form rebuilt
+    # the full words array TWICE PER ELEMENT — the O(n_words^2)
+    # no-CSE-in-lambda class measured at ~200x on char_entropy
+    # (round-10 review)
+    ws = docs.select("lang", F.split("text", " ").alias("ws"))
     bigrams = F.when(
-        F.size(words) >= 2,
-        F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 2),"
-            " i -> split(text, ' ')[i] || ' ' || split(text, ' ')[i + 1])"
-        ),
+        F.size("ws") >= 2,
+        F.expr("transform(sequence(0, size(ws) - 2), i -> ws[i] || ' ' || ws[i + 1])"),
     ).otherwise(F.array().cast("array<string>"))
     counted = (
-        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        ws.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -280,8 +283,13 @@ def q_quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-THRESHOLD sampling: exact expected rate, no window) with the
     exact-COUNT contract (needs a per-shard top-k, here via window; at
     100 TB per-shard rank over a hash is still the standard quota plan —
-    the window partitions by shard, not globally)."""
-    docs = _t(spark, sf_dir, "documents")
+    the window partitions by shard, not globally).
+
+    Complete-case on doc_id in lockstep (round-10 review): the sample
+    order is md5(doc_id) — a NULL id has no draw, ranks on OPPOSITE
+    ends per engine (Spark NULLS FIRST / DuckDB LAST at the quota
+    boundary), and several NULL-id rows tie nondeterministically."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     tagged = docs.select(
         "lang", "n_chars", F.md5(F.col("doc_id").cast("string").cast("binary")).alias("_h")
     )
@@ -307,6 +315,7 @@ WITH tagged AS (
          row_number() OVER (PARTITION BY lang
                             ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
   FROM documents
+  WHERE doc_id IS NOT NULL
 )
 SELECT lang,
        CAST(count(*) AS BIGINT) AS n_sampled,

@@ -79,16 +79,25 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
 
         def _nulled(fl):
             rid = F.monotonically_increasing_id()
-            # per-column phase (crc32 of the column name): columns go
-            # NULL on DIFFERENT rows. The round-8 generator nulled every
-            # column on the SAME 1-in-3 rows (correlated dirt), which
-            # hid an entire defect class — e.g. a NULL o_orderdate with
-            # a REAL o_totalprice, or a NULL ts with a real event_type,
-            # never existed, so NULL-group ordering divergences passed
-            # (the 7 round-9 review findings all lived in that shadow).
-            off = zlib.crc32(fl.name.encode()) % 3
+            # per-column phase AND period: columns go NULL on DIFFERENT
+            # rows with co-prime-ish cycles. The round-8 generator
+            # nulled every column on the SAME 1-in-3 rows (correlated
+            # dirt); the round-9 phase-only fix still had just 3 phase
+            # classes, so doc_id/text/lang (all crc32 % 3 == 0) STILL
+            # nulled together and a NULL-id doc with real text never
+            # existed — the round-10 llm-batch review found 4 confirmed
+            # divergences living in exactly that shadow. Varying the
+            # period (3/4/5 by name hash) makes every pairwise
+            # (NULL, real) combination appear within a 60-row cycle.
+            # divisors chosen so every same-table key pair that a query
+            # might join/group on (doc_id-text, text-lang, ts-user_id,
+            # user_id-event_type, vec_id-embedding) lands in a distinct
+            # (period, offset) cell
+            h = zlib.crc32(fl.name.encode())
+            period = 3 + (h // 3) % 3
+            off = (h // 11) % period
             whole_null = F.when(
-                ((rid + off) % 3 == 0) & F.lit(fl.name in nullable),
+                ((rid + off) % period == 0) & F.lit(fl.name in nullable),
                 F.lit(None).cast(fl.dataType),
             )
             if isinstance(fl.dataType, ArrayType):
