@@ -50,6 +50,40 @@ def complete_case_sql(*cols: str) -> str:
     return " AND ".join(f"{c} IS NOT NULL" for c in cols)
 
 
+def finite_case(df: DataFrame, *cols: str) -> DataFrame:
+    """Finite-case filter for closed-form statistics: keep only rows
+    where EVERY listed double column is non-NULL, non-NaN and non-±Inf.
+
+    ``complete_case`` extended to the VALUE domain (round-11 value-fuzz
+    find): order statistics (percentile/median/MAD), moment sums
+    (stddev overflows DuckDB at 1e308², NaN-poisons Spark) and
+    bucket-index casts (CAST(Inf AS BIGINT) raises in BOTH engines
+    under ANSI) all need the same row population across engines, and
+    the engines disagree on — or refuse — non-finite inputs.  Pair
+    with ``finite_case_sql``.  Plain Column predicates: ``isnan`` and
+    ``abs() != inf`` stay JVM-side; NULLs fail the predicate the same
+    way they fail ``complete_case``.  On finite data (every clean
+    corpus) this is a no-op."""
+    pred: Column | None = None
+    for c in cols:
+        p = (
+            F.col(c).isNotNull()
+            & ~F.isnan(c)
+            & (F.abs(F.col(c)) != F.lit(float("inf")))
+        )
+        pred = p if pred is None else (pred & p)
+    assert pred is not None
+    return df.where(pred)
+
+
+def finite_case_sql(*cols: str) -> str:
+    """The oracle-side WHERE fragment matching ``finite_case``
+    (DuckDB's ``isfinite`` is NULL on NULL, false on NaN/±Inf — the
+    identical three-way contract)."""
+    assert cols
+    return " AND ".join(f"isfinite({c})" for c in cols)
+
+
 def keyword_pattern(keywords: Sequence[str], word_boundary: bool = False) -> str:
     """Escaped alternation regex from a keyword list (P7/P9,
     reference transformer_data.py:343-371, loader_NeonDB.py:749-781).

@@ -445,10 +445,20 @@ def q_anti_join_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: NULL contract, spelled out so the oracle means the SAME anti-join the
+#: operator runs (round-11 value-fuzz find): a NULL fact key can match
+#: nothing ⇒ it IS an orphan (left_anti keeps it), and NULL dim keys
+#: match nothing ⇒ they are ignored.  A bare ``NOT IN`` has neither —
+#: one NULL in the subquery poisons the whole predicate to never-TRUE
+#: (0 rows), which the Inf-fuzzed p_retailprice exposed the moment a
+#: NULL-p_partkey row first passed the premium filter.
 SQL_ANTI_JOIN_ORPHANS = """
 SELECT l_returnflag, count(*) AS n_orphans
 FROM lineitem
-WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_retailprice >= 950.0)
+WHERE l_partkey IS NULL
+   OR l_partkey NOT IN (SELECT p_partkey FROM part
+                        WHERE p_retailprice >= 950.0
+                          AND p_partkey IS NOT NULL)
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
@@ -1713,8 +1723,13 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: exact percentiles sort within each group; for 100 TB use
     ``percentile_approx`` (t-digest sketch, mergeable, one pass) — exposed
     by the engine but not oracle-comparable (sketch implementations
-    differ across engines)."""
-    orders = _t(spark, sf_dir, "orders")
+    differ across engines).  finite_case: order statistics over NaN/±Inf
+    diverge between engines (NaN sorts last in Spark's percentile, Inf
+    poisons interpolation) — the shared finite-population contract
+    (round-11 value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
@@ -1732,6 +1747,7 @@ SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.9), 4)  AS p90_price,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99_price
 FROM orders
+WHERE isfinite(o_totalprice)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """

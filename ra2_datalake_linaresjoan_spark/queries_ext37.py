@@ -53,10 +53,13 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_bucket,
     )
 
-    vals = (
-        _events(spark, sf_dir)
-        .where(F.col("value").isNotNull())
-        .select(F.col("value").alias("v"))
+    # finite_case, not just isNotNull: NaN sorts differently in the two
+    # engines' rank windows and ±Inf defeats the bucket clamp's floor —
+    # the shared finite-population contract (round-11 value-fuzz)
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    vals = finite_case(_events(spark, sf_dir), "value").select(
+        F.col("value").alias("v")
     )
     # distinct-value rank table (value-domain-bounded, cents-grained);
     # localCheckpoint: each bounded table materializes from ONE corpus
@@ -127,7 +130,7 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_QUANTILE_SKETCH_AUDIT = f"""
 WITH vals AS (
-  SELECT value AS v FROM events WHERE value IS NOT NULL
+  SELECT value AS v FROM events WHERE isfinite(value)
 ), byv AS (
   SELECT v, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY v
 ), cumv AS (

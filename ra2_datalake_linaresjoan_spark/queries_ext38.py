@@ -165,8 +165,11 @@ def q_ivfpq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sub_dists(X: "np.ndarray", Y: "np.ndarray") -> "np.ndarray":
         """(|X|, |Y|, 8) int64 quantized subspace sq-distances with the
         exact engine fold: acc = acc + d*d over ascending dims, then
-        round-half-up(acc * 1e6) — floor(y+0.5) is exact HALF_UP for
-        these non-negative y << 2^51."""
+        round-half-up(acc * 1e6).  True half-up is floor(y) + (frac >=
+        0.5) — the y - floor(y) subtraction is exact in IEEE754, so the
+        boundary case a 1-ulp-below-.5 fraction (where y + 0.5 would
+        round UP to the next integer before the floor, disagreeing with
+        both engines' round()) cannot occur (round-10 advisor fix)."""
         out = np.empty((X.shape[0], Y.shape[0], _IP_SUBS), dtype=np.int64)
         for s in range(_IP_SUBS):
             lo = s * _IP_SUBDIM
@@ -174,7 +177,9 @@ def q_ivfpq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(lo, lo + _IP_SUBDIM):
                 d = X[:, i, None] - Y[None, :, i]
                 acc = acc + d * d
-            out[:, :, s] = np.floor(acc * _IP_Q + 0.5).astype(np.int64)
+            y = acc * _IP_Q
+            base = np.floor(y)
+            out[:, :, s] = (base + (y - base >= 0.5)).astype(np.int64)
         return out
 
     # query-side tables, all driver-side numpy: per-query probe set

@@ -63,16 +63,19 @@ def q_ab_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional counts per bucket; the ≤256-row joint table is
     localCheckpointed so the kernel's two branches (totals + cumulative
     window) read the bounded table instead of re-scanning events.
-    Complete-case on (user_id, value) in lockstep with the oracle — no
-    id means no arm, and a NULL value has no bucket."""
+    Complete-case on user_id plus finite_case on value in lockstep with
+    the oracle — no id means no arm, and only a finite value has a
+    bucket (NaN defeats the clamp differently per engine — round-11
+    value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
     from ra2_datalake_linaresjoan_spark.streaming.sketches import (
         ks_from_joint,
         quantile_bucket,
     )
 
     vals = (
-        _t(spark, sf_dir, "events")
-        .where(F.col("user_id").isNotNull() & F.col("value").isNotNull())
+        finite_case(_t(spark, sf_dir, "events"), "value")
+        .where(F.col("user_id").isNotNull())
         .select((F.col("user_id") % 2 == 0).alias("is_a"), "value")
     )
     joint = (
@@ -104,7 +107,7 @@ def q_ab_value_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_AB_VALUE_DRIFT_KS = f"""
 WITH vals AS (
   SELECT user_id % 2 = 0 AS is_a, value FROM events
-  WHERE user_id IS NOT NULL AND value IS NOT NULL
+  WHERE user_id IS NOT NULL AND isfinite(value)
 ), joint AS (
   SELECT CAST(least({_QD_BUCKETS - 1}, greatest(0,
            floor((value - {_QD_LO!r}) * {_QD_BUCKETS}

@@ -343,13 +343,18 @@ def q_scd2_stream_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical posture to the sink itself — per-epoch cost is
     |batch| + |open episodes|; the audit's one-shot rebuild is the
-    O(feed) baseline, built once."""
-    import os
-    import shutil
-    import tempfile
+    O(feed) baseline, built once.  The scratch episodes table lives
+    under ``spark.sql.warehouse.dir`` (a CLUSTER-visible location —
+    executors write its parquet parts, so a driver-local tempdir would
+    silently scatter the table across node-local disks on a real
+    cluster; round-10 advisor fix) and is created/removed through the
+    Hadoop FileSystem API so any warehouse scheme (file:, hdfs:,
+    s3a:) works."""
+    import uuid
 
     from ra2_datalake_linaresjoan_spark.operators.scd2 import scd2_history
     from ra2_datalake_linaresjoan_spark.streaming.scd2_sink import (
+        _fs,
         scd2_apply_epoch,
     )
 
@@ -380,8 +385,12 @@ def q_scd2_stream_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounded.where(F.col("_past1") & ~F.col("_past2")).select(*cols),
         bounded.where(F.col("_past2")).select(*cols),
     ]
-    tmp = tempfile.mkdtemp(prefix="scd2_stream_audit_")
-    table = f"{tmp}/episodes"
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "file:/tmp/spark-warehouse"
+    )
+    scratch = wh.rstrip("/") + f"/_scd2_stream_audit_{uuid.uuid4().hex[:12]}"
+    table = f"{scratch}/episodes"
+    fs, jp = _fs(spark, scratch)
     ep_schema = (
         "user_id bigint, state string, valid_from timestamp, "
         "valid_to timestamp, is_current boolean"
@@ -391,13 +400,13 @@ def q_scd2_stream_sink_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             scd2_apply_epoch(
                 spark, table, b, "user_id", "event_type", "ts", "event_id"
             )
-        if os.path.exists(table):
+        if fs.exists(jp(table)):
             streamed = spark.read.parquet(table).localCheckpoint()
         else:
             # an all-empty feed never creates the table: zero episodes
             streamed = spark.createDataFrame([], ep_schema)
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.delete(jp(scratch), True)
     full = scd2_history(
         ev.select(*cols), "user_id", "event_type", "ts", "event_id"
     ).localCheckpoint()

@@ -29,8 +29,15 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment statistics per return flag: Pearson correlation and
     sample covariance between quantity and price, plus sample
     stddev/variance of price — all JVM-side mergeable aggregates (one
-    partial+final hash agg, scan speed)."""
-    li = _t(spark, sf_dir, "lineitem")
+    partial+final hash agg, scan speed).  finite_case over BOTH
+    measurement columns: moment sums over ±Inf/NaN either NaN-poison
+    (Spark) or overflow outright (DuckDB's stddev raises) — the shared
+    finite-population contract (round-11 value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    li = finite_case(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -54,6 +61,7 @@ SELECT l_returnflag,
        round(stddev_samp(l_extendedprice), 2) AS stddev_price,
        round(var_samp(l_quantity), 4) AS var_qty
 FROM lineitem
+WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
@@ -70,8 +78,14 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders beyond 3 MADs — the data-quality monitor shape that, unlike
     z-scores, a few extreme rows can't poison. Two grouped exact
     percentiles with a broadcast join-back between them; at 100 TB the
-    drop-in is ``percentile_approx`` (t-digest, one pass, mergeable)."""
-    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    drop-in is ``percentile_approx`` (t-digest, one pass, mergeable).
+    finite_case: the shared finite-population contract for order
+    statistics (round-11 value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    orders = finite_case(
+        _t(spark, sf_dir, "orders"), "o_totalprice"
+    ).select("o_orderpriority", "o_totalprice")
     med = orders.groupBy("o_orderpriority").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("_med")
     )
@@ -101,13 +115,16 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_MAD_OUTLIERS = """
-WITH med AS (
+WITH fin AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE isfinite(o_totalprice)
+), med AS (
   SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS m
-  FROM orders GROUP BY o_orderpriority
+  FROM fin GROUP BY o_orderpriority
 ), dev AS (
   SELECT o.o_orderpriority, o.o_totalprice, med.m,
          abs(o.o_totalprice - med.m) AS adev
-  FROM orders o JOIN med USING (o_orderpriority)
+  FROM fin o JOIN med USING (o_orderpriority)
 ), mad AS (
   SELECT o_orderpriority, quantile_cont(adev, 0.5) AS d
   FROM dev GROUP BY o_orderpriority
@@ -345,7 +362,18 @@ WITH w AS (
          CAST(min(o_custkey) AS VARCHAR) AS c_min, CAST(max(o_custkey) AS VARCHAR) AS c_max,
          CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
          CAST(count(DISTINCT o_totalprice) AS BIGINT) AS t_dist,
-         CAST(min(o_totalprice) AS VARCHAR) AS t_min, CAST(max(o_totalprice) AS VARCHAR) AS t_max
+         -- non-finite doubles render differently per engine ('nan'/'-inf'
+         -- vs Spark's Java-style 'NaN'/'-Infinity'); the profile keeps the
+         -- VALUES (a profiler exists to surface them) and canonicalizes
+         -- the rendering to Spark's tokens (round-11 value-fuzz)
+         CASE WHEN isnan(min(o_totalprice)) THEN 'NaN'
+              WHEN min(o_totalprice) =  'infinity'::DOUBLE THEN 'Infinity'
+              WHEN min(o_totalprice) = '-infinity'::DOUBLE THEN '-Infinity'
+              ELSE CAST(min(o_totalprice) AS VARCHAR) END AS t_min,
+         CASE WHEN isnan(max(o_totalprice)) THEN 'NaN'
+              WHEN max(o_totalprice) =  'infinity'::DOUBLE THEN 'Infinity'
+              WHEN max(o_totalprice) = '-infinity'::DOUBLE THEN '-Infinity'
+              ELSE CAST(max(o_totalprice) AS VARCHAR) END AS t_max
   FROM orders
 )
 SELECT 'o_custkey' AS column_name, n_rows, c_nulls AS n_nulls, c_dist AS n_distinct,

@@ -30,8 +30,12 @@ def q_median_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_cont``), alongside the count. Exact percentiles sort within
     each group; at 100 TB swap in ``approx_percentile`` (t-digest sketch,
     mergeable map-side) — the query shape is identical, which is why the
-    exact variant is the oracle-pinned one."""
-    orders = _t(spark, sf_dir, "orders")
+    exact variant is the oracle-pinned one.  finite_case: the shared
+    finite-population contract for order statistics (round-11
+    value-fuzz — engines disagree on NaN/Inf in the sort)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice")
     return (
         orders.groupBy("o_orderpriority")
         .agg(
@@ -49,6 +53,7 @@ SELECT o_orderpriority,
        round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
 FROM orders
+WHERE isfinite(o_totalprice)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """

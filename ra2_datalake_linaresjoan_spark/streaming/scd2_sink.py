@@ -28,9 +28,11 @@ rename-stage-in (mirroring ``sources/upsert.py``: a crash at any point
 leaves the table at the path or the backup, which the next epoch
 auto-restores — never the bare delete-then-write window of a plain
 ``mode('overwrite')``); and replays are deduplicated by batchId (the
-at-least-once foreachBatch contract) with the marker scoped to the
-CHECKPOINT, so a fresh checkpoint (whose epoch ids restart at 0) gets
-a fresh marker instead of silently skipping its first N batches.
+at-least-once foreachBatch contract) with the marker file stored
+INSIDE the checkpoint directory, so its lifetime is the checkpoint's
+own — a fresh checkpoint (whose epoch ids restart at 0) necessarily
+starts with a fresh marker instead of silently skipping its first N
+batches, even when it is recreated at the same path.
 The residual window — table swapped, marker not yet written — is
 inherent to a non-transactional sink; a Delta MERGE with
 ``txnAppId/txnVersion`` closes it, and the wiring here is unchanged
@@ -43,8 +45,6 @@ partition and the parquet stage-swap disappears.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -92,6 +92,7 @@ def scd2_apply_epoch(
     tiebreak: str,
     epoch_id: int | None = None,
     marker_scope: str = "default",
+    marker_path: str | None = None,
 ) -> None:
     """One epoch of the streaming fold: merge ``batch_df`` into the
     episodes table at ``path`` (bootstrapping with ``scd2_history`` on
@@ -99,16 +100,21 @@ def scd2_apply_epoch(
     callable so audits/tests can drive epochs deterministically.
 
     ``epoch_id`` (when given) engages the replay guard: any epoch
-    at/below the last value recorded in ``<path>__epoch_<scope>`` is
-    skipped — re-applying a batch is NOT idempotent (the open episode
-    re-enters and its closed predecessors would duplicate).
-    ``marker_scope`` ties the marker to one logical stream (the sink
-    passes a digest of its checkpoint dir).
+    at/below the last value recorded in the marker file is skipped —
+    re-applying a batch is NOT idempotent (the open episode re-enters
+    and its closed predecessors would duplicate).  ``marker_path``
+    (what the sink passes: a file INSIDE its checkpoint directory, so
+    the marker's lifetime is tied to the checkpoint's — wiping and
+    recreating the checkpoint at the same path wipes the marker with
+    it, and the epoch-ids-restart-at-0 replay guard cannot skip the
+    new stream's first batches) wins over the legacy
+    ``<path>__epoch_<marker_scope>`` derivation, kept for direct
+    batch-mode callers with no checkpoint directory.
 
     ``localCheckpoint`` materializes the merged episodes BEFORE the
     stage write so the job never reads the parquet it is about to
     replace."""
-    marker = f"{path}__epoch_{marker_scope}"
+    marker = marker_path or f"{path}__epoch_{marker_scope}"
     if epoch_id is not None:
         last = _read_epoch_marker(spark, marker)
         if last is not None and last >= epoch_id:
@@ -160,8 +166,16 @@ def scd2_stream_sink(
     ``stream_df`` carries (key, state, ts, tiebreak) change rows;
     append output mode (raw feed rows, no streaming aggregation state —
     ALL episode state lives in the at-rest table, so the stream itself
-    is stateless and restart-cheap)."""
-    scope = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:12]
+    is stateless and restart-cheap).
+
+    The replay-guard marker lives INSIDE the checkpoint directory
+    (round-10 advisor fix): a marker keyed only by the checkpoint PATH
+    outlives a wiped-and-recreated checkpoint at that path, and since
+    foreachBatch epoch ids restart at 0 with the fresh checkpoint, the
+    stale high-water mark would silently skip — and permanently lose —
+    the new stream's first micro-batches.  Checkpoint gone ⇒ marker
+    gone, by construction."""
+    marker = checkpoint_dir.rstrip("/") + "/__scd2_epoch_marker__"
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         scd2_apply_epoch(
@@ -173,7 +187,7 @@ def scd2_stream_sink(
             ts,
             tiebreak,
             epoch_id=epoch_id,
-            marker_scope=scope,
+            marker_path=marker,
         )
 
     return (

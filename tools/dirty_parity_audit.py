@@ -100,6 +100,18 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
                 ((rid + off) % period == 0) & F.lit(fl.name in nullable),
                 F.lit(None).cast(fl.dataType),
             )
+            # ROUND 11: value-fuzz layer — adversarial VALUES both
+            # engines must agree on, not just nulls (round-10 verdict
+            # ask #5): signed zeros / ±Inf / NaN in doubles,
+            # 'NaN'/'Infinity'-style strings where numeric normalizers
+            # read, timestamps at the micros boundary (incl. one
+            # pre-epoch value — the floor-div negative-epoch class),
+            # and ZERO-LENGTH arrays as distinct from NULL arrays.
+            # Periods 11/13 are co-prime with the null periods (3/4/5)
+            # and the ''-string period (7), so fuzz values land on rows
+            # where sibling columns are real, null, and empty alike.
+            h2 = zlib.crc32((fl.name + ":vfuzz").encode())
+            voff = h2 % 11
             if isinstance(fl.dataType, ArrayType):
                 holed = F.transform(
                     F.col(fl.name),
@@ -117,7 +129,11 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
                     ),
                 )
                 return (
-                    whole_null.when((rid + off) % 3 == 1, holed)
+                    whole_null.when(
+                        (rid + voff) % 11 == 6,
+                        F.array().cast(fl.dataType),
+                    )
+                    .when((rid + off) % 3 == 1, holed)
                     .when((rid + off) % 5 == 2, ragged)
                     .otherwise(F.col(fl.name))
                     .alias(fl.name)
@@ -125,14 +141,45 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
             if fl.dataType.simpleString() == "string":
                 # empty-but-not-NULL strings: the ''-vs-NULL boundary
                 # (fingerprints of '', concat identities, blank-id
-                # filters) that an all-NULL generator never exercises
+                # filters) that an all-NULL generator never exercises;
+                # plus numeric-edge tokens that a cast/normalizer might
+                # accept asymmetrically across engines
                 emptied = F.when(
                     ((rid + off) % 7 == 3) & F.lit(fl.name in nullable),
                     F.lit(""),
+                ).when((rid + voff) % 11 == 2, F.lit("NaN")).when(
+                    (rid + voff) % 11 == 5, F.lit("Infinity")
+                ).when((rid + voff) % 11 == 8, F.lit("-Infinity")).when(
+                    (rid + voff) % 13 == 9, F.lit("1e308")
                 )
                 return (
                     whole_null.otherwise(
                         F.coalesce(emptied, F.col(fl.name))
+                    ).alias(fl.name)
+                )
+            if fl.dataType.simpleString() == "double":
+                fuzzed = (
+                    F.when((rid + voff) % 11 == 1, F.lit(float("nan")))
+                    .when((rid + voff) % 11 == 4, F.lit(float("inf")))
+                    .when((rid + voff) % 11 == 7, F.lit(float("-inf")))
+                    .when((rid + voff) % 13 == 3, F.lit(-0.0))
+                )
+                return (
+                    whole_null.otherwise(
+                        F.coalesce(fuzzed, F.col(fl.name))
+                    ).alias(fl.name)
+                )
+            if fl.dataType.simpleString() == "timestamp":
+                fuzzed = F.when(
+                    (rid + voff) % 13 == 1,
+                    F.lit("1969-12-31 23:59:59.999999").cast("timestamp"),
+                ).when(
+                    (rid + voff) % 13 == 6,
+                    F.lit("2038-01-19 03:14:07.999999").cast("timestamp"),
+                )
+                return (
+                    whole_null.otherwise(
+                        F.coalesce(fuzzed, F.col(fl.name))
                     ).alias(fl.name)
                 )
             return whole_null.otherwise(F.col(fl.name)).alias(fl.name)
