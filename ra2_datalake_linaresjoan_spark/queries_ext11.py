@@ -284,12 +284,24 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     one sensitive value discloses it even when k-anonymous. One groupBy
     to class level (distinct count rides the same shuffle), one
     class-level summary: min l, classes below l=3, rows in those
-    classes. Integer outputs only."""
+    classes. Integer outputs only.
+
+    A non-finite balance bands to NULL — the sensitive value is
+    unreadable, the row still counts toward k; countDistinct skips NULL
+    identically in both engines, and floor(±Inf/NaN) never reaches the
+    BIGINT cast (DuckDB raises on it — round-11 value-fuzz)."""
     cust = _t(spark, sf_dir, "customer")
+    _fin = (
+        F.col("c_acctbal").isNotNull()
+        & ~F.isnan("c_acctbal")
+        & (F.abs(F.col("c_acctbal")) != F.lit(float("inf")))
+    )
     classes = cust.select(
         "c_nationkey",
         "c_mktsegment",
-        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        F.when(_fin, F.floor(F.col("c_acctbal") / 1000).cast("long")).alias(
+            "bal_band"
+        ),
     ).groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("k"),
         F.countDistinct("bal_band").alias("l"),
@@ -308,7 +320,8 @@ SQL_L_DIVERSITY = """
 WITH classes AS (
   SELECT c_nationkey, c_mktsegment,
          CAST(count(*) AS BIGINT) AS k,
-         CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+         CAST(count(DISTINCT CASE WHEN isfinite(c_acctbal)
+                THEN CAST(floor(c_acctbal / 1000) AS BIGINT) END)
               AS BIGINT) AS l
   FROM customer
   GROUP BY 1, 2

@@ -43,12 +43,26 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     QI = (mktsegment, nationkey, floor(acctbal / 1000)) key — the
     minimum group size k, how many groups/rows sit below k = 5, the
     singleton count, and the at-risk row fraction. All counts exact
-    integers; the fraction is an exact-integer ratio rounded once."""
+    integers; the fraction is an exact-integer ratio rounded once.
+
+    A non-finite balance gets a NULL band — same as a NULL balance: the
+    QI value is unknown, but the ROW still counts toward rows_total (an
+    anonymity audit must not silently drop records).  The conditional
+    keeps floor(±Inf/NaN) from ever reaching the BIGINT band in either
+    engine (DuckDB raises; ANSI Spark is plan-luck — round-11
+    value-fuzz)."""
     cust = _t(spark, sf_dir, "customer")
+    _fin = (
+        F.col("c_acctbal").isNotNull()
+        & ~F.isnan("c_acctbal")
+        & (F.abs(F.col("c_acctbal")) != F.lit(float("inf")))
+    )
     groups = cust.groupBy(
         "c_mktsegment",
         "c_nationkey",
-        F.floor(F.col("c_acctbal") / _KA_BAND).alias("bal_band"),
+        F.when(_fin, F.floor(F.col("c_acctbal") / _KA_BAND)).alias(
+            "bal_band"
+        ),
     ).agg(F.count(F.lit(1)).alias("n"))
     return groups.agg(
         F.sum("n").alias("rows_total"),
@@ -75,7 +89,9 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_K_ANONYMITY_AUDIT = f"""
 WITH groups AS (
   SELECT c_mktsegment, c_nationkey,
-         CAST(floor(c_acctbal / {_KA_BAND}) AS BIGINT) AS bal_band,
+         CASE WHEN isfinite(c_acctbal)
+              THEN CAST(floor(c_acctbal / {_KA_BAND}) AS BIGINT) END
+           AS bal_band,
          CAST(count(*) AS BIGINT) AS n
   FROM customer GROUP BY 1, 2, 3
 ), s AS (

@@ -382,14 +382,15 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the band table finds each exact target rank ceil(b*N/8).  Output:
     7 interior boundaries with their target and achieved cumulative
     rank — `boundary_band` is the exact b/8-quantile at dollar grain."""
-    # quantiles are over PRICED orders: a NULL price has no band, and
-    # the engines disagree on NULL placement in the ordering window
-    # (Spark NULLS FIRST shifts every cumulative rank, DuckDB NULLS
-    # LAST) — filter on both sides
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .where(F.col("o_totalprice").isNotNull())
-        .select(F.floor(F.col("o_totalprice")).alias("band"))
+    # quantiles are over FINITE-priced orders: a NULL price has no band
+    # (and the engines disagree on NULL placement in the ordering
+    # window), while floor(±Inf/NaN)→BIGINT raises in DuckDB and is
+    # plan-luck in ANSI Spark — the shared finite-population contract
+    # (round-11 value-fuzz extends the round-9 NULL guard)
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").select(
+        F.floor(F.col("o_totalprice")).alias("band")
     )
     bands = orders.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window
@@ -428,7 +429,7 @@ SQL_EQUI_DEPTH_HISTOGRAM = f"""
 WITH bands AS (
   SELECT CAST(floor(o_totalprice) AS BIGINT) AS band,
          CAST(count(*) AS BIGINT) AS n
-  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+  FROM orders WHERE isfinite(o_totalprice) GROUP BY 1
 ), cum AS (
   SELECT band, n,
          CAST(sum(n) OVER (ORDER BY band

@@ -241,9 +241,22 @@ def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+    # cents guarded to finite prices: CAST(round(Inf·100) AS BIGINT)
+    # raises in BOTH engines under ANSI, and whether the row even
+    # reaches the cast is plan-dependent (the candidate filter may or
+    # may not evaluate first) — a conditional cast is deterministic and
+    # lockstep; non-finite prices contribute NULL cents, which every
+    # downstream sum skips identically (round-11 value-fuzz)
+    _fin = (
+        F.col("o_totalprice").isNotNull()
+        & ~F.isnan("o_totalprice")
+        & (F.abs(F.col("o_totalprice")) != F.lit(float("inf")))
+    )
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.when(_fin, F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
         *[_bj_bit(F.col("o_custkey"), j).alias(f"b{j}") for j in range(_BJ_K)],
     )
     probed = orders
@@ -313,7 +326,9 @@ WITH build AS (
     {" UNION ALL ".join(f"SELECT {_bj_bit_sql('k', j)} AS bit FROM build" for j in range(_BJ_K))}
   )
 ), orders_p AS (
-  SELECT o_custkey AS k, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+  SELECT o_custkey AS k,
+         CASE WHEN isfinite(o_totalprice)
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS cents,
          {", ".join(f"{_bj_bit_sql('o_custkey', j)} AS b{j}" for j in range(_BJ_K))}
   FROM orders
 ), cands AS (

@@ -519,9 +519,20 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (+1 per bin) so empty bins never divide by zero, matching formula on
     both engines."""
     ev = _t(spark, sf_dir, "events")
+    # non-finite values bin to NULL exactly like NULL values always
+    # have (NULL bins drop in the p⋈ref equality join) — and
+    # floor(NaN/±Inf)→BIGINT never evaluates (DuckDB raises on the
+    # cast; ANSI Spark is plan-luck — round-11 value-fuzz)
+    _fin = (
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.abs(F.col("value")) != F.lit(float("inf")))
+    )
     binned = ev.select(
         F.to_date("ts").alias("day"),
-        F.floor(F.col("value") / _PSI_BIN_W).cast("long").alias("bin"),
+        F.when(_fin, F.floor(F.col("value") / _PSI_BIN_W).cast("long")).alias(
+            "bin"
+        ),
     )
     # day_bin (≤ days × bins rows) feeds five downstream frames (grid,
     # totals, reference day, smoothed p, final join); without a lineage cut
@@ -570,7 +581,8 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PSI_DRIFT = f"""
 WITH binned AS (
   SELECT CAST(ts AS DATE) AS day,
-         CAST(floor(value / {_PSI_BIN_W}) AS BIGINT) AS bin
+         CASE WHEN isfinite(value)
+              THEN CAST(floor(value / {_PSI_BIN_W}) AS BIGINT) END AS bin
   FROM events
 ), day_bin AS (
   SELECT day, bin, CAST(count(*) AS BIGINT) AS n FROM binned GROUP BY day, bin

@@ -364,8 +364,15 @@ def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB doubles drift by partition count; decimals don't. The
     output stays BIGINT because the driver's Arrow hash treats decimal128
     columns as type-mismatches (round-2 lesson, linted by
-    ``driver_sim``)."""
-    li = _t(spark, sf_dir, "lineitem")
+    ``driver_sim``).  finite_case before the decimal cast: the decimal
+    domain has no NaN/±Inf, so both engines RAISE on the cast —
+    non-finite money is invalid input, excluded lockstep (round-11
+    value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    li = finite_case(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_discount"
+    )
     sup = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     price = F.col("l_extendedprice").cast("decimal(18,4)")
@@ -396,6 +403,7 @@ SELECT n.n_name,
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE isfinite(l.l_extendedprice) AND isfinite(l.l_discount)
 GROUP BY n.n_name
 ORDER BY n.n_name
 """
