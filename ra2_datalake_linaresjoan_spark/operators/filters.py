@@ -84,6 +84,37 @@ def finite_case_sql(*cols: str) -> str:
     return " AND ".join(f"isfinite({c})" for c in cols)
 
 
+def finite_pred(col: Column | str) -> Column:
+    """The row-level predicate behind ``finite_case`` (non-NULL,
+    non-NaN, non-±Inf), exposed for conditional expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
+
+
+def exact_cents(col: Column | str) -> Column:
+    """Money double → exact integer cents, guarded to finite inputs.
+
+    The exact-cents convention (``CAST(round(x*100) AS BIGINT)``) makes
+    revenue hashes summation-order independent — but under ANSI both
+    Spark and DuckDB RAISE when a NaN/±Inf reaches the integer cast,
+    and whether a poisoned row reaches it at all is plan-dependent
+    (Catalyst may evaluate the projection before or after a filter
+    that would have dropped the row).  One poisoned row must not kill
+    a 100-TB job: non-finite money yields NULL cents, which every sum
+    skips, identically in both engines (round-11 value-fuzz).  On
+    finite data the guard folds away to the bare cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(finite_pred(c), F.round(c * 100).cast("long"))
+
+
+def exact_cents_sql(expr: str) -> str:
+    """The oracle-side expression matching ``exact_cents``."""
+    return (
+        f"CASE WHEN isfinite({expr}) "
+        f"THEN CAST(round({expr} * 100) AS BIGINT) END"
+    )
+
+
 def keyword_pattern(keywords: Sequence[str], word_boundary: bool = False) -> str:
     """Escaped alternation regex from a keyword list (P7/P9,
     reference transformer_data.py:343-371, loader_NeonDB.py:749-781).

@@ -277,14 +277,15 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula). Ascending rank with customer-key tiebreak makes the
     statistic deterministic under equal totals.
 
-    Complete-case on (o_custkey, o_totalprice) in lockstep with the
-    oracle (operators.filters.complete_case): NULL spend groups rank
-    first in Spark but last in DuckDB, shifting every rank in the
-    Σ rank·cents sum on dirty data."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
+    Complete-case on o_custkey plus finite_case on o_totalprice in
+    lockstep with the oracle: NULL spend groups rank first in Spark
+    but last in DuckDB, shifting every rank in the Σ rank·cents sum on
+    dirty data, and a NaN/±Inf price raises on the cents cast in both
+    engines (round-11 value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
 
-    orders = complete_case(
-        _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice"
+    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
+        F.col("o_custkey").isNotNull()
     )
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
@@ -319,7 +320,7 @@ WITH per_cust AS (
   SELECT o_custkey,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders
-  WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+  WHERE o_custkey IS NOT NULL AND isfinite(o_totalprice)
   GROUP BY o_custkey
 ), ranked AS (
   SELECT cents,

@@ -55,8 +55,14 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded in lockstep: a sub-unit total yields leading digit 0
     (1/digit is an ANSI DIVIDE_BY_ZERO in Spark but a NULL row in
     DuckDB) and a negative total crashes the digit cast on both
-    engines."""
-    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    engines.  +Inf sails past the >= 1 bound and has no leading digit
+    — finite_pred completes the magnitude-domain guard (round-11
+    value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_pred
+
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_totalprice") >= 1) & finite_pred("o_totalprice")
+    )
     per = (
         o.select(
             F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
@@ -88,7 +94,7 @@ SQL_BENFORD_DIGITS = """
 WITH per AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
          CAST(count(*) AS BIGINT) AS n_orders
-  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
+  FROM orders WHERE o_totalprice >= 1 AND isfinite(o_totalprice) GROUP BY 1
 ), tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM per)
 SELECT digit, n_orders,
        round(CAST(n_orders AS DOUBLE) / total, 6) AS obs_share,
@@ -325,12 +331,15 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     [shipdate, shipdate + quantity days), summarized per priority:
     orders, avg/max covered days, avg island count. The sweep window is
     order-key-partitioned — ≤7 rows per partition at any corpus size —
-    and the island arithmetic is all integer day math. NULL shipdate /
-    quantity rows drop in lockstep: a NULL interval start sorts FIRST
-    in Spark's sweep window but LAST in DuckDB's, forming a different
-    island count per engine."""
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate").isNotNull() & F.col("l_quantity").isNotNull()
+    and the island arithmetic is all integer day math. NULL-shipdate /
+    non-finite-quantity rows drop in lockstep: a NULL interval start
+    sorts FIRST in Spark's sweep window but LAST in DuckDB's, forming a
+    different island count per engine, and a NaN/±Inf quantity raises
+    on the day-count INT cast in both (round-11 value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    li = finite_case(_t(spark, sf_dir, "lineitem"), "l_quantity").where(
+        F.col("l_shipdate").isNotNull()
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     iv = li.select(
@@ -372,7 +381,7 @@ WITH iv AS (
   SELECT l_orderkey, CAST(l_shipdate AS DATE) AS s,
          CAST(l_shipdate AS DATE) + to_days(CAST(l_quantity AS INT)) AS e
   FROM lineitem
-  WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+  WHERE l_shipdate IS NOT NULL AND isfinite(l_quantity)
 ), flagged AS (
   SELECT l_orderkey, s, e,
          CASE WHEN max(e) OVER (PARTITION BY l_orderkey ORDER BY s, e

@@ -431,10 +431,15 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cents; shares go double only in the final squares.
     The supplier side grows linearly with scale, so its broadcast goes
     through the capped-count guard; nation (25 rows) broadcasts
-    unconditionally."""
+    unconditionally.  finite_case on the revenue inputs: a share
+    statistic needs a finite population, and NaN/±Inf raises on the
+    cents cast in both engines (round-11 value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
     from ra2_datalake_linaresjoan_spark.operators.joins import maybe_broadcast
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = finite_case(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_discount"
+    )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cents = F.sum(
@@ -470,6 +475,7 @@ WITH per_sup AS (
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
+  WHERE isfinite(l_extendedprice) AND isfinite(l_discount)
   GROUP BY 1, 2
 ), sh AS (
   SELECT n_name, s_suppkey,

@@ -241,11 +241,15 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     p05/p95 of 40) is engine-identical.
 
     Complete-case on (o_orderkey, o_totalprice) in lockstep with the
-    oracle: a NULL key has no md5 weight stream and a NULL price adds
+    oracle: a NULL key has no md5 weight stream, a NULL price adds
     weight to a replicate's denominator but nothing to its numerator,
-    skewing replicate means differently per engine (round-8 audit)."""
-    orders = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    skewing replicate means differently per engine (round-8 audit),
+    and a NaN/±Inf price raises on the cents cast in both engines
+    (round-11 value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
+        F.col("o_orderkey").isNotNull()
     )
     # The replicate fan-out multiplies per-row CPU ~40x, so a small
     # single-file input would run the whole job on one task (measured:
@@ -327,7 +331,7 @@ WITH hexed AS (
                       w := {_pb_weight_sql(_PB_U_SQL)}))
            ))) AS ws
   FROM orders
-  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL
+  WHERE o_orderkey IS NOT NULL AND isfinite(o_totalprice)
 ), weighted AS (
   SELECT cents, u.b AS b, u.w AS w
   FROM (SELECT cents, unnest(ws) AS u FROM hexed)
@@ -728,10 +732,13 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Complete-case in LOCKSTEP with the oracle: a NULL day sorts first in
     Spark's sort_array but last under DuckDB's row_number ordering
-    (flipping the fold seed), and an all-NULL-price day would poison the
-    recursion with NULL. Identical on clean data."""
-    orders = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    (flipping the fold seed), an all-NULL-price day would poison the
+    recursion with NULL, and a NaN/±Inf price raises on the cents cast
+    in both engines (round-11 value-fuzz). Identical on clean data."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
+        F.col("o_orderdate").isNotNull()
     )
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
@@ -797,7 +804,7 @@ WITH RECURSIVE daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders
-  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  WHERE o_orderdate IS NOT NULL AND isfinite(o_totalprice)
   GROUP BY 1
 ), idx AS (
   SELECT row_number() OVER (ORDER BY day) AS i, CAST(cents AS DOUBLE) AS x
@@ -889,9 +896,13 @@ def q_runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (o_orderdate, o_totalprice) in LOCKSTEP (round-9 review): the NULL
     day group otherwise contributes a delta sign at opposite ends of
     the series per engine (Spark windows order NULLS FIRST, DuckDB
-    NULLS LAST) — the same class holt_linear_forecast filters."""
-    orders = _t(spark, sf_dir, "orders").where(
-        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    NULLS LAST) — the same class holt_linear_forecast filters, extended
+    to finite prices (the cents cast raises on NaN/±Inf in both
+    engines — round-11 value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
+        F.col("o_orderdate").isNotNull()
     )
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
@@ -949,7 +960,7 @@ WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders
-  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  WHERE o_orderdate IS NOT NULL AND isfinite(o_totalprice)
   GROUP BY 1
 ), signs AS (
   SELECT day,

@@ -65,10 +65,15 @@ def q_ivm_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured invariant (always 0 — every reported aggregate is
     mergeable); the other columns size the work the incremental path
     saved.  Cents quantization keeps every partial an exact integer, so
-    the merge cannot drift by summation order."""
+    the merge cannot drift by summation order.  exact_cents: a
+    non-finite value carries NULL cents through BOTH routes (sum/min/
+    max skip it identically) instead of raising on the BIGINT cast
+    (round-11 value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import exact_cents
+
     ev = _events(spark, sf_dir).select(
         F.to_date("ts").alias("day"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        exact_cents("value").alias("cents"),
     )
     cutoff = ev.agg(
         F.date_sub(F.max("day"), _IVM_DELTA_DAYS).alias("cut")
@@ -150,7 +155,8 @@ def q_ivm_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_IVM_MERGE_AUDIT = f"""
 WITH ev AS (
   SELECT CAST(ts AS DATE) AS day,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         CASE WHEN isfinite(value)
+              THEN CAST(round(value * 100) AS BIGINT) END AS cents
   FROM events
 ), cut AS (
   SELECT max(day) - INTERVAL {_IVM_DELTA_DAYS} DAY AS cut FROM ev

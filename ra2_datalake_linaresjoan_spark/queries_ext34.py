@@ -59,12 +59,16 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete.  After ``unionByName(allowMissingColumns=True)`` the
     audit counts NULLs per logical column per batch — exactly the rows
     each batch was missing — plus the surviving cents total, proving
-    the schema-evolved read loses no data and invents none."""
+    the schema-evolved read loses no data and invents none.
+    exact_cents: non-finite values carry NULL cents lockstep instead of
+    raising on the BIGINT cast (round-11 value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import exact_cents
+
     ev = _events(spark, sf_dir).select(
         "event_id",
         "user_id",
         "event_type",
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        exact_cents("value").alias("cents"),
         "props",
     )
     # coalesce: a NULL event_id must belong to exactly ONE batch (0) —
@@ -99,7 +103,8 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SCHEMA_EVOLUTION_UNION = """
 WITH ev AS (
   SELECT event_id, user_id, event_type,
-         CAST(round(value * 100) AS BIGINT) AS cents, props
+         CASE WHEN isfinite(value)
+              THEN CAST(round(value * 100) AS BIGINT) END AS cents, props
   FROM events
 ), evolved AS (
   SELECT event_id, event_type, cents,
@@ -144,11 +149,16 @@ def q_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cents_after - cents_base - bump_cents - insert_cents == 0``
     (``merge_imbalance``) and counts matched updates, inserts and
     untouched rows.  Everything is an exact BIGINT; the join shuffles
-    on the key — nothing corpus-proportional is broadcast."""
+    on the key — nothing corpus-proportional is broadcast.
+    exact_cents: a non-finite price rides the MERGE as NULL cents in
+    both engines instead of raising on the BIGINT cast (round-11
+    value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import exact_cents
+
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_orderdate").alias("d"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        exact_cents("o_totalprice").alias("cents"),
     )
     cut = F.to_date(F.lit(_MU_CUTOFF))
     base = orders.where(F.col("d") < cut).select(
@@ -207,7 +217,8 @@ def q_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MERGE_UPSERT_AUDIT = f"""
 WITH o AS (
   SELECT o_orderkey AS k, o_orderdate AS d,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         CASE WHEN isfinite(o_totalprice)
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
   FROM orders
 ), base AS (
   SELECT k, cents AS base_cents FROM o WHERE d < DATE '{_MU_CUTOFF}'
@@ -279,12 +290,15 @@ def q_zorder_vs_linear_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-check); files_scanned / read amplification is where the
     layouts differ.  Group counts are bounded by 3 × 64 files at any
     corpus size."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import exact_cents
+
     orders = _t(spark, sf_dir, "orders")
+    # exact_cents: a non-finite price yields NULL b — the row lands in
+    # the NULL zone-map file exactly like a NULL price always has,
+    # instead of raising on the BIGINT cast (round-11 value-fuzz)
     ab = orders.select(
         (F.col("o_custkey") % 256).alias("a"),
-        (
-            F.round(F.col("o_totalprice") * 100).cast("long") % 256
-        ).alias("b"),
+        (exact_cents("o_totalprice") % 256).alias("b"),
     )
     width = 256 // _ZV_FILES  # 4
     stacked = ab.select(
@@ -365,7 +379,8 @@ def q_zorder_vs_linear_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ZORDER_VS_LINEAR_PRUNING = f"""
 WITH ab AS (
   SELECT o_custkey % 256 AS a,
-         CAST(round(o_totalprice * 100) AS BIGINT) % 256 AS b
+         CASE WHEN isfinite(o_totalprice)
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) END % 256 AS b
   FROM orders
 ), stacked AS (
   SELECT a, b, 'linear_a' AS layout, a // {256 // _ZV_FILES} AS f FROM ab
@@ -423,11 +438,12 @@ def q_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete-case on (o_orderdate, o_totalprice): a NULL month or an
     all-NULL-price month yields a NULL leave-one-out ratio that poisons
     Spark's in-row folds while DuckDB's list_sum skips it (round-8
-    parity audit)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
+    parity audit); a NaN/±Inf price raises on the cents cast in both
+    engines (round-11 value-fuzz → finite_case)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
 
-    orders = complete_case(
-        _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice"
+    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
+        F.col("o_orderdate").isNotNull()
     )
     g = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
@@ -502,7 +518,7 @@ WITH g AS (
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
   FROM orders
-  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+  WHERE o_orderdate IS NOT NULL AND isfinite(o_totalprice)
   GROUP BY 1
 ), tot AS (
   SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,

@@ -59,11 +59,16 @@ def q_content_fingerprint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # injection — concat_ws skipped nulls, so ('x', NULL, 'y') and
     # ('x', 'y', NULL) hashed identically and a value-shift corruption
     # was invisible to the digest
+    from ra2_datalake_linaresjoan_spark.operators.filters import exact_cents
+
+    # exact_cents: a non-finite value digests as the NULL token 'n' in
+    # both engines instead of raising on the BIGINT cast (round-11
+    # value-fuzz)
     ev = _events(spark, sf_dir).select(
         row_digest_col(
             F.col("event_id"),
             F.col("event_type"),
-            F.round(F.col("value") * 100).cast("long"),
+            exact_cents("value"),
         ).alias("h"),
         # coalesce: a NULL event_id must land in ONE slice (base), not
         # fall out of both while staying in digest_full — that broke the
@@ -104,7 +109,7 @@ WITH tok AS (
               ELSE 'v' || md5(CAST(event_id AS VARCHAR)) END
       || CASE WHEN event_type IS NULL THEN 'n'
               ELSE 'v' || md5(CAST(event_type AS VARCHAR)) END
-      || CASE WHEN round(value * 100) IS NULL THEN 'n'
+      || CASE WHEN NOT coalesce(isfinite(value), FALSE) THEN 'n'
               ELSE 'v' || md5(CAST(CAST(round(value * 100) AS BIGINT)
                                    AS VARCHAR)) END AS t,
          event_id
@@ -151,10 +156,12 @@ def q_two_phase_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     job is proving equality. ``partial`` (|users|x16 rows, bounded) is
     localCheckpointed so its two consumers don't re-scan the corpus
     (the ext37 discipline; 3 scans -> 2)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import exact_cents
+
     ev = _events(spark, sf_dir).select(
         "user_id",
         (F.col("event_id") % _TP_SALTS).alias("salt"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        exact_cents("value").alias("cents"),
     )
     partial = (
         ev.groupBy("user_id", "salt")
@@ -201,7 +208,8 @@ def q_two_phase_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TWO_PHASE_AGG_AUDIT = f"""
 WITH ev AS (
   SELECT user_id, event_id % {_TP_SALTS} AS salt,
-         CAST(round(value * 100) AS BIGINT) AS cents
+         CASE WHEN isfinite(value)
+              THEN CAST(round(value * 100) AS BIGINT) END AS cents
   FROM events
 ), partial AS (
   SELECT user_id, salt, CAST(count(*) AS BIGINT) AS n,
