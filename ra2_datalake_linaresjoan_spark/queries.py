@@ -2054,10 +2054,13 @@ def q_normalize_numeric_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     and parse them back with normalize_numeric. The oracle applies the
     reference's documented decision table in SQL — including the quirk
     that comma-decimal strings ('1234,56') are treated as comma-THOUSANDS
-    and parse to 123456."""
+    and parse to 123456.  finite_case: only finite prices can be
+    FORMATTED as US/EU numeric strings — floor(±Inf/NaN)→BIGINT raises
+    in both engines (round-11 value-fuzz)."""
     from ra2_datalake_linaresjoan_spark.functions.normalize import normalize_numeric
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
 
-    orders = _t(spark, sf_dir, "orders")
+    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice")
     x = F.round(F.col("o_totalprice"), 2)
     plain = x.cast("string")
     comma_dec = F.regexp_replace(plain, r"\.", ",")
@@ -2099,6 +2102,7 @@ WITH base AS (
   SELECT round(o_totalprice, 2) AS x,
          CAST(round(o_totalprice, 2) AS VARCHAR) AS plain
   FROM orders
+  WHERE isfinite(o_totalprice)
 ), variants AS (
   SELECT 'plain' AS variant, plain AS s FROM base
   UNION ALL

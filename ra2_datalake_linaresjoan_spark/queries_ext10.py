@@ -46,10 +46,14 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     other under standard skyline semantics). Output = frontier rows
     ordered by price; all integer comparisons. Complete-case on
     (p_retailprice, p_size) in LOCKSTEP (round-9 decorrelated dirty
-    audit): a part missing either dimension is not comparable, and NULL
-    prices group/join/order differently per engine."""
-    part = _t(spark, sf_dir, "part").where(
-        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    audit): a part missing either dimension is not comparable, NULL
+    prices group/join/order differently per engine, and a NaN/±Inf
+    price is equally incomparable — and raises on the cents cast in
+    both engines (round-11 value-fuzz → finite_case)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    part = finite_case(_t(spark, sf_dir, "part"), "p_retailprice").where(
+        F.col("p_size").isNotNull()
     )
     p = part.select(
         "p_partkey",
@@ -90,7 +94,7 @@ WITH p AS (
          CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
          CAST(p_size AS BIGINT) AS size
   FROM part
-  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+  WHERE isfinite(p_retailprice) AND p_size IS NOT NULL
 ), g AS (
   SELECT p_partkey, price_cents, size,
          max(size) OVER (ORDER BY price_cents

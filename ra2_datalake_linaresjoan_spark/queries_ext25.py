@@ -337,13 +337,15 @@ def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Row hygiene in lockstep: rows missing shipdate/quantity/price drop
     up front (a NULL quantity would add cents to c but nothing to q,
     silently inflating the unit price on both engines), zero-quantity
-    (part, year) cells have no defined price and are excluded, and an
-    all-zero base basket yields a NULL index instead of ANSI DIV/0."""
-    li = _t(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate").isNotNull()
-        & F.col("l_quantity").isNotNull()
-        & F.col("l_extendedprice").isNotNull()
-    )
+    (part, year) cells have no defined price and are excluded, an
+    all-zero base basket yields a NULL index instead of ANSI DIV/0,
+    and NaN/±Inf quantities/prices raise on the integer casts in both
+    engines (round-11 value-fuzz → finite_case)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+
+    li = finite_case(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    ).where(F.col("l_shipdate").isNotNull())
     py = (
         li.select(
             "l_partkey",
@@ -392,8 +394,8 @@ WITH py0 AS (
          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
   FROM lineitem
-  WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
-    AND l_extendedprice IS NOT NULL
+  WHERE l_shipdate IS NOT NULL AND isfinite(l_quantity)
+    AND isfinite(l_extendedprice)
   GROUP BY 1, 2
 ), py AS (SELECT * FROM py0 WHERE q <> 0),
 base_yr AS (SELECT min(yr) AS yr0 FROM py),

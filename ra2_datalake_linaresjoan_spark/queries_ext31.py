@@ -53,13 +53,17 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle no matter how execution reorders the sum."""
     # coalesce: a NULL event_id still needs A salt — a NULL salt never
     # equi-joins and the event's cents silently vanished from the salted
-    # route while the plain-join oracle (user_id only) kept them
+    # route while the plain-join oracle (user_id only) kept them.
+    # exact_cents: non-finite values ride as NULL cents lockstep
+    # instead of raising on the BIGINT cast (round-11 value-fuzz)
+    from ra2_datalake_linaresjoan_spark.operators.filters import exact_cents
+
     ev = _events(spark, sf_dir).select(
         "user_id",
         F.coalesce(
             F.pmod(F.col("event_id"), F.lit(_SJ_SALTS)), F.lit(0)
         ).alias("salt"),
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        exact_cents("value").alias("cents"),
     )
     dim = (
         _t(spark, sf_dir, "customer")
@@ -98,7 +102,8 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SALTED_SKEW_JOIN = """
 WITH j AS (
   SELECT c.c_mktsegment AS segment, e.user_id,
-         CAST(round(e.value * 100) AS BIGINT) AS cents
+         CASE WHEN isfinite(e.value)
+              THEN CAST(round(e.value * 100) AS BIGINT) END AS cents
   FROM events e JOIN customer c ON c.c_custkey = e.user_id
 ), s AS (
   SELECT segment, CAST(count(*) AS BIGINT) AS n_events,

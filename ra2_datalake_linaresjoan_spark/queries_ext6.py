@@ -777,11 +777,15 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cents mean can land exactly on a .00005 tie, where Spark rounds
     the shortest-decimal representation up but DuckDB rounds the binary
     double down (round-8 parity audit caught 23.17375 doing exactly
-    this). Complete-case on (event_type, value) — a NULL value has no
-    clamp and its row would split n between engines."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
+    this). Complete-case on event_type plus finite_case on value — a
+    NULL value has no clamp and its row would split n between engines,
+    and a NaN/±Inf value raises on the cents cast in both (round-11
+    value-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
 
-    ev = complete_case(_t(spark, sf_dir, "events"), "event_type", "value")
+    ev = finite_case(_t(spark, sf_dir, "events"), "value").where(
+        F.col("event_type").isNotNull()
+    )
     cents = F.round(F.col("value") * 100).cast("long")
     thr = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.05)") * 100).cast("long").alias("_lo"),
@@ -818,7 +822,7 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WINSORIZED_VALUE_STATS = """
 WITH ev AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, value
-  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND isfinite(value)
 ), thr AS (
   SELECT event_type,
          CAST(round(quantile_cont(value, 0.05) * 100) AS BIGINT) AS lo,

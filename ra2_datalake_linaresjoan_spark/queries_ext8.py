@@ -193,9 +193,16 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit("unchanged"))
     )
+    # exact_cents: the CDC classification keeps non-finite-price rows
+    # (their change_type is still well-defined — Spark and DuckDB agree
+    # NaN = NaN in comparisons) but their checksum contribution is NULL
+    # lockstep instead of raising on the BIGINT cast (round-11
+    # value-fuzz)
+    from ra2_datalake_linaresjoan_spark.operators.filters import exact_cents
+
     price_cents = F.coalesce(
-        F.round(F.col("n.o_totalprice") * 100).cast("long"),
-        F.round(F.col("o.o_totalprice") * 100).cast("long"),
+        exact_cents(F.col("n.o_totalprice")),
+        exact_cents(F.col("o.o_totalprice")),
     )
     return (
         joined.select(change.alias("change_type"), price_cents.alias("cents"))
@@ -226,8 +233,11 @@ WITH old AS (
               WHEN o.o_totalprice <> n.o_totalprice
                 OR o.o_orderstatus <> n.o_orderstatus THEN 'update'
               ELSE 'unchanged' END AS change_type,
-         COALESCE(CAST(round(n.o_totalprice * 100) AS BIGINT),
-                  CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+         COALESCE(CASE WHEN isfinite(n.o_totalprice)
+                       THEN CAST(round(n.o_totalprice * 100) AS BIGINT) END,
+                  CASE WHEN isfinite(o.o_totalprice)
+                       THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END)
+           AS cents
   FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
 )
 SELECT change_type, CAST(count(*) AS BIGINT) AS n_rows,
