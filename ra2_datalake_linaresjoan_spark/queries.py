@@ -2432,133 +2432,19 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: 50 in insertion order), so the registry is emitted with the queries
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
-#: Queries whose implementation or DuckDB oracle changed in ROUND 10 —
+#: Queries whose implementation or DuckDB oracle changed in ROUND 11 —
 #: each must re-enter the driver window for a fresh correctness row
 #: (tests/test_driver_window.py exempts exactly this declared set from
 #: the max-staleness jumper count and asserts every name sits inside
 #: the first-50 window or the declared overflow).  Rewrite this list
 #: every round.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # (a) the round-9 declared overflow, carried into this round's
+    # (a) the round-10 declared overflow, carried into this round's
     #     window head verbatim and in declaration order (the placement
-    #     gate requires it): 13 embclean dirty-parity fixes + 8
-    #     batch-27-32 review fixes + 16 decorrelated-generator /
-    #     late-review fixes.  Their round-9 implementations still lack
-    #     a driver row; every one is tri-scale + dirty-audit MATCH.
-    "bcubed_cluster_eval",
-    "blocking_quality_audit",
-    "matryoshka_prefix_fidelity",
-    "cluster_tightness",
-    "udaf_centroids",
-    "emb_norm_outliers",
-    "embedding_quantize",
-    "quantize_embeddings",
-    "semantic_kmeans",
-    "semantic_prune",
-    "hard_negative_mining",
-    "mmr_diverse_topk",
-    "pq_codebook_distortion",
-    "session_type_entropy_bands",
-    "acf_daily_events",
-    "bloom_join_prefilter",
-    "runs_test_revenue",
-    "embedding_norm_topk",
-    "bh_fdr_daily_anomalies",
-    "group_kfold_assign",
-    "join_reorder_advisor",
-    "above_avg_balance",
-    "argmax_events",
-    "percentrank_parts",
-    "brand_pareto",
-    "k_anonymity",
-    "knn_accuracy",
-    "skyline_pareto",
-    "compaction_plan_audit",
-    "bm25_topk",
-    "zorder_vs_linear_pruning",
-    "json_props",
-    "props_variant",
-    "minhash_error_audit",
-    "scd2_user_state",
-    "waiting_suppliers",
-    "seq_packing",
-    # (b) round-10 perf recovery (A/B-documented in SCALE.md):
-    #     ivfpq_ann_recall's one-Arrow-pass batch-ANN rewrite;
-    #     exact_dedup's window-min shape (fans out to exact_dedup_docs,
-    #     curate_corpus, dedup_survivors)
-    "ivfpq_ann_recall", "exact_dedup_docs", "curate_corpus",
-    "dedup_survivors",
-    # (c) round-9 advisor closures: dedup_survivors +
-    #     incremental_dedup oracles now use the FULL doc_fingerprint
-    #     normalization (final trim); scd2_apply's Long.MIN_VALUE
-    #     re-entry sentinel (cdc_scd2_apply_audit); the similarity
-    #     numpy paths' per-length matrices (cosine_topk,
-    #     cosine_neardup in-window; neardup_components,
-    #     mutual_knn_rate in the declared overflow — clean-data
-    #     results provably unchanged: per-length grouping is the
-    #     identity on _emb_clean corpora, cross-strategy agreement
-    #     pinned in tests/test_round10_fixes.py)
-    "incremental_dedup", "cdc_scd2_apply_audit",
-    "cosine_topk", "cosine_neardup",
-    "neardup_components", "mutual_knn_rate",
-    # (e) second round-10 review pass (streaming/ + operators/): the
-    #     scd2 complete-case input guard + typed-NULL sentinel
-    #     (cdc_scd2_apply_audit / scd2_stream_sink_audit above,
-    #     scd2_user_state rides its overflow slot in (a)), and
-    #     interval_join's right_cols collision guard (raise-only —
-    #     results on non-colliding schemas unchanged)
-    "interval_join",
-    # (f) third round-10 review pass (queries_llm3/5/6/8/9 — the llm
-    #     batches without a dedicated prior review): NOT-IN NULL
-    #     poisoning in the incremental-dedup oracle + the operator's
-    #     NULL-fingerprint passthrough contract (incremental_dedup,
-    #     in-window above), span_dedup's NULL-id survivor flip
-    #     (opposite NULL ordering per engine), ngram_novelty's NULL-id
-    #     inner-join drop, cross_source_dups' collect_set-vs-list NULL
-    #     asymmetry, _icos's ANSI divide-by-zero on sub-quantum vectors
-    #     (semantic_kmeans / semantic_prune / hard_negative_mining, all
-    #     in-window via (a)), the shared BPE merge-chain extraction
-    #     (tokenizer_fertility, bpe_encode), and
-    #     unigram_logprob_filter's second corpus scan removed
-    "span_dedup", "ngram_novelty", "cross_source_dups",
-    "unigram_logprob_filter", "tokenizer_fertility", "bpe_encode",
-    # (g) the STRENGTHENED dirty generator (per-column null PERIODS, so
-    #     doc_id/text/lang and ts/user_id no longer null together) +
-    #     the fourth review pass (queries_llm4/10-14) surfaced 20 live
-    #     cross-engine divergences — every one fixed with the
-    #     established recipes (complete-case before order-sensitive
-    #     windows/top-k, CASE-ELSE-0 over bare boolean-cast sums,
-    #     NULL-propagating '||' for the '0x'-hash class, null-safe
-    #     joins for NULL group keys, rounded-threshold lockstep) and
-    #     re-audited to MATCH:
-    "time_travel_scd2", "top_orders", "event_type_top10", "rank_parts",
-    "first_last_events", "session_islands", "watermark_late_audit",
-    "purchase_attribution", "ohlc_bars", "markov_transitions",
-    "bigram_lm_perplexity", "tfidf_cosine_pairs",
-    "dup_inflation_by_source", "ngram_entropy_rate",
-    "boilerplate_blocks", "auc_quality_score", "pmi_phrases",
-    "weighted_sample_topk", "reciprocal_rank_fusion", "ndcg_eval",
-    "char_ngram_langid", "containment_pairs", "quota_sample_docs",
-    "bigram_vocab",
-    # (d) mmr_diverse_topk's driver-side greedy rewrite rides its
-    #     existing overflow slot in (a)
-})
-
-#: Changed queries that could NOT fit the 50-slot driver window this
-#: round (the window holds the 37-name round-9 overflow + 2 never-
-#: checked batch-40 additions + 8 round-10 changes + the 3 r1-stale
-#: re-verifies).  They sit at positions 51+ — the FIRST cohort outside
-#: the window — and MUST lead the round-11 rotation.  The cohort grew
-#: past the round-9 verdict's <= 10 target for a declared reason: the
-#: round-10 generator strengthening (per-column null PERIODS) exposed
-#: 20 LIVE cross-engine divergences that had hidden in the old
-#: correlated-null shadow, plus the llm-batch reviews confirmed 4 more
-#: on micro-corpora — leaving them unfixed (or the instrument weak) to
-#: meet a churn target would invert the round's priorities.  Every
-#: name here is locally re-verified MATCH at sf0.001/0.01/0.1 AND in
-#: the full strengthened dirty-parity audit; the driver row is
-#: deferred one round, not skipped.
-_CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
+    #     gate requires it — round-10 verdict ask #1): the 20
+    #     strengthened-generator fixes + 13 llm-batch review fixes.
+    #     Their round-10 implementations still lack a driver row; every
+    #     one is tri-scale + dirty-audit MATCH.
     "neardup_components",
     "mutual_knn_rate",
     "interval_join",
@@ -2592,6 +2478,105 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "containment_pairs",
     "quota_sample_docs",
     "bigram_vocab",
+    # (b) round-11 value-fuzz cohort: the dirty generator gained a
+    #     VALUE-fuzz layer in the round's FIRST act (NaN/±Inf/-0.0 in
+    #     doubles, numeric-edge strings, micros-boundary timestamps,
+    #     zero-length arrays — round-10 verdict ask #5) and exposed 35
+    #     live divergences, every one fixed with two shared recipes:
+    #     finite_case/finite_pred (order statistics, moment sums,
+    #     bucket casts need a finite population — engines disagree on
+    #     or refuse NaN/±Inf) and exact_cents (conditional BIGINT-cents
+    #     cast: one poisoned row must not kill a 100-TB job, and
+    #     whether it reaches the cast at all was plan-luck).  All 35
+    #     re-audited to MATCH on the strengthened corpus AND sf0.01
+    #     clean; every change is a provable no-op on finite (clean)
+    #     data.  The 17 stalest (driver rounds 3-7) take the window
+    #     slots; the rest overflow:
+    "decimal_exact_money",
+    "l_diversity",
+    "snapshot_diff",
+    "median_orders",
+    "mad_outliers",
+    "table_profile",
+    "stats_moments",
+    "psi_drift",
+    "k_anonymity_audit",
+    "revenue_decile_lift",
+    "anti_join_orphans",
+    "percentiles",
+    "quantile_sketch_audit",
+    "content_fingerprint_audit",
+    "two_phase_agg_audit",
+    "schema_evolution_union",
+    "merge_upsert_audit",
+    # (c) round-10 advisor closures: the SCD2 sink's replay-guard
+    #     marker now lives INSIDE the checkpoint directory (lifetime-
+    #     tied — a wiped-and-recreated checkpoint cannot inherit a
+    #     stale high-water mark), and the stream-sink audit's scratch
+    #     table moved from a driver-local tempdir to
+    #     spark.sql.warehouse.dir via the Hadoop FS API
+    #     (cluster-visible); ivfpq's numpy kernel uses true half-up
+    #     rounding (floor(y) + (frac >= 0.5)) closing the 1-ulp
+    #     boundary case:
+    "normalize_numeric_parity",
+    "equi_depth_histogram",
+    "benford_digits",
+    "interval_union_coverage",
+    "hhi_concentration",
+    "ivm_merge_audit",
+    "salted_skew_join",
+    "ab_value_drift_ks",
+    "gini_spend",
+    "holt_linear_forecast",
+    "poisson_bootstrap_ci",
+    "jackknife_ratio_variance",
+    "laspeyres_price_index",
+    "winsorized_value_stats",
+    "scd2_stream_sink_audit",
+    "ivfpq_ann_recall",
+    "bloom_join_prefilter",
+    "runs_test_revenue",
+    "zorder_vs_linear_pruning",
+    "skyline_pareto",
+})
+
+#: Changed queries that could NOT fit the 50-slot driver window this
+#: round (the window holds the 33-name round-10 overflow — the
+#: round-10 verdict's hard placement requirement — plus the 17 stalest
+#: round-11 changes).  They sit at positions 51-70 — the FIRST cohort
+#: outside the window — and MUST lead the round-12 rotation.  The
+#: cohort again exceeds the <= 10 target, for an arithmetic reason:
+#: the verdict's ask #1 (33 inherited names MUST lead the window) and
+#: ask #5 (strengthen the generator FIRST and fix everything it finds)
+#: together produced 33 + 37 = 70 names needing driver rows against a
+#: 50-slot window.  Mitigations: every overflow name is re-verified
+#: MATCH at sf0.001/0.01/0.1 AND on the strengthened dirty corpus this
+#: round, and every round-11 change in this list is a provable NO-OP
+#: on finite (clean) data — the guards only reroute NaN/±Inf rows, so
+#: the deferred driver row re-checks an unchanged clean-data result.
+#: Ordered stalest-first (driver rounds 7-9) with the six round-10-
+#: fresh names last.
+_CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
+    "normalize_numeric_parity",
+    "equi_depth_histogram",
+    "benford_digits",
+    "interval_union_coverage",
+    "hhi_concentration",
+    "ivm_merge_audit",
+    "salted_skew_join",
+    "ab_value_drift_ks",
+    "gini_spend",
+    "holt_linear_forecast",
+    "poisson_bootstrap_ci",
+    "jackknife_ratio_variance",
+    "laspeyres_price_index",
+    "winsorized_value_stats",
+    "scd2_stream_sink_audit",
+    "ivfpq_ann_recall",
+    "bloom_join_prefilter",
+    "runs_test_revenue",
+    "zorder_vs_linear_pruning",
+    "skyline_pareto",
 )
 
 
@@ -2601,67 +2586,9 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
 #: stalest re-verifies; everything else follows in registry insertion
 #: order via `ordered.update(merged)`.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-10 rotation -----------------------------------------------
-    # 1. the round-9 declared overflow leads (placement gate), in its
+    # -- round-11 rotation -----------------------------------------------
+    # 1. the round-10 declared overflow leads (placement gate), in its
     #    declaration order
-    "bcubed_cluster_eval",
-    "blocking_quality_audit",
-    "matryoshka_prefix_fidelity",
-    "cluster_tightness",
-    "udaf_centroids",
-    "emb_norm_outliers",
-    "embedding_quantize",
-    "quantize_embeddings",
-    "semantic_kmeans",
-    "semantic_prune",
-    "hard_negative_mining",
-    "mmr_diverse_topk",
-    "pq_codebook_distortion",
-    "session_type_entropy_bands",
-    "acf_daily_events",
-    "bloom_join_prefilter",
-    "runs_test_revenue",
-    "embedding_norm_topk",
-    "bh_fdr_daily_anomalies",
-    "group_kfold_assign",
-    "join_reorder_advisor",
-    "above_avg_balance",
-    "argmax_events",
-    "percentrank_parts",
-    "brand_pareto",
-    "k_anonymity",
-    "knn_accuracy",
-    "skyline_pareto",
-    "compaction_plan_audit",
-    "bm25_topk",
-    "zorder_vs_linear_pruning",
-    "json_props",
-    "props_variant",
-    "minhash_error_audit",
-    "scd2_user_state",
-    "waiting_suppliers",
-    "seq_packing",
-    # 2. batch-40 additions (never driver-checked — the never-checked
-    #    gate forces them inside the window)
-    "hnsw_beam_ann_recall",
-    "scd2_stream_sink_audit",
-    # 3. round-10 changed implementations/oracles that fit the window
-    "ivfpq_ann_recall",
-    "exact_dedup_docs",
-    "curate_corpus",
-    "dedup_survivors",
-    "incremental_dedup",
-    "cdc_scd2_apply_audit",
-    "cosine_topk",
-    "cosine_neardup",
-    # 4. the three r1-stale re-verifies (round-8 ask #4, carried twice —
-    #    their first driver rows since round 1)
-    "date_dim",
-    "rollup_orders",
-    "classifier_parity",
-    # 5. _CHANGED_OVERFLOW_NEXT_ROUND — pinned to positions 51+ so it is
-    #    the FIRST thing the round-11 window picks up
-    #    (tests/test_driver_window.py enforces the placement).
     "neardup_components",
     "mutual_knn_rate",
     "interval_join",
@@ -2695,6 +2622,48 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "containment_pairs",
     "quota_sample_docs",
     "bigram_vocab",
+    # 2. the 17 stalest round-11 value-fuzz fixes (driver rounds 3-7) —
+    #    the window double-duties as staleness reduction
+    "decimal_exact_money",
+    "l_diversity",
+    "snapshot_diff",
+    "median_orders",
+    "mad_outliers",
+    "table_profile",
+    "stats_moments",
+    "psi_drift",
+    "k_anonymity_audit",
+    "revenue_decile_lift",
+    "anti_join_orphans",
+    "percentiles",
+    "quantile_sketch_audit",
+    "content_fingerprint_audit",
+    "two_phase_agg_audit",
+    "schema_evolution_union",
+    "merge_upsert_audit",
+    # 3. _CHANGED_OVERFLOW_NEXT_ROUND — pinned to positions 51+ so it is
+    #    the FIRST thing the round-12 window picks up
+    #    (tests/test_driver_window.py enforces the placement).
+    "normalize_numeric_parity",
+    "equi_depth_histogram",
+    "benford_digits",
+    "interval_union_coverage",
+    "hhi_concentration",
+    "ivm_merge_audit",
+    "salted_skew_join",
+    "ab_value_drift_ks",
+    "gini_spend",
+    "holt_linear_forecast",
+    "poisson_bootstrap_ci",
+    "jackknife_ratio_variance",
+    "laspeyres_price_index",
+    "winsorized_value_stats",
+    "scd2_stream_sink_audit",
+    "ivfpq_ann_recall",
+    "bloom_join_prefilter",
+    "runs_test_revenue",
+    "zorder_vs_linear_pruning",
+    "skyline_pareto",
 )
 
 
