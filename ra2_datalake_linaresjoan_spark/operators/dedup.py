@@ -30,12 +30,19 @@ def dedup_keep_newest(
     ``dropDuplicates`` when no ordering column is available (U2,
     spark_cleaner.py:114).
     """
+    from ra2_datalake_linaresjoan_spark.operators.ordering import (
+        order_nulls_last,
+    )
+
     if order_col is None and not tiebreak:
         return df.dropDuplicates(list(keys))
+    # shared NULLS LAST contract (operators/ordering.py): a NULL
+    # order/tiebreak value never outranks a real one, matching the
+    # oracle engine's default in both directions
     ordering: list[Column] = []
     if order_col is not None:
-        ordering.append(F.col(order_col).desc_nulls_last())
-    ordering.extend(F.col(c).desc() for c in tiebreak)
+        ordering.append(order_nulls_last(order_col, ascending=False))
+    ordering.extend(order_nulls_last(c, ascending=False) for c in tiebreak)
     w = Window.partitionBy(*keys).orderBy(*ordering)
     return (
         df.withColumn("_rn", F.row_number().over(w))

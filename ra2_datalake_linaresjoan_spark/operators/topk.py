@@ -8,7 +8,8 @@ result set is reproducible across runs and engines.
 NULL ordering is EXPLICIT (round-10 dirty audit): Spark defaults to
 NULLS FIRST on asc while DuckDB/ANSI engines default to NULLS LAST, so
 a NULL tiebreak key at the LIMIT boundary selected DIFFERENT rows per
-engine; both directions here pin NULLS LAST (the ANSI default), which
+engine; both directions route through the SHARED
+``operators.ordering.order_nulls_last`` contract (round-11), which
 also keeps degenerate NULL-metric rows out of the head of a top-k.
 """
 
@@ -18,6 +19,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ra2_datalake_linaresjoan_spark.operators.ordering import order_nulls_last
 
 
 def top_k(
@@ -29,13 +32,9 @@ def top_k(
 ) -> DataFrame:
     """Top-k rows by a metric (T1, reference extract_gaming_data.py:101-109
     ``nlargest(50, 'volume')``)."""
-    main = (
-        F.col(order_col).asc_nulls_last()
-        if ascending
-        else F.col(order_col).desc_nulls_last()
-    )
     return df.orderBy(
-        main, *[F.col(t).asc_nulls_last() for t in tiebreak]
+        order_nulls_last(order_col, ascending),
+        *[order_nulls_last(t) for t in tiebreak],
     ).limit(k)
 
 
@@ -51,8 +50,8 @@ def top_k_groups(
         df.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias(count_col))
         .orderBy(
-            F.col(count_col).desc_nulls_last(),
-            *[F.col(c).asc_nulls_last() for c in group_cols],
+            order_nulls_last(count_col, ascending=False),
+            *[order_nulls_last(c) for c in group_cols],
         )
         .limit(k)
     )

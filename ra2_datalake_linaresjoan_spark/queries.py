@@ -1893,16 +1893,25 @@ def q_rank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete-case on (p_retailprice, p_partkey) in lockstep (round-10
     dirty audit): an unpriced part has no rank, and among NULL-price
     ties the engines break on p_partkey from OPPOSITE ends (Spark asc
-    NULLS FIRST, DuckDB NULLS LAST) — the ntile_quartiles convention."""
+    NULLS FIRST, DuckDB NULLS LAST) — the ntile_quartiles convention.
+    The window orderings additionally route through the shared
+    ``order_nulls_last`` contract (round-11, ask #4): identical under
+    the guard, and future-proof should a NULL ever reach the window."""
     from ra2_datalake_linaresjoan_spark.operators.filters import complete_case
+    from ra2_datalake_linaresjoan_spark.operators.ordering import (
+        order_nulls_last,
+    )
 
     part = complete_case(
         _t(spark, sf_dir, "part"), "p_retailprice", "p_partkey"
     )
     w_det = Window.partitionBy("p_brand").orderBy(
-        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+        order_nulls_last("p_retailprice", ascending=False),
+        order_nulls_last("p_partkey"),
     )
-    w_rank = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    w_rank = Window.partitionBy("p_brand").orderBy(
+        order_nulls_last("p_retailprice", ascending=False)
+    )
     return (
         part.select(
             "p_brand",
@@ -2538,6 +2547,17 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "runs_test_revenue",
     "zorder_vs_linear_pruning",
     "skyline_pareto",
+    # (d) round-10 verdict ask #4: the shared order_nulls_last()
+    #     contract (operators/ordering.py) now routes dedup_keep_newest,
+    #     top_k/top_k_groups and the window-rank family.  Six call
+    #     sites; every ordering is provably identical under the
+    #     existing complete-case guards (desc was already NULLS LAST in
+    #     Spark; asc keys are guarded non-NULL).  top_orders,
+    #     event_type_top10, rank_parts, first_last_events ride their
+    #     inherited window slots; these two are the remaining touched
+    #     names:
+    "window_dedup",
+    "percentrank_parts",
 })
 
 #: Changed queries that could NOT fit the 50-slot driver window this
@@ -2577,6 +2597,8 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "runs_test_revenue",
     "zorder_vs_linear_pruning",
     "skyline_pareto",
+    "window_dedup",
+    "percentrank_parts",
 )
 
 
@@ -2664,6 +2686,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "runs_test_revenue",
     "zorder_vs_linear_pruning",
     "skyline_pareto",
+    "window_dedup",
+    "percentrank_parts",
 )
 
 

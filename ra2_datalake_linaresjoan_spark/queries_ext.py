@@ -250,13 +250,19 @@ def q_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complete-case on (ts, event_id) in lockstep (round-10 dirty audit):
     an undated event has no first/last position, and the engines order
     NULL ts on OPPOSITE ends of the frame — first_value/last_value then
-    pick different rows per engine."""
+    pick different rows per engine.  The frame ordering additionally
+    routes through the shared ``order_nulls_last`` contract (round-11,
+    ask #4)."""
+    from ra2_datalake_linaresjoan_spark.operators.ordering import (
+        order_nulls_last,
+    )
+
     ev = _t(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & F.col("event_id").isNotNull()
     )
     w = (
         Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
+        .orderBy(order_nulls_last("ts"), order_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return (
@@ -288,9 +294,15 @@ def q_percentrank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the fractions themselves; row identity fixed by p_partkey).
     Complete-case on p_retailprice in LOCKSTEP (round-9 decorrelated
     dirty audit): a NULL price ranks FIRST in Spark's window but LAST
-    in DuckDB's, shifting every fraction in the partition."""
+    in DuckDB's, shifting every fraction in the partition.  The window
+    ordering additionally routes through the shared
+    ``order_nulls_last`` contract (round-11, ask #4)."""
+    from ra2_datalake_linaresjoan_spark.operators.ordering import (
+        order_nulls_last,
+    )
+
     part = _t(spark, sf_dir, "part").where(F.col("p_retailprice").isNotNull())
-    w = Window.partitionBy("p_brand").orderBy("p_retailprice")
+    w = Window.partitionBy("p_brand").orderBy(order_nulls_last("p_retailprice"))
     return (
         part.select(
             "p_brand",

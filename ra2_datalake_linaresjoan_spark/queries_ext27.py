@@ -8,12 +8,13 @@ the monitoring layer a production corpus pipeline runs between ingests.
   runs over a lang-sorted array so both engines sum in the same order.
 - ``poisson_bootstrap_ci`` — distribution-free 90 % CI on the mean
   order value via the POISSON bootstrap: B = 40 deterministic
-  replicates that reweight rows by a Poisson(1) draw derived from
-  md5(key:b) — the one-pass, mergeable bootstrap for data too large to
-  resample by permutation (the published technique for bootstrapping
-  massive datasets). Replicate 0 pins weight 1, so the exact mean and
-  all replicates come from ONE scan + one (b)-keyed combine-enabled
-  aggregate; replicate means are exact-integer ratios.
+  replicates that reweight rows by a Poisson(1) draw from a two-step
+  32-bit LCG seeded by (key, b) — the one-pass, mergeable bootstrap
+  for data too large to resample by permutation (the published
+  technique for bootstrapping massive datasets). Replicate 0 pins
+  weight 1, so the exact mean and all replicates come from ONE scan +
+  one (b)-keyed combine-enabled aggregate; replicate means are
+  exact-integer ratios.
 - ``acf_daily_events`` — autocorrelation of the daily event-count
   series at lags 1..7 (mean-centered, lag-0-normalized): the
   seasonality detector behind batch-size planning. Day-bounded: one
@@ -149,9 +150,15 @@ FROM tot
 # ---------------------------------------------------------------------------
 
 _PB_B = 40
+#: Two-step 32-bit LCG (Numerical Recipes): the deterministic uniform
+#: stream behind the bootstrap weights — exact int64 arithmetic in both
+#: engines (every intermediate < 2^53), fully inside codegen.
+_PB_M32 = 4_294_967_296
+_PB_A = 1_664_525
+_PB_C = 1_013_904_223
 #: Poisson(1) CDF cut points — the inverse-CDF table that turns a
-#: deterministic md5 uniform into a bootstrap resample weight. Weights > 7
-#: are truncated (mass 1e-5).
+#: deterministic 16-bit uniform into a bootstrap resample weight.
+#: Weights > 7 are truncated (mass 1e-5).
 _PB_CUMS = (
     0.36787944117144233,
     0.7357588823428847,
@@ -162,7 +169,7 @@ _PB_CUMS = (
     0.999916758850712,
 )
 #: The comparison actually executed (both engines): the uniform is a
-#: 16-bit integer u16 (one 4-hex md5 slice), and u16/65536 >= c  ⇔
+#: 16-bit integer u16 (the LCG's top 16 bits), and u16/65536 >= c  ⇔
 #: u16 >= ceil(c·65536) (no cut point is an exact multiple of 2^-16), so
 #: the whole inverse CDF is 7 INTEGER comparisons — no division, no float
 #: anywhere, bit-identical by construction. 16-bit resolution shifts each
@@ -174,13 +181,21 @@ assert all(0 < t < 65536 for t in _PB_CUTS16)
 def poisson_weight_structs(key):
     """The Poisson-bootstrap weight fan-out as ONE Column expression:
     for a row key, the array of ``_PB_B`` (b, w) structs — replicate
-    b = 8g+j+1 weighted by the j-th 4-hex (16-bit) slice of
-    md5(key:g), inverse-CDF'd through 7 integer comparisons against
-    ``_PB_CUTS16``. The md5 string is materialized in the OUTER
-    transform because Spark does no CSE inside lambda bodies — an
-    inner-lambda md5 would recompute per slice. Shared by the query
-    below and ``tools/scale_probe.py`` so the probe always measures
-    the shipped kernel."""
+    b's weight drawn from a two-step 32-bit LCG (Numerical Recipes
+    a = 1664525, c = 1013904223) seeded by (key mod 2^32, b), taking
+    the TOP 16 bits of the second state as the uniform and inverse-
+    CDF'ing it through 7 integer comparisons against ``_PB_CUTS16``.
+
+    Round-11 A/B (round-10 verdict ask #2): the previous stream sliced
+    md5 hex — cryptographic quality the bootstrap never needed, and the
+    md5 + substr + base-16 conv WAS the measured query cost (3.0 s
+    driver / 2.0 s quiet-host at sf0.1).  The LCG is ~10 integer ops
+    per replicate, entirely inside whole-stage codegen, and EXACTLY
+    reproducible in DuckDB (int64 arithmetic never overflows: every
+    product is < 2^53).  Two LCG steps decorrelate adjacent b's (state
+    1 is linear in b; state 2 mixes).  Shared by the query below and
+    ``tools/scale_probe.py`` so the probe always measures the shipped
+    kernel."""
 
     def w_of(u16):
         # Branchless inverse CDF: the weight IS the number of cumulative
@@ -193,28 +208,21 @@ def poisson_weight_structs(key):
             w = w + (u16 >= F.lit(c)).cast("long")
         return w
 
-    hexes = F.transform(
-        F.sequence(F.lit(0), F.lit(_PB_B // 8 - 1)),
-        lambda g: F.struct(
-            g.alias("g"),
-            F.md5(F.concat_ws(":", key, g)).alias("hx"),
+    km = F.pmod(key.cast("long"), F.lit(_PB_M32))
+
+    def u16_of(b):
+        s1 = F.pmod(km * _PB_A + b * _PB_C + 12345, F.lit(_PB_M32))
+        s2 = F.pmod(s1 * _PB_A + _PB_C, F.lit(_PB_M32))
+        # s2 / 65536 is division by a power of two of a value < 2^32 —
+        # exact in IEEE double, so floor is the true top-16-bit shift
+        return F.floor(s2 / F.lit(65536)).cast("long")
+
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(_PB_B)),
+        lambda b: F.struct(
+            b.cast("long").alias("b"),
+            w_of(u16_of(b.cast("long"))).alias("w"),
         ),
-    )
-    return F.flatten(
-        F.transform(
-            hexes,
-            lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(7)),
-                lambda j: F.struct(
-                    (s["g"] * 8 + j + 1).cast("long").alias("b"),
-                    w_of(
-                        F.conv(
-                            F.substr(s["hx"], 1 + j * 4, F.lit(4)), 16, 10
-                        ).cast("long")
-                    ).alias("w"),
-                ),
-            ),
-        )
     )
 
 
@@ -316,8 +324,9 @@ def _pb_weight_sql(u_expr: str) -> str:
 
 
 _PB_U_SQL = (
-    "CAST(concat('0x', substr(md5(concat(o_orderkey, ':', g)),"
-    " 1 + CAST(j AS INT) * 4, 4)) AS BIGINT)"
+    f"((((((o_orderkey % {_PB_M32}) + {_PB_M32}) % {_PB_M32})"
+    f" * {_PB_A} + b * {_PB_C} + 12345) % {_PB_M32})"
+    f" * {_PB_A} + {_PB_C}) % {_PB_M32} // 65536"
 )
 
 SQL_POISSON_BOOTSTRAP_CI = f"""
@@ -325,11 +334,9 @@ WITH hexed AS (
   SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
          list_prepend(
            struct_pack(b := CAST(0 AS BIGINT), w := CAST(1 AS BIGINT)),
-           flatten(list_transform(range(0, {_PB_B // 8}), g ->
-             list_transform(range(0, 8), j -> struct_pack(
-                      b := CAST(g * 8 + j + 1 AS BIGINT),
-                      w := {_pb_weight_sql(_PB_U_SQL)}))
-           ))) AS ws
+           list_transform(range(1, {_PB_B + 1}), b -> struct_pack(
+                    b := CAST(b AS BIGINT),
+                    w := {_pb_weight_sql(_PB_U_SQL)}))) AS ws
   FROM orders
   WHERE o_orderkey IS NOT NULL AND isfinite(o_totalprice)
 ), weighted AS (

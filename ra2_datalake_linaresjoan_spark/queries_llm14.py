@@ -168,6 +168,18 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed once for its four consumers (df build, sizes,
     both self-join sides).
 
+    The engine-side shingle key is ``xxhash64`` of the 4-word slice
+    (round-11 A/B, round-10 verdict ask #2): the df count, the
+    checkpoint, and the inverted-index self-join then move over int64
+    instead of ~25-byte strings — smaller state, cheaper shuffle
+    hashing, no concat materialization.  The OUTPUT
+    (doc_a, doc_b, n_shared, containment) is hash-invariant, so the
+    DuckDB oracle keeps verifying on the actual shingle strings — a
+    64-bit collision (p ≈ 10⁻⁹ at this cardinality; it would need two
+    distinct shingles colliding within one df-capped posting set to
+    change a count) would surface as an oracle mismatch, not pass
+    silently.
+
     Complete-case on doc_id in lockstep (round-10 review): the oracle's
     global SELECT DISTINCT collapses identical (NULL, shingle) rows
     from DIFFERENT NULL-id docs while Spark's per-row array_distinct
@@ -189,9 +201,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(
                     F.transform(
                         F.sequence(F.lit(0), F.size("w") - _CONT_N),
-                        lambda j: F.concat_ws(
-                            " ", F.slice("w", j + 1, _CONT_N)
-                        ),
+                        lambda j: F.xxhash64(F.slice("w", j + 1, _CONT_N)),
                     )
                 )
             ).alias("shingle"),
