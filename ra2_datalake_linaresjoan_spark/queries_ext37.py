@@ -62,23 +62,27 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v")
     )
     # distinct-value rank table (value-domain-bounded, cents-grained);
-    # localCheckpoint: each bounded table materializes from ONE corpus
-    # scan and its window/total/join consumers read the checkpoint —
-    # without it every DataFrame reference re-scans events (6 scans in
-    # the audited plan; 2 after)
+    # localCheckpoint: the bounded table materializes from ONE corpus
+    # scan and every downstream consumer reads the checkpoint — without
+    # it each DataFrame reference re-scans events (6 scans in the
+    # audited plan; 1 after)
     byv = (
         vals.groupBy("v").agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
     )
     wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cumv = byv.select("v", F.sum("n").over(wv).alias("cum"))
-    # 256-bucket histogram + cumulative (state-bounded)
+    # 256-bucket histogram + cumulative, DERIVED from the distinct-value
+    # table (round-11 A/B): bucket(v) is a pure function of v, so
+    # regrouping byv's (v, n) rows sums to the identical histogram —
+    # |distinct v| input rows instead of a second full corpus scan, and
+    # the 256-row result needs no checkpoint of its own
     hist = (
-        vals.select(
-            quantile_bucket("v", _QS_LO, _QS_HI, _QS_BUCKETS).alias("bucket")
+        byv.select(
+            quantile_bucket("v", _QS_LO, _QS_HI, _QS_BUCKETS).alias("bucket"),
+            "n",
         )
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+        .agg(F.sum("n").alias("n"))
     )
     wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cumb = hist.select("bucket", F.sum("n").over(wb).alias("cum"))

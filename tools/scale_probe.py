@@ -365,8 +365,9 @@ def probe(spark, docs: DataFrame) -> dict[str, float]:
 
     # Poisson-bootstrap weight fan-out (the poisson_bootstrap_ci map
     # kernel, via the SHARED expression builder so the probe always
-    # measures the shipped kernel): md5 fan-in → 40 16-bit integer-cut
-    # weights per row, one 41-key aggregate — the md5 cost is the kernel
+    # measures the shipped kernel): two-step 32-bit LCG → 40 16-bit
+    # integer-cut weights per row, one 41-key aggregate (round-11: the
+    # md5 stream this replaced WAS the kernel cost)
     def poisson_weights():
         from ra2_datalake_linaresjoan_spark.queries_ext27 import (
             poisson_weight_structs,
