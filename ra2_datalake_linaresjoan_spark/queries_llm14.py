@@ -155,6 +155,32 @@ _CONT_T = 0.6
 _CONT_N = 4
 
 
+def _cont_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) posting list with int64 ``xxhash64`` shingle
+    keys — the pre-checkpoint stage of ``q_containment_pairs``, exposed
+    so tests/test_plans.py can guard ITS physical plan (the
+    localCheckpoint in the query body hides this subplan from the final
+    explain)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
+    words = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+        ).alias("w"),
+    )
+    return words.filter(F.size("w") >= _CONT_N).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _CONT_N),
+                    lambda j: F.xxhash64(F.slice("w", j + 1, _CONT_N)),
+                )
+            )
+        ).alias("shingle"),
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 (doc_a contained-in doc_b) pairs by containment
     C = |S(A)∩S(B)|/|S(A)| ≥ 0.6 over df-capped distinct 4-gram
@@ -186,28 +212,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps one per doc — df counts then differ and shingles flip across
     the df cap. The threshold compares the 6-dp ROUNDED containment on
     BOTH engines (was raw in the oracle — one-sided at the boundary)."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
-    words = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
-        ).alias("w"),
-    )
-    sh = (
-        words.filter(F.size("w") >= _CONT_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("w") - _CONT_N),
-                        lambda j: F.xxhash64(F.slice("w", j + 1, _CONT_N)),
-                    )
-                )
-            ).alias("shingle"),
-        )
-        .localCheckpoint()
-    )
+    sh = _cont_shingles(spark, sf_dir).localCheckpoint()
     df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     kept = sh.join(df_tab.filter(F.col("df") <= _CONT_DF_CAP), "shingle")
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))

@@ -681,3 +681,41 @@ def test_encoding_advisor_single_scan(spark, sf_dir):
         if "Scan parquet" in l and "lineitem" in l
     ]
     assert len(scans) <= 2  # tree + detail repeat of one node
+
+
+def test_poisson_bootstrap_weight_stream_is_lcg(spark, sf_dir):
+    """Round-11 A/B guard: the bootstrap's uniform stream is the two-step
+    32-bit LCG — pure integer arithmetic inside codegen. A reappearing
+    md5/conv/substring in the weight fan-out would restore the 2× kernel
+    cost the rewrite removed (SCALE.md round-11 table)."""
+    plan = _plan(spark, sf_dir, "poisson_bootstrap_ci")
+    assert "md5" not in plan and "conv(" not in plan
+    assert "pmod" in plan  # the LCG's mod-2^32 steps
+
+
+def test_containment_pairs_joins_on_hashed_shingles(spark, sf_dir):
+    """Round-11 A/B guard: the posting-list shingle keys are in-row
+    xxhash64 of the 4-word slices — int64 join/aggregate state, never
+    materialized shingle strings (SCALE.md round-11 table).  The
+    query's localCheckpoint hides this stage from the final explain, so
+    the guard plans the exposed pre-checkpoint builder."""
+    from ra2_datalake_linaresjoan_spark.queries_llm14 import _cont_shingles
+
+    df = _cont_shingles(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "xxhash64" in plan
+    assert "concat_ws" not in plan
+    assert dict(df.dtypes)["shingle"] == "bigint"
+
+
+def test_quantile_sketch_audit_single_corpus_scan(spark, sf_dir):
+    """Round-11 A/B guard: the 256-bucket histogram derives from the
+    distinct-value table — exactly ONE events scan in the whole audit
+    (the checkpointed byv table; a second Scan parquet node means the
+    histogram regressed to its own corpus pass)."""
+    plan = _plan(spark, sf_dir, "quantile_sketch_audit")
+    assert plan.count("Scan parquet") <= 1
