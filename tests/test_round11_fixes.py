@@ -213,3 +213,56 @@ def test_poisson_lcg_weight_distribution_sane(spark):
     )
     assert abs(df["mean_w"] - 1.0) < 0.02
     assert abs(df["p0"] - math.exp(-1)) < 0.02
+
+
+def test_finite_and_cents_cross_engine_property(spark):
+    """Hypothesis sweep: for arbitrary doubles (incl. NaN/±Inf/signed
+    zeros/subnormals), the Spark finite_pred / exact_cents pair and the
+    DuckDB SQL fragments agree value-for-value — the round-11 recipe's
+    cross-engine contract, pinned beyond the fixed-corpus audits."""
+    import duckdb
+    import math as m
+
+    from hypothesis import given, settings, strategies as st
+
+    from ra2_datalake_linaresjoan_spark.operators.filters import (
+        exact_cents,
+        exact_cents_sql,
+        finite_pred,
+    )
+
+    doubles = st.one_of(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        st.sampled_from(
+            [0.0, -0.0, float("nan"), float("inf"), float("-inf"),
+             5e-324, 1e308, 99.995, -99.995]
+        ),
+        st.none(),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doubles, min_size=1, max_size=25))
+    def run(vals):
+        # exact_cents is only DEFINED where |x*100| fits the BIGINT
+        # round — clamp the magnitude domain like the queries' money
+        # columns (guarding the cast is the finite contract's job, not
+        # an overflow-domain one)
+        vals = [
+            v if v is None or not m.isfinite(v) or abs(v) < 1e15 else 1e15
+            for v in vals
+        ]
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = df.select(
+            finite_pred("x").alias("f"), exact_cents("x").alias("c")
+        ).collect()
+        con = duckdb.connect()
+        for v, row in zip(vals, got):
+            fin, cents = con.execute(
+                f"SELECT coalesce(isfinite(x), FALSE), {exact_cents_sql('x')}"
+                " FROM (SELECT ?::DOUBLE AS x)",
+                [v],
+            ).fetchone()
+            assert bool(row["f"]) == bool(fin), v
+            assert row["c"] == cents, v
+
+    run()
