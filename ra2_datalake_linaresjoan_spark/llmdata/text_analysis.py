@@ -24,6 +24,33 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def ascii_words(col: Column | str) -> Column:
+    """Case-insensitive ASCII word tokens: split FIRST on
+    ``[^A-Za-z]+``, THEN lower each token.
+
+    Order matters cross-engine (round-11 unicode-fuzz find): Java's
+    ``lower()`` applies full/special case mappings — lower('İ') is
+    'i' + U+0307 (the combining dot then SPLITS a token that DuckDB's
+    utf8proc keeps whole), upper('ß') = 'SS' vs 'ẞ', Greek sigma is
+    context-sensitive — so lower-then-tokenize yields DIFFERENT token
+    sets per engine the moment text leaves ASCII.  Tokenizing first
+    restricts lower() to pure-ASCII runs, where every engine agrees;
+    on ASCII corpora the result is bit-identical to the old
+    lower-then-split.  Pair with ``ascii_words_sql``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        F.split(c, "[^A-Za-z]+"), lambda x: F.lower(x)
+    )
+
+
+def ascii_words_sql(expr: str) -> str:
+    """The oracle-side expression matching ``ascii_words``."""
+    return (
+        f"list_transform(regexp_split_to_array({expr}, '[^A-Za-z]+'),"
+        " x -> lower(x))"
+    )
+
+
 def whitespace_token_count(col: Column) -> Column:
     """Whitespace-delimited token count; empty/null-safe → 0."""
     t = F.trim(col.cast("string"))

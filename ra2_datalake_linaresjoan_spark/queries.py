@@ -2558,6 +2558,30 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     #     names:
     "window_dedup",
     "percentrank_parts",
+    # (e) round-11 SECOND instrument layer — unicode case-fold carriers
+    #     ('İ'/'ß'/Greek sigma) in the dirty generator exposed 9 live
+    #     divergences: Java's lower()/upper() apply full/special case
+    #     mappings (lower('İ') = 'i'+U+0307 splits a token utf8proc
+    #     keeps whole; upper('ß') = 'SS' vs 'ẞ'), so lower-then-tokenize
+    #     yields different token sets per engine.  Fixed with the shared
+    #     ``llmdata.text_analysis.ascii_words`` contract (tokenize FIRST
+    #     on [^A-Za-z]+, then lower the pure-ASCII tokens — provably
+    #     identical on the all-ASCII clean corpus), translate()-based
+    #     ASCII uppercase for canonical_text_dedup's synthetic noisy
+    #     re-ingest, and tfidf's lockstep doc_id complete-case (a term
+    #     living only in NULL-id docs has df = 0: ANSI Spark raises,
+    #     DuckDB emits ln(inf) rows).  bm25_topk rides its inherited
+    #     window slot; mmr_diverse_topk inherits the shared bm25_scores
+    #     contract change:
+    "canonical_text_dedup",
+    "crosslang_oov_matrix",
+    "doc_feature_corr",
+    "hapax_rate",
+    "kl_divergence_sources",
+    "tfidf_top_terms",
+    "vocab_coverage_curve",
+    "zipf_fit",
+    "mmr_diverse_topk",
 })
 
 #: Changed queries that could NOT fit the 50-slot driver window this
@@ -2599,6 +2623,15 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "skyline_pareto",
     "window_dedup",
     "percentrank_parts",
+    "canonical_text_dedup",
+    "crosslang_oov_matrix",
+    "doc_feature_corr",
+    "hapax_rate",
+    "kl_divergence_sources",
+    "tfidf_top_terms",
+    "vocab_coverage_curve",
+    "zipf_fit",
+    "mmr_diverse_topk",
 )
 
 
@@ -2688,6 +2721,15 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skyline_pareto",
     "window_dedup",
     "percentrank_parts",
+    "canonical_text_dedup",
+    "crosslang_oov_matrix",
+    "doc_feature_corr",
+    "hapax_rate",
+    "kl_divergence_sources",
+    "tfidf_top_terms",
+    "vocab_coverage_curve",
+    "zipf_fit",
+    "mmr_diverse_topk",
 )
 
 

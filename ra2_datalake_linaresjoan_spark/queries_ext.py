@@ -452,16 +452,28 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document: tokenize (lower, split on non-alpha),
     term frequency per doc, document frequency per term, tf·ln(N/df), rank
     within doc. All JVM-side expressions (explode + two aggs + window) —
-    the canonical inverted-index shape that scales linearly in corpus size."""
-    docs = _t(spark, sf_dir, "documents")
+    the canonical inverted-index shape that scales linearly in corpus size.
+
+    Complete-case on doc_id in lockstep (round-11 unicode-fuzz find): a
+    term appearing ONLY in NULL-id docs has countDistinct(doc_id) = 0 —
+    ANSI Spark raises DIVIDE_BY_ZERO on N/df while DuckDB emits
+    ln(inf) rows; an id-less doc has no ranked terms either way.
+    Tokenization = the shared ``ascii_words`` contract."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     # corpus size as a lazy broadcast scalar, not an eager .count() — at
     # 100 TB a driver-side count would be a full blocking scan before the
     # plan even builds; this way it is one cheap metadata-only agg job
     # inside the same plan.
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    # shared ascii_words contract (round-11 unicode-fuzz): tokenize
+    # FIRST on [^A-Za-z]+, then lower the pure-ASCII tokens
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        ascii_words,
+    )
+
     tokens = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        F.explode(ascii_words(F.col("text"))).alias("term"),
     ).filter(F.length("term") >= 3)
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -484,17 +496,19 @@ SQL_TFIDF_TOP_TERMS = """
 WITH tokens AS (
   SELECT doc_id, t.term
   FROM documents,
-       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term) t
-  WHERE length(t.term) >= 3
+       LATERAL (SELECT unnest(list_transform(
+                  regexp_split_to_array(text, '[^A-Za-z]+'),
+                  x -> lower(x))) AS term) t
+  WHERE length(t.term) >= 3 AND doc_id IS NOT NULL
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term
 ), df AS (
   SELECT term, count(DISTINCT doc_id) AS df FROM tokens GROUP BY term
 ), scored AS (
   SELECT tf.doc_id, tf.term,
-         round(tf.tf * ln((SELECT count(*) FROM documents) / df.df), 4) AS tfidf,
+         round(tf.tf * ln((SELECT count(*) FROM documents WHERE doc_id IS NOT NULL) / df.df), 4) AS tfidf,
          row_number() OVER (PARTITION BY tf.doc_id
-                            ORDER BY round(tf.tf * ln((SELECT count(*) FROM documents) / df.df), 4) DESC,
+                            ORDER BY round(tf.tf * ln((SELECT count(*) FROM documents WHERE doc_id IS NOT NULL) / df.df), 4) DESC,
                                      tf.term) AS rk
   FROM tf JOIN df USING (term)
 )

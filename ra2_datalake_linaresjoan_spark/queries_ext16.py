@@ -205,11 +205,17 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf exponent per language: least-squares slope of ln(freq) on
     ln(rank) across the whole vocabulary (slope ≈ −1 for natural
     Zipfian text). Rank window partitions by language over the
-    vocabulary aggregate; the fit is five sums — no iteration."""
+    vocabulary aggregate; the fit is five sums — no iteration.
+    Tokenization = the shared ``ascii_words`` contract (round-11
+    unicode-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        ascii_words,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     wc = (
         docs.select(
-            "lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+            "lang", F.explode(ascii_words(F.col("text"))).alias("word")
         )
         .filter(F.col("word") != "")
         .groupBy("lang", "word")
@@ -244,7 +250,9 @@ SQL_ZIPF_FIT = """
 WITH wc AS (
   SELECT lang, t.word, CAST(count(*) AS BIGINT) AS freq
   FROM documents,
-       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+       LATERAL (SELECT unnest(list_transform(
+                  regexp_split_to_array(text, '[^A-Za-z]+'),
+                  x -> lower(x))) AS word) t
   WHERE t.word <> ''
   GROUP BY lang, t.word
 ), xy AS (

@@ -196,15 +196,18 @@ def q_doc_feature_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles at 6 dp, ordered by feature-pair name. Complete cases only
     (text AND n_chars present) — a NULL text would be counted by n but
     skipped by the token-moment sums, corrupting r identically on both
-    engines (the formula can even leave |r| > 1)."""
+    engines (the formula can even leave |r| > 1). Tokenization = the
+    shared ``ascii_words`` contract (round-11 unicode-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        ascii_words,
+    )
+
     docs = _t(spark, sf_dir, "documents").where(
         F.col("text").isNotNull() & F.col("n_chars").isNotNull()
     )
     words = docs.select(
         "n_chars",
-        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "").alias(
-            "w"
-        ),
+        F.filter(ascii_words(F.col("text")), lambda x: x != "").alias("w"),
     )
     feats = words.select(
         F.col("n_chars").cast("long").alias("n_chars"),
@@ -256,7 +259,9 @@ WITH feats AS (
          CAST(coalesce(list_max(list_transform(w, x -> length(x))), 0) AS BIGINT)
            AS max_wlen
   FROM (SELECT n_chars,
-               list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+               list_filter(list_transform(
+                             regexp_split_to_array(text, '[^A-Za-z]+'),
+                             x -> lower(x)),
                            x -> x <> '') AS w
         FROM documents
         WHERE text IS NOT NULL AND n_chars IS NOT NULL)

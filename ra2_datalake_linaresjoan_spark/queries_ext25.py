@@ -259,10 +259,15 @@ def q_crosslang_oov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     of text_lang's token OCCURRENCES covered by vocab_lang's vocabulary.
     Diagonal = 1 by construction; off-diagonal is the transfer/OOV
     read. Postings shuffle once; the coverage join is
-    vocabulary-keyed."""
+    vocabulary-keyed. Tokenization = the shared ``ascii_words``
+    contract (round-11 unicode-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        ascii_words,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
-        "lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        "lang", F.explode(ascii_words(F.col("text"))).alias("word")
     ).filter(F.col("word") != "")
     wc = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
     # (lang, word) is already unique after the groupBy — no distinct needed
@@ -297,7 +302,9 @@ SQL_CROSSLANG_OOV_MATRIX = """
 WITH tok AS (
   SELECT lang, t.word
   FROM documents,
-       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+       LATERAL (SELECT unnest(list_transform(
+                  regexp_split_to_array(text, '[^A-Za-z]+'),
+                  x -> lower(x))) AS word) t
   WHERE t.word <> ''
 ), wc AS (
   SELECT lang, word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2

@@ -56,10 +56,17 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     two (round-9 review: the pool used to carry a verbatim copy).
     Postings (doc, word) shuffle ONCE; df/N/avgdl are term-count-/
     1-row-sized aggregates that broadcast back onto the doc-grain
-    statistics. The per-doc score sums ≤|terms| values."""
+    statistics. The per-doc score sums ≤|terms| values.
+    Tokenization = the shared ``ascii_words`` contract (round-11
+    unicode-fuzz: lower-then-split token sets diverge per engine the
+    moment text leaves ASCII)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        ascii_words,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        "doc_id", F.explode(ascii_words(F.col("text"))).alias("word")
     ).filter(F.col("word") != "")
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     coll = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
@@ -116,7 +123,9 @@ SQL_BM25_TOPK = r"""
 WITH tok AS (
   SELECT doc_id, t.word
   FROM documents,
-       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+       LATERAL (SELECT unnest(list_transform(
+                  regexp_split_to_array(text, '[^A-Za-z]+'),
+                  x -> lower(x))) AS word) t
   WHERE t.word <> ''
 ), dl AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
@@ -411,15 +420,25 @@ def q_canonical_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the canonical fingerprint; survivors are the min doc_id
     per group (the deterministic-keeper convention the exact path
     uses). Reports each multi-member group's fingerprint, size, and
-    keeper."""
+    keeper.
+
+    Case handling is ASCII-scoped in LOCKSTEP (round-11 unicode-fuzz):
+    the noisy re-ingest uppercases via ``translate`` (a pure char map —
+    Java's upper('ß') = 'SS' while utf8proc yields 'ẞ', so the two
+    engines would synthesize DIFFERENT noisy docs), and the canon
+    strips non-[A-Za-z0-9] BEFORE folding so lower() only ever sees
+    ASCII.  Identical on ASCII corpora."""
+    _AZ = "abcdefghijklmnopqrstuvwxyz"
     docs = _t(spark, sf_dir, "documents")
     noisy = docs.filter(F.col("doc_id") % 7 == 0).select(
         (-F.col("doc_id") - 1).alias("doc_id"),
-        F.concat(F.upper("text"), F.lit("!!")).alias("text"),
+        F.concat(F.translate("text", _AZ, _AZ.upper()), F.lit("!!")).alias(
+            "text"
+        ),
     )
     both = docs.select("doc_id", "text").unionByName(noisy)
     key = F.md5(
-        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+        F.trim(F.lower(F.regexp_replace("text", "[^A-Za-z0-9]+", " ")))
     ).alias("canon_fp")
     return (
         both.select(key, "doc_id")
@@ -437,9 +456,12 @@ SQL_CANONICAL_TEXT_DEDUP = """
 WITH both_sets AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT -doc_id - 1, upper(text) || '!!' FROM documents WHERE doc_id % 7 = 0
+  SELECT -doc_id - 1,
+         translate(text, 'abcdefghijklmnopqrstuvwxyz',
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '!!'
+  FROM documents WHERE doc_id % 7 = 0
 )
-SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS canon_fp,
+SELECT md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS canon_fp,
        CAST(count(*) AS BIGINT) AS n_copies,
        CAST(min(doc_id) AS BIGINT) AS keeper_id
 FROM both_sets
@@ -643,11 +665,16 @@ def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, and the head token's share of all occurrences — the
     frequency-spectrum endpoints a tokenizer-vocabulary plan reads
     first. Two shrinking aggregates: occurrences → (lang, word) counts →
-    per-lang spectrum."""
+    per-lang spectrum. Tokenization = the shared ``ascii_words``
+    contract (round-11 unicode-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        ascii_words,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     wc = (
         docs.select(
-            "lang", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+            "lang", F.explode(ascii_words(F.col("text"))).alias("word")
         )
         .filter(F.col("word") != "")
         .groupBy("lang", "word")
@@ -671,7 +698,9 @@ SQL_HAPAX_RATE = r"""
 WITH wc AS (
   SELECT lang, t.word, CAST(count(*) AS BIGINT) AS n
   FROM documents,
-       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+       LATERAL (SELECT unnest(list_transform(
+                  regexp_split_to_array(text, '[^A-Za-z]+'),
+                  x -> lower(x))) AS word) t
   WHERE t.word <> ''
   GROUP BY lang, t.word
 )

@@ -44,10 +44,16 @@ def q_kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KL(source ‖ corpus) over word distributions, per source — the
     domain-shift ranking that tells a mixture planner which sources are
     least like the blend. Sum over the source's OWN support only (every
-    source word appears in the corpus by construction), 4-dp."""
+    source word appears in the corpus by construction), 4-dp.
+    Tokenization = the shared ``ascii_words`` contract (round-11
+    unicode-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        ascii_words,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
-        "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word")
+        "source", F.explode(ascii_words(F.col("text"))).alias("word")
     ).filter(F.col("word") != "")
     src_wc = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("s_n"))
     corp_wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("c_n"))
@@ -72,7 +78,9 @@ SQL_KL_DIVERGENCE_SOURCES = r"""
 WITH words AS (
   SELECT source, t.word
   FROM documents,
-       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+       LATERAL (SELECT unnest(list_transform(
+                  regexp_split_to_array(text, '[^A-Za-z]+'),
+                  x -> lower(x))) AS word) t
   WHERE t.word <> ''
 ), src_wc AS (
   SELECT source, word, CAST(count(*) AS BIGINT) AS s_n FROM words GROUP BY 1, 2

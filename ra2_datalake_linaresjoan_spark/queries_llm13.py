@@ -378,10 +378,15 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the per-word tie-break can't matter when counts are equal). The
     DuckDB oracle keeps the per-word formulation, so parity checks the
     two formulations against each other. Exact integer counts; shares
-    at 6 dp."""
+    at 6 dp. Tokenization = the shared ``ascii_words`` contract
+    (round-11 unicode-fuzz)."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        ascii_words,
+    )
+
     docs = _t(spark, sf_dir, "documents")
     wc = (
-        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        docs.select(F.explode(ascii_words(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -423,7 +428,9 @@ SQL_VOCAB_COVERAGE_CURVE = r"""
 WITH wc AS (
   SELECT t.word, CAST(count(*) AS BIGINT) AS n
   FROM documents,
-       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+       LATERAL (SELECT unnest(list_transform(
+                  regexp_split_to_array(text, '[^A-Za-z]+'),
+                  x -> lower(x))) AS word) t
   WHERE t.word <> ''
   GROUP BY t.word
 ), ranked AS (

@@ -147,6 +147,21 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
                 emptied = F.when(
                     ((rid + off) % 7 == 3) & F.lit(fl.name in nullable),
                     F.lit(""),
+                ).when(
+                    # unicode case-fold carriers (round 11, second
+                    # layer): Java and utf8proc fold these differently
+                    # — lower('İ') = 'i'+U+0307 vs 'i', upper('ß') =
+                    # 'SS' vs 'ẞ', Greek sigma context rules — so any
+                    # lower-then-tokenize pipeline splits different
+                    # token sets per engine.  The lockstep recipe is
+                    # ascii_tokens (tokenize FIRST on [^A-Za-z]+, then
+                    # lower the pure-ASCII tokens).  NOTE: the carrier
+                    # string is IDENTICAL on every fuzzed row, which
+                    # MASKS queries whose outputs are insensitive to
+                    # duplicated text — randomizing the carrier per row
+                    # is the round-12 sharpening.
+                    (rid + voff) % 17 == 4,
+                    F.lit("İstanbul straße ΣΙΣ ﬁn"),
                 ).when((rid + voff) % 11 == 2, F.lit("NaN")).when(
                     (rid + voff) % 11 == 5, F.lit("Infinity")
                 ).when((rid + voff) % 11 == 8, F.lit("-Infinity")).when(
