@@ -496,9 +496,8 @@ SQL_TFIDF_TOP_TERMS = """
 WITH tokens AS (
   SELECT doc_id, t.term
   FROM documents,
-       LATERAL (SELECT unnest(list_transform(
-                  regexp_split_to_array(text, '[^A-Za-z]+'),
-                  x -> lower(x))) AS term) t
+       LATERAL (SELECT unnest(regexp_split_to_array(
+                  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS term) t
   WHERE length(t.term) >= 3 AND doc_id IS NOT NULL
 ), tf AS (
   SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term

@@ -250,9 +250,8 @@ SQL_ZIPF_FIT = """
 WITH wc AS (
   SELECT lang, t.word, CAST(count(*) AS BIGINT) AS freq
   FROM documents,
-       LATERAL (SELECT unnest(list_transform(
-                  regexp_split_to_array(text, '[^A-Za-z]+'),
-                  x -> lower(x))) AS word) t
+       LATERAL (SELECT unnest(regexp_split_to_array(
+                  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE t.word <> ''
   GROUP BY lang, t.word
 ), xy AS (

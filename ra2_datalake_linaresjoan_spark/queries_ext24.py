@@ -259,9 +259,10 @@ WITH feats AS (
          CAST(coalesce(list_max(list_transform(w, x -> length(x))), 0) AS BIGINT)
            AS max_wlen
   FROM (SELECT n_chars,
-               list_filter(list_transform(
-                             regexp_split_to_array(text, '[^A-Za-z]+'),
-                             x -> lower(x)),
+               list_filter(regexp_split_to_array(
+                             translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                       'abcdefghijklmnopqrstuvwxyz'),
+                             '[^a-z]+'),
                            x -> x <> '') AS w
         FROM documents
         WHERE text IS NOT NULL AND n_chars IS NOT NULL)

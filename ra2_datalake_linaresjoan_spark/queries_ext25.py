@@ -302,9 +302,8 @@ SQL_CROSSLANG_OOV_MATRIX = """
 WITH tok AS (
   SELECT lang, t.word
   FROM documents,
-       LATERAL (SELECT unnest(list_transform(
-                  regexp_split_to_array(text, '[^A-Za-z]+'),
-                  x -> lower(x))) AS word) t
+       LATERAL (SELECT unnest(regexp_split_to_array(
+                  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE t.word <> ''
 ), wc AS (
   SELECT lang, word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1, 2

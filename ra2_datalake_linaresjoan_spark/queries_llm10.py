@@ -123,9 +123,8 @@ SQL_BM25_TOPK = r"""
 WITH tok AS (
   SELECT doc_id, t.word
   FROM documents,
-       LATERAL (SELECT unnest(list_transform(
-                  regexp_split_to_array(text, '[^A-Za-z]+'),
-                  x -> lower(x))) AS word) t
+       LATERAL (SELECT unnest(regexp_split_to_array(
+                  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE t.word <> ''
 ), dl AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
@@ -698,9 +697,8 @@ SQL_HAPAX_RATE = r"""
 WITH wc AS (
   SELECT lang, t.word, CAST(count(*) AS BIGINT) AS n
   FROM documents,
-       LATERAL (SELECT unnest(list_transform(
-                  regexp_split_to_array(text, '[^A-Za-z]+'),
-                  x -> lower(x))) AS word) t
+       LATERAL (SELECT unnest(regexp_split_to_array(
+                  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE t.word <> ''
   GROUP BY lang, t.word
 )

@@ -78,9 +78,8 @@ SQL_KL_DIVERGENCE_SOURCES = r"""
 WITH words AS (
   SELECT source, t.word
   FROM documents,
-       LATERAL (SELECT unnest(list_transform(
-                  regexp_split_to_array(text, '[^A-Za-z]+'),
-                  x -> lower(x))) AS word) t
+       LATERAL (SELECT unnest(regexp_split_to_array(
+                  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE t.word <> ''
 ), src_wc AS (
   SELECT source, word, CAST(count(*) AS BIGINT) AS s_n FROM words GROUP BY 1, 2

@@ -428,9 +428,8 @@ SQL_VOCAB_COVERAGE_CURVE = r"""
 WITH wc AS (
   SELECT t.word, CAST(count(*) AS BIGINT) AS n
   FROM documents,
-       LATERAL (SELECT unnest(list_transform(
-                  regexp_split_to_array(text, '[^A-Za-z]+'),
-                  x -> lower(x))) AS word) t
+       LATERAL (SELECT unnest(regexp_split_to_array(
+                  translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE t.word <> ''
   GROUP BY t.word
 ), ranked AS (

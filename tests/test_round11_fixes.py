@@ -266,3 +266,51 @@ def test_finite_and_cents_cross_engine_property(spark):
             assert row["c"] == cents, v
 
     run()
+
+
+def test_ascii_words_cross_engine_on_unicode(spark):
+    """The shared tokenization contract: identical token lists in both
+    engines ON UNICODE INPUT (the very case Java lower() vs utf8proc
+    diverge on), and identical to the legacy lower-then-split on pure
+    ASCII."""
+    import duckdb
+
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        ascii_words,
+        ascii_words_sql,
+    )
+
+    texts = [
+        "Hello World",
+        "İstanbul straße ΣΙΣΥΦΟΣ ﬁn",
+        "MiXeD123case tail",
+        "",
+        "ß",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [r["w"] for r in df.select(ascii_words("text").alias("w")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {ascii_words_sql('text')} FROM (SELECT ?::VARCHAR AS text)",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+    # ASCII equivalence with the legacy order
+    from pyspark.sql import functions as F
+
+    legacy = [
+        r["w"]
+        for r in df.where(~F.col("text").rlike("[^\\x00-\\x7f]"))
+        .select(F.split(F.lower("text"), "[^a-z]+").alias("w"))
+        .collect()
+    ]
+    new_ascii = [
+        r["w"]
+        for r in df.where(~F.col("text").rlike("[^\\x00-\\x7f]"))
+        .select(ascii_words("text").alias("w"))
+        .collect()
+    ]
+    assert legacy == new_ascii
