@@ -28,14 +28,21 @@ _MERSENNE = (1 << 61) - 1
 def shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """(id, text) → (id, shingle) word n-grams, lower-cased.
+    """(id, text) → (id, shingle) word n-grams, case-folded via
+    ``ascii_lower`` (round-12: shingles feed minhash/containment —
+    engine-divergent unicode folds upstream of the hash would silently
+    shift signatures between Spark and the DuckDB oracles; the ASCII
+    translate map is identical everywhere and bit-identical to lower()
+    on the all-ASCII clean corpus).
 
     Uses sequence+slice inside a higher-order transform — all JVM-side.
     Documents shorter than n words produce no shingles. ``distinct=False``
     skips the dedup shuffle for consumers whose aggregates are
     duplicate-insensitive (min-hash, collect_set).
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_lower
+
+    words = F.split(F.trim(ascii_lower(F.col(text_col))), r"\s+")
     d = df.select(F.col(id_col), words.alias("_w")).filter(F.size("_w") >= n)
     sh = F.transform(
         F.sequence(F.lit(1), F.size("_w") - (n - 1)),

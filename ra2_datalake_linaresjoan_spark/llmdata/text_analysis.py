@@ -57,6 +57,30 @@ def ascii_words_sql(expr: str) -> str:
     )
 
 
+def ascii_lower(col: Column | str) -> Column:
+    """ASCII-only case fold: ``translate`` the 26 ASCII uppercase letters
+    to lowercase, leaving every other character (incl. non-ASCII letters)
+    untouched.
+
+    The whitespace-tokenizer sibling of ``ascii_words`` (round-12
+    migration): pipelines that split on ``\\s+`` — shingles, stopword /
+    marker matching, fingerprint normalization — only need case folding
+    so their all-ASCII vocabulary matches; Java's full-case ``lower()``
+    rewrites non-ASCII characters DIFFERENTLY from DuckDB's utf8proc
+    (lower('İ') = 'i'+U+0307 vs 'i̇' normalization differences, Greek
+    final sigma context rules), so any downstream regex over the folded
+    text can diverge per engine.  ``translate`` is a pure 1:1 char map —
+    identical everywhere — and bit-identical to ``lower()`` on ASCII
+    text.  Pair with ``ascii_lower_sql``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c.cast("string"), _ASCII_UP, _ASCII_LO)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    """The oracle-side expression matching ``ascii_lower``."""
+    return f"translate({expr}, '{_ASCII_UP}', '{_ASCII_LO}')"
+
+
 def whitespace_token_count(col: Column) -> Column:
     """Whitespace-delimited token count; empty/null-safe → 0."""
     t = F.trim(col.cast("string"))
@@ -92,8 +116,12 @@ def punct_ratio(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column, stopwords: tuple[str, ...] = ("the", "a", "of", "and", "is")) -> Column:
-    """Fraction of whitespace tokens that are in the stopword list."""
-    words = F.split(F.lower(F.trim(col.cast("string"))), r"\s+")
+    """Fraction of whitespace tokens that are in the stopword list.
+
+    Case folding is ``ascii_lower`` (round-12): the stopword vocabulary
+    is all-ASCII, so a unicode-aware lower() buys nothing and costs
+    engine-divergent folds of non-ASCII text."""
+    words = F.split(F.trim(ascii_lower(col)), r"\s+")
     n = F.size(words)
     hits = F.size(F.filter(words, lambda w: w.isin(*stopwords)))
     return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
@@ -118,8 +146,10 @@ def quality_score(col: Column) -> Column:
 def language_id(col: Column) -> Column:
     """Heuristic language ID: count marker-word hits per language, argmax
     with deterministic tie order (en > es > fr > de), 'und' when nothing
-    matches. Pure expressions → runs at scan speed."""
-    words = F.split(F.lower(F.trim(col.cast("string"))), r"\s+")
+    matches. Pure expressions → runs at scan speed.  Marker matching
+    folds case via ``ascii_lower`` (all-ASCII marker lists — see
+    ``stopword_ratio``)."""
+    words = F.split(F.trim(ascii_lower(col)), r"\s+")
     scores = {
         lang: F.size(F.filter(words, lambda w: w.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
@@ -135,8 +165,12 @@ def language_id(col: Column) -> Column:
 def doc_fingerprint(col: Column) -> Column:
     """Deterministic content fingerprint: md5 of the casefolded,
     whitespace-collapsed, punctuation-stripped text. Identical content →
-    identical fingerprint across engines (md5 is engine-agnostic)."""
-    norm = F.regexp_replace(F.lower(F.trim(col.cast("string"))), r"[^a-z0-9\s]", "")
+    identical fingerprint across engines (md5 is engine-agnostic; the
+    case fold is ``ascii_lower`` so the pre-strip text is byte-identical
+    per engine — with full ``lower()``, Java and utf8proc disagree on
+    non-ASCII folds BEFORE the [^a-z0-9\\s] strip removes them, and the
+    strip can then expose different edge whitespace)."""
+    norm = F.regexp_replace(F.trim(ascii_lower(col)), r"[^a-z0-9\s]", "")
     norm = F.regexp_replace(norm, r"\s+", " ")
     # final trim: punctuation stripping can CREATE edge spaces ('hello !'
     # -> 'hello ') that the initial trim ran too early to see — without

@@ -17,6 +17,16 @@ from __future__ import annotations
 
 from pyspark.sql.functions import col, lit, udtf
 
+#: ASCII-only case fold for the Python-side shingler (round-12): CPython's
+#: ``str.lower()`` is a THIRD unicode case-fold implementation (after Java
+#: and utf8proc) — 'İ'.lower() yields 'i̇' (2 codepoints) shifting every
+#: downstream shingle position.  The 26-letter translate map is identical
+#: to the JVM/SQL ``ascii_lower`` contract (text_analysis.ascii_lower) and
+#: bit-identical to .lower() on ASCII text.
+_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
 
 @udtf(returnType="pos int, shingle string")
 class CharShingles:
@@ -25,7 +35,7 @@ class CharShingles:
     def eval(self, text: str, k: int):  # noqa: D102 — UDTF contract
         if text is None or k is None or k <= 0:
             return
-        t = text.lower()
+        t = text.translate(_ASCII_FOLD)
         for i in range(max(len(t) - k + 1, 0)):
             yield i, t[i : i + k]
 

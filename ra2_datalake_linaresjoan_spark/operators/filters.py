@@ -91,26 +91,39 @@ def finite_pred(col: Column | str) -> Column:
     return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
 
 
+#: Largest money magnitude whose cents fit BIGINT: 2^63/100 with headroom
+#: for round()'s +0.5.  A finite-but-huge double (1e17, 1e308) past this
+#: bound would overflow the BIGINT cast and raise in BOTH engines under
+#: ANSI — the same one-poisoned-row failure the finite guard exists for
+#: (round-12 advisor find: the round-11 guard covered only NaN/±Inf).
+_CENTS_MAX = 9.2e16
+
+
 def exact_cents(col: Column | str) -> Column:
-    """Money double → exact integer cents, guarded to finite inputs.
+    """Money double → exact integer cents, guarded to the representable
+    cents domain (finite AND |x| < 9.2e16 ≈ 2^63/100).
 
     The exact-cents convention (``CAST(round(x*100) AS BIGINT)``) makes
     revenue hashes summation-order independent — but under ANSI both
-    Spark and DuckDB RAISE when a NaN/±Inf reaches the integer cast,
-    and whether a poisoned row reaches it at all is plan-dependent
-    (Catalyst may evaluate the projection before or after a filter
-    that would have dropped the row).  One poisoned row must not kill
-    a 100-TB job: non-finite money yields NULL cents, which every sum
-    skips, identically in both engines (round-11 value-fuzz).  On
-    finite data the guard folds away to the bare cast."""
+    Spark and DuckDB RAISE when a NaN/±Inf or out-of-range value
+    reaches the integer cast, and whether a poisoned row reaches it at
+    all is plan-dependent (Catalyst may evaluate the projection before
+    or after a filter that would have dropped the row).  One poisoned
+    row must not kill a 100-TB job: non-representable money yields NULL
+    cents, which every sum skips, identically in both engines
+    (round-11 value-fuzz; range bound round-12).  On in-domain data the
+    guard folds away to the bare cast."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(finite_pred(c), F.round(c * 100).cast("long"))
+    return F.when(
+        finite_pred(c) & (F.abs(c) < F.lit(_CENTS_MAX)),
+        F.round(c * 100).cast("long"),
+    )
 
 
 def exact_cents_sql(expr: str) -> str:
     """The oracle-side expression matching ``exact_cents``."""
     return (
-        f"CASE WHEN isfinite({expr}) "
+        f"CASE WHEN isfinite({expr}) AND abs({expr}) < 9.2e16 "
         f"THEN CAST(round({expr} * 100) AS BIGINT) END"
     )
 
@@ -131,9 +144,25 @@ def keyword_pattern(keywords: Sequence[str], word_boundary: bool = False) -> str
     return "|".join(parts)
 
 
+def _ascii_fold(col: Column) -> Column:
+    """ASCII-only case fold for keyword matching (round-12, the
+    ``ascii_lower`` contract): the keyword vocabularies are all-ASCII, so
+    matching only needs the 26-letter fold — Java's full ``lower()`` maps
+    some non-ASCII characters INTO ASCII ('K' Kelvin → 'k', 'İ' → 'i'+◌̇)
+    differently from DuckDB's utf8proc, so a lowered-text rlike could
+    include/exclude different ROWS per engine.  ``translate`` is a pure
+    1:1 char map, identical everywhere, and bit-identical to ``lower()``
+    on ASCII text."""
+    return F.translate(
+        col.cast("string"),
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "abcdefghijklmnopqrstuvwxyz",
+    )
+
+
 def keyword_include(col: Column, keywords: Sequence[str], **kw) -> Column:
     """Case-insensitive keyword include mask (P7)."""
-    return F.lower(col.cast("string")).rlike(keyword_pattern([k.lower() for k in keywords], **kw))
+    return _ascii_fold(col).rlike(keyword_pattern([k.lower() for k in keywords], **kw))
 
 
 def keyword_exclude(col: Column, keywords: Sequence[str], **kw) -> Column:

@@ -21,6 +21,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_lower
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -827,7 +829,7 @@ WITH feat AS (
          CASE WHEN trim(text) = '' OR text IS NULL THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
          regexp_replace(text, '\s', '', 'g') AS nospace,
-         regexp_split_to_array(lower(trim(text)), '\s+') AS words
+         regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words
   FROM documents
 ), comp AS (
   SELECT source,
@@ -868,7 +870,7 @@ def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LANG_ID_CONFUSION = r"""
 WITH w AS (
-  SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS words FROM documents
+  SELECT lang, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words FROM documents
 ), s AS (
   SELECT lang,
          len(list_filter(words, x -> list_contains(['the','and','of','is','a'], x)))   AS s_en,
@@ -906,7 +908,7 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EXACT_DEDUP_DOCS = r"""
 WITH fp AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+         md5(trim(regexp_replace(regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
   FROM documents
 )
 SELECT doc_id, fingerprint
@@ -921,7 +923,7 @@ ORDER BY doc_id
 
 SQL_NGRAM_JACCARD = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
   FROM w, unnest(range(1, len(words) - 1)) AS t(i)
@@ -988,7 +990,7 @@ def _simhash_oracle_sql() -> str:
     )
     return rf"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
   FROM w, unnest(range(1, len(words) - 1)) AS t(i)
@@ -1344,7 +1346,7 @@ def q_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     text-analysis surface): polarity = (pos−neg)/(pos+neg) over fixed word
     lists, aggregated per language."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    words = F.split(F.trim(ascii_lower("text")), r"\s+")
     pos = F.size(F.filter(words, lambda w: w.isin("fast", "big", "value")))
     neg = F.size(F.filter(words, lambda w: w.isin("slow", "small", "error")))
     polarity = F.when(pos + neg == 0, F.lit(0.0)).otherwise(
@@ -1367,9 +1369,9 @@ def q_sentiment_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SENTIMENT_LEXICON = r"""
 WITH scored AS (
   SELECT lang,
-         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+         len(list_filter(regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+'),
              x -> list_contains(['fast','big','value'], x))) AS pos,
-         len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+         len(list_filter(regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+'),
              x -> list_contains(['slow','small','error'], x))) AS neg
   FROM documents
 ), pol AS (
@@ -1405,7 +1407,7 @@ WITH fp AS (
   -- review — downstream quality/lang filters drop those rows anyway
   -- on clean data, but the stage contracts must agree on dirty data)
   SELECT doc_id, lang, text,
-         md5(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS f
+         md5(trim(regexp_replace(regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS f
   FROM documents
 ), exact_survivors AS (
   SELECT doc_id, lang, text FROM fp
@@ -1416,7 +1418,7 @@ WITH fp AS (
          CASE WHEN trim(text) = '' OR text IS NULL THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
          regexp_replace(text, '\s', '', 'g') AS nospace,
-         regexp_split_to_array(lower(trim(text)), '\s+') AS words
+         regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words
   FROM exact_survivors
 ), scored AS (
   SELECT doc_id, lang, text, n_tok AS ws_tokens,
@@ -1431,7 +1433,7 @@ WITH fp AS (
   SELECT * FROM scored
   WHERE quality >= 0.5 AND lang IN ('en','es','fr','de','zh')
 ), w AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  SELECT doc_id, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words
   FROM passing
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
@@ -1480,8 +1482,8 @@ SELECT lang, count(*) AS n_docs
 FROM documents
 WHERE doc_id IS NOT NULL AND trim(CAST(doc_id AS VARCHAR)) <> ''
   AND text IS NOT NULL AND trim(text) <> ''
-  AND regexp_matches(lower(text), 'spark|stream')
-  AND NOT regexp_matches(lower(text), 'slow|error')
+  AND regexp_matches(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'spark|stream')
+  AND NOT regexp_matches(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 'slow|error')
 GROUP BY lang ORDER BY lang
 """
 
@@ -2564,8 +2566,9 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     #     mappings (lower('İ') = 'i'+U+0307 splits a token utf8proc
     #     keeps whole; upper('ß') = 'SS' vs 'ẞ'), so lower-then-tokenize
     #     yields different token sets per engine.  Fixed with the shared
-    #     ``llmdata.text_analysis.ascii_words`` contract (tokenize FIRST
-    #     on [^A-Za-z]+, then lower the pure-ASCII tokens — provably
+    #     ``llmdata.text_analysis.ascii_words`` contract (translate the
+    #     26 ASCII uppercase letters to lowercase — a pure char map with
+    #     no unicode case logic — then split on [^a-z]+; provably
     #     identical on the all-ASCII clean corpus), translate()-based
     #     ASCII uppercase for canonical_text_dedup's synthetic noisy
     #     re-ingest, and tfidf's lockstep doc_id complete-case (a term

@@ -465,8 +465,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan even builds; this way it is one cheap metadata-only agg job
     # inside the same plan.
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
-    # shared ascii_words contract (round-11 unicode-fuzz): tokenize
-    # FIRST on [^A-Za-z]+, then lower the pure-ASCII tokens
+    # shared ascii_words contract (round-11 unicode-fuzz): translate
+    # the 26 ASCII uppercase letters to lowercase (pure char map, no
+    # unicode case logic), then split on [^a-z]+
     from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
         ascii_words,
     )

@@ -291,11 +291,11 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines, and floor(±Inf/NaN) never reaches the
     BIGINT cast (DuckDB raises on it — round-11 value-fuzz)."""
     cust = _t(spark, sf_dir, "customer")
-    _fin = (
-        F.col("c_acctbal").isNotNull()
-        & ~F.isnan("c_acctbal")
-        & (F.abs(F.col("c_acctbal")) != F.lit(float("inf")))
-    )
+    # shared finite contract (round-12 advisor: inline copies risk
+    # drifting from the round-11-pinned predicate)
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_pred
+
+    _fin = finite_pred("c_acctbal")
     classes = cust.select(
         "c_nationkey",
         "c_mktsegment",

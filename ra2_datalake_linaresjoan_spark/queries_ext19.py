@@ -24,6 +24,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_words
+
 from ra2_datalake_linaresjoan_spark.queries import _t
 
 
@@ -40,7 +42,7 @@ def q_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "lang",
         "doc_id",
-        F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias("pos", "word"),
+        F.posexplode(ascii_words("text")).alias("pos", "word"),
     ).filter(F.col("word") != "")
     uni = tok.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cu"))
     uni_tot = uni.groupBy("lang").agg(F.sum("cu").alias("nu"))
@@ -93,8 +95,8 @@ WITH tok AS (
   SELECT lang, doc_id, t.pos, t.word
   FROM documents,
        LATERAL (SELECT generate_subscripts(
-                         regexp_split_to_array(lower(text), '[^a-z]+'), 1) AS pos,
-                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+                         regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), 1) AS pos,
+                       unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE t.word <> '' AND doc_id IS NOT NULL
 ), uni AS (
   SELECT lang, word, CAST(count(*) AS BIGINT) AS cu FROM tok GROUP BY 1, 2

@@ -34,6 +34,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_words
+
 from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _emb_clean, _t
 
 
@@ -67,7 +69,7 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.size(
                 F.filter(
-                    F.split(F.lower("text"), "[^a-z]+"),
+                    ascii_words("text"),
                     lambda x: x == _RRF_TERM,
                 )
             ),
@@ -110,7 +112,7 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_RECIPROCAL_RANK_FUSION = """
 WITH base AS (
   SELECT doc_id, n_chars,
-         coalesce(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         coalesce(len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                          x -> x = 'key')), 0) AS tf
   FROM documents
   WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
@@ -382,7 +384,7 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_COHENS_KAPPA = r"""
 WITH w AS (
-  SELECT lang, regexp_split_to_array(lower(trim(text)), '\s+') AS words FROM documents
+  SELECT lang, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words FROM documents
 ), s AS (
   SELECT lang,
          len(list_filter(words, x -> list_contains(['the','and','of','is','a'], x)))   AS s_en,

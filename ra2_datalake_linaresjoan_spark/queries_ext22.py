@@ -36,6 +36,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_lower, ascii_words
+
 from ra2_datalake_linaresjoan_spark.queries import _t
 
 
@@ -328,7 +330,7 @@ def q_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     text), predicted = argmax lang. Corpus-side tables are
     trigram-vocabulary-sized; the scoring join is trigram-keyed."""
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select("doc_id", "lang", F.lower("text").alias("t")).filter(
+    base = docs.select("doc_id", "lang", ascii_lower("text").alias("t")).filter(
         F.length("t") >= 3
     )
     tri = base.select(
@@ -381,7 +383,7 @@ def q_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CHAR_NGRAM_LANGID = """
 WITH base AS (
-  SELECT doc_id, lang, lower(text) AS t FROM documents WHERE length(lower(text)) >= 3
+  SELECT doc_id, lang, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents WHERE length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) >= 3
 ), tri AS (
   SELECT doc_id, lang, u.tri
   FROM base,
@@ -441,7 +443,7 @@ def q_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
-        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "").alias("wd"),
+        F.filter(ascii_words("text"), lambda x: x != "").alias("wd"),
     )
     # the shingle transform is guarded by an IN-ROW condition, not just
     # the preceding filter: sequence(0, size-3) DESCENDS when size < 3
@@ -540,7 +542,7 @@ def _mh_audit_sql() -> str:
     return f"""
 WITH words AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS wd
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), x -> x <> '') AS wd
   FROM documents
 ), sh_arr AS (
   SELECT doc_id,

@@ -29,6 +29,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_lower
+
 from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _t
 
 
@@ -50,7 +52,7 @@ def q_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
     never flag each other, so every dup flag requires a NON-NULL
     fingerprint (lockstep on both engines)."""
     docs = _t(spark, sf_dir, "documents")
-    base = docs.select("doc_id", F.lower("text").alias("t"))
+    base = docs.select("doc_id", ascii_lower("text").alias("t"))
     fp_exact = base.select("doc_id", F.md5("t").alias("fp"))
     canon = F.md5(F.trim(F.regexp_replace("t", "[^a-z0-9]+", " ")))
     fp_canon = base.select("doc_id", canon.alias("fp"))
@@ -123,7 +125,7 @@ def q_dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_METHOD_VENN = """
 WITH base AS (
-  SELECT doc_id, lower(text) AS t FROM documents
+  SELECT doc_id, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents
 ), ex AS (
   SELECT doc_id,
          t IS NOT NULL

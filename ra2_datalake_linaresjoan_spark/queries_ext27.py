@@ -62,6 +62,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_words
+
 from ra2_datalake_linaresjoan_spark.queries import _spread, _t
 
 
@@ -195,7 +197,19 @@ def poisson_weight_structs(key):
     product is < 2^53).  Two LCG steps decorrelate adjacent b's (state
     1 is linear in b; state 2 mixes).  Shared by the query below and
     ``tools/scale_probe.py`` so the probe always measures the shipped
-    kernel."""
+    kernel.
+
+    Statistical trade-off (round-12 advisor, recorded deliberately):
+    the stage-1 seeds are affinely spaced across replicates b and
+    adjacent keys, so replicate weights are lattice-correlated — each
+    weight is still marginally Poisson(1) (pinned against a pure-
+    Python reference in test_round11_fixes.py), but the JOINT stream
+    is weaker than the md5 stream it replaced, which can slightly bias
+    bootstrap CI coverage.  Accepted for the measured 2× win
+    (3.04 → 1.57 s at sf0.1): a 40-replicate percentile CI's own Monte
+    Carlo error dominates any lattice effect at this replicate count.
+    If CI fidelity ever matters more than the 1.5 s, add a xorshift/
+    murmur finalizer on state 2 IN BOTH ENGINES and re-pin."""
 
     def w_of(u16):
         # Branchless inverse CDF: the weight IS the number of cumulative
@@ -612,7 +626,7 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently passed the whole gate on both engines, deflating rates
     words = docs.select(
         F.filter(
-            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z]+"),
+            ascii_words(F.coalesce(F.col("text"), F.lit(""))),
             lambda x: x != "",
         ).alias("w")
     )
@@ -678,7 +692,7 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_GOPHER_QUALITY_RULES = f"""
 WITH words AS (
-  SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+  SELECT list_filter(regexp_split_to_array(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                                            '[^a-z]+'),
                      x -> x <> '') AS w
   FROM documents

@@ -35,6 +35,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_words
+
 from ra2_datalake_linaresjoan_spark.queries import _t
 
 
@@ -57,7 +59,7 @@ def q_minhash_bucket_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
-        F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "").alias(
+        F.filter(ascii_words("text"), lambda x: x != "").alias(
             "w"
         ),
     )
@@ -136,7 +138,7 @@ def _mbs_sql() -> str:
     return f"""
 WITH w AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                      x -> x <> '') AS w
   FROM documents
 ), sh AS (

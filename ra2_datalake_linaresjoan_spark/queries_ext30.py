@@ -52,11 +52,11 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine (DuckDB raises; ANSI Spark is plan-luck — round-11
     value-fuzz)."""
     cust = _t(spark, sf_dir, "customer")
-    _fin = (
-        F.col("c_acctbal").isNotNull()
-        & ~F.isnan("c_acctbal")
-        & (F.abs(F.col("c_acctbal")) != F.lit(float("inf")))
-    )
+    # shared finite contract (round-12 advisor: inline copies risk
+    # drifting from the round-11-pinned predicate)
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_pred
+
+    _fin = finite_pred("c_acctbal")
     groups = cust.groupBy(
         "c_mktsegment",
         "c_nationkey",

@@ -102,7 +102,7 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SALTED_SKEW_JOIN = """
 WITH j AS (
   SELECT c.c_mktsegment AS segment, e.user_id,
-         CASE WHEN isfinite(e.value)
+         CASE WHEN isfinite(e.value) AND abs(e.value) < 9.2e16
               THEN CAST(round(e.value * 100) AS BIGINT) END AS cents
   FROM events e JOIN customer c ON c.c_custkey = e.user_id
 ), s AS (

@@ -155,7 +155,7 @@ def q_ivm_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_IVM_MERGE_AUDIT = f"""
 WITH ev AS (
   SELECT CAST(ts AS DATE) AS day,
-         CASE WHEN isfinite(value)
+         CASE WHEN isfinite(value) AND abs(value) < 9.2e16
               THEN CAST(round(value * 100) AS BIGINT) END AS cents
   FROM events
 ), cut AS (
@@ -253,11 +253,11 @@ def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # may not evaluate first) — a conditional cast is deterministic and
     # lockstep; non-finite prices contribute NULL cents, which every
     # downstream sum skips identically (round-11 value-fuzz)
-    _fin = (
-        F.col("o_totalprice").isNotNull()
-        & ~F.isnan("o_totalprice")
-        & (F.abs(F.col("o_totalprice")) != F.lit(float("inf")))
-    )
+    # shared finite contract (round-12 advisor: inline copies risk
+    # drifting from the round-11-pinned predicate)
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_pred
+
+    _fin = finite_pred("o_totalprice")
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"),
         F.when(_fin, F.round(F.col("o_totalprice") * 100).cast("long")).alias(
@@ -333,7 +333,7 @@ WITH build AS (
   )
 ), orders_p AS (
   SELECT o_custkey AS k,
-         CASE WHEN isfinite(o_totalprice)
+         CASE WHEN isfinite(o_totalprice) AND abs(o_totalprice) < 9.2e16
               THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS cents,
          {", ".join(f"{_bj_bit_sql('o_custkey', j)} AS b{j}" for j in range(_BJ_K))}
   FROM orders

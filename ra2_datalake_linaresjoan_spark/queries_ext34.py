@@ -103,7 +103,7 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SCHEMA_EVOLUTION_UNION = """
 WITH ev AS (
   SELECT event_id, user_id, event_type,
-         CASE WHEN isfinite(value)
+         CASE WHEN isfinite(value) AND abs(value) < 9.2e16
               THEN CAST(round(value * 100) AS BIGINT) END AS cents, props
   FROM events
 ), evolved AS (
@@ -217,7 +217,7 @@ def q_merge_upsert_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MERGE_UPSERT_AUDIT = f"""
 WITH o AS (
   SELECT o_orderkey AS k, o_orderdate AS d,
-         CASE WHEN isfinite(o_totalprice)
+         CASE WHEN isfinite(o_totalprice) AND abs(o_totalprice) < 9.2e16
               THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
   FROM orders
 ), base AS (
@@ -379,7 +379,7 @@ def q_zorder_vs_linear_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ZORDER_VS_LINEAR_PRUNING = f"""
 WITH ab AS (
   SELECT o_custkey % 256 AS a,
-         CASE WHEN isfinite(o_totalprice)
+         CASE WHEN isfinite(o_totalprice) AND abs(o_totalprice) < 9.2e16
               THEN CAST(round(o_totalprice * 100) AS BIGINT) END % 256 AS b
   FROM orders
 ), stacked AS (

@@ -109,7 +109,8 @@ WITH tok AS (
               ELSE 'v' || md5(CAST(event_id AS VARCHAR)) END
       || CASE WHEN event_type IS NULL THEN 'n'
               ELSE 'v' || md5(CAST(event_type AS VARCHAR)) END
-      || CASE WHEN NOT coalesce(isfinite(value), FALSE) THEN 'n'
+      || CASE WHEN NOT coalesce(isfinite(value) AND abs(value) < 9.2e16,
+                                FALSE) THEN 'n'
               ELSE 'v' || md5(CAST(CAST(round(value * 100) AS BIGINT)
                                    AS VARCHAR)) END AS t,
          event_id
@@ -208,7 +209,7 @@ def q_two_phase_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TWO_PHASE_AGG_AUDIT = f"""
 WITH ev AS (
   SELECT user_id, event_id % {_TP_SALTS} AS salt,
-         CASE WHEN isfinite(value)
+         CASE WHEN isfinite(value) AND abs(value) < 9.2e16
               THEN CAST(round(value * 100) AS BIGINT) END AS cents
   FROM events
 ), partial AS (

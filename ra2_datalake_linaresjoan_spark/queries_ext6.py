@@ -523,11 +523,11 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # have (NULL bins drop in the p⋈ref equality join) — and
     # floor(NaN/±Inf)→BIGINT never evaluates (DuckDB raises on the
     # cast; ANSI Spark is plan-luck — round-11 value-fuzz)
-    _fin = (
-        F.col("value").isNotNull()
-        & ~F.isnan("value")
-        & (F.abs(F.col("value")) != F.lit(float("inf")))
-    )
+    # shared finite contract (round-12 advisor: inline copies risk
+    # drifting from the round-11-pinned predicate)
+    from ra2_datalake_linaresjoan_spark.operators.filters import finite_pred
+
+    _fin = finite_pred("value")
     binned = ev.select(
         F.to_date("ts").alias("day"),
         F.when(_fin, F.floor(F.col("value") / _PSI_BIN_W).cast("long")).alias(

@@ -233,9 +233,9 @@ WITH old AS (
               WHEN o.o_totalprice <> n.o_totalprice
                 OR o.o_orderstatus <> n.o_orderstatus THEN 'update'
               ELSE 'unchanged' END AS change_type,
-         COALESCE(CASE WHEN isfinite(n.o_totalprice)
+         COALESCE(CASE WHEN isfinite(n.o_totalprice) AND abs(n.o_totalprice) < 9.2e16
                        THEN CAST(round(n.o_totalprice * 100) AS BIGINT) END,
-                  CASE WHEN isfinite(o.o_totalprice)
+                  CASE WHEN isfinite(o.o_totalprice) AND abs(o.o_totalprice) < 9.2e16
                        THEN CAST(round(o.o_totalprice * 100) AS BIGINT) END)
            AS cents
   FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey

@@ -36,6 +36,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_lower, ascii_words
+
 from ra2_datalake_linaresjoan_spark.queries import _spread, _t
 
 
@@ -173,7 +175,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes W in production. All-integer arithmetic."""
     docs = _t(spark, sf_dir, "documents")
     words = (
-        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("word"))
+        docs.select(F.explode(ascii_words("text")).alias("word"))
         .filter(F.length("word") >= 3)
     )
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_exact"))
@@ -206,7 +208,7 @@ SQL_CMS_HEAVY_HITTERS = f"""
 WITH words AS (
   SELECT t.word
   FROM documents,
-       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+       LATERAL (SELECT unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE length(t.word) >= 3
 ), wc AS (
   SELECT word, CAST(count(*) AS BIGINT) AS n_exact FROM words GROUP BY word
@@ -437,7 +439,7 @@ def q_canonical_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     both = docs.select("doc_id", "text").unionByName(noisy)
     key = F.md5(
-        F.trim(F.lower(F.regexp_replace("text", "[^A-Za-z0-9]+", " ")))
+        F.trim(ascii_lower(F.regexp_replace("text", "[^A-Za-z0-9]+", " ")))
     ).alias("canon_fp")
     return (
         both.select(key, "doc_id")
@@ -460,7 +462,9 @@ WITH both_sets AS (
                    'ABCDEFGHIJKLMNOPQRSTUVWXYZ') || '!!'
   FROM documents WHERE doc_id % 7 = 0
 )
-SELECT md5(trim(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')))) AS canon_fp,
+SELECT md5(trim(translate(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'),
+                          'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                          'abcdefghijklmnopqrstuvwxyz'))) AS canon_fp,
        CAST(count(*) AS BIGINT) AS n_copies,
        CAST(min(doc_id) AS BIGINT) AS keeper_id
 FROM both_sets

@@ -32,6 +32,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_words
+
 from ra2_datalake_linaresjoan_spark.queries import _t
 
 
@@ -119,7 +121,7 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id",
         "lang",
-        F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias("pos", "word"),
+        F.posexplode(ascii_words("text")).alias("pos", "word"),
     ).filter(F.col("word") != "")
     w = Window.partitionBy("doc_id").orderBy("pos")
     big = (
@@ -160,8 +162,8 @@ WITH tok AS (
   SELECT doc_id, lang, t.pos, t.word
   FROM documents,
        LATERAL (SELECT generate_subscripts(
-                         regexp_split_to_array(lower(text), '[^a-z]+'), 1) AS pos,
-                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+                         regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), 1) AS pos,
+                       unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE t.word <> '' AND doc_id IS NOT NULL
 ), big AS (
   SELECT doc_id, lang, word AS w1,
@@ -215,7 +217,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     tok = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias("pos", "word"),
+        F.posexplode(ascii_words("text")).alias("pos", "word"),
     ).filter(F.col("word") != "")
     tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
@@ -298,8 +300,8 @@ WITH tok AS (
   SELECT doc_id, t.pos, t.word
   FROM documents,
        LATERAL (SELECT generate_subscripts(
-                         regexp_split_to_array(lower(text), '[^a-z]+'), 1) AS pos,
-                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+                         regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), 1) AS pos,
+                       unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE t.word <> '' AND doc_id IS NOT NULL
 ), tf AS (
   SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf

@@ -48,6 +48,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_words
+
 from ra2_datalake_linaresjoan_spark.queries import _t
 
 
@@ -74,7 +76,7 @@ def q_boilerplate_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id",
         "source",
-        F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias("pos", "word"),
+        F.posexplode(ascii_words("text")).alias("pos", "word"),
     ).filter(F.col("word") != "")
     w = Window.partitionBy("doc_id").orderBy("pos")
     idx = tok.withColumn("i", F.row_number().over(w) - 1)
@@ -117,8 +119,8 @@ WITH tok AS (
   SELECT doc_id, source, t.pos, t.word
   FROM documents,
        LATERAL (SELECT generate_subscripts(
-                         regexp_split_to_array(lower(text), '[^a-z]+'), 1) AS pos,
-                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+                         regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), 1) AS pos,
+                       unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE t.word <> '' AND doc_id IS NOT NULL
 ), idx AS (
   SELECT doc_id, source, word,
@@ -165,7 +167,7 @@ def _cont_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id",
         F.filter(
-            F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+            ascii_words("text"), lambda x: x != ""
         ).alias("w"),
     )
     return words.filter(F.size("w") >= _CONT_N).select(
@@ -242,7 +244,7 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CONTAINMENT_PAIRS = """
 WITH words AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+         list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'),
                      x -> x <> '') AS w
   FROM documents
   WHERE doc_id IS NOT NULL
@@ -373,7 +375,7 @@ def q_pmi_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id").isNotNull())
     tok = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias("pos", "word"),
+        F.posexplode(ascii_words("text")).alias("pos", "word"),
     ).filter(F.col("word") != "")
     w = Window.partitionBy("doc_id").orderBy("pos")
     big = (
@@ -409,8 +411,8 @@ WITH tok AS (
   SELECT doc_id, t.pos, t.word
   FROM documents,
        LATERAL (SELECT generate_subscripts(
-                         regexp_split_to_array(lower(text), '[^a-z]+'), 1) AS pos,
-                       unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+                         regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+'), 1) AS pos,
+                       unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE t.word <> '' AND doc_id IS NOT NULL
 ), big AS (
   SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM (

@@ -56,7 +56,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_REPETITION = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words FROM documents
 ), sh AS (
   SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
   FROM w, unnest(range(1, len(words) - 1)) AS t(i)
@@ -228,7 +228,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONTAMINATION = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS shingle
   FROM w, unnest(range(1, len(words) - 3)) AS t(i)

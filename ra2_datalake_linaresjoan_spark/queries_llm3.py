@@ -24,6 +24,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_words
+
 # shared reader: routes `events` through the nanos-timestamp-safe helper
 from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _emb_clean, _t
 
@@ -90,7 +92,7 @@ def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "lang",
             "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("word"),
+            F.explode(ascii_words("text")).alias("word"),
         )
         .filter(F.length("word") >= 3)
         .distinct()
@@ -109,7 +111,7 @@ SQL_HEAVY_HITTER_WORDS = """
 WITH words AS (
   SELECT DISTINCT lang, doc_id, t.word
   FROM documents,
-       LATERAL (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word) t
+       LATERAL (SELECT unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z]+')) AS word) t
   WHERE length(t.word) >= 3
 ), df AS (
   SELECT lang, word, CAST(count(*) AS BIGINT) AS doc_freq
@@ -308,7 +310,7 @@ WITH fp AS (
          -- full doc_fingerprint INCLUDING the final trim (punctuation
          -- stripping can create edge spaces the initial trim ran too
          -- early to see) — in lockstep with llmdata.text_analysis
-         md5(trim(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+         md5(trim(regexp_replace(regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
   FROM documents
 ), batch AS (
   SELECT doc_id, lang, fingerprint FROM fp WHERE doc_id % 10 = 9
@@ -469,9 +471,9 @@ def q_udtf_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_UDTF_CHAR_SHINGLES = r"""
 WITH sh AS (
-  SELECT lang, substring(lower(text), i, 5) AS shingle
-  FROM documents, unnest(range(1, length(lower(text)) - 3)) AS t(i)
-  WHERE length(lower(text)) >= 5
+  SELECT lang, substring(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, 5) AS shingle
+  FROM documents, unnest(range(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - 3)) AS t(i)
+  WHERE length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) >= 5
 ), counts AS (
   SELECT lang, shingle, CAST(count(*) AS BIGINT) AS n
   FROM sh GROUP BY lang, shingle

@@ -247,7 +247,7 @@ WITH ranked AS (
   SELECT lang, doc_id, text,
          row_number() OVER (
            PARTITION BY md5(trim(regexp_replace(regexp_replace(
-             lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+             trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
            ORDER BY doc_id) AS rn
   FROM documents
 ), flagged AS (
@@ -419,7 +419,7 @@ WITH feat AS (
          CASE WHEN trim(text) = '' OR text IS NULL THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
          regexp_replace(text, '\s', '', 'g') AS nospace,
-         regexp_split_to_array(lower(trim(text)), '\s+') AS words
+         regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words
   FROM documents
 ), comp AS (
   SELECT n_chars,

@@ -1,0 +1,240 @@
+"""Round-12 pins: the exact_cents representable-domain bound, the
+unguarded-double hypothesis sweep it unlocks, the ascii_lower contract
+(whitespace-tokenizer sibling of ascii_words), and the keyword-filter
+ASCII fold.
+
+Round-11 shipped finite_case/exact_cents as shared contracts on 40+
+call sites but the property sweep clamped |x| < 1e15 — the round-12
+advisor noted a huge-but-finite double (1e17) passed finite_pred and
+overflowed the BIGINT cents cast in BOTH engines.  exact_cents now
+guards the representable cents domain (|x| < 9.2e16 ≈ 2^63/100 with
+round() headroom), so the sweep runs UNCLAMPED and the boundary is
+pinned explicitly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def test_exact_cents_domain_boundary_cross_engine(spark):
+    """Explicit boundary values: at/around ±9.2e16 (the guard), around
+    ±2^63/100 (the raw cast limit the guard protects), -0.0, exact .5
+    cents fractions (0.625*100 = 62.5 exactly — HALF_UP away from zero
+    in both engines), and 1-ulp-below-.5 fractions."""
+    import duckdb
+
+    from ra2_datalake_linaresjoan_spark.operators.filters import (
+        exact_cents,
+        exact_cents_sql,
+    )
+
+    just_in = math.nextafter(9.2e16, 0)  # inside the strict < bound
+    half_exact = 0.625  # 5/8: *100 = 62.5 exactly representable
+    below_half = math.nextafter(62.5, 0) / 100  # cents fraction 1 ulp under .5
+    vals = [
+        9.2e16, -9.2e16,                      # exactly AT the bound -> NULL
+        just_in, -just_in,                    # just inside -> cast succeeds
+        2**63 / 100, -(2**63) / 100,          # raw cast limit -> NULL (guarded)
+        1e17, 1e308, -1e308,                  # far out-of-domain finites -> NULL
+        -0.0,                                 # signed zero -> 0 cents
+        half_exact, -half_exact,              # exact .5 -> away from zero
+        below_half, -below_half,              # 1 ulp below .5 -> toward zero
+        float("nan"), float("inf"), float("-inf"), None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r["c"] for r in df.select(exact_cents("x").alias("c")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {exact_cents_sql('x')} FROM (SELECT ?::DOUBLE AS x)", [v]
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+    by = dict(zip(map(repr, vals), got))
+    assert by[repr(9.2e16)] is None and by[repr(1e17)] is None
+    assert by[repr(just_in)] == round(just_in * 100)
+    assert by[repr(-0.0)] == 0
+    assert by[repr(0.625)] == 63 and by[repr(-0.625)] == -63
+    assert by[repr(below_half)] == 62 and by[repr(-below_half)] == -62
+
+
+def test_exact_cents_unclamped_hypothesis_cross_engine(spark):
+    """Full-double-domain sweep — no magnitude clamp (the round-11 sweep
+    clamped to |x| < 1e15; the domain guard makes the clamp obsolete)."""
+    import duckdb
+
+    from hypothesis import given, settings, strategies as st
+
+    from ra2_datalake_linaresjoan_spark.operators.filters import (
+        exact_cents,
+        exact_cents_sql,
+    )
+
+    doubles = st.one_of(
+        st.floats(allow_nan=True, allow_infinity=True, width=64),
+        st.sampled_from(
+            [9.2e16, -9.2e16, math.nextafter(9.2e16, 0), 2**63 / 100,
+             1e17, 5e-324, 1e308, -0.0, 0.625, -0.625, 99.995]
+        ),
+        st.none(),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(doubles, min_size=1, max_size=25))
+    def run(vals):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = [
+            r["c"] for r in df.select(exact_cents("x").alias("c")).collect()
+        ]
+        con = duckdb.connect()
+        for v, g in zip(vals, got):
+            (d,) = con.execute(
+                f"SELECT {exact_cents_sql('x')} FROM (SELECT ?::DOUBLE AS x)",
+                [v],
+            ).fetchone()
+            assert g == d, (v, g, d)
+
+    run()
+
+
+def test_ascii_lower_cross_engine_and_ascii_noop(spark):
+    """The round-12 whitespace-tokenizer fold: identical output in both
+    engines on unicode carriers, and bit-identical to lower() on ASCII."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        ascii_lower,
+        ascii_lower_sql,
+    )
+
+    texts = [
+        "Hello World 42!",
+        "İstanbul straße ΣΙΣ ﬁn",
+        "the SPARK value",      # Kelvin sign: full lower() folds to ASCII k
+        "DİYARBAKIR ığdır",
+        "MIXED punct-1.5, (ok)",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        r["t"] for r in df.select(ascii_lower("text").alias("t")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"SELECT {ascii_lower_sql('text')} FROM (SELECT ?::VARCHAR AS text)",
+            [t],
+        ).fetchone()[0]
+        for t in texts
+    ]
+    assert got == want
+    # ASCII no-op: equals full lower() wherever the input is pure ASCII
+    ascii_rows = df.where(~F.col("text").rlike("[^\\x00-\\x7f]"))
+    same = ascii_rows.select(
+        (ascii_lower("text") == F.lower("text")).alias("eq")
+    ).collect()
+    assert same and all(r["eq"] for r in same)
+
+
+def test_shingles_fold_is_engine_independent(spark):
+    """dedup.shingles (feeds minhash/containment) must emit the same
+    shingle multiset both engines would compute — pinned directly on a
+    unicode carrier (the round-12 migration of llmdata/dedup.py:38)."""
+    import duckdb
+
+    from ra2_datalake_linaresjoan_spark.llmdata.dedup import shingles
+
+    rows = [
+        (1, "The Quick Brown Fox Jumps"),
+        (2, "İstanbul straße ΣΙΣ quick brown fox"),
+        (3, "the SPARK value stream here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in shingles(df, "doc_id", "text", 3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i, _ in rows)
+        + ") AS t(doc_id, text)",
+        [t for _, t in rows],
+    )
+    want = sorted(
+        (int(i), s)
+        for i, s in con.execute(
+            r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(translate(text,
+                       'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words
+              FROM d
+            )
+            SELECT DISTINCT doc_id, array_to_string(words[i:i+2], ' ')
+            FROM w, unnest(range(1, len(words) - 1)) AS t(i)
+            WHERE len(words) >= 3
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_keyword_filter_fold_row_sets_match_cross_engine(spark):
+    """keyword_include/exclude choose ROWS — an engine-divergent fold
+    changes result cardinality, not just strings.  Pin the ASCII-fold
+    contract on carriers where Java lower() folds non-ASCII into ASCII
+    ('K' Kelvin completes 'spark') while translate leaves it alone."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.operators.filters import (
+        keyword_exclude,
+        keyword_include,
+    )
+
+    rows = [
+        (1, "a SPARK stream"),  # plain ASCII -> include
+        # U+212A KELVIN: Java lower() folds it to ASCII 'k' completing
+        # 'spark'; the translate contract does NOT -> row excluded
+        (2, "a SPAR\u212a flow"),
+        (3, "slow SPARK thing"),  # include hits, exclude hits -> out
+        (4, "nothing relevant"),
+        (5, "\u0130stanbul spark"),  # carrier beside a real keyword
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = sorted(
+        r["id"]
+        for r in df.filter(
+            keyword_include(F.col("text"), ["spark", "stream"])
+            & keyword_exclude(F.col("text"), ["slow", "error"])
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i, _ in rows)
+        + ") AS t(id, text)",
+        [t for _, t in rows],
+    )
+    tr = ("translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+          " 'abcdefghijklmnopqrstuvwxyz')")
+    want = sorted(
+        int(i)
+        for (i,) in con.execute(
+            f"SELECT id FROM d WHERE regexp_matches({tr}, 'spark|stream')"
+            f" AND NOT regexp_matches({tr}, 'slow|error')"
+        ).fetchall()
+    )
+    assert got == want
+    # row 2's Kelvin sign must NOT complete 'spark' under the translate
+    # contract (a full lower() would have included it)
+    assert got == [1, 5]

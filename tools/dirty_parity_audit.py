@@ -67,6 +67,29 @@ SF = "/root/testdata/sf0.001"
 #:   decode) — guard the payload like the text class.
 KNOWN_DIVERGENT: dict[str, str] = {}
 
+#: Round-12 per-row unicode carrier table (picked by row id).  Each entry
+#: targets a specific cross-engine case-fold divergence class:
+#: Turkish İ/ı (full lower adds U+0307), ß→SS vs ẞ, Greek capital/final
+#: sigma context, Kelvin sign K→ASCII k (can complete an ASCII keyword
+#: under Java lower() only), ligatures (ﬁ/ﬃ do NOT decompose under
+#: lower), combining marks (café composed vs decomposed), fullwidth
+#: letters, and a mixed-script homoglyph.  Several embed ASCII words
+#: ('spark', 'the', 'value', 'error') adjacent to the carrier so keyword
+#: filters and stopword/marker matching see the fold boundary, not just
+#: tokenizers.
+UNICODE_CARRIERS: tuple[str, ...] = (
+    "\u0130stanbul stra\u00dfe \u03a3\u0399\u03a3 \ufb01n",
+    "the SPAR\u212a value",  # U+212A KELVIN: completes 'spark' under case fold
+    "D\u0130YARBAKIR \u0131\u011fd\u0131r the of",  # Turkish I-dot / dotless-i
+    "GROSSE STRASSE gro\u1e9ee \u00df",  # U+1E9E capital sharp s
+    "\u039f\u0394\u03a5\u03a3\u03a3\u0395\u03a5\u03a3 \u03bf\u03b4\u03c5\u03c3\u03c3\u03b5\u03c5\u03c2 the",  # final-sigma context
+    "cafe\u0301 caf\u00e9 the and",  # combining acute vs precomposed
+    "\ufb03 \ufb06 \ufb01n o\ufb03ce error",  # ligatures beside 'error'
+    "\uff33\uff30\uff21\uff32\uff2b \uff53\uff54ream the",  # fullwidth letters
+    "\u041c\u041e\u0421\u041a\u0412\u0410 \u041c\u043e\u0441\u043a\u0432\u0430 the is",  # Cyrillic
+    "\u0130\u0130\u0130 \u00df\u00df\u00df \u03a3\u03a3\u03a3",  # carrier-only, no ASCII anchor
+)
+
 
 def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
     import zlib
@@ -149,19 +172,29 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
                     F.lit(""),
                 ).when(
                     # unicode case-fold carriers (round 11, second
-                    # layer): Java and utf8proc fold these differently
-                    # — lower('İ') = 'i'+U+0307 vs 'i', upper('ß') =
-                    # 'SS' vs 'ẞ', Greek sigma context rules — so any
-                    # lower-then-tokenize pipeline splits different
-                    # token sets per engine.  The lockstep recipe is
-                    # ascii_tokens (tokenize FIRST on [^A-Za-z]+, then
-                    # lower the pure-ASCII tokens).  NOTE: the carrier
-                    # string is IDENTICAL on every fuzzed row, which
-                    # MASKS queries whose outputs are insensitive to
-                    # duplicated text — randomizing the carrier per row
-                    # is the round-12 sharpening.
+                    # layer; round 12: RANDOMIZED per row): Java and
+                    # utf8proc fold these differently — lower('İ') =
+                    # 'i'+U+0307 vs 'i', upper('ß') = 'SS' vs 'ẞ',
+                    # Greek sigma context rules, 'K' (Kelvin) → ASCII
+                    # 'k' — so any lower-before-tokenize/match pipeline
+                    # sees different token sets per engine.  The
+                    # lockstep recipe is the shared ascii_words /
+                    # ascii_lower contract (translate the 26 ASCII
+                    # uppercase letters, THEN split/match — a pure char
+                    # map, identical in every engine).  Round-11's
+                    # carrier was IDENTICAL on every fuzzed row, which
+                    # masked duplication-insensitive queries; the
+                    # round-12 sharpening picks a DIFFERENT carrier per
+                    # row (deterministically, by row id) so distinct-
+                    # counts, groupings and dedup survivors all shift
+                    # if an engine-divergent fold survives anywhere.
                     (rid + voff) % 17 == 4,
-                    F.lit("İstanbul straße ΣΙΣ ﬁn"),
+                    F.element_at(
+                        F.array(*[F.lit(c) for c in UNICODE_CARRIERS]),
+                        ((rid + voff) % len(UNICODE_CARRIERS) + 1).cast(
+                            "int"
+                        ),
+                    ),
                 ).when((rid + voff) % 11 == 2, F.lit("NaN")).when(
                     (rid + voff) % 11 == 5, F.lit("Infinity")
                 ).when((rid + voff) % 11 == 8, F.lit("-Infinity")).when(
