@@ -174,7 +174,23 @@ def scd2_stream_sink(
     foreachBatch epoch ids restart at 0 with the fresh checkpoint, the
     stale high-water mark would silently skip — and permanently lose —
     the new stream's first micro-batches.  Checkpoint gone ⇒ marker
-    gone, by construction."""
+    gone, by construction.
+
+    Writer contract (round-12, pinned by
+    ``tests/test_round12_fixes.py::test_scd2_two_interleaved_writers``):
+    ONE writer at a time.  Two sinks sharing an episodes ``path`` under
+    DIFFERENT checkpoints compose correctly when their epochs are
+    INTERLEAVED (never simultaneous) and the union of their feeds still
+    satisfies the CDC-order contract — each keeps its own epoch marker
+    (scoped to its checkpoint, so writer B's epoch 0 is not mistaken
+    for a replay of writer A's), and each epoch folds into the table
+    the other left behind.  SIMULTANEOUS writers are NOT supported:
+    they would race the shared ``__stage``/``__bak`` scratch paths and
+    the read-merge-swap itself (last swap wins, the loser's batch is
+    silently dropped).  Cluster deployments wanting multi-writer go
+    through a transactional table format (Delta MERGE with
+    txnAppId/txnVersion), where this epoch body is unchanged but the
+    stage-swap disappears."""
     marker = checkpoint_dir.rstrip("/") + "/__scd2_epoch_marker__"
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:

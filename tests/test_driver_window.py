@@ -189,3 +189,57 @@ def test_priority_names_all_resolve():
     missing = [n for n in _DRIVER_PRIORITY if n not in names]
     assert not missing, f"_DRIVER_PRIORITY names not in registry: {missing}"
     assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY)), "duplicates"
+
+
+#: A query whose last green driver row is this many rounds old MUST be
+#: scheduled — in the window, in the declared overflow, or in the
+#: explicit next-round backfill declaration.  Nine-round-stale cohorts
+#: slipped through rounds 9-12 because nothing forced a plan for them;
+#: with this bound, the moment the next CORRECTNESS file lands the
+#: suite fails unless the stale cohort has a declared seat.
+MAX_UNSCHEDULED_AGE = 10
+
+
+def test_stalest_cohort_has_a_declared_seat():
+    """Max-staleness bound (round-11 verdict ask #1): every query whose
+    driver row is >= MAX_UNSCHEDULED_AGE rounds old must sit in the
+    window, the declared overflow, or _STALE_BACKFILL_NEXT_ROUND (the
+    explicit commitment that next round's window takes it).  Parking a
+    ten-round-stale query in the registry tail with no declaration
+    fails the suite immediately."""
+    import re
+
+    from ra2_datalake_linaresjoan_spark.queries import (
+        _CHANGED_OVERFLOW_NEXT_ROUND,
+        _STALE_BACKFILL_NEXT_ROUND,
+        queries,
+    )
+
+    last = _last_green_round()
+    assert len(last) >= 200
+    latest = max(
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    order = list(queries().keys())
+    scheduled = (
+        set(order[:WINDOW])
+        | set(_CHANGED_OVERFLOW_NEXT_ROUND)
+        | set(_STALE_BACKFILL_NEXT_ROUND)
+    )
+    unseated = sorted(
+        q
+        for q in order
+        if latest - last.get(q, latest) >= MAX_UNSCHEDULED_AGE
+        and q not in scheduled
+    )
+    assert not unseated, (
+        "queries >= %d rounds stale with no declared seat (window/"
+        "overflow/backfill): %r" % (MAX_UNSCHEDULED_AGE, unseated)
+    )
+    # the backfill declaration itself must name real, checked queries
+    names = set(order)
+    assert set(_STALE_BACKFILL_NEXT_ROUND) <= names
+    assert len(_STALE_BACKFILL_NEXT_ROUND) == len(
+        set(_STALE_BACKFILL_NEXT_ROUND)
+    )

@@ -238,3 +238,102 @@ def test_keyword_filter_fold_row_sets_match_cross_engine(spark):
     # row 2's Kelvin sign must NOT complete 'spark' under the translate
     # contract (a full lower() would have included it)
     assert got == [1, 5]
+
+
+def test_scd2_two_interleaved_writers(spark, tmp_path):
+    """Two scd2_stream_sink writers share ONE episodes path under
+    DIFFERENT checkpoints, strictly interleaved (A, B, A, B — never
+    simultaneous), the union of their feeds in CDC order.  The at-rest
+    table must equal the one-shot scd2_history over the whole feed.
+
+    This pins the round-11 marker-scoping fix from the OTHER side: the
+    marker lives inside each writer's checkpoint, so writer B's epoch 0
+    must not be skipped as a replay of writer A's epoch 0 (a shared
+    path-derived marker — the pre-round-11 design — would drop B's
+    first batch silently).  Simultaneous writers stay out of contract
+    (documented in scd2_stream_sink's docstring): they race the shared
+    __stage/__bak scratch paths."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from ra2_datalake_linaresjoan_spark.operators.scd2 import scd2_history
+    from ra2_datalake_linaresjoan_spark.queries import _events
+    from ra2_datalake_linaresjoan_spark.streaming.scd2_sink import (
+        scd2_stream_sink,
+    )
+    from ra2_datalake_linaresjoan_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["user_id", "event_type", "ts", "event_id"]
+    ev = (
+        _events(spark, sf)
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        )
+        .select(*cols)
+        .orderBy("ts", "event_id")
+        .limit(400)
+    )
+    rows = ev.collect()
+    feed = spark.createDataFrame(rows, ev.schema)
+    quarter = (len(rows) + 3) // 4
+    src_a, src_b = tmp_path / "feedA", tmp_path / "feedB"
+    src_a.mkdir(), src_b.mkdir()
+
+    def _drop_chunk(i: int, src) -> None:
+        chunk = spark.createDataFrame(
+            rows[i * quarter : (i + 1) * quarter], ev.schema
+        )
+        stage = tmp_path / f"stage{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.rename(stage / part, src / f"chunk{i}.parquet")
+
+    out = str(tmp_path / "episodes")
+
+    def _run(src, ckpt) -> None:
+        q = scd2_stream_sink(
+            read_events_stream(
+                spark, str(src), max_files_per_trigger=1
+            ).select(*cols),
+            out,
+            checkpoint_dir=str(ckpt),
+            key="user_id",
+            state="event_type",
+            ts="ts",
+            tiebreak="event_id",
+        )
+        q.awaitTermination(120)
+
+    # A(chunk0) -> B(chunk1) -> A(chunk2) -> B(chunk3): each writer
+    # resumes its OWN checkpoint, folding into the table the other
+    # writer left behind; time terciles keep global CDC order
+    for i, (src, ckpt) in enumerate(
+        [
+            (src_a, tmp_path / "ckptA"),
+            (src_b, tmp_path / "ckptB"),
+            (src_a, tmp_path / "ckptA"),
+            (src_b, tmp_path / "ckptB"),
+        ]
+    ):
+        _drop_chunk(i, src)
+        time.sleep(0.2)
+        _run(src, ckpt)
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            scd2_history(
+                feed, "user_id", "event_type", "ts", "event_id"
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
