@@ -144,6 +144,32 @@ def keyword_pattern(keywords: Sequence[str], word_boundary: bool = False) -> str
     return "|".join(parts)
 
 
+def ascii_text_pred(col: Column | str) -> Column:
+    """True when the string is non-NULL and pure ASCII — the population
+    guard for CHAR-LEVEL string metrics (edit distance, fixed-width
+    char slicing).  Round-12 dirty-audit find (`edit_distance_match`):
+    the engines segment non-ASCII text differently — Spark's
+    levenshtein/substring walk UTF-16 code units / codepoints while
+    DuckDB's levenshtein/substr walk GRAPHEME CLUSTERS — so a combining
+    sequence ('cafe' + U+0301) has length 5 in one engine and 4 in the
+    other, shifting distances, slices and blocking keys.  Char-level
+    semantics are engine-independent only on ASCII; queries that need
+    them define their population as ASCII rows, identically in both
+    engines.  On the all-ASCII clean corpus this is a no-op.  Pair with
+    ``ascii_text_sql``."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = c.cast("string")
+    return s.isNotNull() & ~s.rlike(r"[^\x00-\x7f]")
+
+
+def ascii_text_sql(expr: str) -> str:
+    """The oracle-side WHERE fragment matching ``ascii_text_pred``."""
+    return (
+        f"({expr} IS NOT NULL AND NOT regexp_matches({expr},"
+        f" '[^\\x00-\\x7f]'))"
+    )
+
+
 def _ascii_fold(col: Column) -> Column:
     """ASCII-only case fold for keyword matching (round-12, the
     ``ascii_lower`` contract): the keyword vocabularies are all-ASCII, so

@@ -2558,6 +2558,18 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "k_anonymity_audit",
     "l_diversity",
     "psi_drift",
+    # (e) round-12 strengthened-dirty-audit fix: the per-row randomized
+    #     unicode carriers exposed ONE live divergence in the full
+    #     300-query audit — char-level metrics segment non-ASCII text
+    #     differently per engine (Spark levenshtein/substring walk
+    #     UTF-16 units / codepoints; DuckDB's walk grapheme clusters).
+    #     Fixed with the shared ascii_text_pred/ascii_text_sql
+    #     population contract (operators/filters.py), applied in
+    #     lockstep to the flagged query and proactively to the two
+    #     other fixed-width char-slicing paths (char_ngram_langid,
+    #     udtf_char_shingles — already declared above).  Clean-data
+    #     no-op; re-verified tri-scale + dirty MATCH:
+    "edit_distance_match",
 })
 
 
@@ -2565,18 +2577,19 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 #: round.  The window is fully committed: the 31-name round-11 overflow
 #: (hard placement contract) + 19 r2-stale names (nine rounds since a
 #: driver row — the round-11 verdict's ask #1; five of them double-duty
-#: as round-12 migration re-checks).  These 36 names sit at positions
-#: 51-86 — the FIRST cohort outside the window — and MUST lead the
+#: as round-12 migration re-checks).  These 37 names sit at positions
+#: 51-87 — the FIRST cohort outside the window — and MUST lead the
 #: round-13 rotation.  Mitigations: every overflow name is re-verified
 #: MATCH at sf0.001/0.01/0.1 AND on the round-12-strengthened dirty
 #: corpus (per-row randomized unicode carriers) this round, and every
 #: round-12 change is a provable NO-OP on the clean corpus (ASCII
 #: translate == lower on ASCII text; the cents bound only reroutes
 #: |x| >= 9.2e16).  Round-13 arithmetic CLOSES the rotation debt:
-#: 36 overflow + 9 _STALE_BACKFILL_NEXT_ROUND = 45 <= 50, leaving
-#: 5 slots for round-13 churn + r3-stale backfill.  Ordered
-#: stalest-first (driver rounds 4-11).
+#: 37 overflow + 9 _STALE_BACKFILL_NEXT_ROUND = 46 <= 50, leaving
+#: 4 slots for round-13 churn + r3-stale backfill.  Ordered
+#: stalest-first (driver rounds 3-11).
 _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
+    "edit_distance_match",
     "cms_heavy_hitters",
     "contamination",
     "dedup_threshold_sweep",
@@ -2703,6 +2716,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #    the FIRST thing the round-13 window picks up
     #    (tests/test_driver_window.py enforces the placement), stalest
     #    first
+    "edit_distance_match",
     "cms_heavy_hitters",
     "contamination",
     "dedup_threshold_sweep",

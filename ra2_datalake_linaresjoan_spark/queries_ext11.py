@@ -229,9 +229,17 @@ def q_edit_distance_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns the all-pairs metric join into per-block joins (the standard
     linkage plan: block → candidate → verify); both engines compute the
     identical DP edit distance. Output: every (variant, match) pair with
-    its distance."""
+    its distance.
+
+    Population = ASCII names (shared ``ascii_text_pred`` contract,
+    round-12 dirty audit): Spark's levenshtein/substring walk UTF-16
+    units while DuckDB's walk grapheme clusters, so distances, lengths
+    and blocking keys disagree the moment a name leaves ASCII.
+    Clean-data no-op (part names are ASCII)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import ascii_text_pred
+
     part = _t(spark, sf_dir, "part")
-    names = part.select("p_name").distinct()
+    names = part.select("p_name").where(ascii_text_pred("p_name")).distinct()
     variants = names.select(
         F.concat(
             F.substring("p_name", 1, 1), F.expr("substr(p_name, 3)")
@@ -255,9 +263,10 @@ def q_edit_distance_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EDIT_DISTANCE_MATCH = """
+SQL_EDIT_DISTANCE_MATCH = r"""
 WITH names AS (
   SELECT DISTINCT p_name FROM part
+  WHERE p_name IS NOT NULL AND NOT regexp_matches(p_name, '[^\x00-\x7f]')
 ), variants AS (
   SELECT substr(p_name, 1, 1) || substr(p_name, 3) AS variant FROM names
 )

@@ -328,8 +328,16 @@ def q_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the INTEGER dot product of its trigram counts with each profile
     (exact arithmetic ⇒ partition-invariant argmax; ties break on lang
     text), predicted = argmax lang. Corpus-side tables are
-    trigram-vocabulary-sized; the scoring join is trigram-keyed."""
-    docs = _t(spark, sf_dir, "documents")
+    trigram-vocabulary-sized; the scoring join is trigram-keyed.
+
+    Population = ASCII docs (shared ``ascii_text_pred``, round-12):
+    fixed-width char slicing is grapheme-based in DuckDB and
+    codepoint-based in Spark, so trigram multisets disagree on
+    combining sequences.  Clean-data no-op (ASCII corpus); char-trigram
+    features are only engine-portable on ASCII anyway."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import ascii_text_pred
+
+    docs = _t(spark, sf_dir, "documents").where(ascii_text_pred("text"))
     base = docs.select("doc_id", "lang", ascii_lower("text").alias("t")).filter(
         F.length("t") >= 3
     )
@@ -381,9 +389,11 @@ def q_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CHAR_NGRAM_LANGID = """
+SQL_CHAR_NGRAM_LANGID = r"""
 WITH base AS (
-  SELECT doc_id, lang, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents WHERE length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) >= 3
+  SELECT doc_id, lang, translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS t FROM documents
+  WHERE text IS NOT NULL AND NOT regexp_matches(text, '[^\x00-\x7f]')
+    AND length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) >= 3
 ), tri AS (
   SELECT doc_id, lang, u.tri
   FROM base,

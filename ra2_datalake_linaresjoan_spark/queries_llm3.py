@@ -454,10 +454,20 @@ def q_udtf_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``llmdata/udtfs.CharShingles`` — the Spark 4 table-function escape
     hatch for imperative row generation). Top-3 5-char shingles per
     language by frequency, deterministic tiebreak — pinning the
-    UDTF path itself under the DuckDB oracle, not just a unit test."""
-    from ra2_datalake_linaresjoan_spark.llmdata.udtfs import shingle_table
+    UDTF path itself under the DuckDB oracle, not just a unit test.
 
-    docs = _t(spark, sf_dir, "documents").select("lang", "text")
+    Population = ASCII docs (shared ``ascii_text_pred``, round-12):
+    the UDTF slices by Python codepoints while DuckDB's substring
+    walks grapheme clusters — fixed-width char windows only agree on
+    ASCII.  Clean-data no-op."""
+    from ra2_datalake_linaresjoan_spark.llmdata.udtfs import shingle_table
+    from ra2_datalake_linaresjoan_spark.operators.filters import ascii_text_pred
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(ascii_text_pred("text"))
+        .select("lang", "text")
+    )
     sh = shingle_table(docs, "text", 5)
     counts = sh.groupBy("lang", "shingle").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.desc("n"), "shingle")
@@ -473,7 +483,8 @@ SQL_UDTF_CHAR_SHINGLES = r"""
 WITH sh AS (
   SELECT lang, substring(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), i, 5) AS shingle
   FROM documents, unnest(range(1, length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) - 3)) AS t(i)
-  WHERE length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) >= 5
+  WHERE text IS NOT NULL AND NOT regexp_matches(text, '[^\x00-\x7f]')
+    AND length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) >= 5
 ), counts AS (
   SELECT lang, shingle, CAST(count(*) AS BIGINT) AS n
   FROM sh GROUP BY lang, shingle
