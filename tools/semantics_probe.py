@@ -1,0 +1,170 @@
+"""Cross-engine operator-semantics probe: Spark vs DuckDB on adversarial
+scalar inputs, OUTSIDE the query corpus.
+
+The round-11 unicode case-fold class and the round-12 grapheme
+segmentation class were both found by probing operator PAIRS directly
+rather than waiting for a corpus query to trip over them.  This tool
+makes that practice repeatable: a battery of (name, spark Column
+expression, duckdb SQL expression, input rows) probes, each evaluated on
+both engines and compared value-for-value.
+
+AGREE    — identical results on every input (class is safe to use
+           unguarded in oracle-paired queries)
+DIVERGE  — at least one input differs (class needs a shared contract /
+           population guard before an oracle-paired query may rely on it;
+           the mismatching inputs are printed)
+
+Probes marked KNOWN_DIVERGENT document classes we have already fenced
+with a shared contract (ascii_words / ascii_lower / ascii_text_pred /
+finite_case / exact_cents) — the probe asserts the divergence still
+exists (if an engine upgrade makes one vanish, the guard could be
+retired).
+
+Usage: python tools/semantics_probe.py
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+#: (name, spark_expr_builder(col), duck_sql_expr over "x", inputs, kind)
+#: kind: 'str' or 'dbl' input column type; expected: 'agree' | 'diverge'
+PROBES = []
+
+
+def probe(name, spark_fn, duck_expr, inputs, kind="str", expected="agree"):
+    PROBES.append((name, spark_fn, duck_expr, inputs, kind, expected))
+
+
+# --- double -> string formatting (latent class: no corpus query casts a
+# raw DOUBLE to string; every digest casts ints/cents) ---------------------
+DBLS = [0.0, -0.0, 1.0, 941.54, 1234567.0, 12345678.9, 1e7, 9999999.5,
+        1e16, 1e-3, 1e-4, float("nan"), float("inf"), float("-inf"), None]
+probe("cast_double_to_string", lambda c: c.cast("string"),
+      "CAST(x AS VARCHAR)", DBLS, kind="dbl", expected="diverge")
+
+# --- unicode whitespace in \s and trim ------------------------------------
+WS = ["a b", "a b", "a　b", " a b ", " a ",
+      "a\tb", "ab", None]
+probe("split_ws_regex", lambda c: F.split(c, r"\s+"),
+      r"regexp_split_to_array(x, '\s+')", WS)
+probe("trim_unicode_ws", lambda c: F.trim(c), "trim(x)", WS)
+probe("regexp_replace_ws", lambda c: F.regexp_replace(c, r"\s", "_"),
+      r"regexp_replace(x, '\s', '_', 'g')", WS)
+
+# --- binary collation: comparisons and min/max over unicode strings -------
+CMP = ["a", "Z", "z", "é", "İ", "Ａ", "ABC", "abc", ""]
+probe("string_lt_Z", lambda c: (c < F.lit("b")).cast("string"),
+      "CAST((x < 'b') AS VARCHAR)", CMP)
+
+# --- rounding ties ---------------------------------------------------------
+TIES = [0.0625, -0.0625, 2.5, -2.5, 0.5, 1.5, 62.5, -62.5, 0.125, None]
+probe("round_0dp", lambda c: F.round(c, 0), "round(x, 0)", TIES, kind="dbl")
+probe("round_3dp", lambda c: F.round(c, 3), "round(x, 3)", TIES, kind="dbl")
+
+# --- negative modulo / integer division ------------------------------------
+probe("mod_negative", lambda c: (c.cast("long") % 3).cast("string"),
+      "CAST((CAST(x AS BIGINT) % 3) AS VARCHAR)",
+      ["-7", "-1", "0", "7", None])
+
+# --- substring degenerate starts -------------------------------------------
+probe("substr_zero_start", lambda c: F.substring(c, 0, 3),
+      "substr(x, 0, 3)", ["abcdef", "ab", "", None], expected="diverge")
+probe("substr_negative_start", lambda c: F.substring(c, -2, 2),
+      "substr(x, -2, 2)", ["abcdef", "ab", "", None])
+
+# --- math edges (population guards exist: entropy/KL guard ratios > 0) ----
+probe("ln_zero_and_negative", lambda c: F.log(c).cast("string"),
+      "CAST(ln(x) AS VARCHAR)", [0.0, -1.0, 1.0, None], kind="dbl",
+      expected="diverge")
+probe("pow_edges", lambda c: F.pow(c, F.lit(0.0)).cast("string"),
+      "CAST(pow(x, 0.0) AS VARCHAR)", [0.0, -1.0, float("nan"), None],
+      kind="dbl")
+probe("sqrt_negative", lambda c: F.sqrt(c).cast("string"),
+      "CAST(sqrt(x) AS VARCHAR)", [-1.0, 4.0, None], kind="dbl",
+      expected="diverge")
+
+# --- KNOWN fenced classes (assert the fence is still needed) ----------------
+probe("lower_unicode", lambda c: F.lower(c), "lower(x)",
+      ["İstanbul", "straße", "ΣΙΣ", "SPARK"],
+      expected="diverge")
+probe("length_grapheme", lambda c: F.length(c).cast("string"),
+      "CAST(length(x) AS VARCHAR)",
+      ["café", "abc", "İ"], expected="diverge")
+probe("levenshtein_unicode",
+      lambda c: F.levenshtein(c, F.lit("cafe")).cast("string"),
+      "CAST(levenshtein(x, 'cafe') AS VARCHAR)",
+      ["café", "café", "cafe"], expected="diverge")
+
+
+def main() -> int:
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("semantics-probe")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    bad = 0
+    for name, fn, dexpr, inputs, kind, expected in PROBES:
+        schema = "x double" if kind == "dbl" else "x string"
+        df = spark.createDataFrame([(v,) for v in inputs], schema)
+        try:
+            s_vals = [r["y"] for r in df.select(fn(F.col("x")).alias("y")).collect()]
+            s_err = None
+        except Exception as e:  # noqa: BLE001
+            s_vals, s_err = None, str(e).splitlines()[0][:100]
+        d_vals, d_errs = [], []
+        cast = "DOUBLE" if kind == "dbl" else "VARCHAR"
+        for v in inputs:
+            try:
+                d_vals.append(
+                    con.execute(
+                        f"SELECT {dexpr} FROM (SELECT ?::{cast} AS x)", [v]
+                    ).fetchone()[0]
+                )
+            except Exception as e:  # noqa: BLE001
+                d_vals.append(f"<ERR {str(e).splitlines()[0][:60]}>")
+                d_errs.append(v)
+
+        def norm(v):
+            if isinstance(v, float) and math.isnan(v):
+                return "NaN"
+            if isinstance(v, list):
+                return [norm(e) for e in v]
+            return v
+
+        if s_err is not None:
+            status = "SPARK_ERR"
+            detail = s_err
+        else:
+            diffs = [
+                (i, norm(s), norm(d))
+                for i, (s, d) in enumerate(zip(s_vals, d_vals))
+                if norm(s) != norm(d)
+            ]
+            status = "AGREE" if not diffs else "DIVERGE"
+            detail = "; ".join(
+                f"in={inputs[i]!r} spark={s!r} duck={d!r}" for i, s, d in diffs[:4]
+            )
+        marker = ""
+        if status == "DIVERGE" and expected == "agree":
+            marker = "  <-- UNEXPECTED (candidate corpus carrier)"
+            bad += 1
+        if status == "AGREE" and expected == "diverge":
+            marker = "  <-- fence may be retirable"
+        print(f"{name}: {status}{marker}" + (f" — {detail}" if detail else ""))
+    print(f"\nunexpected divergences: {bad}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
