@@ -337,3 +337,72 @@ def test_scd2_two_interleaved_writers(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_probe_pins_deferred_classes_still_diverge(spark):
+    """Pins for tools/semantics_probe.py findings (round-12): the two
+    DEFERRED divergence classes must still diverge (if an engine
+    upgrade converges them, the round-13 fix plan in SCALE.md retires
+    instead of lands), and the fenced levenshtein class must stay
+    byte-level in DuckDB (the ascii_text_pred fence's justification)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    # 1. \s class: Java includes U+000B, RE2 does not
+    df = spark.createDataFrame([("a\x0bb",)], "x string")
+    s = df.select(F.size(F.split("x", r"\s+")).alias("n")).collect()[0]["n"]
+    (d,) = con.execute(
+        r"SELECT len(regexp_split_to_array('a' || chr(11) || 'b', '\s+'))"
+    ).fetchone()
+    assert s == 2 and d == 1, (s, d)
+    # 2. trim charset: DuckDB strips NBSP, Spark strips ASCII space only
+    df = spark.createDataFrame([(" a ",)], "x string")
+    s = df.select(F.trim("x").alias("t")).collect()[0]["t"]
+    (d,) = con.execute("SELECT trim(chr(160) || 'a' || chr(160))").fetchone()
+    assert s == " a " and d == "a", (s, d)
+    # 3. levenshtein: DuckDB walks BYTES ('café' is 5 utf-8 bytes)
+    df = spark.createDataFrame([("café",)], "x string")
+    s = df.select(F.levenshtein("x", F.lit("cafe")).alias("d")).collect()[0]["d"]
+    (d,) = con.execute(
+        "SELECT levenshtein('caf' || chr(233), 'cafe')"
+    ).fetchone()
+    assert s == 1 and d == 2, (s, d)
+
+
+def test_probe_pins_agreeing_classes(spark):
+    """The probe's AGREE families that corpus queries rely on unguarded:
+    binary string collation, rounding ties at representable decimals,
+    negative modulo."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    vals = ["a", "Z", "z", "é", "İ", "Ａ", "ABC", ""]
+    df = spark.createDataFrame([(v,) for v in vals], "x string")
+    s = [r["b"] for r in df.select((F.col("x") < "b").alias("b")).collect()]
+    d = [
+        con.execute("SELECT ?::VARCHAR < 'b'", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert s == d
+    ties = [0.0625, -0.0625, 2.5, -2.5, 62.5, -62.5]
+    df = spark.createDataFrame([(v,) for v in ties], "x double")
+    for nd in (0, 3):
+        s = [
+            r["y"] for r in df.select(F.round("x", nd).alias("y")).collect()
+        ]
+        d = [
+            con.execute(f"SELECT round(?::DOUBLE, {nd})", [v]).fetchone()[0]
+            for v in ties
+        ]
+        assert s == d, (nd, s, d)
+    mods = [-7, -1, 0, 7]
+    df = spark.createDataFrame([(v,) for v in mods], "x long")
+    s = [r["m"] for r in df.select((F.col("x") % 3).alias("m")).collect()]
+    d = [
+        con.execute("SELECT ?::BIGINT % 3", [v]).fetchone()[0] for v in mods
+    ]
+    assert s == d
