@@ -2561,8 +2561,8 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     # (e) round-12 strengthened-dirty-audit fix: the per-row randomized
     #     unicode carriers exposed ONE live divergence in the full
     #     300-query audit — char-level metrics segment non-ASCII text
-    #     differently per engine (Spark levenshtein/substring walk
-    #     UTF-16 units / codepoints; DuckDB's walk grapheme clusters).
+    #     differently per engine (DuckDB's levenshtein walks BYTES,
+    #     Spark's walks codepoints: distance('café','cafe') = 2 vs 1).
     #     Fixed with the shared ascii_text_pred/ascii_text_sql
     #     population contract (operators/filters.py), applied in
     #     lockstep to the flagged query and proactively to the two

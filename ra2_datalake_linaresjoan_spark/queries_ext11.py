@@ -232,9 +232,9 @@ def q_edit_distance_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     its distance.
 
     Population = ASCII names (shared ``ascii_text_pred`` contract,
-    round-12 dirty audit): Spark's levenshtein/substring walk UTF-16
-    units while DuckDB's walk grapheme clusters, so distances, lengths
-    and blocking keys disagree the moment a name leaves ASCII.
+    round-12 dirty audit): DuckDB's levenshtein walks BYTES while
+    Spark's walks codepoints (probe: distance('café','cafe') = 2 vs 1),
+    so distances disagree the moment a name leaves ASCII.
     Clean-data no-op (part names are ASCII)."""
     from ra2_datalake_linaresjoan_spark.operators.filters import ascii_text_pred
 

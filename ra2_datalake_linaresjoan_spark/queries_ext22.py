@@ -331,9 +331,10 @@ def q_char_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram-vocabulary-sized; the scoring join is trigram-keyed.
 
     Population = ASCII docs (shared ``ascii_text_pred``, round-12):
-    fixed-width char slicing is grapheme-based in DuckDB and
-    codepoint-based in Spark, so trigram multisets disagree on
-    combining sequences.  Clean-data no-op (ASCII corpus); char-trigram
+    both engines slice by codepoints on BMP text (probe-verified), but
+    the guard future-proofs the trigram multiset against non-BMP
+    segmentation (and keeps the population rule uniform with the other
+    char-level metrics).  Clean-data no-op (ASCII corpus); char-trigram
     features are only engine-portable on ASCII anyway."""
     from ra2_datalake_linaresjoan_spark.operators.filters import ascii_text_pred
 

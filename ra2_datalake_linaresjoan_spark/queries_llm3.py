@@ -457,9 +457,10 @@ def q_udtf_char_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDTF path itself under the DuckDB oracle, not just a unit test.
 
     Population = ASCII docs (shared ``ascii_text_pred``, round-12):
-    the UDTF slices by Python codepoints while DuckDB's substring
-    walks grapheme clusters — fixed-width char windows only agree on
-    ASCII.  Clean-data no-op."""
+    three slicers are in play (Python, Spark, DuckDB — codepoint-equal
+    on BMP text per the probe, non-BMP unpinned); the guard keeps the
+    population rule uniform with the other char-level metrics.
+    Clean-data no-op."""
     from ra2_datalake_linaresjoan_spark.llmdata.udtfs import shingle_table
     from ra2_datalake_linaresjoan_spark.operators.filters import ascii_text_pred
 

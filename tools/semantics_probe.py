@@ -95,9 +95,9 @@ probe("sqrt_negative", lambda c: F.sqrt(c).cast("string"),
 probe("lower_unicode", lambda c: F.lower(c), "lower(x)",
       ["İstanbul", "straße", "ΣΙΣ", "SPARK"],
       expected="diverge")
-probe("length_grapheme", lambda c: F.length(c).cast("string"),
+probe("length_unicode", lambda c: F.length(c).cast("string"),
       "CAST(length(x) AS VARCHAR)",
-      ["café", "abc", "İ"], expected="diverge")
+      ["caf\u00e9", "cafe\u0301", "abc", "\u0130"], expected="diverge")
 probe("levenshtein_unicode",
       lambda c: F.levenshtein(c, F.lit("cafe")).cast("string"),
       "CAST(levenshtein(x, 'cafe') AS VARCHAR)",
