@@ -2635,7 +2635,10 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
 #: (the staleness gate in tests/test_driver_window.py requires every
 #: age>=10 query to sit in window ∪ overflow ∪ this declaration — by
 #: the time CORRECTNESS_r12 lands these reach age 10, so round 13
-#: cannot silently park them again).
+#: cannot silently park them again).  Though UNCHANGED since their r2
+#: driver rows, all nine were locally re-verified MATCH at
+#: sf0.001/0.01/0.1 at the round-12 close so the deferral carries a
+#: fresh correctness signal, not just a seat.
 _STALE_BACKFILL_NEXT_ROUND: tuple[str, ...] = (
     "pivot_user_events",
     "product_type_profit",
