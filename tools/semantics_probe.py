@@ -91,6 +91,54 @@ probe("sqrt_negative", lambda c: F.sqrt(c).cast("string"),
       "CAST(sqrt(x) AS VARCHAR)", [-1.0, 4.0, None], kind="dbl",
       expected="diverge")
 
+# --- NULL semantics of n-ary comparators -----------------------------------
+probe("greatest_with_null",
+      lambda c: F.greatest(c, F.lit(1.0), F.lit(None).cast("double")).cast("string"),
+      "CAST(greatest(x, 1.0, NULL::DOUBLE) AS VARCHAR)",
+      [0.0, 2.0, None], kind="dbl", expected="diverge")
+
+# --- division edges under ANSI ----------------------------------------------
+# ANSI Spark RAISES on raw x/0.0 while DuckDB's / yields NULL -- the
+# guard-denominators convention is load-bearing.  try_divide (NULL) and
+# DuckDB / (NULL) form the agreeing pair:
+probe("try_divide_matches_duck_div",
+      lambda c: F.expr("CAST(try_divide(x, 0.0D) AS STRING)"),
+      "CAST((x / 0.0) AS VARCHAR)", [1.0, -1.0, 0.0, None], kind="dbl")
+
+# --- date/time: pre-epoch truncation and micros extraction ------------------
+probe("to_date_pre_epoch",
+      lambda c: F.to_date(c.cast("timestamp")).cast("string"),
+      "CAST(CAST(CAST(x AS TIMESTAMP) AS DATE) AS VARCHAR)",
+      ["1969-12-31 23:59:59.999999", "1970-01-01 00:00:00",
+       "2038-01-19 03:14:07.999999", None])
+probe("unix_micros_pre_epoch",
+      lambda c: F.unix_micros(c.cast("timestamp")).cast("string"),
+      "CAST(epoch_us(CAST(x AS TIMESTAMP)) AS VARCHAR)",
+      ["1969-12-31 23:59:59.999999", "1970-01-01 00:00:00.000001", None])
+probe("date_trunc_week",
+      lambda c: F.date_trunc("week", c.cast("timestamp")).cast("string"),
+      # DuckDB date_trunc('week') returns DATE (Spark: TIMESTAMP) -- compare
+      # after a TIMESTAMP re-cast; the week START (Monday) is the claim
+      "CAST(CAST(date_trunc('week', CAST(x AS TIMESTAMP)) AS TIMESTAMP) AS VARCHAR)",
+      ["2024-01-01 10:00:00", "2024-12-31 23:00:00", None])
+
+# --- array semantics ---------------------------------------------------------
+probe("array_sort_nulls",
+      lambda c: F.expr(
+          "array_sort(transform(split(x, ','), v -> try_cast(v AS INT)))"),
+      "list_sort(list_transform(regexp_split_to_array(x, ','),"
+      " v -> TRY_CAST(v AS INT)))",
+      ["3,1,2", "3,,1", "1", ",,"])  # NULLs sort LAST in both
+probe("concat_ws_null_skip",
+      lambda c: F.concat_ws("-", c, F.lit(None).cast("string"), F.lit("z")),
+      "concat_ws('-', x, NULL, 'z')", ["a", "", None])
+
+# --- JSON path extraction (bridge parsers) -----------------------------------
+probe("json_extract_string",
+      lambda c: F.get_json_object(c, "$.a"),
+      "json_extract_string(x, '$.a')",
+      ['{"a": "v"}', '{"a": 3}', '{"b": 1}', 'not json', None])
+
 # --- KNOWN fenced classes (assert the fence is still needed) ----------------
 probe("lower_unicode", lambda c: F.lower(c), "lower(x)",
       ["İstanbul", "straße", "ΣΙΣ", "SPARK"],
