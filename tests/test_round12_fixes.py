@@ -406,3 +406,43 @@ def test_probe_pins_agreeing_classes(spark):
         con.execute("SELECT ?::BIGINT % 3", [v]).fetchone()[0] for v in mods
     ]
     assert s == d
+
+
+def test_round13_fix_recipes_proven_cross_engine(spark):
+    """The two deferred-class fix recipes (SCALE.md round-13 plan),
+    proven BEFORE any call site migrates — the r13 migration then only
+    routes call sites through an already-pinned contract:
+
+    1. ws_split: Spark `[\\s\\x0b]+` == DuckDB `[\\s\\x0b]+` (RE2's \\s
+       lacks U+000B; the explicit union makes the classes equal) — and
+       on Spark's side `[\\s\\x0b]+` == plain `\\s+` (Java's \\s already
+       contains \\x0b), so migrating Spark sites is a provable no-op on
+       EVERY input, not just clean data.
+    2. trim charset: Spark F.trim == DuckDB trim(x, ' ') (explicit
+       single-space charset; DuckDB's default trim strips unicode
+       spaces Spark's never touches)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+    texts = [
+        "a b", "a\x0bb", "a\tb", "a\x0b \tb", "\x0bab\x0b",
+        " a ", "a b", " a ", "a　b", "", "ab",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "x string")
+    rows = df.select(
+        F.split("x", r"[\s\x0b]+").alias("w_new"),
+        F.split("x", r"\s+").alias("w_old"),
+        F.trim("x").alias("t"),
+    ).collect()
+    # Spark-side no-op: the explicit union equals Java's \s exactly
+    assert all(r["w_new"] == r["w_old"] for r in rows)
+    for t, r in zip(texts, rows):
+        (d_w, d_t) = con.execute(
+            r"SELECT regexp_split_to_array(x, '[\s\x0b]+'), trim(x, ' ')"
+            " FROM (SELECT ?::VARCHAR AS x)",
+            [t],
+        ).fetchone()
+        assert r["w_new"] == d_w, (t, r["w_new"], d_w)
+        assert r["t"] == d_t, (t, r["t"], d_t)
