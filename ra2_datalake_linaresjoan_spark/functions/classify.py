@@ -32,9 +32,21 @@ GAME_KEYWORDS: list[tuple[str, list[str]]] = [
 DEFAULT_GAME = "Esports General"
 
 
+def _fold(question: Column) -> Column:
+    """ASCII fold for classifier matching: the keyword tables above are
+    all-ASCII, so the 26-letter translate fold suffices — and unlike a
+    full ``F.lower()`` it cannot fold non-ASCII INTO ASCII (U+212A
+    Kelvin → 'k') and complete a keyword the raw text does not contain
+    (round-12 fold contract, finished at these last two call sites in
+    round 13).  Bit-identical to ``lower()`` on ASCII text."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import _ascii_fold
+
+    return _ascii_fold(question)
+
+
 def extract_gaming_type(question: Column) -> Column:
     """Ordered keyword → game label classifier (F7)."""
-    q = F.lower(question.cast("string"))
+    q = _fold(question)
     expr: Column = F.lit(DEFAULT_GAME)
     # build the when-chain from the END of the priority table backwards so
     # the first (highest-priority) rule is the outermost condition
@@ -50,7 +62,7 @@ def extract_gaming_type(question: Column) -> Column:
 def extract_bet_type(question: Column) -> Column:
     """Rule-chain bet-type classifier (F8) — order-sensitive, mirrors
     transformer_data.py:439-455."""
-    q = F.lower(question.cast("string"))
+    q = _fold(question)
     expr = (
         F.when(q.contains("will win"), F.lit("Match Winner"))
         .when(

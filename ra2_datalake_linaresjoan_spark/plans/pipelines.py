@@ -164,8 +164,15 @@ def clean_series(df: DataFrame) -> DataFrame:
 
 def gaming_market_filter(df: DataFrame, text_col: str = "question") -> DataFrame:
     """Esports include/exclude keyword filter
-    (transformer_data.py:341-382, 466-496)."""
-    c = F.lower(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    (transformer_data.py:341-382, 466-496).
+
+    No pre-``lower()``: keyword_include/exclude ascii-fold internally
+    (round-12 contract), and a full ``F.lower()`` FIRST would re-open
+    the row-membership hazard the fold closed — Java's case fold maps
+    some non-ASCII characters INTO ASCII (U+212A Kelvin → 'k'), so a
+    pre-lowered text can complete a keyword that the raw text does not
+    contain (round-12 verdict #3)."""
+    c = F.coalesce(F.col(text_col).cast("string"), F.lit(""))
     return df.filter(
         keyword_include(c, ESPORTS_KEYWORDS) & keyword_exclude(c, EXCLUDE_KEYWORDS)
     )

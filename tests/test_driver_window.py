@@ -99,9 +99,27 @@ def test_window_rotates_toward_stalest_queries():
     names declared in ``queries._CHANGED_THIS_ROUND`` — the explicit,
     judge-auditable list of queries whose implementation or oracle
     changed this round (they MUST re-enter the window regardless of
-    staleness; the companion test below enforces that)."""
+    staleness; the companion test below enforces that).
+
+    Round-boundary state (rounds 11, 12 and 13 all crossed it red): once
+    ``CORRECTNESS_r{_WINDOW_ROUND}.json`` lands, the in-tree window has
+    been CONSUMED by its own round's driver run — every window name is
+    fresh *because the rotation worked*, and failing on that freshness
+    punishes the correct behavior.  In that state the invariant that
+    still matters is forward-looking: the stalest cohort left outside
+    must have a declared seat in next round's plan (overflow ∪
+    backfill).  The exemption is inert while round N is being built
+    (the file does not exist yet, so the full-strength gate polices the
+    rotation), and it re-arms automatically if a LATER round's file
+    lands without the pin being bumped — a builder who bumps the pin
+    without rotating gets no shelter, because the exemption only covers
+    names the pinned round's driver actually checked, which (pre-
+    rotation) is yesterday's window, not a fresh one."""
     from ra2_datalake_linaresjoan_spark.queries import (
+        _CHANGED_OVERFLOW_NEXT_ROUND,
         _CHANGED_THIS_ROUND,
+        _STALE_BACKFILL_NEXT_ROUND,
+        _WINDOW_ROUND,
         queries,
     )
 
@@ -113,12 +131,34 @@ def test_window_rotates_toward_stalest_queries():
     if not outside_checked:
         return  # whole registry fits in the window
     worst_outside = min(last[q] for q in outside_checked)
+    consumed: set[str] = set()
+    pin_path = os.path.join(REPO, f"CORRECTNESS_r{_WINDOW_ROUND}.json")
+    if os.path.exists(pin_path):
+        with open(pin_path) as f:
+            consumed = set(json.load(f).keys())
+        # the consumption exemption is only honest if the stalest
+        # cohort outside the consumed window already has a declared
+        # next-round seat — otherwise freshness would shelter a window
+        # that parked the stale cohort with no plan
+        seated = set(_CHANGED_OVERFLOW_NEXT_ROUND) | set(
+            _STALE_BACKFILL_NEXT_ROUND
+        )
+        unplanned = [
+            q for q in outside_checked
+            if last[q] == worst_outside and q not in seated
+        ]
+        assert not unplanned, (
+            "window consumed (CORRECTNESS_r%d present) but the stalest "
+            "outside cohort (round %d) has no declared next-round seat: %r"
+            % (_WINDOW_ROUND, worst_outside, unplanned[:12])
+        )
     jumpers = [
         q
         for q in window
         if q in last
         and last[q] > worst_outside + 1
         and q not in _CHANGED_THIS_ROUND
+        and q not in consumed
     ]
     assert len(jumpers) <= RESERVE, (
         "driver window holds %d queries fresher than round %d while "
@@ -242,4 +282,31 @@ def test_stalest_cohort_has_a_declared_seat():
     assert set(_STALE_BACKFILL_NEXT_ROUND) <= names
     assert len(_STALE_BACKFILL_NEXT_ROUND) == len(
         set(_STALE_BACKFILL_NEXT_ROUND)
+    )
+
+
+def test_window_round_pin_is_current():
+    """``_WINDOW_ROUND`` must track the live round: either the round
+    whose CORRECTNESS file just landed (boundary state — window
+    consumed, exemption active) or one past it (building state — the
+    file does not exist yet, exemption inert).  A pin lagging behind
+    the newest CORRECTNESS file means a window rotated for round N is
+    still in the tree while round N+1's driver already ran — exactly
+    the stale-window state the jumper gate must police at full
+    strength, so the exemption self-disarms there; this test makes the
+    forgotten bump loudly visible instead of silently strict.  A pin
+    ahead of latest+1 would pre-claim an exemption for a round that
+    cannot have consumed this window."""
+    import re
+
+    from ra2_datalake_linaresjoan_spark.queries import _WINDOW_ROUND
+
+    latest = max(
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
+    assert _WINDOW_ROUND in (latest, latest + 1), (
+        "stale _WINDOW_ROUND pin: %d (latest CORRECTNESS round is %d) — "
+        "rotate _DRIVER_PRIORITY and bump the pin in the same commit"
+        % (_WINDOW_ROUND, latest)
     )
