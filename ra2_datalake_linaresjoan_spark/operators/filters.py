@@ -91,6 +91,53 @@ def finite_pred(col: Column | str) -> Column:
     return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))
 
 
+def money_pred(col: Column | str) -> Column:
+    """The row-level predicate behind ``money_case`` (finite AND inside
+    the representable-cents domain), exposed for conditional banding
+    expressions: Spark's ``floor()`` yields LONG and silently saturates
+    on a huge double while DuckDB's ``CAST(floor(x) AS BIGINT)`` raises
+    — a conditional band must therefore exclude the whole
+    out-of-domain magnitude range, not just NaN/±Inf (round-13
+    finite-out-of-domain carriers).  Oracle side:
+    ``isfinite(x) AND abs(x) < 9.2e16``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return finite_pred(c) & (F.abs(c) < F.lit(_CENTS_MAX))
+
+
+def money_case(df: DataFrame, *cols: str) -> DataFrame:
+    """Money-domain filter for value statistics: ``finite_case``
+    narrowed to the representable-cents domain (|x| < 9.2e16 ≈
+    2^63/100, the ``exact_cents`` bound).
+
+    Round-13 (the advisor's finite-out-of-domain carriers gave the
+    round-12 "known residual" class corpus coverage): statistics whose
+    population was only FINITE still raise or diverge on a finite-but-
+    huge double — ``CAST(round(x*100) AS BIGINT)`` and bucket-index
+    ``CAST(x/w AS BIGINT)`` overflow (an ANSI raise in both engines —
+    lockstep, but one poisoned row still kills a 100-TB job), and
+    moment sums split the engines outright (DuckDB's STDDEV raises
+    'out of range' at 1e308² while Spark silently yields Infinity).  A
+    money/value magnitude past the cents domain is sensor garbage, not
+    data; excluding it makes every downstream cast and moment finite
+    and keeps both engines on the identical row population.  Pair with
+    ``money_case_sql``.  On in-domain data (every clean corpus) this
+    is a no-op."""
+    pred: Column | None = None
+    for c in cols:
+        p = finite_pred(c) & (F.abs(F.col(c)) < F.lit(_CENTS_MAX))
+        pred = p if pred is None else (pred & p)
+    assert pred is not None
+    return df.where(pred)
+
+
+def money_case_sql(*cols: str) -> str:
+    """The oracle-side WHERE fragment matching ``money_case``."""
+    assert cols
+    return " AND ".join(
+        f"(isfinite({c}) AND abs({c}) < 9.2e16)" for c in cols
+    )
+
+
 #: Largest money magnitude whose cents fit BIGINT: 2^63/100 with headroom
 #: for round()'s +0.5.  A finite-but-huge double (1e17, 1e308) past this
 #: bound would overflow the BIGINT cast and raise in BOTH engines under
@@ -186,9 +233,21 @@ def _ascii_fold(col: Column) -> Column:
     )
 
 
+#: CPython mirror of ``_ascii_fold``'s 26-letter translate map — keywords
+#: must fold with the SAME map as the column (round-12 advisor): a
+#: keyword containing non-ASCII uppercase folded by ``str.lower()`` but
+#: never by the column-side translate would silently stop matching its
+#: own raw spelling.
+_PY_ASCII_FOLD = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
 def keyword_include(col: Column, keywords: Sequence[str], **kw) -> Column:
     """Case-insensitive keyword include mask (P7)."""
-    return _ascii_fold(col).rlike(keyword_pattern([k.lower() for k in keywords], **kw))
+    return _ascii_fold(col).rlike(
+        keyword_pattern([k.translate(_PY_ASCII_FOLD) for k in keywords], **kw)
+    )
 
 
 def keyword_exclude(col: Column, keywords: Sequence[str], **kw) -> Column:

@@ -49,10 +49,10 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit): a part missing either dimension is not comparable, NULL
     prices group/join/order differently per engine, and a NaN/±Inf
     price is equally incomparable — and raises on the cents cast in
-    both engines (round-11 value-fuzz → finite_case)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    both engines (round-11 value-fuzz → money_case)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    part = finite_case(_t(spark, sf_dir, "part"), "p_retailprice").where(
+    part = money_case(_t(spark, sf_dir, "part"), "p_retailprice").where(
         F.col("p_size").isNotNull()
     )
     p = part.select(
@@ -94,7 +94,7 @@ WITH p AS (
          CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
          CAST(p_size AS BIGINT) AS size
   FROM part
-  WHERE isfinite(p_retailprice) AND p_size IS NOT NULL
+  WHERE (isfinite(p_retailprice) AND abs(p_retailprice) < 9.2e16) AND p_size IS NOT NULL
 ), g AS (
   SELECT p_partkey, price_cents, size,
          max(size) OVER (ORDER BY price_cents

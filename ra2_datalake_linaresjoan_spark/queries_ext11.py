@@ -302,9 +302,9 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     # shared finite contract (round-12 advisor: inline copies risk
     # drifting from the round-11-pinned predicate)
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_pred
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_pred
 
-    _fin = finite_pred("c_acctbal")
+    _fin = money_pred("c_acctbal")
     classes = cust.select(
         "c_nationkey",
         "c_mktsegment",
@@ -329,7 +329,7 @@ SQL_L_DIVERSITY = """
 WITH classes AS (
   SELECT c_nationkey, c_mktsegment,
          CAST(count(*) AS BIGINT) AS k,
-         CAST(count(DISTINCT CASE WHEN isfinite(c_acctbal)
+         CAST(count(DISTINCT CASE WHEN isfinite(c_acctbal) AND abs(c_acctbal) < 9.2e16
                 THEN CAST(floor(c_acctbal / 1000) AS BIGINT) END)
               AS BIGINT) AS l
   FROM customer

@@ -117,12 +117,12 @@ def q_revenue_decile_lift(
     fewer than 10 decile numbers appear (the trailing numbers are
     absent, never interior gaps). Shares remain exact for the reported
     buckets. The guard itself is a capped ``limit(N+1).count()`` probe —
-    one extra aggregation job at call time.  finite_case: a spend
+    one extra aggregation job at call time.  money_case: a spend
     RANKING needs a finite population — NaN/±Inf prices raise on the
     cents cast in both engines (round-11 value-fuzz)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice")
+    orders = money_case(_t(spark, sf_dir, "orders"), "o_totalprice")
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
@@ -174,7 +174,7 @@ SQL_REVENUE_DECILE_LIFT = """
 WITH per_cust AS (
   SELECT o_custkey,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
-  FROM orders WHERE isfinite(o_totalprice) GROUP BY o_custkey
+  FROM orders WHERE (isfinite(o_totalprice) AND abs(o_totalprice) < 9.2e16) GROUP BY o_custkey
 ), d AS (
   SELECT o_custkey, cents,
          ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile

@@ -289,9 +289,9 @@ def q_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     but last in DuckDB, shifting every rank in the Σ rank·cents sum on
     dirty data, and a NaN/±Inf price raises on the cents cast in both
     engines (round-11 value-fuzz)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
+    orders = money_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
         F.col("o_custkey").isNotNull()
     )
     per_cust = orders.groupBy("o_custkey").agg(
@@ -328,6 +328,7 @@ WITH per_cust AS (
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders
   WHERE o_custkey IS NOT NULL AND isfinite(o_totalprice)
+    AND abs(o_totalprice) < 9.2e16
   GROUP BY o_custkey
 ), ranked AS (
   SELECT cents,

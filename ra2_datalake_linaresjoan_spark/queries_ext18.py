@@ -157,8 +157,8 @@ def q_dup_inflation_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DUP_INFLATION_BY_SOURCE = r"""
 WITH keyed AS (
   SELECT doc_id, source, md5(text) AS fp,
-         CASE WHEN len(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+         CASE WHEN len(trim(text, ' ')) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text, ' '), '[\s\x0b]+')) END AS n_tok
   FROM documents
 ), flagged AS (
   SELECT source, n_tok,

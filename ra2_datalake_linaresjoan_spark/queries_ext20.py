@@ -336,9 +336,9 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts FIRST in Spark's sweep window but LAST in DuckDB's, forming a
     different island count per engine, and a NaN/±Inf quantity raises
     on the day-count INT cast in both (round-11 value-fuzz)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    li = finite_case(_t(spark, sf_dir, "lineitem"), "l_quantity").where(
+    li = money_case(_t(spark, sf_dir, "lineitem"), "l_quantity").where(
         F.col("l_shipdate").isNotNull()
     )
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
@@ -381,7 +381,7 @@ WITH iv AS (
   SELECT l_orderkey, CAST(l_shipdate AS DATE) AS s,
          CAST(l_shipdate AS DATE) + to_days(CAST(l_quantity AS INT)) AS e
   FROM lineitem
-  WHERE l_shipdate IS NOT NULL AND isfinite(l_quantity)
+  WHERE l_shipdate IS NOT NULL AND (isfinite(l_quantity) AND abs(l_quantity) < 9.2e16)
 ), flagged AS (
   SELECT l_orderkey, s, e,
          CASE WHEN max(e) OVER (PARTITION BY l_orderkey ORDER BY s, e

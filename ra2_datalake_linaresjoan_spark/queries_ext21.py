@@ -384,7 +384,7 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_COHENS_KAPPA = r"""
 WITH w AS (
-  SELECT lang, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words FROM documents
+  SELECT lang, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[\s\x0b]+') AS words FROM documents
 ), s AS (
   SELECT lang,
          len(list_filter(words, x -> list_contains(['the','and','of','is','a'], x)))   AS s_en,
@@ -433,13 +433,13 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer cents; shares go double only in the final squares.
     The supplier side grows linearly with scale, so its broadcast goes
     through the capped-count guard; nation (25 rows) broadcasts
-    unconditionally.  finite_case on the revenue inputs: a share
+    unconditionally.  money_case on the revenue inputs: a share
     statistic needs a finite population, and NaN/±Inf raises on the
     cents cast in both engines (round-11 value-fuzz)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
     from ra2_datalake_linaresjoan_spark.operators.joins import maybe_broadcast
 
-    li = finite_case(
+    li = money_case(
         _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_discount"
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -477,7 +477,7 @@ WITH per_sup AS (
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
-  WHERE isfinite(l_extendedprice) AND isfinite(l_discount)
+  WHERE (isfinite(l_extendedprice) AND abs(l_extendedprice) < 9.2e16) AND (isfinite(l_discount) AND abs(l_discount) < 9.2e16)
   GROUP BY 1, 2
 ), sh AS (
   SELECT n_name, s_suppkey,

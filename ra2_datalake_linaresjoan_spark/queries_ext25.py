@@ -135,7 +135,7 @@ WITH base AS (
   SELECT doc_id,
          t IS NOT NULL
          AND doc_id > min(doc_id) OVER (
-           PARTITION BY md5(trim(regexp_replace(t, '[^a-z0-9]+', ' ', 'g')))
+           PARTITION BY md5(trim(regexp_replace(t, '[^a-z0-9]+', ' ', 'g'), ' '))
          ) AS canonical
   FROM base
 ), words AS (
@@ -348,10 +348,10 @@ def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part, year) cells have no defined price and are excluded, an
     all-zero base basket yields a NULL index instead of ANSI DIV/0,
     and NaN/±Inf quantities/prices raise on the integer casts in both
-    engines (round-11 value-fuzz → finite_case)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    engines (round-11 value-fuzz → money_case)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    li = finite_case(
+    li = money_case(
         _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
     ).where(F.col("l_shipdate").isNotNull())
     py = (
@@ -402,8 +402,8 @@ WITH py0 AS (
          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
   FROM lineitem
-  WHERE l_shipdate IS NOT NULL AND isfinite(l_quantity)
-    AND isfinite(l_extendedprice)
+  WHERE l_shipdate IS NOT NULL AND (isfinite(l_quantity) AND abs(l_quantity) < 9.2e16)
+    AND (isfinite(l_extendedprice) AND abs(l_extendedprice) < 9.2e16)
   GROUP BY 1, 2
 ), py AS (SELECT * FROM py0 WHERE q <> 0),
 base_yr AS (SELECT min(yr) AS yr0 FROM py),

@@ -268,9 +268,9 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     skewing replicate means differently per engine (round-8 audit),
     and a NaN/±Inf price raises on the cents cast in both engines
     (round-11 value-fuzz)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
+    orders = money_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
         F.col("o_orderkey").isNotNull()
     )
     # The replicate fan-out multiplies per-row CPU ~40x, so a small
@@ -352,7 +352,7 @@ WITH hexed AS (
                     b := CAST(b AS BIGINT),
                     w := {_pb_weight_sql(_PB_U_SQL)}))) AS ws
   FROM orders
-  WHERE o_orderkey IS NOT NULL AND isfinite(o_totalprice)
+  WHERE o_orderkey IS NOT NULL AND (isfinite(o_totalprice) AND abs(o_totalprice) < 9.2e16)
 ), weighted AS (
   SELECT cents, u.b AS b, u.w AS w
   FROM (SELECT cents, unnest(ws) AS u FROM hexed)
@@ -756,9 +756,9 @@ def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     (flipping the fold seed), an all-NULL-price day would poison the
     recursion with NULL, and a NaN/±Inf price raises on the cents cast
     in both engines (round-11 value-fuzz). Identical on clean data."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
+    orders = money_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
         F.col("o_orderdate").isNotNull()
     )
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
@@ -825,7 +825,7 @@ WITH RECURSIVE daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders
-  WHERE o_orderdate IS NOT NULL AND isfinite(o_totalprice)
+  WHERE o_orderdate IS NOT NULL AND (isfinite(o_totalprice) AND abs(o_totalprice) < 9.2e16)
   GROUP BY 1
 ), idx AS (
   SELECT row_number() OVER (ORDER BY day) AS i, CAST(cents AS DOUBLE) AS x
@@ -920,9 +920,9 @@ def q_runs_test_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLS LAST) — the same class holt_linear_forecast filters, extended
     to finite prices (the cents cast raises on NaN/±Inf in both
     engines — round-11 value-fuzz)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
+    orders = money_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
         F.col("o_orderdate").isNotNull()
     )
     daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
@@ -981,7 +981,7 @@ WITH daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
   FROM orders
-  WHERE o_orderdate IS NOT NULL AND isfinite(o_totalprice)
+  WHERE o_orderdate IS NOT NULL AND (isfinite(o_totalprice) AND abs(o_totalprice) < 9.2e16)
   GROUP BY 1
 ), signs AS (
   SELECT day,

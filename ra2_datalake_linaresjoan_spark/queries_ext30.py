@@ -54,9 +54,9 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     # shared finite contract (round-12 advisor: inline copies risk
     # drifting from the round-11-pinned predicate)
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_pred
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_pred
 
-    _fin = finite_pred("c_acctbal")
+    _fin = money_pred("c_acctbal")
     groups = cust.groupBy(
         "c_mktsegment",
         "c_nationkey",
@@ -89,7 +89,7 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_K_ANONYMITY_AUDIT = f"""
 WITH groups AS (
   SELECT c_mktsegment, c_nationkey,
-         CASE WHEN isfinite(c_acctbal)
+         CASE WHEN isfinite(c_acctbal) AND abs(c_acctbal) < 9.2e16
               THEN CAST(floor(c_acctbal / {_KA_BAND}) AS BIGINT) END
            AS bal_band,
          CAST(count(*) AS BIGINT) AS n
@@ -622,11 +622,22 @@ def q_fellegi_sunter_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep both engines bit-identical."""
     import math
 
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_pred
+
+    # bounded conditional band (round-13 finite-out-of-domain carriers):
+    # Spark's floor() yields LONG and SATURATES on a huge double while
+    # DuckDB's floor stays DOUBLE — the saturated longs of two different
+    # huge balances compare EQUAL in Spark but different in DuckDB,
+    # flipping the f2 agreement bit and every EM ratio after it.  An
+    # out-of-domain balance bands to NULL on both sides (NULL-NULL is a
+    # defined agreement under eqNullSafe / IS NOT DISTINCT FROM).
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         F.col("c_mktsegment").alias("seg"),
         F.col("c_nationkey").alias("nat"),
-        F.floor(F.col("c_acctbal") / 100).alias("band"),
+        F.when(
+            money_pred("c_acctbal"), F.floor(F.col("c_acctbal") / 100)
+        ).alias("band"),
         (F.col("c_acctbal") < 0).alias("clen"),
     )
     a = cust.select(
@@ -759,8 +770,10 @@ def _fs_sum_sql(bit: int | None) -> str:
 _FS_PAIR_FIELDS = """
   SELECT (a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment) AS f0,
          (a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey) AS f1,
-         (floor(a.c_acctbal / 100) IS NOT DISTINCT FROM
-          floor(b.c_acctbal / 100)) AS f2,
+         ((CASE WHEN isfinite(a.c_acctbal) AND abs(a.c_acctbal) < 9.2e16
+                THEN floor(a.c_acctbal / 100) END) IS NOT DISTINCT FROM
+          (CASE WHEN isfinite(b.c_acctbal) AND abs(b.c_acctbal) < 9.2e16
+                THEN floor(b.c_acctbal / 100) END)) AS f2,
          ((a.c_acctbal < 0) IS NOT DISTINCT FROM (b.c_acctbal < 0)) AS f3
   FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
 """

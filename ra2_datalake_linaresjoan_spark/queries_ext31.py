@@ -392,9 +392,9 @@ def q_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window), while floor(±Inf/NaN)→BIGINT raises in DuckDB and is
     # plan-luck in ANSI Spark — the shared finite-population contract
     # (round-11 value-fuzz extends the round-9 NULL guard)
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").select(
+    orders = money_case(_t(spark, sf_dir, "orders"), "o_totalprice").select(
         F.floor(F.col("o_totalprice")).alias("band")
     )
     bands = orders.groupBy("band").agg(F.count(F.lit(1)).alias("n"))
@@ -434,7 +434,7 @@ SQL_EQUI_DEPTH_HISTOGRAM = f"""
 WITH bands AS (
   SELECT CAST(floor(o_totalprice) AS BIGINT) AS band,
          CAST(count(*) AS BIGINT) AS n
-  FROM orders WHERE isfinite(o_totalprice) GROUP BY 1
+  FROM orders WHERE (isfinite(o_totalprice) AND abs(o_totalprice) < 9.2e16) GROUP BY 1
 ), cum AS (
   SELECT band, n,
          CAST(sum(n) OVER (ORDER BY band

@@ -439,10 +439,10 @@ def q_jackknife_ratio_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-NULL-price month yields a NULL leave-one-out ratio that poisons
     Spark's in-row folds while DuckDB's list_sum skips it (round-8
     parity audit); a NaN/±Inf price raises on the cents cast in both
-    engines (round-11 value-fuzz → finite_case)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    engines (round-11 value-fuzz → money_case)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    orders = finite_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
+    orders = money_case(_t(spark, sf_dir, "orders"), "o_totalprice").where(
         F.col("o_orderdate").isNotNull()
     )
     g = orders.groupBy(
@@ -518,7 +518,7 @@ WITH g AS (
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
   FROM orders
-  WHERE o_orderdate IS NOT NULL AND isfinite(o_totalprice)
+  WHERE o_orderdate IS NOT NULL AND (isfinite(o_totalprice) AND abs(o_totalprice) < 9.2e16)
   GROUP BY 1
 ), tot AS (
   SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ra2_datalake_linaresjoan_spark.queries import _t
@@ -29,13 +29,13 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment statistics per return flag: Pearson correlation and
     sample covariance between quantity and price, plus sample
     stddev/variance of price — all JVM-side mergeable aggregates (one
-    partial+final hash agg, scan speed).  finite_case over BOTH
+    partial+final hash agg, scan speed).  money_case over BOTH
     measurement columns: moment sums over ±Inf/NaN either NaN-poison
     (Spark) or overflow outright (DuckDB's stddev raises) — the shared
     finite-population contract (round-11 value-fuzz)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    li = finite_case(
+    li = money_case(
         _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
     )
     return (
@@ -61,7 +61,7 @@ SELECT l_returnflag,
        round(stddev_samp(l_extendedprice), 2) AS stddev_price,
        round(var_samp(l_quantity), 4) AS var_qty
 FROM lineitem
-WHERE isfinite(l_quantity) AND isfinite(l_extendedprice)
+WHERE (isfinite(l_quantity) AND abs(l_quantity) < 9.2e16) AND (isfinite(l_extendedprice) AND abs(l_extendedprice) < 9.2e16)
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
@@ -324,13 +324,36 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (no per-column count() storm — SURVEY §7.4.7), then a ``stack``
     melts the wide row."""
     orders = _t(spark, sf_dir, "orders")
+
+    def _render(c: str, agg) -> Column:
+        # doubles render via printf('%.2f') on BOTH sides (round-13):
+        # a bare double->string cast is the semantics-probe formatting
+        # class — Spark goes scientific at |x| >= 1e7 where DuckDB
+        # stays plain, which the dirty audit only missed because the
+        # fuzz corpus's ±Inf always won min/max.  Fixed-point printf is
+        # byte-identical cross-engine for 2-dp money (the profiled
+        # domain; exact third-decimal binary midpoints would split
+        # Java's HALF_UP from glibc's half-even — no such value can
+        # reach min/max of a 2-dp column).  Non-finite tokens keep the
+        # round-11 canonicalization to Spark's spelling.
+        if dict(orders.dtypes)[c] == "double":
+            x = agg(c)
+            return (
+                F.when(x.isNull(), F.lit(None).cast("string"))
+                .when(F.isnan(x), F.lit("NaN"))
+                .when(x == F.lit(float("inf")), F.lit("Infinity"))
+                .when(x == F.lit(float("-inf")), F.lit("-Infinity"))
+                .otherwise(F.format_string("%.2f", x))
+            )
+        return agg(c).cast("string")
+
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in _PROFILE_COLS:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(c).cast("string").alias(f"{c}__min"),
-            F.max(c).cast("string").alias(f"{c}__max"),
+            _render(c, F.min).alias(f"{c}__min"),
+            _render(c, F.max).alias(f"{c}__max"),
         ]
     wide = orders.agg(*aggs)
     stack_args = ", ".join(
@@ -369,11 +392,11 @@ WITH w AS (
          CASE WHEN isnan(min(o_totalprice)) THEN 'NaN'
               WHEN min(o_totalprice) =  'infinity'::DOUBLE THEN 'Infinity'
               WHEN min(o_totalprice) = '-infinity'::DOUBLE THEN '-Infinity'
-              ELSE CAST(min(o_totalprice) AS VARCHAR) END AS t_min,
+              ELSE printf('%.2f', min(o_totalprice)) END AS t_min,
          CASE WHEN isnan(max(o_totalprice)) THEN 'NaN'
               WHEN max(o_totalprice) =  'infinity'::DOUBLE THEN 'Infinity'
               WHEN max(o_totalprice) = '-infinity'::DOUBLE THEN '-Infinity'
-              ELSE CAST(max(o_totalprice) AS VARCHAR) END AS t_max
+              ELSE printf('%.2f', max(o_totalprice)) END AS t_max
   FROM orders
 )
 SELECT 'o_custkey' AS column_name, n_rows, c_nulls AS n_nulls, c_dist AS n_distinct,

@@ -525,9 +525,9 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast; ANSI Spark is plan-luck — round-11 value-fuzz)
     # shared finite contract (round-12 advisor: inline copies risk
     # drifting from the round-11-pinned predicate)
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_pred
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_pred
 
-    _fin = finite_pred("value")
+    _fin = money_pred("value")
     binned = ev.select(
         F.to_date("ts").alias("day"),
         F.when(_fin, F.floor(F.col("value") / _PSI_BIN_W).cast("long")).alias(
@@ -581,7 +581,7 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PSI_DRIFT = f"""
 WITH binned AS (
   SELECT CAST(ts AS DATE) AS day,
-         CASE WHEN isfinite(value)
+         CASE WHEN (isfinite(value) AND abs(value) < 9.2e16)
               THEN CAST(floor(value / {_PSI_BIN_W}) AS BIGINT) END AS bin
   FROM events
 ), day_bin AS (
@@ -777,13 +777,13 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a cents mean can land exactly on a .00005 tie, where Spark rounds
     the shortest-decimal representation up but DuckDB rounds the binary
     double down (round-8 parity audit caught 23.17375 doing exactly
-    this). Complete-case on event_type plus finite_case on value — a
+    this). Complete-case on event_type plus money_case on value — a
     NULL value has no clamp and its row would split n between engines,
     and a NaN/±Inf value raises on the cents cast in both (round-11
     value-fuzz)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    ev = finite_case(_t(spark, sf_dir, "events"), "value").where(
+    ev = money_case(_t(spark, sf_dir, "events"), "value").where(
         F.col("event_type").isNotNull()
     )
     cents = F.round(F.col("value") * 100).cast("long")
@@ -822,7 +822,7 @@ def q_winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WINSORIZED_VALUE_STATS = """
 WITH ev AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c, value
-  FROM events WHERE event_type IS NOT NULL AND isfinite(value)
+  FROM events WHERE event_type IS NOT NULL AND (isfinite(value) AND abs(value) < 9.2e16)
 ), thr AS (
   SELECT event_type,
          CAST(round(quantile_cont(value, 0.05) * 100) AS BIGINT) AS lo,

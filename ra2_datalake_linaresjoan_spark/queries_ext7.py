@@ -364,13 +364,13 @@ def q_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB doubles drift by partition count; decimals don't. The
     output stays BIGINT because the driver's Arrow hash treats decimal128
     columns as type-mismatches (round-2 lesson, linted by
-    ``driver_sim``).  finite_case before the decimal cast: the decimal
+    ``driver_sim``).  money_case before the decimal cast: the decimal
     domain has no NaN/±Inf, so both engines RAISE on the cast —
     non-finite money is invalid input, excluded lockstep (round-11
     value-fuzz)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_case
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_case
 
-    li = finite_case(
+    li = money_case(
         _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_discount"
     )
     sup = _t(spark, sf_dir, "supplier")
@@ -403,7 +403,7 @@ SELECT n.n_name,
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
-WHERE isfinite(l.l_extendedprice) AND isfinite(l.l_discount)
+WHERE (isfinite(l.l_extendedprice) AND abs(l.l_extendedprice) < 9.2e16) AND (isfinite(l.l_discount) AND abs(l.l_discount) < 9.2e16)
 GROUP BY n.n_name
 ORDER BY n.n_name
 """

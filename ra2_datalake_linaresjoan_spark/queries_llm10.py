@@ -275,7 +275,7 @@ def q_domain_balance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DOMAIN_BALANCE_WEIGHTS = r"""
 WITH per_src AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+         CAST(sum(len(regexp_split_to_array(trim(text, ' '), '[\s\x0b]+'))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ), totals AS (
   SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -373,7 +373,7 @@ def q_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WATERFILL_ALLOCATION = r"""
 WITH per_src AS (
   SELECT source,
-         CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+         CAST(sum(len(regexp_split_to_array(trim(text, ' '), '[\s\x0b]+'))) AS BIGINT) AS n_tokens
   FROM documents
   WHERE source IS NOT NULL AND text IS NOT NULL
   GROUP BY source
@@ -464,7 +464,7 @@ WITH both_sets AS (
 )
 SELECT md5(trim(translate(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'),
                           'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
-                          'abcdefghijklmnopqrstuvwxyz'))) AS canon_fp,
+                          'abcdefghijklmnopqrstuvwxyz'), ' ')) AS canon_fp,
        CAST(count(*) AS BIGINT) AS n_copies,
        CAST(min(doc_id) AS BIGINT) AS keeper_id
 FROM both_sets
@@ -643,7 +643,7 @@ SQL_TRAINING_SHARD_ASSIGN = rf"""
 WITH assigned AS (
   SELECT CAST(concat('0x', substr(md5(coalesce(CAST(doc_id AS VARCHAR), '<null>')), 1, 8)) AS BIGINT)
            % {_N_SHARDS} AS shard,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+         len(regexp_split_to_array(trim(text, ' '), '[\s\x0b]+')) AS n_tok
   FROM documents
 ), per_shard AS (
   SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,

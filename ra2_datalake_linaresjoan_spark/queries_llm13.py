@@ -129,7 +129,7 @@ def q_padding_waste_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PADDING_WASTE_SWEEP = rf"""
 WITH toks AS (
-  SELECT len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+  SELECT len(regexp_split_to_array(trim(text, ' '), '[\s\x0b]+')) AS n_tok,
          t.max_len
   FROM documents
   CROSS JOIN (SELECT unnest([128, 256, 512, 1024]) AS max_len) t

@@ -56,7 +56,7 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_REPETITION = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[\s\x0b]+') AS words FROM documents
 ), sh AS (
   SELECT doc_id, array_to_string(words[i:i+2], ' ') AS shingle
   FROM w, unnest(range(1, len(words) - 1)) AS t(i)
@@ -117,7 +117,7 @@ def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SEQ_PACKING = r"""
 WITH tok AS (
   SELECT lang, doc_id,
-         len(regexp_split_to_array(trim(text), '\s+')) AS tokens
+         len(regexp_split_to_array(trim(text, ' '), '[\s\x0b]+')) AS tokens
   FROM documents
   WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ), cum AS (
@@ -228,7 +228,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONTAMINATION = r"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[\s\x0b]+') AS words FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, array_to_string(words[i:i+4], ' ') AS shingle
   FROM w, unnest(range(1, len(words) - 3)) AS t(i)

@@ -310,7 +310,7 @@ WITH fp AS (
          -- full doc_fingerprint INCLUDING the final trim (punctuation
          -- stripping can create edge spaces the initial trim ran too
          -- early to see) — in lockstep with llmdata.text_analysis
-         md5(trim(regexp_replace(regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+         md5(trim(regexp_replace(regexp_replace(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[^a-z0-9\s\x0b]', '', 'g'), '[\s\x0b]+', ' ', 'g'), ' ')) AS fingerprint
   FROM documents
 ), batch AS (
   SELECT doc_id, lang, fingerprint FROM fp WHERE doc_id % 10 = 9

@@ -247,7 +247,7 @@ WITH ranked AS (
   SELECT lang, doc_id, text,
          row_number() OVER (
            PARTITION BY md5(trim(regexp_replace(regexp_replace(
-             trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+             trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '[^a-z0-9\s\x0b]', '', 'g'), '[\s\x0b]+', ' ', 'g'), ' '))
            ORDER BY doc_id) AS rn
   FROM documents
 ), flagged AS (
@@ -361,7 +361,7 @@ def q_token_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOKEN_LENGTH_BUCKETS = rf"""
 WITH tok AS (
-  SELECT CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+  SELECT CAST(len(regexp_split_to_array(trim(text, ' '), '[\s\x0b]+')) AS BIGINT) AS t
   FROM documents
 )
 SELECT CAST(t // {_BUCKET_W} AS BIGINT) AS bucket,
@@ -393,7 +393,15 @@ def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select("n_chars", quality_score(F.col("text")).alias("s"))
     qs = ", ".join(str(q / 10) for q in range(1, 10))
-    thresholds = scored.agg(F.expr(f"percentile(s, array({qs}))").alias("_thr"))
+    # thresholds round to the 6-dp grid the SCORES live on: Spark's
+    # percentile and DuckDB's quantile_cont interpolate with different
+    # operation orders and can land 1 ULP apart (observed: 0.452 vs
+    # 0.45199999999999996 on the round-13 dirty corpus), flipping
+    # `s > t` for a score sitting exactly on a decile boundary
+    thresholds = scored.agg(
+        F.expr(f"transform(percentile(s, array({qs})), t -> round(t, 6))")
+        .alias("_thr")
+    )
     return (
         scored.crossJoin(F.broadcast(thresholds))
         .select(
@@ -416,10 +424,10 @@ def q_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_QUALITY_CURRICULUM = r"""
 WITH feat AS (
   SELECT n_chars,
-         CASE WHEN trim(text) = '' OR text IS NULL THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
-         regexp_replace(text, '\s', '', 'g') AS nospace,
-         regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words
+         CASE WHEN trim(text, ' ') = '' OR text IS NULL THEN 0
+              ELSE len(regexp_split_to_array(trim(text, ' '), '[\s\x0b]+')) END AS n_tok,
+         regexp_replace(text, '[\s\x0b]', '', 'g') AS nospace,
+         regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[\s\x0b]+') AS words
   FROM documents
 ), comp AS (
   SELECT n_chars,
@@ -437,7 +445,9 @@ WITH feat AS (
                + 0.3 * (CASE WHEN sw >= 0.02 AND sw <= 0.6 THEN 1.0 ELSE 0.5 END), 6) AS s
   FROM comp
 ), thr AS (
-  SELECT quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS arr
+  SELECT list_transform(
+           quantile_cont(s, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+           t -> round(t, 6)) AS arr
   FROM scored
 )
 SELECT CAST(len(list_filter(thr.arr, t -> scored.s > t)) AS BIGINT) AS decile,

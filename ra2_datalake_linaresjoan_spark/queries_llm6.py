@@ -243,7 +243,7 @@ WITH vocab AS (
   WHERE len(w) > 0
   GROUP BY w
 ), sym AS (
-  SELECT freq, unnest(string_split(trim({_sql_bpe_chain()}), ' ')) AS symbol
+  SELECT freq, unnest(string_split(trim({_sql_bpe_chain()}, ' '), ' ')) AS symbol
   FROM vocab
 )
 SELECT symbol, CAST(sum(freq) AS BIGINT) AS n

@@ -85,7 +85,7 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_NGRAM_NOVELTY = r"""
 WITH w AS (
   SELECT doc_id, source,
-         regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), '\s+') AS words
+         regexp_split_to_array(trim(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '), '[\s\x0b]+') AS words
   FROM documents
   WHERE doc_id IS NOT NULL
 ), sh AS (

@@ -175,7 +175,7 @@ WITH vocab AS (
   GROUP BY lang, w
 ), g AS (
   SELECT lang, freq,
-         CAST(len(string_split(trim({_sql_bpe_chain_w()}), ' '))
+         CAST(len(string_split(trim({_sql_bpe_chain_w()}, ' '), ' '))
               AS BIGINT) * freq AS sym_weighted
   FROM vocab
 )

@@ -88,6 +88,30 @@ UNICODE_CARRIERS: tuple[str, ...] = (
     "\uff33\uff30\uff21\uff32\uff2b \uff53\uff54ream the",  # fullwidth letters
     "\u041c\u041e\u0421\u041a\u0412\u0410 \u041c\u043e\u0441\u043a\u0432\u0430 the is",  # Cyrillic
     "\u0130\u0130\u0130 \u00df\u00df\u00df \u03a3\u03a3\u03a3",  # carrier-only, no ASCII anchor
+    # round-13 whitespace-class carriers (the two deferred semantics-probe
+    # classes, SCALE.md round-12 close): U+000B VERTICAL TAB is inside
+    # Java's \s but OUTSIDE RE2's \u2014 '\s+' tokenizers split 'alpha\x0bbeta'
+    # into 2 words in Spark, 1 in DuckDB until the oracle uses [\s\x0b]+;
+    # edge VTs also probe the trim boundary (neither engine's trim may
+    # strip them)
+    "alpha\x0bbeta the value\x0b",
+    # U+00A0 NBSP: DuckDB's default trim() strips unicode spaces, Spark's
+    # F.trim strips ASCII space only \u2014 edge NBSPs diverge until the oracle
+    # pins trim(x, ' '); mid-string NBSP is a word char to BOTH \s
+    # flavors (Java and RE2 \s are ASCII-only) so token counts must agree
+    "\u00a0the pad\u00a0ded value\u00a0",
+    # non-BMP (astral) carrier: mathematical sans-serif 'SPARK' + an
+    # emoji \u2014 exercises the ascii_text_pred fences (char_ngram_langid,
+    # udtf_char_shingles, edit_distance_match) on 4-byte UTF-8 where
+    # DuckDB walks bytes and Spark walks codepoints, and UTF8String's
+    # surrogate-pair handling in substr/length
+    "\U0001d5e6\U0001d5fd\U0001d5ee\U0001d5ff\U0001d5f8 the \U0001f600 ok",
+    # decomposed combining CLUSTER with reordered marks: q + dot-above +
+    # dot-below vs q + dot-below + dot-above are canonically equivalent
+    # but bytewise different \u2014 no engine may normalize (both treat text
+    # as codepoint sequences; a divergence here means one engine
+    # NFC-normalized behind our back)
+    "q\u0307\u0323 q\u0323\u0307 the end",
 )
 
 
@@ -167,10 +191,18 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
                 # filters) that an all-NULL generator never exercises;
                 # plus numeric-edge tokens that a cast/normalizer might
                 # accept asymmetrically across engines
+                # carrier rows dodge the null arm BY CONSTRUCTION: with
+                # period 3 a fixed residue could coincide with the null
+                # arm's residue class for an unlucky (off, voff) pair and
+                # silently null EVERY carrier row of that column — the
+                # failure mode that left the round-13 carriers dead on
+                # arrival under the old %17 selector.  ~20 eligible rows
+                # minus ~1/3 null-arm overlap still walks every carrier
+                # index (stride 9 ≡ 3·3 mod 14, gcd(9,14)=1).
+                cres = (1 + voff) % 3
+                if period == 3 and (-off) % 3 == cres:
+                    cres = (cres + 1) % 3
                 emptied = F.when(
-                    ((rid + off) % 7 == 3) & F.lit(fl.name in nullable),
-                    F.lit(""),
-                ).when(
                     # unicode case-fold carriers (round 11, second
                     # layer; round 12: RANDOMIZED per row): Java and
                     # utf8proc fold these differently — lower('İ') =
@@ -188,13 +220,31 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
                     # row (deterministically, by row id) so distinct-
                     # counts, groupings and dedup survivors all shift
                     # if an engine-divergent fold survives anywhere.
-                    (rid + voff) % 17 == 4,
+                    # Round-13 re-keying: the round-12 selector
+                    # ((rid+voff) % 17 == 4, index = (rid+voff) % n)
+                    # DEGENERATED — on a 60-row corpus the residue class
+                    # has only 4 solutions and the index inherits the
+                    # same residue, so every column drew the SAME ≤4
+                    # carriers and new table entries were dead rows (the
+                    # round-13 VT/NBSP/astral carriers appeared in ZERO
+                    # columns, verified empirically).  Period 3 on the
+                    # null-dodging residue gives ~20 eligible rows per
+                    # column; the ×3 stride (≡ 1 mod 14 over the step-3
+                    # row spacing... 9 ≡ 9; gcd(9,14)=1) walks ALL 14
+                    # indices, rotated per column by its own hash, so
+                    # every carrier class reaches every string column.
+                    (rid + voff) % 3 == cres,
                     F.element_at(
                         F.array(*[F.lit(c) for c in UNICODE_CARRIERS]),
-                        ((rid + voff) % len(UNICODE_CARRIERS) + 1).cast(
-                            "int"
-                        ),
+                        (
+                            ((rid + voff) * 3 + h2)
+                            % len(UNICODE_CARRIERS)
+                            + 1
+                        ).cast("int"),
                     ),
+                ).when(
+                    ((rid + off) % 7 == 3) & F.lit(fl.name in nullable),
+                    F.lit(""),
                 ).when((rid + voff) % 11 == 2, F.lit("NaN")).when(
                     (rid + voff) % 11 == 5, F.lit("Infinity")
                 ).when((rid + voff) % 11 == 8, F.lit("-Infinity")).when(
@@ -211,6 +261,16 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
                     .when((rid + voff) % 11 == 4, F.lit(float("inf")))
                     .when((rid + voff) % 11 == 7, F.lit(float("-inf")))
                     .when((rid + voff) % 13 == 3, F.lit(-0.0))
+                    # round-13 (advisor): FINITE out-of-cents-domain
+                    # values — they pass every isfinite/isnan guard but
+                    # overflow CAST(round(x*100) AS BIGINT), so only the
+                    # |x| < 9.2e16 domain bound (exact_cents) keeps the
+                    # two engines lockstep.  Period 19 is co-prime with
+                    # 11/13 so they land beside NaN/Inf rows, not on
+                    # them.  1e308 is fully-absorbing in float sums
+                    # (deterministic); 9.3e16 sits just past the bound.
+                    .when((rid + voff) % 19 == 10, F.lit(9.3e16))
+                    .when((rid + voff) % 19 == 15, F.lit(-1e308))
                 )
                 return (
                     whole_null.otherwise(
