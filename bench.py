@@ -140,6 +140,30 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # text-shuffle canary (round 13): a fixed string hash-aggregate with a
+    # real shuffle — the numpy matmul canary measures CPU flops only, but
+    # the persistent minhash_lsh driver-vs-local gap (2.23s driver
+    # steady-state vs 1.4s local steady-state, all-runs-equal on both
+    # hosts, numpy canary FASTER on the driver) points at memory/shuffle
+    # bandwidth, which flops cannot witness.  Deterministic plan, data
+    # generated in-JVM (no disk), sized ~1s so it resolves a 1.5x host
+    # difference without stretching the bench.  Timed as min-of-2 (the
+    # first run pays codegen compile).
+    from pyspark.sql import functions as _F
+
+    def _text_shuffle() -> float:
+        t = time.perf_counter()
+        (
+            spark.range(2_000_000)
+            .select(_F.md5(_F.col("id").cast("string")).alias("h"))
+            .groupBy(_F.substring("h", 1, 4).alias("k"))
+            .agg(_F.count(_F.lit(1)).alias("n"), _F.max("h").alias("m"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - t
+
+    canary_text_shuffle = round(min(_text_shuffle() for _ in range(2)), 3)
+
     # best-of-3 per query: this VM shows multi-minute noisy-neighbor windows
     # (3x inflation with no code change; the r5 canary swung +/-40%), and
     # min-of-runs is the standard way to report compute cost rather than
@@ -179,6 +203,7 @@ def main() -> None:
         "action": "noop_write",
         "canary_numpy_matmul_sec": canary_numpy,
         "canary_spark_warmup_sec": canary_warmup,
+        "canary_text_shuffle_sec": canary_text_shuffle,
     }
     line = json.dumps(payload)
     print(line)

@@ -1,0 +1,205 @@
+"""Round-13 contract pins.
+
+Three cross-engine divergence classes got corpus coverage and fixes this
+round (SCALE.md round-13 section):
+
+1. money-domain populations — ``money_case``/``money_pred`` (finite AND
+   |x| < 9.2e16) replacing finite-only filters wherever a statistic
+   casts to BIGINT cents/buckets, computes moment sums, or floor-bands
+   (the advisor's finite-but-huge double carriers made each failure
+   observable: lockstep ANSI raises, DuckDB STDDEV out-of-range vs
+   Spark Inf, Spark floor() LONG saturation vs DuckDB raise).
+2. double→VARCHAR formatting — printf('%.2f') as the cross-engine
+   renderer (table_profile), population bounds at |x| < 1e7 for
+   parity queries that render by design, and the printable-ASCII fence
+   for from_json inputs (raw U+000B is invalid JSON).
+3. interpolated-percentile ULP drift — Spark ``percentile`` and DuckDB
+   ``quantile_cont`` land 1 ULP apart on identical multisets (observed
+   live: 0.452 vs 0.45199999999999996); thresholds must round to the
+   same grid as the scores they cut.
+
+Plus the dirty-audit carrier re-keying (the round-12 selector silently
+produced DEAD carriers) and the keyword-fold symmetry fix.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def test_money_case_boundary_lockstep(spark):
+    """money_case / money_case_sql keep the identical row population on
+    the domain boundary, the carriers, and the classic non-finites."""
+    import duckdb
+
+    from ra2_datalake_linaresjoan_spark.operators.filters import (
+        money_case,
+        money_case_sql,
+        money_pred,
+    )
+
+    vals = [
+        0.0, -0.0, 1.0, -857.71,
+        9.199999999999998e16,  # just inside
+        9.2e16, 9.3e16, 1e17, 1e308, -1e308,
+        float("nan"), float("inf"), float("-inf"), None,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    kept_spark = sorted(
+        r["x"] for r in money_case(df, "x").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    kept_duck = sorted(
+        r[0]
+        for r in con.execute(
+            f"SELECT x FROM t WHERE {money_case_sql('x')}"
+        ).fetchall()
+    )
+    assert kept_spark == kept_duck
+    assert 9.3e16 not in kept_spark and 9.199999999999998e16 in kept_spark
+    # the row-level pred agrees with the filter
+    preds = df.select(money_pred("x").alias("p"), "x").collect()
+    assert sorted(r["x"] for r in preds if r["p"]) == kept_spark
+    # and the cents cast is safe on every kept value (no ANSI raise)
+    money_case(df, "x").select(
+        F.round(F.col("x") * 100).cast("long")
+    ).collect()
+
+
+def test_printf_renderer_cross_engine(spark):
+    """printf('%.2f') == F.format_string('%.2f') for the profiled money
+    domain, including magnitudes where a bare cast diverges (Spark goes
+    scientific at |x| >= 1e7, DuckDB stays plain)."""
+    import duckdb
+
+    vals = [0.0, -0.0, 857.71, 900.0, 1234.56, 1e7, 123456789.12, 9.3e16]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    s = [
+        r["s"]
+        for r in df.select(F.format_string("%.2f", "x").alias("s")).collect()
+    ]
+    con = duckdb.connect()
+    d = [
+        con.execute("SELECT printf('%.2f', ?::DOUBLE)", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert s == d
+    # the class being escaped: bare casts disagree at 1e7
+    bare = df.select(F.col("x").cast("string").alias("s")).collect()
+    assert any("E" in r["s"] for r in bare), "Spark no longer scientific?"
+
+
+def test_percentile_threshold_grid_rounding(spark):
+    """The live round-13 find: Spark percentile vs DuckDB quantile_cont
+    interpolate 1 ULP apart on an identical multiset; rounding both to
+    the 6-dp score grid restores bit-equality."""
+    import duckdb
+    import struct
+
+    vals = sorted(
+        [0.45, 0.452, 0.452, 0.4574, 0.5124, 0.597, 0.608, 0.6762,
+         0.7128, 0.7564, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51,
+         0.52, 0.53, 0.54, 0.55]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "s double")
+    qs = ", ".join(str(q / 10) for q in range(1, 10))
+    thr_s = df.agg(
+        F.expr(f"transform(percentile(s, array({qs})), t -> round(t, 6))")
+        .alias("t")
+    ).collect()[0]["t"]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE sc AS SELECT unnest(?) AS s", [vals])
+    thr_d = con.execute(
+        "SELECT list_transform(quantile_cont(s, "
+        "[0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]), t -> round(t, 6)) FROM sc"
+    ).fetchone()[0]
+    assert [struct.pack("d", a) for a in thr_s] == [
+        struct.pack("d", b) for b in thr_d
+    ]
+
+
+def test_from_json_rejects_raw_control_chars(spark):
+    """The jsonish fence rationale: a raw U+000B inside a JSON string is
+    INVALID JSON — from_json nulls the whole array, so any oracle that
+    shortcuts the parse must exclude non-printable-ASCII inputs."""
+    df = spark.createDataFrame(
+        [('[" a\x0bb ", "ok"]',), ('[" ab ", "ok"]',)], "s string"
+    )
+    rows = df.select(
+        F.from_json("s", "array<string>").alias("a"), "s"
+    ).collect()
+    by_s = {r["s"]: r["a"] for r in rows}
+    assert by_s['[" a\x0bb ", "ok"]'] is None
+    assert by_s['[" ab ", "ok"]'] == [" ab ", "ok"]
+
+
+def test_java_upper_diverges_from_utf8proc_on_ligatures(spark):
+    """Why the outcomes-arm ASCII fence is load-bearing: Java's full
+    upper() expands the ligature 'ﬁ' to 'FI' while DuckDB's utf8proc
+    upper is codepoint-wise and leaves it alone."""
+    import duckdb
+
+    s = spark.createDataFrame([("ﬁn",)], "x string").select(
+        F.upper("x").alias("u")
+    ).collect()[0]["u"]
+    d = duckdb.connect().execute("SELECT upper('ﬁn')").fetchone()[0]
+    assert s == "FIN" and d != "FIN"
+
+
+def test_keyword_fold_symmetry():
+    """keyword_include folds keywords with the SAME 26-letter translate
+    map as the column side (round-12 advisor): ASCII uppercase folds,
+    non-ASCII uppercase passes through on BOTH sides."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import (
+        _PY_ASCII_FOLD,
+        keyword_pattern,
+    )
+
+    assert "NAÏVE".translate(_PY_ASCII_FOLD) == "naÏve"
+    assert "SPARK".translate(_PY_ASCII_FOLD) == "spark"
+    # a keyword with non-ASCII uppercase keeps it verbatim in the
+    # pattern — str.lower() would have folded Ï to ï and silently
+    # stopped matching the column-side fold (which never touches Ï)
+    pat = keyword_pattern(["NAÏVE".translate(_PY_ASCII_FOLD)])
+    assert "naÏve" in pat and "naïve" not in pat
+
+
+def test_dirty_audit_carriers_reach_text_column(spark, tmp_path):
+    """Regression pin for the round-13 dead-carrier find: the round-12
+    selector arithmetic left every new carrier entry unused (4 rows per
+    column, same 4 indices everywhere).  The re-keyed selector must land
+    every carrier CLASS in documents.text — the column every tokenizer,
+    trim, and char-level query reads."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "dpa", os.path.join(repo, "tools", "dirty_parity_audit.py")
+    )
+    dpa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dpa)
+    out = str(tmp_path / "dirty")
+    dpa.build_dirty_dir(spark, out)
+    rows = spark.read.parquet(os.path.join(out, "documents.parquet")).collect()
+    text = [r["text"] for r in rows if isinstance(r["text"], str)]
+    for label, ch in (
+        ("VT", "\x0b"),
+        ("NBSP", "\xa0"),
+        ("astral", "\U0001d5e6"),
+        ("combining", "̇"),
+    ):
+        assert any(ch in t for t in text), f"{label} carrier missing in text"
+    # and the finite-huge doubles reach a money column
+    orders = spark.read.parquet(os.path.join(out, "orders.parquet")).collect()
+    prices = [r["o_totalprice"] for r in orders if r["o_totalprice"] is not None]
+    assert any(p == 9.3e16 for p in prices)
+    assert any(p == -1e308 for p in prices)
