@@ -54,10 +54,40 @@ probe("cast_double_to_string", lambda c: c.cast("string"),
 WS = ["a b", "a b", "a　b", " a b ", " a ",
       "a\tb", "ab", None]
 probe("split_ws_regex", lambda c: F.split(c, r"\s+"),
-      r"regexp_split_to_array(x, '\s+')", WS)
-probe("trim_unicode_ws", lambda c: F.trim(c), "trim(x)", WS)
+      r"regexp_split_to_array(x, '\s+')", WS, expected="diverge")
+probe("trim_unicode_ws", lambda c: F.trim(c), "trim(x)", WS,
+      expected="diverge")
 probe("regexp_replace_ws", lambda c: F.regexp_replace(c, r"\s", "_"),
-      r"regexp_replace(x, '\s', '_', 'g')", WS)
+      r"regexp_replace(x, '\s', '_', 'g')", WS, expected="diverge")
+# round-13: the three probes above flipped to expected=diverge — the
+# classes are now FENCED (oracles use [\s\x0b] classes and trim(x, ' '));
+# the agree-pair probes below are the shipped contracts, plus the two new
+# classes the strengthened dirty corpus found (floor-band saturation,
+# full-case upper), and the printf renderer that replaces bare
+# double->string casts.
+probe("split_ws_contract", lambda c: F.split(c, r"\s+"),
+      r"regexp_split_to_array(x, '[\s\x0b]+')", WS)
+probe("trim_charset_contract", lambda c: F.trim(c), "trim(x, ' ')", WS)
+BAND = [0.0, -857.71, 941.54, 9.3e16, -1e305, 1e308, float("nan"),
+        float("inf"), None]
+probe("floor_band_raw", lambda c: F.floor(c / 100).cast("string"),
+      "CAST(CAST(floor(x / 100) AS BIGINT) AS VARCHAR)", BAND, kind="dbl",
+      expected="diverge")
+probe("floor_band_money_contract",
+      lambda c: F.when(
+          c.isNotNull() & ~F.isnan(c)
+          & (F.abs(c) != F.lit(float("inf")))
+          & (F.abs(c) < F.lit(9.2e16)),
+          F.floor(c / 100),
+      ).cast("string"),
+      "CAST(CASE WHEN isfinite(x) AND abs(x) < 9.2e16"
+      " THEN CAST(floor(x / 100) AS BIGINT) END AS VARCHAR)",
+      BAND, kind="dbl")
+probe("printf_2f_contract", lambda c: F.format_string("%.2f", c),
+      "printf('%.2f', x)",
+      [0.0, -0.0, 857.71, 900.0, 1e7, 123456789.12, 9.3e16], kind="dbl")
+probe("upper_ligature", lambda c: F.upper(c), "upper(x)",
+      ["\ufb01n", "\ufb03", "stra\u00dfe", "SPARK"], expected="diverge")
 
 # --- binary collation: comparisons and min/max over unicode strings -------
 CMP = ["a", "Z", "z", "é", "İ", "Ａ", "ABC", "abc", ""]
@@ -137,7 +167,8 @@ probe("concat_ws_null_skip",
 probe("json_extract_string",
       lambda c: F.get_json_object(c, "$.a"),
       "json_extract_string(x, '$.a')",
-      ['{"a": "v"}', '{"a": 3}', '{"b": 1}', 'not json', None])
+      ['{"a": "v"}', '{"a": 3}', '{"b": 1}', 'not json', None],
+      expected="diverge")  # fenced: the round-9 json_valid lockstep guard
 
 # --- KNOWN fenced classes (assert the fence is still needed) ----------------
 probe("lower_unicode", lambda c: F.lower(c), "lower(x)",
