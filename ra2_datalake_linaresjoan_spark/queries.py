@@ -2700,12 +2700,17 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
 #: CORRECTNESS_r13.json lands, so the staleness-seat gate requires this
 #: declared seat).  26 of the 28 r3 names — the other two
 #: (edit_distance_match via the overflow head, association_rules as the
-#: stalest-first window fill) are in the round-13 window itself.  The
-#: round-14 window MUST lead with these 26 plus any round-13 overflow
-#: (currently none), leaving 50 - 26 = 24 slots for round-13 churn —
-#: ample.  All 26 are UNCHANGED since their r2/r3 driver rows and carry
-#: fresh local tri-scale MATCH signals from the round-12 full-registry
-#: sweeps (sweep + dirty audit, both 300/300).
+#: stalest-first window fill) are in the round-13 window itself.
+#: Round-14 arithmetic (reconciled with the 33-name
+#: ``_CHANGED_OVERFLOW_NEXT_ROUND`` the late oracle-contract
+#: migrations created — changed names outrank equally-old stale names
+#: because their existing driver rows verified a SUPERSEDED oracle):
+#: the round-14 window = the 33 changed-overflow names first (placement
+#: contract) + the 17 stalest of these 26; the 9-name r3 remainder
+#: re-declares for round 15, where 9 + the round-14 churn fits easily.
+#: All 26 are UNCHANGED since their r2/r3 driver rows and carry fresh
+#: local tri-scale MATCH signals from the round-12 AND round-13
+#: full-registry sweeps (clean sweeps + dirty audits, all 300/300).
 _STALE_BACKFILL_NEXT_ROUND: tuple[str, ...] = (
     "bellman_ford_routes",
     "bitmap_exact_distinct",
