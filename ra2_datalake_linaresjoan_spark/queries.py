@@ -2531,6 +2531,13 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     #       F.lower() pre-fold (keyword_include ascii-folds internally;
     #       the pre-lower reintroduced Java full-case-fold row
     #       membership).  Clean-data no-op.
+    #     - bellman_ford_routes (close review): money_pred bound on the
+    #       edge-weight input both sides — its per-row cents cast was
+    #       the one left unguarded in the registry, and its oracle
+    #       casts only after the min (a bloom_join_prefilter-shaped
+    #       asymmetry the dirty audit's 60-row join shadow concealed).
+    #       Clean-corpus no-op; seated via the changed-overflow tail.
+    "bellman_ford_routes",
     "bloom_join_prefilter",
     "classifier_parity",
     "pipeline_parity",
@@ -2650,12 +2657,13 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 #: overflow placement contract + the complete 9-name r2 backfill + 4
 #: fills) when the round-13 oracle-contract migrations landed, so the
 #: 33 migrated names that are not window-seated defer exactly one
-#: round, pinned at positions 51-83 (the FIRST cohort the round-14
-#: window picks up).  Mitigations: every one is re-verified MATCH at
+#: round, pinned at positions 51+ (the FIRST cohort the round-14
+#: window picks up); the close review's bellman_ford_routes fix makes
+#: it 34.  Mitigations: every one is re-verified MATCH at
 #: sf0.01 clean AND on the round-13-strengthened dirty corpus (dense
 #: per-column carriers incl. VT/NBSP/astral/combining + finite-huge
 #: doubles) this round, and every change is a clean-corpus no-op.
-#: Round-14 arithmetic: 33 overflow + 17 stalest fills = 50; the r3
+#: Round-14 arithmetic: 34 overflow + 16 stalest fills = 50; the r3
 #: remainder re-declares in _STALE_BACKFILL_NEXT_ROUND.  Ordered
 #: stalest-first (driver rounds 4-12).
 _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
@@ -2692,27 +2700,33 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "skyline_pareto",
     "winsorized_value_stats",
     "table_profile",
+    # round-13 close review: the one unguarded per-row cents cast left
+    # in the registry (money_pred added both sides — see the
+    # q_bellman_ford_routes docstring); was r3-stale backfill, now a
+    # changed name, same round-14 seat either way.
+    "bellman_ford_routes",
 )
 
 
 #: The max-staleness cohort that did NOT fit the round-13 window: the
 #: r3-stale remainder (driver round 3; they reach age 10 the moment
 #: CORRECTNESS_r13.json lands, so the staleness-seat gate requires this
-#: declared seat).  26 of the 28 r3 names — the other two
-#: (edit_distance_match via the overflow head, association_rules as the
-#: stalest-first window fill) are in the round-13 window itself.
-#: Round-14 arithmetic (reconciled with the 33-name
+#: declared seat).  25 of the 28 r3 names — of the other three,
+#: edit_distance_match (overflow head) and association_rules (stalest-
+#: first window fill) are in the round-13 window itself, and
+#: bellman_ford_routes moved to the changed-overflow seat when the
+#: close review fixed its unguarded cents cast.
+#: Round-14 arithmetic (reconciled with the 34-name
 #: ``_CHANGED_OVERFLOW_NEXT_ROUND`` the late oracle-contract
 #: migrations created — changed names outrank equally-old stale names
 #: because their existing driver rows verified a SUPERSEDED oracle):
-#: the round-14 window = the 33 changed-overflow names first (placement
-#: contract) + the 17 stalest of these 26; the 9-name r3 remainder
+#: the round-14 window = the 34 changed-overflow names first (placement
+#: contract) + the 16 stalest of these 25; the 9-name r3 remainder
 #: re-declares for round 15, where 9 + the round-14 churn fits easily.
-#: All 26 are UNCHANGED since their r2/r3 driver rows and carry fresh
+#: All 25 are UNCHANGED since their r2/r3 driver rows and carry fresh
 #: local tri-scale MATCH signals from the round-12 AND round-13
 #: full-registry sweeps (clean sweeps + dirty audits, all 300/300).
 _STALE_BACKFILL_NEXT_ROUND: tuple[str, ...] = (
-    "bellman_ford_routes",
     "bitmap_exact_distinct",
     "bpe_pair_merge",
     "bracket_revenue",
@@ -2845,6 +2859,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "skyline_pareto",
     "winsorized_value_stats",
     "table_profile",
+    "bellman_ford_routes",
 )
 
 

@@ -149,13 +149,26 @@ def q_bellman_ford_routes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dist ⋈ edges) min-aggregate over ≤ 25² rows. The min-plus semiring
     is exactly what hop-counting recursive CTEs (`trade_reachability`)
     cannot express. Output: nation, cheapest cost within ≤3 hops, or
-    unreachable rows absent."""
+    unreachable rows absent.
+
+    money_pred on the edge-weight input (round-13 close review): the
+    per-row ``CAST(round(x*100) AS BIGINT)`` ran UNGUARDED here while
+    the oracle casts only AFTER the min — one NaN/±Inf/huge price in a
+    surviving trade row would ANSI-raise the Spark job where the oracle
+    sails past it (the exact one-poisoned-row asymmetry the advisor
+    caught in bloom_join_prefilter).  The dirty audit had missed it
+    only because the 60-row corpus's poisoned lineitem rows happen to
+    lose the orders join.  Both sides now bound the edge population to
+    the representable-cents domain — a clean-corpus no-op."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_pred
+
     li = _t(spark, sf_dir, "lineitem")
     ords = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     edges = (
         li.select("l_orderkey", "l_suppkey", "l_extendedprice")
+        .where(money_pred("l_extendedprice"))
         .join(ords.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(cust.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
@@ -191,6 +204,7 @@ WITH edges AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN customer c ON o.o_custkey = c.c_custkey
   WHERE s.s_nationkey <> c.c_nationkey
+    AND isfinite(l.l_extendedprice) AND abs(l.l_extendedprice) < 9.2e16
   GROUP BY 1, 2
 ), d0 AS (
   SELECT CAST(0 AS INTEGER) AS node, CAST(0 AS BIGINT) AS cost

@@ -203,3 +203,63 @@ def test_dirty_audit_carriers_reach_text_column(spark, tmp_path):
     prices = [r["o_totalprice"] for r in orders if r["o_totalprice"] is not None]
     assert any(p == 9.3e16 for p in prices)
     assert any(p == -1e308 for p in prices)
+
+
+def test_bellman_ford_survives_poisoned_price_lockstep(spark, tmp_path):
+    """Close-review pin: bellman_ford_routes carried the registry's one
+    UNGUARDED per-row cents cast, and its oracle casts only AFTER the
+    min — so a NaN/huge price on a row that SURVIVES the 4-way join
+    would ANSI-raise the Spark job while the oracle sailed past it.
+    The 60-row dirty corpus never exercises this (its poisoned lineitem
+    rows all lose the orders join), hence a direct fixture: poisoned
+    prices on surviving rows must neither raise nor shift the edge
+    weights, identically in both engines."""
+    import duckdb
+
+    from ra2_datalake_linaresjoan_spark.queries_ext11 import (
+        SQL_BELLMAN_FORD_ROUTES,
+        q_bellman_ford_routes,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            # order 1 (cust 1 → nation 1) supplied from nation 0: one
+            # clean price and BOTH poison shapes on surviving rows
+            (1, 1, 100.50),
+            (1, 1, float("nan")),
+            (1, 1, 9.3e16),
+            # order 2 (cust 2 → nation 2) supplied from nation 1:
+            # ONLY poisoned prices — the whole edge must vanish, not
+            # saturate into a fake cost
+            (2, 2, float("inf")),
+            (2, 2, -1e308),
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double",
+    ).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "o_orderkey long, o_custkey long"
+    ).write.parquet(os.path.join(sf, "orders.parquet"))
+    spark.createDataFrame(
+        [(1, 0), (2, 1)], "s_suppkey long, s_nationkey long"
+    ).write.parquet(os.path.join(sf, "supplier.parquet"))
+    spark.createDataFrame(
+        [(1, 1), (2, 2)], "c_custkey long, c_nationkey long"
+    ).write.parquet(os.path.join(sf, "customer.parquet"))
+
+    got = [
+        (r["node"], r["cost"])
+        for r in q_bellman_ford_routes(spark, sf).collect()
+    ]
+    # node 0 at cost 0; node 1 via the one in-domain price; node 2
+    # unreachable (its only edge was entirely out-of-domain)
+    assert got == [(0, 0), (1, 10050)]
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "supplier", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf, t + '.parquet')}/*.parquet')"
+        )
+    oracle = [tuple(r) for r in con.execute(SQL_BELLMAN_FORD_ROUTES).fetchall()]
+    assert oracle == got
