@@ -2538,6 +2538,12 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     #       asymmetry the dirty audit's 60-row join shadow concealed).
     #       Clean-corpus no-op; seated via the changed-overflow tail.
     "bellman_ford_routes",
+    #     - benford_digits (close review, same sweep): leading-digit
+    #       bands floor to LONG — a finite price past 2^63 silently
+    #       SATURATES in Spark (digit of 1e308 reads "9") where the
+    #       oracle's BIGINT cast raises; population is now the money
+    #       domain, not just finite-and->=1.  Clean-corpus no-op.
+    "benford_digits",
     "bloom_join_prefilter",
     "classifier_parity",
     "pipeline_parity",
@@ -2659,11 +2665,11 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 #: 33 migrated names that are not window-seated defer exactly one
 #: round, pinned at positions 51+ (the FIRST cohort the round-14
 #: window picks up); the close review's bellman_ford_routes fix makes
-#: it 34.  Mitigations: every one is re-verified MATCH at
+#: it 35 with benford_digits.  Mitigations: every one is re-verified MATCH at
 #: sf0.01 clean AND on the round-13-strengthened dirty corpus (dense
 #: per-column carriers incl. VT/NBSP/astral/combining + finite-huge
 #: doubles) this round, and every change is a clean-corpus no-op.
-#: Round-14 arithmetic: 34 overflow + 16 stalest fills = 50; the r3
+#: Round-14 arithmetic: 35 overflow + 15 stalest fills = 50; the r3
 #: remainder re-declares in _STALE_BACKFILL_NEXT_ROUND.  Ordered
 #: stalest-first (driver rounds 4-12).
 _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
@@ -2705,6 +2711,9 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     # q_bellman_ford_routes docstring); was r3-stale backfill, now a
     # changed name, same round-14 seat either way.
     "bellman_ford_routes",
+    # benford_digits: floor-saturation bound (close review) — r12-fresh,
+    # re-seated for a fresh row on the bounded oracle.
+    "benford_digits",
 )
 
 
@@ -2716,12 +2725,12 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
 #: first window fill) are in the round-13 window itself, and
 #: bellman_ford_routes moved to the changed-overflow seat when the
 #: close review fixed its unguarded cents cast.
-#: Round-14 arithmetic (reconciled with the 34-name
+#: Round-14 arithmetic (reconciled with the 35-name
 #: ``_CHANGED_OVERFLOW_NEXT_ROUND`` the late oracle-contract
 #: migrations created — changed names outrank equally-old stale names
 #: because their existing driver rows verified a SUPERSEDED oracle):
-#: the round-14 window = the 34 changed-overflow names first (placement
-#: contract) + the 16 stalest of these 25; the 9-name r3 remainder
+#: the round-14 window = the 35 changed-overflow names first (placement
+#: contract) + the 15 stalest of these 25; the 9-name r3 remainder
 #: re-declares for round 15, where 9 + the round-14 churn fits easily.
 #: All 25 are UNCHANGED since their r2/r3 driver rows and carry fresh
 #: local tri-scale MATCH signals from the round-12 AND round-13
@@ -2860,6 +2869,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "winsorized_value_stats",
     "table_profile",
     "bellman_ford_routes",
+    "benford_digits",
 )
 
 

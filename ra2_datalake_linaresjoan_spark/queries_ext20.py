@@ -56,12 +56,16 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1/digit is an ANSI DIVIDE_BY_ZERO in Spark but a NULL row in
     DuckDB) and a negative total crashes the digit cast on both
     engines.  +Inf sails past the >= 1 bound and has no leading digit
-    — finite_pred completes the magnitude-domain guard (round-11
-    value-fuzz)."""
-    from ra2_datalake_linaresjoan_spark.operators.filters import finite_pred
+    — and a FINITE price past 2^63 splits the engines on the floor
+    band itself: Spark's floor() yields LONG and silently SATURATES
+    (leading digit of 1e308 reads "9" off LONG_MAX) while the oracle's
+    CAST(floor(x) AS BIGINT) raises — the round-13 floor-saturation
+    class, so the population is the money domain, not just finite
+    (round-13 close review; clean-corpus no-op)."""
+    from ra2_datalake_linaresjoan_spark.operators.filters import money_pred
 
     o = _t(spark, sf_dir, "orders").where(
-        (F.col("o_totalprice") >= 1) & finite_pred("o_totalprice")
+        (F.col("o_totalprice") >= 1) & money_pred("o_totalprice")
     )
     per = (
         o.select(
@@ -94,7 +98,8 @@ SQL_BENFORD_DIGITS = """
 WITH per AS (
   SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
          CAST(count(*) AS BIGINT) AS n_orders
-  FROM orders WHERE o_totalprice >= 1 AND isfinite(o_totalprice) GROUP BY 1
+  FROM orders WHERE o_totalprice >= 1 AND isfinite(o_totalprice)
+    AND abs(o_totalprice) < 9.2e16 GROUP BY 1
 ), tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM per)
 SELECT digit, n_orders,
        round(CAST(n_orders AS DOUBLE) / total, 6) AS obs_share,

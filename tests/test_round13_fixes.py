@@ -203,6 +203,12 @@ def test_dirty_audit_carriers_reach_text_column(spark, tmp_path):
     prices = [r["o_totalprice"] for r in orders if r["o_totalprice"] is not None]
     assert any(p == 9.3e16 for p in prices)
     assert any(p == -1e308 for p in prices)
+    # close review: the floor-saturation class needs a POSITIVE finite
+    # value past 2^63 (9.3e16 still fits BIGINT after floor; -1e308
+    # loses every >= bound) — pre-fix benford_digits diverged on
+    # exactly this row (Spark LONG_MAX saturation digit "9" vs a DuckDB
+    # cast raise)
+    assert any(p == 1e19 for p in prices)
 
 
 def test_bellman_ford_survives_poisoned_price_lockstep(spark, tmp_path):

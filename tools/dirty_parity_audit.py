@@ -271,6 +271,15 @@ def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
                     # (deterministic); 9.3e16 sits just past the bound.
                     .when((rid + voff) % 19 == 10, F.lit(9.3e16))
                     .when((rid + voff) % 19 == 15, F.lit(-1e308))
+                    # round-13 close review: a POSITIVE finite value
+                    # past 2^63 — the floor-saturation class needs it
+                    # (9.3e16 still fits BIGINT after floor(); -1e308
+                    # loses every >= bound): Spark floor()/long-cast
+                    # silently pins to LONG_MAX where DuckDB raises,
+                    # so an unbounded floor band reads digit "9" off
+                    # the saturation instead of failing.  Period 23 is
+                    # co-prime with 11/13/19.
+                    .when((rid + voff) % 23 == 11, F.lit(1e19))
                 )
                 return (
                     whole_null.otherwise(
