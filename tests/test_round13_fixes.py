@@ -269,3 +269,34 @@ def test_bellman_ford_survives_poisoned_price_lockstep(spark, tmp_path):
         )
     oracle = [tuple(r) for r in con.execute(SQL_BELLMAN_FORD_ROUTES).fetchall()]
     assert oracle == got
+
+
+def test_percentile_interpolation_agrees_at_huge_magnitude(spark):
+    """Close-review probe pin: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` interpolate BIT-IDENTICALLY even when the
+    interpolation spans a finite-huge value (1 ULP at 1e19 is ~2048 —
+    far beyond any rounding grid, so agreement here is why the
+    finite-only percentile populations stay un-bounded while every
+    integer-cast/floor site needs the money domain).  If an engine
+    upgrade breaks this, the percentile queries need money_case too."""
+    import duckdb
+
+    con = duckdb.connect()
+    cases = [
+        [1.0, 2.0, 3.0, 1e19],
+        [5.0, 9.3e16],
+        [1.0, 2.0, 1e19, 1e19],
+        [857.71, 941.54, 9.3e16, 1e19],
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        for p in (0.5, 0.9, 0.99):
+            s = df.select(
+                F.expr(f"percentile(x, {p})").alias("q")
+            ).collect()[0]["q"]
+            d = con.execute(
+                f"SELECT quantile_cont(x, {p}) FROM "
+                "(SELECT unnest(?::DOUBLE[]) AS x)",
+                [vals],
+            ).fetchone()[0]
+            assert s == d, (vals, p, s, d)
