@@ -435,7 +435,15 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the capped-count guard; nation (25 rows) broadcasts
     unconditionally.  money_case on the revenue inputs: a share
     statistic needs a finite population, and NaN/±Inf raises on the
-    cents cast in both engines (round-11 value-fuzz)."""
+    cents cast in both engines (round-11 value-fuzz).
+
+    Zero-total nations are excluded in lockstep (round-13 FK-coherent
+    fuzz corpus): Spark's share division is LONG/LONG — ANSI raises
+    DIVIDE_BY_ZERO when a nation's surviving revenue nets to zero —
+    while the oracle's DOUBLE/BIGINT division yields IEEE Inf/NaN and
+    sails past; a share has no meaning over a zero denominator, so the
+    population is nonzero-total nations in both engines.  Real revenue
+    totals are never zero, so this is a clean-corpus no-op."""
     from ra2_datalake_linaresjoan_spark.operators.filters import money_case
     from ra2_datalake_linaresjoan_spark.operators.joins import maybe_broadcast
 
@@ -456,9 +464,14 @@ def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(cents.alias("c"))
     )
     w = Window.partitionBy("n_name")
-    share = F.col("c") / F.sum("c").over(w)
     return (
-        per_sup.select("n_name", "s_suppkey", share.alias("share"))
+        per_sup.withColumn("tot", F.sum("c").over(w))
+        .where(F.col("tot") != 0)
+        .select(
+            "n_name",
+            "s_suppkey",
+            (F.col("c") / F.col("tot")).alias("share"),
+        )
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_suppliers"),
@@ -481,8 +494,11 @@ WITH per_sup AS (
   GROUP BY 1, 2
 ), sh AS (
   SELECT n_name, s_suppkey,
-         CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY n_name) AS BIGINT) AS share
-  FROM per_sup
+         CAST(c AS DOUBLE) / CAST(tot AS BIGINT) AS share
+  FROM (SELECT n_name, s_suppkey, c,
+               sum(c) OVER (PARTITION BY n_name) AS tot
+        FROM per_sup)
+  WHERE tot <> 0
 )
 SELECT n_name,
        CAST(count(*) AS BIGINT) AS n_suppliers,

@@ -300,3 +300,82 @@ def test_percentile_interpolation_agrees_at_huge_magnitude(spark):
                 [vals],
             ).fetchone()[0]
             assert s == d, (vals, p, s, d)
+
+
+def test_hhi_excludes_zero_total_nations_lockstep(spark, tmp_path):
+    """FK-coherent-corpus find: a nation whose surviving revenue nets to
+    ZERO made Spark's LONG/LONG share division raise DIVIDE_BY_ZERO
+    while the oracle's DOUBLE/BIGINT division yielded IEEE Inf/NaN and
+    sailed past.  Shares have no meaning over a zero denominator — the
+    population is nonzero-total nations, identically in both engines."""
+    import duckdb
+
+    from ra2_datalake_linaresjoan_spark.queries_ext21 import (
+        SQL_HHI_CONCENTRATION,
+        q_hhi_concentration,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            # nation A: normal revenue
+            (1, 1, 100.0, 0.0),
+            (1, 1, 50.0, 0.1),
+            # nation B: revenue nets to EXACTLY zero (cancelling rows)
+            (2, 2, 75.0, 0.0),
+            (2, 2, -75.0, 0.0),
+        ],
+        "l_orderkey long, l_suppkey long, l_extendedprice double, l_discount double",
+    ).write.parquet(os.path.join(sf, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "s_suppkey long, s_nationkey long"
+    ).write.parquet(os.path.join(sf, "supplier.parquet"))
+    spark.createDataFrame(
+        [(10, "ALPHA"), (20, "BETA")], "n_nationkey long, n_name string"
+    ).write.parquet(os.path.join(sf, "nation.parquet"))
+
+    got = [tuple(r) for r in q_hhi_concentration(spark, sf).collect()]
+    # BETA vanished (zero total), ALPHA's single supplier holds 100%
+    assert got == [("ALPHA", 1, 1.0, 1.0)]
+
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf, t + '.parquet')}/*.parquet')"
+        )
+    assert [tuple(r) for r in con.execute(SQL_HHI_CONCENTRATION).fetchall()] == got
+
+
+def test_dirty_corpus_poisoned_rows_survive_joins(spark, tmp_path):
+    """The FK-coherent sampler's contract: at least one poisoned
+    lineitem row (non-finite or out-of-cents-domain l_extendedprice)
+    must SURVIVE the lineitem⋈orders join — otherwise every
+    join-downstream cast sits in the coverage shadow that hid
+    bellman_ford_routes' unguarded cents cast for two rounds."""
+    import importlib.util
+    import math
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "dpa2", os.path.join(repo, "tools", "dirty_parity_audit.py")
+    )
+    dpa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dpa)
+    out = str(tmp_path / "dirty")
+    dpa.build_dirty_dir(spark, out)
+    li = spark.read.parquet(os.path.join(out, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(out, "orders.parquet"))
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_extendedprice"
+    ).collect()
+    poisoned = [
+        r["l_extendedprice"]
+        for r in joined
+        if r["l_extendedprice"] is not None
+        and (
+            math.isnan(r["l_extendedprice"])
+            or abs(r["l_extendedprice"]) >= 9.2e16
+        )
+    ]
+    assert poisoned, "no poisoned lineitem row survives the orders join"

@@ -118,10 +118,32 @@ UNICODE_CARRIERS: tuple[str, ...] = (
 def build_dirty_dir(spark: SparkSession, out_dir: str) -> str:
     import zlib
 
+    # FK-COHERENT sampling (round-13 close review): a bare limit(60)
+    # per table breaks referential overlap — the sampled lineitem rows
+    # mostly reference orderkeys OUTSIDE the sampled orders, so poisoned
+    # child values rarely SURVIVE a join and every join-downstream cast
+    # sits in a coverage shadow (how bellman_ford_routes' unguarded
+    # cents cast hid through two audited rounds).  Sample parents
+    # first, then keep only child rows whose FK lands in the parent
+    # sample: customer → orders → lineitem.  First adoption run caught
+    # hhi_concentration's LONG/LONG share division raising on a
+    # zero-total nation where the oracle's DOUBLE division sailed past.
+    cust = spark.read.parquet(os.path.join(SF, "customer.parquet")).limit(60)
+    cust_keys = [r[0] for r in cust.select("c_custkey").collect()]
+    orders_all = spark.read.parquet(os.path.join(SF, "orders.parquet"))
+    orders = orders_all.where(F.col("o_custkey").isin(cust_keys)).limit(60)
+    okeys = [r[0] for r in orders.select("o_orderkey").collect()]
+    li_all = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    lineitem = li_all.where(F.col("l_orderkey").isin(okeys)).limit(60)
+    _fk_sampled = {"customer.parquet": cust, "orders.parquet": orders,
+                   "lineitem.parquet": lineitem}
+
     for f in os.listdir(SF):
         if not f.endswith(".parquet"):
             continue
-        df = spark.read.parquet(os.path.join(SF, f)).limit(60)
+        df = _fk_sampled.get(f)
+        if df is None:
+            df = spark.read.parquet(os.path.join(SF, f)).limit(60)
         nullable = [fl.name for fl in df.schema.fields if fl.nullable]
 
         def _nulled(fl):
