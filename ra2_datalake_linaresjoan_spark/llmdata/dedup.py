@@ -64,7 +64,10 @@ def ngram_jaccard_pairs(
     Inverted-index self-join: common-shingle counts via groupBy on shingle,
     per-doc shingle counts broadcast back in. jaccard = common/(na+nb-common).
     """
-    sh = shingles(df, id_col, text_col, n).cache()
+    # eager localCheckpoint, not cache(): see minhash_lsh_candidates —
+    # a cached plan is CacheManager-matched by identical later calls,
+    # turning repeat benchmark runs into cache reads.
+    sh = shingles(df, id_col, text_col, n).localCheckpoint()
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -156,10 +159,19 @@ def minhash_lsh_candidates(
         F.min(F.xxhash64("shingle", F.lit(seed), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    # localCheckpoint (eager), NOT persist: a lazy persist here registers
+    # the plan in the CacheManager, and because the CacheManager matches
+    # canonicalized plans, a LATER identical invocation (bench run 2/3,
+    # or a sibling query calling this helper with the same params in the
+    # same session) silently reads the first run's cached table — i.e.
+    # cross-run result caching, which the bench must not do.  The eager
+    # local checkpoint materializes the signature+shingle-set table ONCE
+    # per call (same single computation the persist bought), truncates
+    # the lineage, and is recomputed honestly by every fresh call.
     per_doc = (
         sh.groupBy(id_col)
         .agg(F.collect_set("shingle").alias("_sh"), *min_aggs)
-        .persist()
+        .localCheckpoint()
     )
     band_arr = F.array(
         *[

@@ -134,11 +134,38 @@ def quality_score(col: Column) -> Column:
     score = 0.4·len_score + 0.3·(1 − punct_ratio) + 0.3·stop_score where
     len_score saturates at 200 tokens and stop_score rewards a natural
     stopword rate (~2-60%).
+
+    Round-13 (guide §1.2 per-task work): the original composed
+    ``whitespace_token_count`` + ``punct_ratio`` + ``stopword_ratio``
+    verbatim, which split the text TWICE (raw trim for the count,
+    folded trim for the stopwords) and allocated TWO regexp_replace'd
+    copies of every document for the punctuation ratio.  This inlined
+    form tokenizes ONCE (the fold is a 1:1 char map that never touches
+    whitespace, so raw and folded token counts are provably equal) and
+    computes the punctuation ratio with ``regexp_count`` arithmetic —
+    length(regexp_replace(s, p, '')) ≡ length(s) − regexp_count(s, p)
+    for any single-char class p — allocating no intermediate strings.
+    Value-identical to the composed form for every input incl. NULL
+    (NULL text: n_tok CASE → 0, p stays NULL, sw stays NULL exactly as
+    before).
     """
-    n_tok = whitespace_token_count(col).cast("double")
+    s = col.cast("string")
+    folded = F.trim(ascii_lower(s))
+    words = F.split(folded, r"\s+")
+    n_tok = (
+        F.when(folded.isNull() | (folded == ""), F.lit(0))
+        .otherwise(F.size(words))
+        .cast("double")
+    )
     len_score = F.least(n_tok / F.lit(200.0), F.lit(1.0))
-    p = punct_ratio(col)
-    sw = stopword_ratio(col)
+    n_nospace = F.length(s) - F.regexp_count(s, F.lit(r"\s"))
+    n_punct = n_nospace - F.regexp_count(s, F.lit(r"[\p{L}\p{N}_]"))
+    p = F.when(n_nospace == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / n_nospace
+    )
+    n_words = F.size(words)
+    hits = F.size(F.filter(words, lambda w: w.isin("the", "a", "of", "and", "is")))
+    sw = F.when(n_words == 0, F.lit(0.0)).otherwise(hits.cast("double") / n_words)
     stop_score = F.when((sw >= 0.02) & (sw <= 0.6), F.lit(1.0)).otherwise(F.lit(0.5))
     return F.round(0.4 * len_score + 0.3 * (1.0 - p) + 0.3 * stop_score, 6)
 

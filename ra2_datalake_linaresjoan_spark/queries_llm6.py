@@ -324,54 +324,102 @@ _PCA_VSCALE = 1024
 def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-eigenvector estimate of the (uncentered) corpus Gram
     matrix by 3 power-iteration steps, in EXACT integer arithmetic:
-    embeddings quantize to x = round(e·1000); each step computes
-    s = X·v (row dots, one join-aggregate), then w = Xᵀ·s (a second
-    join-aggregate keyed by dimension — the SpMM pattern), then
-    re-quantizes v ← trunc(w·1024 / max|w|) so magnitudes stay bounded:
-    |s_row| ≤ dim·525·1024 ≈ 3.4e7, and the Xᵀs accumulation adds
-    ≤ 525·|s| ≈ 1.8e10 per row — exact in int64 up to ~5×10^8 vectors.
-    Beyond that, accumulate w in DECIMAL(38,0) (mergeable, still exact)
-    or pre-scale s by another power of two. v is 64 rows — always a
-    broadcast; X is scanned once per multiply, never collected. Output: the 64
-    (dim, v) components — bit-identical across engines, no float
-    tolerance anywhere."""
+    embeddings quantize to x = round(e·1000).
+
+    Round-13 optimization (guide §1.2 "the distributed algorithm",
+    §4.2): each step needs w = Xᵀ(X·v) = G·v where G = XᵀX is the
+    DIM×DIM (64×64) integer Gram matrix — corpus-size-INDEPENDENT.  So
+    the corpus is scanned ONCE to accumulate G (an Arrow ``mapInPandas``
+    pass emitting one 4096-cell partial per batch, merged by a 4096-key
+    sum aggregate), and all 3 re-quantized iterations
+    v ← trunc(G·v·1024 / max|G·v|) run on the collected G with Python
+    arbitrary-precision ints — the same exact integer arithmetic, in the
+    same order-free summations, with trunc-toward-zero division matching
+    Spark's ``DIV`` / DuckDB's ``//`` (both verified truncating: -7 DIV
+    2 = -3).  The previous shape re-scanned the quantized matrix per
+    join-aggregate — 28 scans / 71 exchanges / 285 plan nodes in the
+    audited plan; this one is 1 scan / 1 exchange (4096-row partial-sum
+    merge) + a bounded 4096-value collect, the classic "distributed
+    Gram, driver-side eigensolve" layout that also widens the exact
+    int64 envelope (per-cell |G_ij| ≤ n·525², exact past 10^13 rows vs
+    the old per-row Xᵀs bound of ~5×10^8).
+
+    NULL handling matches the join-aggregate shape it replaces: a NULL
+    embedding produces no matrix rows (posexplode-skip ≡ zero
+    contribution), a NULL ELEMENT contributed to no sum (sum skips
+    NULLs ≡ zero contribution), and a short array simply lacks its tail
+    dims — all reproduced by zero-filling before the outer product.
+    Empty input returns the empty frame (the v-chain collapsed to zero
+    rows); an all-zero corpus (mx = 0) raises like the ANSI DIV-by-zero
+    both engines threw before."""
     emb = _t(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "e")
-    ).select(
-        "vec_id",
-        (F.col("dim") + 1).alias("dim"),
-        F.round(F.col("e").cast("double") * 1000).cast("long").alias("xv"),
-    )
-    # localCheckpoint (eager): the quantized matrix materializes ONCE and
-    # every later matrix-vector product reads the checkpoint — persist()
-    # would be lazily dropped before the caller's first action, leaving 3
-    # iterations × 2 joins re-scanning the source parquet (28 scans in the
-    # audited plan). Lineage truncation also keeps the iterated plan flat.
-    x = x.localCheckpoint()
-    v = spark.range(1, 65).select(
-        F.col("id").cast("int").alias("dim"), F.lit(1).cast("long").alias("vv")
-    )
-    for _ in range(_PCA_ITERS):
-        s = (
-            x.join(F.broadcast(v), "dim")
-            .groupBy("vec_id")
-            .agg(F.sum(F.col("xv") * F.col("vv")).alias("s"))
-        )
-        w = (
-            x.join(s, "vec_id")
-            .groupBy("dim")
-            .agg(F.sum(F.col("xv") * F.col("s")).alias("w"))
-        )
-        mx = w.agg(F.max(F.abs("w")).alias("mx"))
-        v = (
-            w.crossJoin(F.broadcast(mx))
-            .select(
-                "dim",
-                F.expr(f"(w * {_PCA_VSCALE}) DIV mx").alias("vv"),
+    xq = emb.select(
+        F.transform(
+            F.coalesce(F.col("embedding"), F.array()),
+            lambda e: F.round(e.cast("double") * 1000).cast("long"),
+        ).alias("xq")
+    ).where(F.size("xq") > 0)
+
+    dim = 64
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        g = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = pdf["xq"]
+            mat = np.zeros((len(rows), dim), dtype=np.int64)
+            for i, r in enumerate(rows):
+                a = np.asarray(
+                    [0 if e is None else e for e in r], dtype=np.int64
+                )
+                mat[i, : min(a.size, dim)] = a[:dim]
+            g += mat.T @ mat
+            seen = True
+        if seen:
+            yield pd.DataFrame(
+                {"k": np.arange(dim * dim, dtype=np.int32), "g": g.ravel()}
             )
-        )
-    return v.select(F.col("dim"), F.col("vv").alias("v")).orderBy("dim")
+
+    g_rows = (
+        xq.mapInPandas(gram_partials, schema="k int, g long")
+        .groupBy("k")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    if not g_rows:
+        return spark.createDataFrame([], "dim int, v bigint")
+
+    g = [[0] * dim for _ in range(dim)]
+    for r in g_rows:
+        g[r["k"] // dim][r["k"] % dim] = r["g"]
+
+    def trunc_div(a: int, b: int) -> int:
+        # trunc-toward-zero ≡ Spark DIV ≡ DuckDB // (b > 0 here)
+        return a // b if a >= 0 else -((-a) // b)
+
+    v = [1] * dim
+    for _ in range(_PCA_ITERS):
+        w = [sum(g[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            raise ArithmeticError(
+                "pca_power_iteration: zero Gram matrix (DIV by zero)"
+            )
+        v = [trunc_div(wi * _PCA_VSCALE, mx) for wi in w]
+    # Inline VALUES (not createDataFrame) so the returned plan is a pure
+    # LocalTableScan — createDataFrame round-trips through an RDD and
+    # plans as Scan ExistingRDD with a needless serialization hop.
+    vals = ", ".join(
+        f"({i + 1}, CAST({int(v[i])} AS BIGINT))" for i in range(dim)
+    )
+    return spark.sql(
+        f"SELECT dim, v FROM (VALUES {vals}) AS t(dim, v) ORDER BY dim"
+    )
 
 
 def _sql_pca() -> str:

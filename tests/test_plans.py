@@ -550,12 +550,17 @@ def test_bloom_bit_table_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_pca_reads_checkpoint_not_parquet(spark, sf_dir):
-    """All six matrix-vector join-aggregates must read the localCheckpointed
-    quantized matrix — zero parquet rescans in the iterated plan."""
+def test_pca_final_plan_is_local(spark, sf_dir):
+    """Round-13 Gram rewrite: the corpus is scanned ONCE inside the
+    eager mapInPandas Gram pass (w = Gv runs driver-side on the bounded
+    64×64 matrix), so the RETURNED plan must be a bounded local relation
+    — zero parquet rescans, zero checkpoint rescans, zero joins (the
+    old shape rescanned the checkpoint per join-aggregate: 285 nodes)."""
     plan = _plan(spark, sf_dir, "pca_power_iteration")
     assert plan.count("Scan parquet") == 0
-    assert "Scan ExistingRDD" in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "Join" not in plan
+    assert "LocalTableScan" in plan
 
 
 def test_vocab_oov_vocab_broadcasts(spark, sf_dir):

