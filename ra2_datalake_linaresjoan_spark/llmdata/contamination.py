@@ -26,8 +26,17 @@ def contaminated_ids(
     n: int = 5,
 ) -> DataFrame:
     """Distinct train-doc ids sharing ≥1 word n-gram with the benchmark."""
-    train_sh = shingles(train, id_col, text_col, n)
-    bench_sh = shingles(bench, id_col, text_col, n).select("shingle").distinct()
+    # hashed=True (round-13): the contaminated-id set is
+    # shingle-identity-invariant, so the semi-join probes and the
+    # broadcast bench set move int64 xxhash64 keys instead of n-word
+    # strings (oracle joins the exact strings — a collision surfaces
+    # as a count mismatch, never silently).
+    train_sh = shingles(train, id_col, text_col, n, hashed=True)
+    bench_sh = (
+        shingles(bench, id_col, text_col, n, hashed=True)
+        .select("shingle")
+        .distinct()
+    )
     # benchmark shingle sets are held-out-eval-sized (orders of magnitude
     # smaller than train) — broadcast so the train shingle stream is
     # filtered map-side and only surviving ids reach the distinct shuffle

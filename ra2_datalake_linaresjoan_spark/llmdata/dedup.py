@@ -26,7 +26,12 @@ _MERSENNE = (1 << 61) - 1
 
 
 def shingles(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = True,
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, text) → (id, shingle) word n-grams, case-folded via
     ``ascii_lower`` (round-12: shingles feed minhash/containment —
@@ -39,15 +44,26 @@ def shingles(
     Documents shorter than n words produce no shingles. ``distinct=False``
     skips the dedup shuffle for consumers whose aggregates are
     duplicate-insensitive (min-hash, collect_set).
+
+    ``hashed=True`` (round-13, guide §2.3) emits int64 ``xxhash64`` keys
+    of the word slice instead of materialized " "-joined strings — the
+    containment_pairs convention: every downstream
+    group/collect/intersect then moves 8-byte longs, and the per-gram
+    concat allocation disappears.  Only for consumers whose OUTPUT is
+    shingle-identity-invariant (signatures, set intersections, counts);
+    anything that surfaces or re-hashes the shingle STRING (simhash's
+    md5) must keep the default.
     """
     from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_lower
 
     words = F.split(F.trim(ascii_lower(F.col(text_col))), r"\s+")
     d = df.select(F.col(id_col), words.alias("_w")).filter(F.size("_w") >= n)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size("_w") - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
+    key = (
+        (lambda i: F.xxhash64(F.slice("_w", i, n)))
+        if hashed
+        else (lambda i: F.concat_ws(" ", F.slice("_w", i, n)))
     )
+    sh = F.transform(F.sequence(F.lit(1), F.size("_w") - (n - 1)), key)
     out = d.select(F.col(id_col), F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
@@ -67,7 +83,12 @@ def ngram_jaccard_pairs(
     # eager localCheckpoint, not cache(): see minhash_lsh_candidates —
     # a cached plan is CacheManager-matched by identical later calls,
     # turning repeat benchmark runs into cache reads.
-    sh = shingles(df, id_col, text_col, n).localCheckpoint()
+    # hashed=True (round-13): pair counts and jaccard are
+    # shingle-identity-invariant, so the checkpoint, the distinct, and
+    # the inverted-index self-join all move int64 keys instead of
+    # ~20-byte strings (oracle stays on exact STRING jaccard — a
+    # collision surfaces as a mismatch).
+    sh = shingles(df, id_col, text_col, n, hashed=True).localCheckpoint()
     cnt = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -151,7 +172,18 @@ def minhash_lsh_candidates(
             f"(got num_hashes={num_hashes}, bands={bands})"
         )
     rows_per_band = num_hashes // bands
-    sh = shingles(df, id_col, text_col, n, distinct=False)
+    # hashed=True (round-13): signatures, band buckets and the verify
+    # intersections are all shingle-identity-invariant, so the whole
+    # pipeline runs on int64 shingle keys — the num_hashes salted
+    # xxhash64 calls per shingle hash 8 bytes instead of a ~25-byte
+    # string, collect_set state and array_intersect shrink the same
+    # way, and the concat per shingle position disappears.  The
+    # reported jaccard equals the string-set jaccard unless two
+    # distinct shingles collide within one doc pair's union
+    # (p ≈ 1e-9 at this cardinality); the DuckDB oracle computes exact
+    # STRING jaccard, so a collision surfaces as a mismatch, never
+    # silently.
+    sh = shingles(df, id_col, text_col, n, distinct=False, hashed=True)
     # ONE shuffle computes both the minhash signature and the exact shingle
     # set per doc — the set is reused for candidate verification, so the
     # shingle relation is never re-derived or re-shuffled.
@@ -173,12 +205,18 @@ def minhash_lsh_candidates(
         .agg(F.collect_set("shingle").alias("_sh"), *min_aggs)
         .localCheckpoint()
     )
+    # bucket id = murmur3 over (band index, raw minhash longs) — the
+    # old shape stringified every minhash and concat_ws'd per band just
+    # to feed F.hash, which accepts multiple columns natively
     band_arr = F.array(
         *[
-            F.hash(F.concat_ws("_", F.lit(bi), *[
-                F.col(f"h{bi * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ]))
+            F.hash(
+                F.lit(bi),
+                *[
+                    F.col(f"h{bi * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
             for bi in range(bands)
         ]
     )

@@ -2655,6 +2655,27 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "skyline_pareto",
     "winsorized_value_stats",
     "table_profile",
+    # (d) round-13 OPTIMIZATION-round rewrites (guide-driven plan
+    #     changes, every one re-proven MATCH at sf0.001/0.01/0.1
+    #     against its UNCHANGED DuckDB oracle before commit — see
+    #     OPTIMIZATION_r13.md for the per-query A/B evidence):
+    #     - pca_power_iteration: one-scan integer Gram matrix replaces
+    #       28 scans / 71 Exchanges (bit-identical arithmetic).
+    #     - semantic_kmeans / semantic_prune: in-row argmax against the
+    #       collected k-centroid list replaces the broadcast-crossJoin +
+    #       re-group assignment (two corpus shuffles of the 64-long
+    #       vectors removed; value-identical ordering contract).
+    #     - bm25_topk / mmr_diverse_topk: one-scan in-row dl/tf
+    #       projection replaces the triple tokenize + tf⋈dl shuffle
+    #       join (shared bm25_scores contract, identical float math).
+    #     - minhash_lsh: int64 xxhash64 shingle keys through the
+    #       signature/band/verify pipeline (hash-invariant output).
+    #     - ngram_contamination: int64 gram keys (same convention).
+    "pca_power_iteration",
+    "semantic_kmeans",
+    "semantic_prune",
+    "bm25_topk",
+    "mmr_diverse_topk",
 })
 
 
@@ -2714,6 +2735,17 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     # benford_digits: floor-saturation bound (close review) — r12-fresh,
     # re-seated for a fresh row on the bounded oracle.
     "benford_digits",
+    # round-13 optimization-round rewrites (cohort (d) in
+    # _CHANGED_THIS_ROUND): plan-level rewrites landing after the
+    # round-13 window was consumed, so they seat here for round 14.
+    # pca_power_iteration moves up from _STALE_BACKFILL_NEXT_ROUND —
+    # same round-14 seat, but as a CHANGED name its old r3 driver row
+    # verified a superseded implementation.
+    "pca_power_iteration",
+    "semantic_kmeans",
+    "semantic_prune",
+    "bm25_topk",
+    "mmr_diverse_topk",
 )
 
 
@@ -2752,7 +2784,8 @@ _STALE_BACKFILL_NEXT_ROUND: tuple[str, ...] = (
     "linear_interp_gaps",
     "moving_avg_events",
     "nation_value_threshold",
-    "pca_power_iteration",
+    # (pca_power_iteration moved to _CHANGED_OVERFLOW_NEXT_ROUND —
+    # changed by the round-13 optimization round, same round-14 seat)
     "promo_part_suppliers",
     "running_totals",
     "split_leakage_audit",
@@ -2870,6 +2903,13 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "table_profile",
     "bellman_ford_routes",
     "benford_digits",
+    # round-13 optimization-round rewrites, seated at the overflow tail
+    # (declaration order matches _CHANGED_OVERFLOW_NEXT_ROUND)
+    "pca_power_iteration",
+    "semantic_kmeans",
+    "semantic_prune",
+    "bm25_topk",
+    "mmr_diverse_topk",
 )
 
 

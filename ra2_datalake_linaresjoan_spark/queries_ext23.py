@@ -46,7 +46,8 @@ _NC_EVAL_MOD = 97
 #: doc_id % 97 == 0 — i.e. ~1% OF THE CORPUS, so its gram set grows
 #: linearly with data and an unconditional broadcast OOMs executors at
 #: 100-TB scale (round-5 verdict finding #2). Above the cap the semi-join
-#: falls back to a shuffle join. 1M 8-grams ≈ 60-100 MB serialized —
+#: falls back to a shuffle join. 1M int64 gram keys ≈ 8 MB serialized
+#: (round-13: grams travel as xxhash64 of the word slice, not strings) —
 #: comfortably under a 1-GiB broadcast budget after the relation overhead.
 _NC_BROADCAST_CAP = 1_000_000
 
@@ -72,13 +73,24 @@ def q_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w"
         ),
     )
+    # round-13 (guide §2.3 "shuffle keys instead of payloads"): the
+    # engine-side gram key is xxhash64 of the 8-word slice — the
+    # containment_pairs convention.  The old shape materialized a
+    # ~50-byte concat_ws string per gram position just to compare
+    # equality; the int64 key skips the concat allocation entirely and
+    # the distinct/semi-join/broadcast all move 8-byte keys (the 1M-gram
+    # broadcast cap now costs ~8 MB, not 60-100 MB).  The OUTPUT
+    # (counts + rate) is hash-invariant; the DuckDB oracle keeps
+    # verifying on the actual gram strings, so a 64-bit collision
+    # (p ≈ 1e-9 at this cardinality) would surface as an oracle
+    # mismatch, not pass silently.
     grams = words.filter(F.size("w") >= _NC_N).select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(0), F.size("w") - _NC_N),
-                    lambda j: F.concat_ws(" ", F.slice("w", j + 1, _NC_N)),
+                    lambda j: F.xxhash64(F.slice("w", j + 1, _NC_N)),
                 )
             )
         ).alias("gram"),

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import ascii_lower, ascii_words
@@ -50,64 +50,146 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, tf_0..tf_2): the one-scan doc-grain BM25 inputs —
+    the pre-checkpoint stage of ``bm25_scores``, exposed so
+    tests/test_plans.py can guard ITS physical plan (the
+    localCheckpoint in the scoring body hides this subplan from the
+    final explain).  No explode, no shuffle: dl and each fixed term's
+    tf are in-row functions of the words array."""
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        ascii_words,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    # two-step projection (the char_entropy_filter convention): the
+    # words array is named once, then the four counts derive from the
+    # named column — higher-order functions sit outside codegen CSE,
+    # and CollapseProject keeps the non-cheap split materialized.
+    words = docs.select(
+        "doc_id",
+        F.filter(ascii_words(F.col("text")), lambda x: x != "").alias("w"),
+    )
+    def tf_of(term: str) -> Column:
+        # NB: a one-arg lambda per term — a `lambda x, t=t:` two-arg
+        # form would be read by the higher-order-function binder as the
+        # (element, index) signature and compare against the array index
+        return F.coalesce(
+            F.size(F.filter(F.col("w"), lambda x: x == F.lit(term))),
+            F.lit(0),
+        ).cast("long")
+
+    return words.select(
+        "doc_id",
+        F.coalesce(F.size("w"), F.lit(0)).cast("long").alias("dl"),
+        *[tf_of(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+
+
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bm25): every matching document's BM25 score for the
     fixed term set (k1=1.2, b=0.75), 4-dp rounded — THE scoring
     contract. Shared by ``q_bm25_topk`` and ``queries_llm15``'s MMR
     candidate pool so a tuning change can never silently diverge the
     two (round-9 review: the pool used to carry a verbatim copy).
-    Postings (doc, word) shuffle ONCE; df/N/avgdl are term-count-/
-    1-row-sized aggregates that broadcast back onto the doc-grain
-    statistics. The per-doc score sums ≤|terms| values.
+
+    Round-13 one-scan shape (guide §2.3 "aggregate before you
+    shuffle" / §2.4 "remove shuffles outright"): the old plan
+    tokenized the corpus THREE times (dl, n_tok, tf — each consumer
+    of ``tok`` re-ran the regexp split + explode) and re-joined the
+    doc-grain dl onto tf through a hash shuffle.  But every per-doc
+    input to BM25 — dl and tf per fixed term — is an IN-ROW function
+    of the words array, so one projection computes (doc_id, dl,
+    tf_<term>...) with no explode and no doc-keyed shuffle at all.
+    The narrow per-doc table (4 longs + id — the lightweight proxy
+    of guide §8) is localCheckpointed once for its two consumers:
+    the 1-row collection-stats aggregate (n_docs, n_tok, df per
+    term — partial-agg combine, ~40 bytes per partition) and the
+    final scoring projection, which broadcasts the stats row back
+    and emits each doc's score as a fixed-order sum over the ≤3
+    term scores.  Corpus tokenized ONCE; zero data-sized exchanges.
+
+    Value parity with the old shape: dl counts non-empty tokens
+    (size of the filtered array = count of exploded non-empty
+    words); docs with no matching term produced no tf rows before
+    and are filtered out (tf_any > 0) now; df = count of docs with
+    tf ≥ 1; n_docs/n_tok include token-less docs identically
+    (coalesce 0). Per-term scores are the identical float expression
+    on identical integer inputs; the final sum adds ≤3 doubles in
+    fixed term order vs the old hash-agg arrival order — both 4-dp
+    rounded, same cross-engine tolerance class as the oracle's own
+    summation order (verified tri-scale against the unchanged DuckDB
+    oracle).
     Tokenization = the shared ``ascii_words`` contract (round-11
     unicode-fuzz: lower-then-split token sets diverge per engine the
     moment text leaves ASCII)."""
-    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
-        ascii_words,
+    per_doc = _bm25_per_doc(spark, sf_dir).localCheckpoint()
+    # df parity with the old postings shape under dirty ids: groupBy
+    # doc_id merged ALL NULL-id docs into ONE group (df counted it
+    # once) and the tf⋈dl equi-join then dropped it from the scored
+    # output — so df = |non-null docs with the term| + (1 if ANY
+    # NULL-id doc has it), and scoring keeps non-null ids only.
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("n_tok"),
+        *[
+            (
+                F.sum(
+                    (
+                        F.col("doc_id").isNotNull() & (F.col(f"tf_{i}") > 0)
+                    ).cast("long")
+                )
+                + F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("doc_id").isNull() & (F.col(f"tf_{i}") > 0),
+                            F.lit(1).cast("long"),
+                        )
+                    ),
+                    F.lit(0).cast("long"),
+                )
+            ).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
     )
 
-    docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(ascii_words(F.col("text"))).alias("word")
-    ).filter(F.col("word") != "")
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    coll = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        tok.agg(F.count(F.lit(1)).alias("n_tok"))
-    )
-    tf = (
-        tok.filter(F.col("word").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    def term_score(i: int) -> Column:
+        tf, df_ = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - df_ + 0.5) / (df_ + 0.5) + 1.0)
+        denom = tf + _BM25_K1 * (
+            1.0
+            - _BM25_B
+            + _BM25_B * F.col("dl") / (F.col("n_tok") / F.col("n_docs"))
+        )
+        # tf = 0 contributes an exact 0.0 (numerator tf·(k1+1) = 0 over
+        # a positive denominator) — identical to the old shape's absent
+        # tf row
+        return idf * (tf * (_BM25_K1 + 1.0)) / denom
+
     scored = (
-        tf.join(F.broadcast(df_), "word")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(coll))
+        per_doc.filter(
+            F.col("doc_id").isNotNull()
+            & (
+                sum(
+                    (F.col(f"tf_{i}") for i in range(1, len(_BM25_TERMS))),
+                    F.col("tf_0"),
+                )
+                > 0
+            )
+        )
+        .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",
-            (
-                F.log(
-                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-                )
-                * (F.col("tf") * (_BM25_K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + _BM25_K1
-                    * (
-                        1.0
-                        - _BM25_B
-                        + _BM25_B
-                        * F.col("dl")
-                        / (F.col("n_tok") / F.col("n_docs"))
-                    )
-                )
-            ).alias("term_score"),
+            F.round(
+                sum(
+                    (term_score(i) for i in range(1, len(_BM25_TERMS))),
+                    term_score(0),
+                ),
+                4,
+            ).alias("bm25"),
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.round(F.sum("term_score"), 4).alias("bm25")
-    )
+    return scored
 
 
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,10 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ra2_datalake_linaresjoan_spark.llmdata.dedup import shingles
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", n=3, distinct=False)
+    # hashed=True (round-13): total/distinct counts are
+    # shingle-identity-invariant — the doc-keyed shuffle and the
+    # countDistinct state carry int64 keys, not 3-word strings
+    sh = shingles(docs, "doc_id", "text", n=3, distinct=False, hashed=True)
     per = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("total"),
         F.countDistinct("shingle").alias("dist"),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ra2_datalake_linaresjoan_spark.queries import EMB_CLEAN_SQL, _emb_clean, _spread, _t
 
@@ -190,18 +191,50 @@ ORDER BY t.lang
 # ---------------------------------------------------------------------------
 
 
-def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the k centroid rows, score
-    every (vec, centroid) pair with the exact-integer cosine, keep the
-    argmax per vec (ties → lowest cluster id, which the exact cosine
-    makes engine-portable)."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "qv", "cluster", _icos(F.col("qv"), F.col("cvec")).alias("cos")
-    )
-    return scored.groupBy("vec_id").agg(
-        F.max_by("cluster", F.struct(F.col("cos"), -F.col("cluster"))).alias("cluster"),
-        F.max("cos").alias("best_cos"),
-        F.first("qv").alias("qv"),
+def _seed_cents(vecs: DataFrame) -> list[tuple[int, list[int]]]:
+    """The k seed centroids (k lowest vec_ids, cluster id = rank) as a
+    bounded driver-side list — a TakeOrdered of k·64 longs."""
+    rows = vecs.orderBy("vec_id").limit(_KMEANS_K).collect()
+    return [(i, list(r["qv"])) for i, r in enumerate(rows)]
+
+
+def _assign_inrow(vecs: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest-centroid assignment as a PURE per-row expression — zero
+    joins, zero shuffles (round-13, guide §2.4 "remove shuffles
+    outright").  The previous shape crossJoined the broadcast k-row
+    centroid table and re-grouped by vec_id, which pushed every row —
+    carrying its full 64-long vector — through a hashpartitioning
+    Exchange per assignment pass (two passes = two corpus shuffles whose
+    only job was an argmax over k=8 local rows).  With the bounded
+    centroid list collected (k·64 longs — the same bounded-collect
+    convention as the IVF-PQ codebooks), the argmax is an
+    ``array_max`` over k (cos, -cluster) structs computed in-row.
+
+    Value-identical to the old max_by/max pair: struct ordering compares
+    cos first with NULL-smallest (exactly max_by's ordering over
+    struct(cos, -cluster))), ties fall to max(-cluster) = lowest cluster
+    id, and the surviving struct's cos IS max(cos) (NULL only when every
+    cosine is NULL, matching F.max's NULL-skipping).  Each cosine
+    reproduces ``_icos`` operand-for-operand: den = sqrt(|q|²)·sqrt(|c|²)
+    with the centroid norm a constant-folded literal, one float divide on
+    identical operands — bit-stable per the module contract."""
+    qn = F.sqrt(_idot(F.col("qv"), F.col("qv")).cast("double"))
+    # separate select: sqrt(aggregate(..)) is non-cheap, so CollapseProject
+    # keeps it materialized once instead of re-evaluating it per centroid
+    withnorm = vecs.select("vec_id", "qv", qn.alias("_qn"))
+    scored = []
+    for cl, cvec in cents:
+        c_arr = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
+        cn = F.sqrt(F.lit(sum(int(x) * int(x) for x in cvec)).cast("double"))
+        den = F.col("_qn") * cn
+        cos = F.when(den != 0, _idot(F.col("qv"), c_arr).cast("double") / den)
+        scored.append(F.struct(cos.alias("cos"), F.lit(-int(cl)).alias("negc")))
+    best = F.array_max(F.array(*scored))
+    return withnorm.select(
+        "vec_id",
+        "qv",
+        (-best["negc"]).alias("cluster"),
+        best["cos"].alias("best_cos"),
     )
 
 
@@ -211,12 +244,16 @@ def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid update is an exact elementwise integer sum re-quantized to
     micro-units (only the *direction* matters for cosine, so the
     round-to-int mean loses nothing that survives a 6-decimal cosine),
-    and each assignment is a broadcast crossJoin with k rows, never a
-    vec×vec pair blowup. Per-cluster sizes and mean member cosine are the
-    output — the shape SemDeDup/semantic curation builds on. At 100 TB:
-    assignments stay a broadcast map-side scan (k rows ship to every
-    executor); the centroid update is one (cluster, pos) shuffle of
-    64·k partial sums per partition. Deterministic by construction —
+    and each assignment is a pure in-row argmax against the collected
+    k-centroid list (round-13: the previous broadcast-crossJoin +
+    re-group shape shuffled every row's 64-long vector per assignment
+    pass — two corpus Exchanges doing the work of a k=8 local argmax;
+    see ``_assign_inrow``), never a vec×vec pair blowup. Per-cluster
+    sizes and mean member cosine are the output — the shape
+    SemDeDup/semantic curation builds on. At 100 TB: assignments are
+    map-side scans (k·64 longs ship in the task closure); the centroid
+    update is one (cluster, pos) shuffle of 64·k partial sums per
+    partition. Deterministic by construction —
     exact integer dots and norms mean both engines rank identically
     (cf. module docstring), unlike a double-precision k-means whose
     assignments can flip per partition order.
@@ -233,13 +270,20 @@ def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity audit: dirty vectors collapsed the 8 clusters to 1)."""
     emb = _spread(spark, _emb_clean(spark, sf_dir))
     vecs = emb.select("vec_id", _qvec(F.col("embedding")).alias("qv"))
-    w0 = Window.orderBy("vec_id")
-    seeds = (
-        vecs.orderBy("vec_id")
-        .limit(_KMEANS_K)
-        .select((F.row_number().over(w0) - 1).alias("cluster"), F.col("qv").alias("cvec"))
-    )
-    a1 = _assign(vecs, seeds)
+    seeds = _seed_cents(vecs)
+    if not seeds:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("cluster", T.IntegerType()),
+                    T.StructField("n_members", T.LongType(), False),
+                    T.StructField("avg_cos", T.DoubleType()),
+                    T.StructField("min_vec_id", vecs.schema["vec_id"].dataType),
+                ]
+            ),
+        )
+    a1 = _assign_inrow(vecs, seeds)
     sums = (
         a1.select("cluster", F.posexplode("qv").alias("pos", "v"))
         .groupBy("cluster", "pos")
@@ -248,12 +292,18 @@ def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c", F.round(F.col("s").cast("double") / F.col("n"), 0).cast("long")
         )
     )
+    # the centroid update stays a Spark aggregate (exact integer sums,
+    # identical arithmetic to before); only the k·64-long RESULT is
+    # collected so the second assignment can run in-row too
     cents1 = sums.groupBy("cluster").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
         ).alias("cvec")
     )
-    a2 = _assign(vecs, cents1)
+    cents1_list = [
+        (r["cluster"], list(r["cvec"])) for r in cents1.collect()
+    ]
+    a2 = _assign_inrow(vecs, cents1_list)
     return (
         a2.groupBy("cluster")
         .agg(
@@ -333,13 +383,20 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity audit)."""
     emb = _emb_clean(spark, sf_dir)
     vecs = emb.select("vec_id", _qvec(F.col("embedding")).alias("qv"))
-    w0 = Window.orderBy("vec_id")
-    seeds = (
-        vecs.orderBy("vec_id")
-        .limit(_KMEANS_K)
-        .select((F.row_number().over(w0) - 1).alias("cluster"), F.col("qv").alias("cvec"))
-    )
-    asg = _assign(vecs, seeds).select("vec_id", "cluster", "qv")
+    seeds = _seed_cents(vecs)
+    if not seeds:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("cluster", T.IntegerType()),
+                    T.StructField("n_members", T.LongType(), False),
+                    T.StructField("n_pruned", T.LongType(), False),
+                    T.StructField("kept_frac", T.DoubleType()),
+                ]
+            ),
+        )
+    asg = _assign_inrow(vecs, seeds).select("vec_id", "cluster", "qv")
     a = asg.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),

@@ -472,13 +472,15 @@ def test_span_dedup_survivor_agg_no_window(spark, sf_dir):
 
 
 def test_semantic_kmeans_centroids_broadcast_k_rows(spark, sf_dir):
-    """Assignments must be broadcast nested-loop joins against the k-row
-    centroid sets — never a shuffled vec-by-vec join — and the only
-    sort-merge-joinable shape (none) stays absent."""
+    """Round-13: assignments are pure in-row argmaxes against the
+    collected k-centroid literals — the returned plan must contain NO
+    join of any kind and only the final 8-key aggregation exchange
+    (the old broadcast-crossJoin shape re-shuffled every row's 64-long
+    vector per assignment pass)."""
     plan = _plan(spark, sf_dir, "semantic_kmeans")
-    assert plan.count("BroadcastNestedLoopJoin") >= 2
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
 
 
 def test_decimal_money_stays_decimal_to_the_sum(spark, sf_dir):
@@ -585,11 +587,27 @@ def test_event_trigram_paths_window_partitioned(spark, sf_dir):
 
 
 def test_bm25_stats_broadcast(spark, sf_dir):
-    """BM25's df and collection stats must broadcast back onto the
-    postings — a shuffle join against a ≤|terms|-row table is wrong."""
+    """Round-13 one-scan BM25: the collection-stats row must broadcast
+    back onto the checkpointed per-doc table (never a shuffle join),
+    and the per-doc stage itself must be a pure scan+project — no
+    explode, no doc-keyed exchange (the old postings shape tokenized
+    the corpus three times and shuffled tf⋈dl)."""
     plan = _plan(spark, sf_dir, "bm25_topk")
-    assert "BroadcastHashJoin" in plan
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "hashpartitioning" not in plan
+
+    from ra2_datalake_linaresjoan_spark.queries_llm10 import _bm25_per_doc
+
+    df = _bm25_per_doc(spark, sf_dir)
+    stage = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Generate" not in stage
+    assert "Exchange" not in stage
 
 
 def test_char_entropy_is_scan_shaped(spark, sf_dir):
