@@ -894,15 +894,39 @@ FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
 
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup via md5 fingerprint, deterministic min-id
-    survivor; returns surviving (doc_id, fingerprint)."""
-    from ra2_datalake_linaresjoan_spark.llmdata.dedup import exact_dedup
+    survivor; returns surviving (doc_id, fingerprint).
+
+    Round-13 (guide §8 "decide with small rows"): this query's output
+    is (doc_id, fingerprint) only, so it projects the fingerprint FIRST
+    and runs the survivor window over the narrow (id, 32-hex) pair —
+    the generic ``exact_dedup`` operator (kept for consumers that need
+    the surviving full rows) shuffled the entire text payload through
+    the fingerprint exchange and then recomputed the fingerprint on the
+    survivors.  Survivor semantics are the operator's verbatim: a row
+    survives iff it equals its group's min NON-NULL id, or has no group
+    to lose to (NULL id / NULL fingerprint pass through)."""
     from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import doc_fingerprint
 
     docs = _t(spark, sf_dir, "documents")
-    survivors = exact_dedup(docs, "doc_id", "text")
-    return survivors.select(
+    keyed = docs.select(
         "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
-    ).orderBy("doc_id")
+    )
+    w = Window.partitionBy("fingerprint")
+    return (
+        keyed.withColumn(
+            "_keep",
+            F.min(
+                F.when(F.col("doc_id").isNotNull(), F.col("doc_id"))
+            ).over(w),
+        )
+        .where(
+            F.col("doc_id").isNull()
+            | F.col("fingerprint").isNull()
+            | (F.col("doc_id") == F.col("_keep"))
+        )
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
 
 
 SQL_EXACT_DEDUP_DOCS = r"""
@@ -2671,11 +2695,21 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     #     - minhash_lsh: int64 xxhash64 shingle keys through the
     #       signature/band/verify pipeline (hash-invariant output).
     #     - ngram_contamination: int64 gram keys (same convention).
+    #     - bloom_dedup: corpus/probe md5 digest tables checkpointed
+    #       (5 corpus md5 passes → 2); cms_heavy_hitters: hashed
+    #       word-count table checkpointed (4 corpus tokenizes → 1);
+    #       vocab_coverage_curve: total folded into the same window
+    #       pass (2 corpus tokenizes → 1).
     "pca_power_iteration",
     "semantic_kmeans",
     "semantic_prune",
     "bm25_topk",
     "mmr_diverse_topk",
+    "bloom_dedup",
+    "vocab_coverage_curve",
+    #     - conformal_calibration: fit checkpointed + k/n_cal folded
+    #       into the bucket window pass (6 scans → 3).
+    "conformal_calibration",
 })
 
 
@@ -2746,6 +2780,9 @@ _CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
     "semantic_prune",
     "bm25_topk",
     "mmr_diverse_topk",
+    "bloom_dedup",
+    "vocab_coverage_curve",
+    "conformal_calibration",
 )
 
 
@@ -2910,6 +2947,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "semantic_prune",
     "bm25_topk",
     "mmr_diverse_topk",
+    "bloom_dedup",
+    "vocab_coverage_curve",
+    "conformal_calibration",
 )
 
 

@@ -144,6 +144,9 @@ def q_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_chars").isNotNull())
         .select("lang", "n_chars", (F.col("doc_id") % 5).alias("part"))
     )
+    # localCheckpoint (round-13, guide §2.4): fit is lang-sized (a few
+    # rows) but has TWO consumers (cal and test) — without it each
+    # broadcast build re-scanned the documents projection.
     fit = (
         docs.where(F.col("part") <= 2)
         .groupBy("lang")
@@ -151,6 +154,7 @@ def q_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("c")
         )
         .select("lang", (F.col("s") / F.col("c")).alias("mu"))
+        .localCheckpoint()
     )
     score = F.round(F.abs(F.col("n_chars") - F.col("mu")) * 100).cast(
         "long"
@@ -163,18 +167,23 @@ def q_conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = cal.groupBy("q").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql import Window
 
+    # n_cal and k derive from the SAME bounded bucket table via a
+    # full-frame sum riding the cumulative window's single-partition
+    # pass (the vocab_coverage_curve discipline) — the old shape
+    # aggregated `cal` a second time, re-running the calibration-split
+    # scan and the fit join just to count rows (round-13, guide §2.4):
+    # sum(buckets.n) == count(cal) exactly.
     w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    wfull = Window.orderBy("q").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = buckets.select(
-        "q", F.sum("n").over(w).alias("cum")
-    ).crossJoin(
-        F.broadcast(
-            cal.agg(
-                F.ceil(
-                    (F.count(F.lit(1)) + 1) * F.lit(_CC_ALPHA_KEEP)
-                ).alias("k"),
-                F.count(F.lit(1)).alias("n_cal"),
-            )
-        )
+        "q",
+        F.sum("n").over(w).alias("cum"),
+        F.ceil((F.sum("n").over(wfull) + 1) * F.lit(_CC_ALPHA_KEEP)).alias(
+            "k"
+        ),
+        F.sum("n").over(wfull).alias("n_cal"),
     )
     thr = (
         ranked.where(F.col("cum") >= F.col("k"))

@@ -261,6 +261,11 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("word") >= 3)
     )
     wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_exact"))
+    # localCheckpoint (round-13, guide §2.4): the hashed word-count
+    # table is VOCABULARY-sized, but it has four consumers (the three
+    # per-depth cell aggregates and the estimate join chain) — without
+    # the checkpoint each one re-ran the corpus tokenize+explode+count
+    # subtree (4 corpus scans in the audited plan; 1 after).
     hashed = wc.withColumns(
         {
             f"p{j}": F.conv(F.substring(F.md5("word"), 1 + 8 * j, 8), 16, 10).cast(
@@ -269,7 +274,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             % _CMS_W
             for j in range(_CMS_D)
         }
-    )
+    ).localCheckpoint()
     est = None
     for j in range(_CMS_D):
         cells = hashed.groupBy(f"p{j}").agg(F.sum("n_exact").alias(f"s{j}"))

@@ -393,6 +393,17 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets = wc.groupBy("n").agg(F.count(F.lit(1)).alias("n_words"))
     w = Window.orderBy(F.desc("n")).rowsBetween(Window.unboundedPreceding, -1)
+    # total rides the SAME single-partition window pass as the running
+    # sums (full-frame sum — WindowExec evaluates all three frames in
+    # one pass over the bounded bucket table).  The old shape computed
+    # it as a separate aggregate of `buckets`, whose second consumer
+    # re-ran the corpus tokenize+explode+count subtree (2 corpus scans
+    # in the audited plan; 1 after) and stitched it back with a
+    # broadcast crossJoin (round-13, guide §2.4).  Same exact-integer
+    # sum either way.
+    wfull = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     b = buckets.select(
         "n",
         "n_words",
@@ -401,18 +412,14 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.col("n") * F.col("n_words")).over(w), F.lit(0)).alias(
             "mass_before"
         ),
+        F.sum(F.col("n") * F.col("n_words")).over(wfull).alias("total"),
     )
-    total = buckets.agg(F.sum(F.col("n") * F.col("n_words")).alias("total"))
     need = F.col("threshold") * F.col("total")
-    swept = (
-        b.crossJoin(F.broadcast(total))
-        .select(
-            "*", F.explode(F.array(*[F.lit(t) for t in _COV_TS])).alias("threshold")
-        )
-        .filter(
-            (F.col("mass_before") < need)
-            & (F.col("mass_before") + F.col("mass") >= need)
-        )
+    swept = b.select(
+        "*", F.explode(F.array(*[F.lit(t) for t in _COV_TS])).alias("threshold")
+    ).filter(
+        (F.col("mass_before") < need)
+        & (F.col("mass_before") + F.col("mass") >= need)
     )
     m = F.ceil((need - F.col("mass_before")) / F.col("n"))
     return swept.select(

@@ -74,7 +74,16 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB's CAST(concat('0x', NULL-md5)) errors where Spark's conv
     # returns NULL
     docs = docs.where(F.col("text").isNotNull())
-    corpus = _pos(docs.select(F.md5("text").alias("h")))
+    # localCheckpoint (round-13, guide §2.4): the md5 digests are the
+    # expensive per-row work here, and both digest tables have multiple
+    # consumers — corpus h feeds the bit build AND the exact-truth
+    # distinct, probes feed the bit probe, the candidate semi-join and
+    # the n_probes count.  Without the checkpoints every consumer
+    # re-scanned documents and re-hashed the full text (5 corpus md5
+    # passes in the audited 555-line plan; 2 after).  Both tables are
+    # (id, 32-hex) narrow — the text payload never materializes.
+    corpus_h = docs.select(F.md5("text").alias("h")).localCheckpoint()
+    corpus = _pos(corpus_h)
     batch = docs.filter(F.col("doc_id") % 10 == 3).select(
         "doc_id", F.col("text").alias("btext")
     ).unionByName(
@@ -83,7 +92,9 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" v2")).alias("btext"),
         )
     )
-    probes = _pos(batch.select("doc_id", F.md5("btext").alias("h")))
+    probes = _pos(
+        batch.select("doc_id", F.md5("btext").alias("h")).localCheckpoint()
+    )
 
     bits = (
         corpus.select(F.explode(F.array(*[F.col(f"p{j}") for j in range(_BLOOM_K)])).alias("bit"))
@@ -374,9 +385,15 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = pdf["xq"]
             mat = np.zeros((len(rows), dim), dtype=np.int64)
             for i, r in enumerate(rows):
-                a = np.asarray(
-                    [0 if e is None else e for e in r], dtype=np.int64
-                )
+                # NULL elements arrive as None in object lists OR as NaN
+                # in float64 ndarrays (Arrow widens a long array that
+                # carries nulls to float) — both mean "NULL long", i.e.
+                # zero contribution, exactly like the join-aggregate
+                # shape's NULL-skipping sums.  float64 is exact for the
+                # quantized |x| ≤ ~10^6 « 2^53, so the round-trip through
+                # float loses nothing.
+                a = np.asarray(r, dtype=np.float64)
+                a = np.where(np.isnan(a), 0.0, a).astype(np.int64)
                 mat[i, : min(a.size, dim)] = a[:dim]
             g += mat.T @ mat
             seen = True
