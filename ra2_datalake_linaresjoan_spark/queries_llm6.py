@@ -332,6 +332,46 @@ _PCA_ITERS = 3
 _PCA_VSCALE = 1024
 
 
+def _pca_join_aggregate(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """The pre-round-13 join-aggregate power iteration, kept VERBATIM as
+    the irregular-corpus fallback of ``q_pca_power_iteration`` (see its
+    regularity-guard docstring): on corpora with ragged dims, NULL
+    elements or NULL ids, this shape's data-dependent join semantics ARE
+    the query's (and the oracle's) definition, and the one-scan Gram
+    path cannot reproduce them with a fixed 64×64 matrix."""
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "e")
+    ).select(
+        "vec_id",
+        (F.col("dim") + 1).alias("dim"),
+        F.round(F.col("e").cast("double") * 1000).cast("long").alias("xv"),
+    )
+    x = x.localCheckpoint()
+    v = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("dim"), F.lit(1).cast("long").alias("vv")
+    )
+    for _ in range(_PCA_ITERS):
+        s = (
+            x.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("xv") * F.col("vv")).alias("s"))
+        )
+        w = (
+            x.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("xv") * F.col("s")).alias("w"))
+        )
+        mx = w.agg(F.max(F.abs("w")).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                "dim",
+                F.expr(f"(w * {_PCA_VSCALE}) DIV mx").alias("vv"),
+            )
+        )
+    return v.select(F.col("dim"), F.col("vv").alias("v")).orderBy("dim")
+
+
 def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant-eigenvector estimate of the (uncentered) corpus Gram
     matrix by 3 power-iteration steps, in EXACT integer arithmetic:
@@ -355,15 +395,53 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 envelope (per-cell |G_ij| ≤ n·525², exact past 10^13 rows vs
     the old per-row Xᵀs bound of ~5×10^8).
 
-    NULL handling matches the join-aggregate shape it replaces: a NULL
-    embedding produces no matrix rows (posexplode-skip ≡ zero
-    contribution), a NULL ELEMENT contributed to no sum (sum skips
-    NULLs ≡ zero contribution), and a short array simply lacks its tail
-    dims — all reproduced by zero-filling before the outer product.
-    Empty input returns the empty frame (the v-chain collapsed to zero
-    rows); an all-zero corpus (mx = 0) raises like the ANSI DIV-by-zero
-    both engines threw before."""
+    REGULARITY GUARD (second-session dirty-audit find — the Gram pass
+    shipped without re-running the dirty audit, which then flagged a
+    value divergence): the join-aggregate shape this replaces has
+    DATA-DEPENDENT semantics on irregular corpora that a fixed 64×64
+    Gram cannot reproduce — a vector LONGER than 64 dims contributes
+    its tail dims to w (and hence to mx and the output rows) from
+    iteration 2 on, because v's row set becomes "every dim present in
+    x" after the first re-quantization; a dim whose every element is
+    NULL yields w = sum(all-NULL) = NULL and a NULL output component
+    (zero-fill would print 0); and NULL-vec_id rows drop from the
+    w join entirely.  So the query PROBES the corpus first (one cheap
+    agg — array sizes and NULL-element existence, no value casts, so
+    the probe itself cannot raise on fuzzed values): a corpus where
+    every non-NULL embedding has exactly 64 dims and no NULL element
+    takes the one-scan Gram path (provably identical there: every sum
+    is over the identical terms in exact integer arithmetic, with
+    NULL-id vectors excluded up front ≡ their old no-op contribution);
+    anything irregular falls back to the verbatim join-aggregate shape
+    (`_pca_join_aggregate`) — the 28-scan cost returns only for
+    corpora where the fast path would change the answer.  The clean
+    bench corpus always probes regular.
+
+    NULL handling on the fast path matches the join-aggregate shape:
+    a NULL embedding produces no matrix rows (posexplode-skip ≡ zero
+    contribution) and a NULL vec_id contributes to no w sum (the old
+    shape's s⋈x join dropped it).  Empty input returns the empty frame
+    (the v-chain collapsed to zero rows); an all-zero corpus (mx = 0)
+    raises like the ANSI DIV-by-zero both engines threw before."""
     emb = _t(spark, sf_dir, "embeddings")
+    irregular = (
+        emb.agg(
+            F.sum(
+                F.when(
+                    F.col("embedding").isNotNull()
+                    & (
+                        (F.size("embedding") != 64)
+                        | F.exists("embedding", lambda x: x.isNull())
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n")
+        ).collect()[0]["n"]
+        or 0
+    )
+    if irregular:
+        return _pca_join_aggregate(spark, emb)
+    emb = emb.where(F.col("vec_id").isNotNull())
     xq = emb.select(
         F.transform(
             F.coalesce(F.col("embedding"), F.array()),

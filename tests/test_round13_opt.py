@@ -22,9 +22,33 @@ import pytest
 from pyspark.sql import functions as F  # noqa: F401
 
 
-def test_pca_gram_pass_zero_fills_null_elements(spark, tmp_path):
+def _pca_reference(vectors):
+    """Hand-run the exact integer Gram recursion (NULL-as-zero, 64 dims)."""
+    g = [[0] * 64 for _ in range(64)]
+    for x in vectors:
+        for i in range(64):
+            for j in range(64):
+                g[i][j] += x[i] * x[j]
+    v = [1] * 64
+    for _ in range(3):
+        w = [sum(g[i][j] * v[j] for j in range(64)) for i in range(64)]
+        mx = max(abs(x) for x in w)
+        v = [
+            (wi * 1024) // mx if wi >= 0 else -((-wi * 1024) // mx)
+            for wi in w
+        ]
+    return {i + 1: v[i] for i in range(64)}
+
+
+def test_pca_irregular_corpus_routes_to_join_aggregate(spark, tmp_path):
+    """A corpus with a NULL embedding ELEMENT must probe irregular and
+    take the verbatim join-aggregate fallback, whose skip-NULL sums
+    equal the zero-filled reference here (no all-NULL dim in this
+    corpus); the original Gram pass crashed on exactly this input
+    (Arrow hands a long array carrying nulls to pandas as float64 NaN),
+    and the 64×64 Gram cannot represent ragged/NULL-dim corpora at all
+    — found by the null-riddled sweep + the dirty-parity audit."""
     d = str(tmp_path / "pca_nulls")
-    # vec 1: clean; vec 2: NULL element at dim 1; vec 3: NULL embedding
     rows = [
         (1, [1.0, 2.0] + [0.0] * 62),
         (2, [3.0, None] + [0.0] * 62),
@@ -39,23 +63,32 @@ def test_pca_gram_pass_zero_fills_null_elements(spark, tmp_path):
 
     out = {r["dim"]: r["v"] for r in q_pca_power_iteration(spark, d).collect()}
     assert len(out) == 64
-    # hand-run the same exact integer recursion on the NULL-as-zero Gram:
-    # x1 = (1000, 2000, 0...), x2 = (3000, 0, 0...) — the NULL element
-    # contributes nothing, the NULL embedding contributes no row
-    g = [[0] * 64 for _ in range(64)]
-    for x in ([1000, 2000] + [0] * 62, [3000, 0] + [0] * 62):
-        for i in range(64):
-            for j in range(64):
-                g[i][j] += x[i] * x[j]
-    v = [1] * 64
-    for _ in range(3):
-        w = [sum(g[i][j] * v[j] for j in range(64)) for i in range(64)]
-        mx = max(abs(x) for x in w)
-        v = [
-            (wi * 1024) // mx if wi >= 0 else -((-wi * 1024) // mx)
-            for wi in w
-        ]
-    assert out == {i + 1: v[i] for i in range(64)}
+    assert out == _pca_reference(
+        [[1000, 2000] + [0] * 62, [3000, 0] + [0] * 62]
+    )
+
+
+def test_pca_regular_corpus_gram_path_excludes_null_ids(spark, tmp_path):
+    """On a regular corpus (every embedding exactly 64 non-NULL dims)
+    the one-scan Gram path runs — and must exclude NULL-vec_id vectors,
+    reproducing the old shape where the s⋈x join dropped them."""
+    d = str(tmp_path / "pca_reg")
+    rows = [
+        (1, [1.0, 2.0] + [0.0] * 62),
+        (2, [3.0, 1.0] + [0.0] * 62),
+        (None, [9.0, 9.0] + [9.0] * 62),  # must contribute nothing
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    from ra2_datalake_linaresjoan_spark.queries_llm6 import (
+        q_pca_power_iteration,
+    )
+
+    out = {r["dim"]: r["v"] for r in q_pca_power_iteration(spark, d).collect()}
+    assert out == _pca_reference(
+        [[1000, 2000] + [0] * 62, [3000, 1000] + [0] * 62]
+    )
 
 
 def test_bm25_one_scan_df_counts_null_id_group_once(spark, tmp_path):
