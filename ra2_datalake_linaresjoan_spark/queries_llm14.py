@@ -193,8 +193,9 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     specificity knee on this corpus: identical ≥0.6 yield as 3-grams
     with 29× fewer candidate pairs (Σ df² 2.76M → 0.36M at sf0.1) —
     the width IS the blocking-selectivity dial. The shingle table is
-    localCheckpointed once for its four consumers (df build, sizes,
-    both self-join sides).
+    localCheckpointed once for its two consumers (df build, df join),
+    and the df-capped posting list is checkpointed again for ITS three
+    (sizes, both self-join sides) — see the inline round-13 note.
 
     The engine-side shingle key is ``xxhash64`` of the 4-word slice
     (round-11 A/B, round-10 verdict ask #2): the df count, the
@@ -216,7 +217,17 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH engines (was raw in the oracle — one-sided at the boundary)."""
     sh = _cont_shingles(spark, sf_dir).localCheckpoint()
     df_tab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    kept = sh.join(df_tab.filter(F.col("df") <= _CONT_DF_CAP), "shingle")
+    # Round-13 (guide §2.4 "remove shuffles outright"): `kept` has THREE
+    # consumers (sizes, self-join side a, self-join side b) and Spark
+    # plans no ReusedExchange across them — the audited plan ran the
+    # df-count HashAggregate+Exchange and the df⋈postings join 3×.
+    # Checkpointing the df-capped posting list (narrower than `sh`: the
+    # hot shingles are gone) runs that subtree ONCE; the self-join and
+    # the sizes aggregate then read the materialized (shingle, doc_id)
+    # pairs. Row-identical: localCheckpoint only materializes.
+    kept = sh.join(
+        df_tab.filter(F.col("df") <= _CONT_DF_CAP), "shingle"
+    ).localCheckpoint()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     shared = (
         kept.alias("a")

@@ -662,6 +662,24 @@ def test_containment_pairs_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in tree
 
 
+def test_containment_pairs_df_subtree_runs_once(spark, sf_dir):
+    """Round-13 checkpoint guard: the df-capped posting list is
+    localCheckpointed, so the final plan reads the checkpoint exactly
+    three times (sizes + both self-join sides) and never re-runs the
+    shingle-df aggregate or the df⋈postings join — the audited before-
+    plan ran that subtree 3× (plans/r13/containment_pairs_before.txt)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "containment_pairs")
+    # every corpus/posting access is pre-checkpoint: no parquet scan and
+    # exactly 3 checkpoint reads in the executed plan
+    assert "Scan parquet" not in plan
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 3
+    # the df-cap filter lives inside the checkpoint build, not the final
+    # plan — its presence here would mean the join is being recomputed
+    assert "df#" not in plan.split("\n\n")[0]
+
+
 def test_cusum_windows_partitioned_by_type(spark, sf_dir):
     """Every CUSUM window must be event_type-partitioned over the daily
     aggregate — a partition-less window over daily counts would
