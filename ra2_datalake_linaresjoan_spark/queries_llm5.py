@@ -269,7 +269,18 @@ def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Routes through _emb_clean in lockstep with _SQL_QVEC (round-8
     parity audit: dirty vectors collapsed the 8 clusters to 1)."""
     emb = _spread(spark, _emb_clean(spark, sf_dir))
-    vecs = emb.select("vec_id", _qvec(F.col("embedding")).alias("qv"))
+    # localCheckpoint the quantized vectors ONCE (round-13 second pass,
+    # guide §5 caching): the in-row Lloyd shape runs THREE sequential
+    # driver-gated jobs (seed collect → centroid-update collect → final
+    # aggregate), and without the checkpoint each job re-ran the parquet
+    # scan + _emb_clean + quantization from scratch — measured 1.21 s →
+    # 3.7 s after the in-row rewrite (the three serialized corpus passes
+    # cost more than the two removed concurrent shuffles at bench
+    # scale).  With the narrow (vec_id, qv) table materialized, every
+    # Lloyd job is memory-resident and the assignment stays map-side.
+    vecs = emb.select(
+        "vec_id", _qvec(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
     seeds = _seed_cents(vecs)
     if not seeds:
         return spark.createDataFrame(
@@ -382,7 +393,12 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Routes through _emb_clean in lockstep with _SQL_QVEC (round-8
     parity audit)."""
     emb = _emb_clean(spark, sf_dir)
-    vecs = emb.select("vec_id", _qvec(F.col("embedding")).alias("qv"))
+    # same round-13 checkpoint as q_semantic_kmeans: the seed collect and
+    # the final job's THREE asg consumers (both self-join sides + member
+    # counts) each re-ran scan + clean + quantize without it
+    vecs = emb.select(
+        "vec_id", _qvec(F.col("embedding")).alias("qv")
+    ).localCheckpoint()
     seeds = _seed_cents(vecs)
     if not seeds:
         return spark.createDataFrame(
