@@ -2522,130 +2522,26 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 #: must genuinely lead with the stalest cohorts).  MUST be bumped in the
 #: same commit that rotates the window — a stale pin plus a landed
 #: newer CORRECTNESS file re-arms the full-strength gate immediately.
-_WINDOW_ROUND: int = 13
+_WINDOW_ROUND: int = 14
 
-#: Queries whose implementation or DuckDB oracle changed in ROUND 13 —
+#: Queries whose implementation or DuckDB oracle changed in ROUND 14 —
 #: each must re-enter the driver window for a fresh correctness row
 #: (tests/test_driver_window.py exempts exactly this declared set from
 #: the max-staleness jumper count and asserts every name sits inside
 #: the first-50 window or the declared overflow).  Rewrite this list
 #: every round.
 _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
-    # (a) the round-12 declared overflow, carried into this round's
-    #     window head verbatim and in declaration order (the placement
-    #     gate requires it — round-12 verdict ask #1).  Their round-12
-    #     implementations (ascii-fold migration, cents-domain bound,
-    #     shared finite_pred refactor, ascii_text_pred fences) still
-    #     lack a driver row; every one was re-verified MATCH at
-    #     sf0.001/0.01/0.1 AND on the strengthened dirty corpus when
-    #     the round-12 window was declared.
-    # (b) round-13 changes proper, declared as they land (each seated
-    #     in the window's fill slots):
-    #     - bloom_join_prefilter: Spark side routed through the shared
-    #       exact_cents (round-12 advisor HIGH find — the oracle gained
-    #       the |x| < 9.2e16 cents-domain bound while the Spark side
-    #       kept only the finite guard; a finite huge price would NULL
-    #       in the oracle but ANSI-raise in Spark).  Clean-data no-op.
-    #     - classifier_parity: extract_gaming_type / extract_bet_type
-    #       now ascii-fold instead of F.lower() (round-12 verdict #3 —
-    #       the fold contract's last two call sites), plus a new U+212A
-    #       Kelvin corpus row pinning the membership flip the fold
-    #       prevents.  ASCII corpus rows unchanged.
-    #     - pipeline_parity: gaming_market_filter dropped its
-    #       F.lower() pre-fold (keyword_include ascii-folds internally;
-    #       the pre-lower reintroduced Java full-case-fold row
-    #       membership).  Clean-data no-op.
-    #     - bellman_ford_routes (close review): money_pred bound on the
-    #       edge-weight input both sides — its per-row cents cast was
-    #       the one left unguarded in the registry, and its oracle
-    #       casts only after the min (a bloom_join_prefilter-shaped
-    #       asymmetry the dirty audit's 60-row join shadow concealed).
-    #       Clean-corpus no-op; seated via the changed-overflow tail.
-    "bellman_ford_routes",
-    #     - benford_digits (close review, same sweep): leading-digit
-    #       bands floor to LONG — a finite price past 2^63 silently
-    #       SATURATES in Spark (digit of 1e308 reads "9") where the
-    #       oracle's BIGINT cast raises; population is now the money
-    #       domain, not just finite-and->=1.  Clean-corpus no-op.
-    "benford_digits",
-    "bloom_join_prefilter",
-    "classifier_parity",
-    "pipeline_parity",
-    "edit_distance_match",
-    "cms_heavy_hitters",
-    "contamination",
-    "dedup_threshold_sweep",
-    "gopher_quality_rules",
-    "minhash_bucket_skew",
-    "doc_quality",
-    "lang_id_confusion",
-    "minhash_lsh",
-    "ngram_jaccard",
-    "quality_curriculum",
-    "regex_filter_docs",
-    "cohens_kappa",
-    "dedup_method_venn",
-    "ngram_contamination",
-    "curate_corpus",
-    "dedup_survivors",
-    "exact_dedup_docs",
-    "incremental_dedup",
-    "minhash_error_audit",
-    "bigram_lm_perplexity",
-    "boilerplate_blocks",
-    "char_ngram_langid",
-    "containment_pairs",
-    "content_fingerprint_audit",
-    "k_anonymity_audit",
-    "l_diversity",
-    "merge_upsert_audit",
-    "ngram_entropy_rate",
-    "ngram_novelty",
-    "pmi_phrases",
-    "psi_drift",
-    "reciprocal_rank_fusion",
-    "schema_evolution_union",
-    "snapshot_diff",
-    "tfidf_cosine_pairs",
-    "two_phase_agg_audit",
-    # (c) round-13 oracle-contract migrations (round-12 verdict asks #2
-    #     and the advisor's finite-out-of-domain carriers).  Three
-    #     classes, every fix proven by the strengthened dirty audit
-    #     lighting up FIRST and re-verified MATCH clean + dirty after:
-    #     - \s-class + trim-charset (ORACLE-ONLY, recipes pinned in
-    #       tests/test_round12_fixes.py): DuckDB '\s+' -> '[\s\x0b]+'
-    #       (RE2's \s lacks U+000B; Java's has it) and bare trim(x) ->
-    #       trim(x, ' ') (DuckDB's default strips unicode spaces,
-    #       F.trim strips ASCII space only).  Spark plans untouched.
-    #     - money-domain populations (Spark + oracle in LOCKSTEP): the
-    #       new finite-but-huge double carriers (9.3e16 / -1e308) gave
-    #       the round-12 "known residual" class corpus coverage —
-    #       finite_case populations still raised on the cents/bucket
-    #       BIGINT cast (lockstep ANSI raise: one poisoned row kills
-    #       the job) and split the engines on moment sums (DuckDB
-    #       STDDEV raises at 1e308 squared, Spark yields Inf) and on
-    #       floor() banding (Spark floor yields LONG and SATURATES,
-    #       DuckDB CAST(floor(x) AS BIGINT) raises / stays DOUBLE).
-    #       Migrated to the shared money_case/money_pred contract
-    #       (finite AND |x| < 9.2e16, operators/filters.py).
-    #     - normalize_numeric_parity additionally bounds its population
-    #       to the FORMATTING-agreeing domain |x| < 1e7 (it renders
-    #       doubles to strings on both sides by design — semantics-
-    #       probe class 3); table_profile renders double min/max via
-    #       printf('%.2f') on both sides instead of a bare cast (the
-    #       new double->VARCHAR plan lint found it; the fuzz corpus
-    #       masked it only because ±Inf always won min/max);
-    #       jsonish_arrays_parity fences its outcomes arm to
-    #       printable-ASCII (raw U+000B is INVALID JSON — from_json
-    #       nulls the array where the oracle's shortcut counted it —
-    #       and Java full upper() diverges from utf8proc on ligature
-    #       carriers); quality_curriculum rounds its decile thresholds
-    #       to the 6-dp score grid on both sides (Spark percentile and
-    #       DuckDB quantile_cont interpolate 1 ULP apart).
-    #     Every migrated query is clean-corpus no-op (regex classes
-    #     equal on ASCII-space text; testdata money stays far inside
-    #     every bound).  The 18 names already seated in the window
-    #     cohort above double-duty; the 33 below overflow to round 14:
+    # (a) the round-13 declared changed-overflow (43 names), carried
+    #     into this round's window head verbatim and in declaration
+    #     order — the placement gate requires it, and the round-13
+    #     verdict's ask #6 makes it explicit: every round-13
+    #     optimization rewrite (pca Gram, in-row k-means, one-scan
+    #     bm25, int64 shingle keys, checkpointed subtrees) plus the 33
+    #     oracle-contract migrations and the two close-review money-
+    #     domain fixes get their driver-oracle row THIS round.  Every
+    #     name was re-verified MATCH at sf0.001/0.01/0.1 and on the
+    #     strengthened dirty corpus when declared (round-13 close
+    #     records: tri-scale 300/300/300, dirty audit 300/300).
     "domain_balance_weights",
     "token_length_buckets",
     "training_shard_assign",
@@ -2679,27 +2575,8 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "skyline_pareto",
     "winsorized_value_stats",
     "table_profile",
-    # (d) round-13 OPTIMIZATION-round rewrites (guide-driven plan
-    #     changes, every one re-proven MATCH at sf0.001/0.01/0.1
-    #     against its UNCHANGED DuckDB oracle before commit — see
-    #     OPTIMIZATION_r13.md for the per-query A/B evidence):
-    #     - pca_power_iteration: one-scan integer Gram matrix replaces
-    #       28 scans / 71 Exchanges (bit-identical arithmetic).
-    #     - semantic_kmeans / semantic_prune: in-row argmax against the
-    #       collected k-centroid list replaces the broadcast-crossJoin +
-    #       re-group assignment (two corpus shuffles of the 64-long
-    #       vectors removed; value-identical ordering contract).
-    #     - bm25_topk / mmr_diverse_topk: one-scan in-row dl/tf
-    #       projection replaces the triple tokenize + tf⋈dl shuffle
-    #       join (shared bm25_scores contract, identical float math).
-    #     - minhash_lsh: int64 xxhash64 shingle keys through the
-    #       signature/band/verify pipeline (hash-invariant output).
-    #     - ngram_contamination: int64 gram keys (same convention).
-    #     - bloom_dedup: corpus/probe md5 digest tables checkpointed
-    #       (5 corpus md5 passes → 2); cms_heavy_hitters: hashed
-    #       word-count table checkpointed (4 corpus tokenizes → 1);
-    #       vocab_coverage_curve: total folded into the same window
-    #       pass (2 corpus tokenizes → 1).
+    "bellman_ford_routes",
+    "benford_digits",
     "pca_power_iteration",
     "semantic_kmeans",
     "semantic_prune",
@@ -2707,111 +2584,32 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "mmr_diverse_topk",
     "bloom_dedup",
     "vocab_coverage_curve",
-    #     - conformal_calibration: fit checkpointed + k/n_cal folded
-    #       into the bucket window pass (6 scans → 3).
     "conformal_calibration",
+    # (b) round-14 optimization-round changes proper, declared as each
+    #     lands (names without a window seat overflow to round 15 via
+    #     _CHANGED_OVERFLOW_NEXT_ROUND):
 })
 
 
 #: Changed queries that could NOT fit the 50-slot driver window this
-#: round.  The window was already fully committed (the 37-name round-12
-#: overflow placement contract + the complete 9-name r2 backfill + 4
-#: fills) when the round-13 oracle-contract migrations landed, so the
-#: 33 migrated names that are not window-seated defer exactly one
-#: round, pinned at positions 51+ (the FIRST cohort the round-14
-#: window picks up); the close review's bellman_ford_routes fix makes
-#: it 35 with benford_digits.  Mitigations: every one is re-verified MATCH at
-#: sf0.01 clean AND on the round-13-strengthened dirty corpus (dense
-#: per-column carriers incl. VT/NBSP/astral/combining + finite-huge
-#: doubles) this round, and every change is a clean-corpus no-op.
-#: Round-14 arithmetic: 35 overflow + 15 stalest fills = 50; the r3
-#: remainder re-declares in _STALE_BACKFILL_NEXT_ROUND.  Ordered
-#: stalest-first (driver rounds 4-12).
-_CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
-    "domain_balance_weights",
-    "token_length_buckets",
-    "training_shard_assign",
-    "padding_waste_sweep",
-    "doc_token_stats",
-    "fellegi_sunter_em",
-    "clean_string_parity",
-    "jsonish_arrays_parity",
-    "waterfill_allocation",
-    "seq_packing",
-    "bpe_encode",
-    "decimal_exact_money",
-    "dup_inflation_by_source",
-    "revenue_decile_lift",
-    "stats_moments",
-    "tokenizer_fertility",
-    "canonical_text_dedup",
-    "doc_repetition",
-    "equi_depth_histogram",
-    "gini_spend",
-    "hhi_concentration",
-    "holt_linear_forecast",
-    "interval_union_coverage",
-    "jackknife_ratio_variance",
-    "laspeyres_price_index",
-    "normalize_numeric_parity",
-    "poisson_bootstrap_ci",
-    "runs_test_revenue",
-    "sentiment_lexicon",
-    "simhash_neardup",
-    "skyline_pareto",
-    "winsorized_value_stats",
-    "table_profile",
-    # round-13 close review: the one unguarded per-row cents cast left
-    # in the registry (money_pred added both sides — see the
-    # q_bellman_ford_routes docstring); was r3-stale backfill, now a
-    # changed name, same round-14 seat either way.
-    "bellman_ford_routes",
-    # benford_digits: floor-saturation bound (close review) — r12-fresh,
-    # re-seated for a fresh row on the bounded oracle.
-    "benford_digits",
-    # round-13 optimization-round rewrites (cohort (d) in
-    # _CHANGED_THIS_ROUND): plan-level rewrites landing after the
-    # round-13 window was consumed, so they seat here for round 14.
-    # pca_power_iteration moves up from _STALE_BACKFILL_NEXT_ROUND —
-    # same round-14 seat, but as a CHANGED name its old r3 driver row
-    # verified a superseded implementation.
-    "pca_power_iteration",
-    "semantic_kmeans",
-    "semantic_prune",
-    "bm25_topk",
-    "mmr_diverse_topk",
-    "bloom_dedup",
-    "vocab_coverage_curve",
-    "conformal_calibration",
-)
+#: round.  The round-14 window is fully booked by the placement
+#: contract (43 carried overflow names + the 7 stalest backfill fills),
+#: so any query whose implementation changes in round 14 that is not
+#: already window-seated defers exactly one round, pinned at positions
+#: 51+ (the FIRST cohort the round-15 window picks up).  Every name
+#: must carry a local tri-scale MATCH when declared.
+_CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = ()
 
 
-#: The max-staleness cohort that did NOT fit the round-13 window: the
-#: r3-stale remainder (driver round 3; they reach age 10 the moment
-#: CORRECTNESS_r13.json lands, so the staleness-seat gate requires this
-#: declared seat).  25 of the 28 r3 names — of the other three,
-#: edit_distance_match (overflow head) and association_rules (stalest-
-#: first window fill) are in the round-13 window itself, and
-#: bellman_ford_routes moved to the changed-overflow seat when the
-#: close review fixed its unguarded cents cast.
-#: Round-14 arithmetic (reconciled with the 35-name
-#: ``_CHANGED_OVERFLOW_NEXT_ROUND`` the late oracle-contract
-#: migrations created — changed names outrank equally-old stale names
-#: because their existing driver rows verified a SUPERSEDED oracle):
-#: the round-14 window = the 35 changed-overflow names first (placement
-#: contract) + the 15 stalest of these 25; the 9-name r3 remainder
-#: re-declares for round 15, where 9 + the round-14 churn fits easily.
-#: All 25 are UNCHANGED since their r2/r3 driver rows and carry fresh
-#: local tri-scale MATCH signals from the round-12 AND round-13
-#: full-registry sweeps (clean sweeps + dirty audits, all 300/300).
+#: The max-staleness cohort that does NOT fit the round-14 window: the
+#: r3-stale remainder after the 7 stalest of the round-13 backfill
+#: declaration took the round-14 fill slots.  Round-15 arithmetic:
+#: these 17 + the round-14 changed overflow lead the round-15 window
+#: (17 + round-14 churn fits the 50 easily).  All 17 are UNCHANGED
+#: since their r2/r3 driver rows and carry fresh local tri-scale MATCH
+#: signals from the round-12 AND round-13 full-registry sweeps (clean
+#: sweeps + dirty audits, all 300/300).
 _STALE_BACKFILL_NEXT_ROUND: tuple[str, ...] = (
-    "bitmap_exact_distinct",
-    "bpe_pair_merge",
-    "bracket_revenue",
-    "burst_1h_max",
-    "code_switch_score",
-    "dq_checks",
-    "event_rate_anomaly",
     "feature_store_pit",
     "fingerprint_cluster_histogram",
     "funnel_time_to_convert",
@@ -2821,8 +2619,6 @@ _STALE_BACKFILL_NEXT_ROUND: tuple[str, ...] = (
     "linear_interp_gaps",
     "moving_avg_events",
     "nation_value_threshold",
-    # (pca_power_iteration moved to _CHANGED_OVERFLOW_NEXT_ROUND —
-    # changed by the round-13 optimization round, same round-14 seat)
     "promo_part_suppliers",
     "running_totals",
     "split_leakage_audit",
@@ -2839,72 +2635,11 @@ _STALE_BACKFILL_NEXT_ROUND: tuple[str, ...] = (
 #: this round's window ahead of everything else; everything else follows
 #: in registry insertion order via `ordered.update(merged)`.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- round-13 rotation -----------------------------------------------
-    # 1. the round-12 declared overflow leads (placement gate), in its
-    #    declaration order (37 names, stalest-first as declared)
-    "edit_distance_match",
-    "cms_heavy_hitters",
-    "contamination",
-    "dedup_threshold_sweep",
-    "gopher_quality_rules",
-    "minhash_bucket_skew",
-    "doc_quality",
-    "lang_id_confusion",
-    "minhash_lsh",
-    "ngram_jaccard",
-    "quality_curriculum",
-    "regex_filter_docs",
-    "cohens_kappa",
-    "dedup_method_venn",
-    "ngram_contamination",
-    "curate_corpus",
-    "dedup_survivors",
-    "exact_dedup_docs",
-    "incremental_dedup",
-    "minhash_error_audit",
-    "bigram_lm_perplexity",
-    "boilerplate_blocks",
-    "char_ngram_langid",
-    "containment_pairs",
-    "content_fingerprint_audit",
-    "k_anonymity_audit",
-    "l_diversity",
-    "merge_upsert_audit",
-    "ngram_entropy_rate",
-    "ngram_novelty",
-    "pmi_phrases",
-    "psi_drift",
-    "reciprocal_rank_fusion",
-    "schema_evolution_union",
-    "snapshot_diff",
-    "tfidf_cosine_pairs",
-    "two_phase_agg_audit",
-    # 2. the complete _STALE_BACKFILL_NEXT_ROUND declared at the
-    #    round-12 close — the last nine r2-stale names; the r2 cohort
-    #    empties this round (9 names)
-    "pivot_user_events",
-    "product_type_profit",
-    "promo_revenue",
-    "returned_item_customers",
-    "stratified_sample_docs",
-    "supplier_variety",
-    "time_bucket_rollup",
-    "top_supplier",
-    "volume_shipping",
-    # 3. window fills (4 names): the stalest r3 name first, then the
-    #    three queries changed THIS round (round-12 advisor high find:
-    #    bloom_join_prefilter cents-domain symmetry; verdict ask #3:
-    #    classifier_parity + pipeline_parity fold-contract finish) so
-    #    their fresh implementations get a driver row in the same round
-    #    they change
-    "association_rules",
-    "bloom_join_prefilter",
-    "classifier_parity",
-    "pipeline_parity",
-    # 4. _CHANGED_OVERFLOW_NEXT_ROUND — pinned to positions 51-83 so it
-    #    is the FIRST thing the round-14 window picks up
-    #    (tests/test_driver_window.py enforces the placement), stalest
-    #    first
+    # -- round-14 rotation -----------------------------------------------
+    # 1. the round-13 declared changed-overflow (placement gate), in its
+    #    declaration order (43 names: 33 oracle-contract migrations,
+    #    bellman_ford_routes + benford_digits close-review fixes, and
+    #    the 8 round-13 optimization rewrites)
     "domain_balance_weights",
     "token_length_buckets",
     "training_shard_assign",
@@ -2940,8 +2675,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "table_profile",
     "bellman_ford_routes",
     "benford_digits",
-    # round-13 optimization-round rewrites, seated at the overflow tail
-    # (declaration order matches _CHANGED_OVERFLOW_NEXT_ROUND)
     "pca_power_iteration",
     "semantic_kmeans",
     "semantic_prune",
@@ -2950,6 +2683,21 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bloom_dedup",
     "vocab_coverage_curve",
     "conformal_calibration",
+    # 2. window fills (7 names): the stalest r2/r3 names of the
+    #    round-13 _STALE_BACKFILL_NEXT_ROUND declaration, in its
+    #    declaration order; the 17-name remainder re-declares in
+    #    _STALE_BACKFILL_NEXT_ROUND for round 15
+    "bitmap_exact_distinct",
+    "bpe_pair_merge",
+    "bracket_revenue",
+    "burst_1h_max",
+    "code_switch_score",
+    "dq_checks",
+    "event_rate_anomaly",
+    # 3. _CHANGED_OVERFLOW_NEXT_ROUND — round-14 changes without a
+    #    window seat, pinned to positions 51+ so they are the FIRST
+    #    thing the round-15 window picks up
+    #    (tests/test_driver_window.py enforces the placement)
 )
 
 

@@ -1,10 +1,11 @@
 #!/usr/bin/env python
-"""Capture `.explain("formatted")` for named queries into plans/r13/.
+"""Capture `.explain("formatted")` for named queries into plans/<round>/.
 
 Usage: python tools/explain_capture.py SUFFIX [query ...]
 With no query names, captures the whole bench.py HEADLINE set.
-Writes plans/r13/<query>_<SUFFIX>.txt — the optimization-round evidence
-files the judge reads alongside OPTIMIZATION_r13.md.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<SUFFIX>.txt (default r14)
+— the optimization-round evidence files the judge reads alongside
+OPTIMIZATION_r14.md.
 """
 
 from __future__ import annotations
@@ -24,7 +25,9 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:] or list(HEADLINE)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r13")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="explain_capture")
     spark.sparkContext.setLogLevel("ERROR")
