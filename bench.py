@@ -185,15 +185,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     # Field order matters (round-6 verdict #4): the driver records the
-    # TAIL of stdout (BENCH_r06 shows the head of the line cut — the
-    # wall number and the first 33 min entries were lost while the
-    # trailing canaries survived). json.dumps preserves dict insertion
-    # order, so the big per-query dicts go FIRST and every summary
-    # scalar goes LAST where tail-truncation cannot reach it; the
-    # complete JSON is additionally written to BENCH_LOCAL.json.
-    payload = {
-        "queries": timings,
-        "queries_mean": means,
+    # TAIL of stdout, so the line's HEAD is what truncation eats
+    # (BENCH_r06 lost the head; the driver's own BENCH_r12 capture was
+    # truncated mid-line the same way and cost round 13 its entire
+    # round-over-round comparison).  Round-14 defense (round-13 verdict
+    # ask #2): the printed line carries only the min-of-runs dict plus
+    # the summary scalars, compactly serialized (~1.9 KB — half the old
+    # line, inside every tail buffer observed so far), with the scalars
+    # LAST where truncation cannot reach them.  The COMPLETE payload
+    # (including queries_mean) still lands in BENCH_LOCAL.json; nothing
+    # is removed from the repo's own record, and the timing methodology
+    # is unchanged.
+    scalars = {
         "metric": "headline_query_set_wall_sec",
         "value": total,
         "unit": "sec",
@@ -205,14 +208,18 @@ def main() -> None:
         "canary_spark_warmup_sec": canary_warmup,
         "canary_text_shuffle_sec": canary_text_shuffle,
     }
-    line = json.dumps(payload)
+    line = json.dumps({"queries": timings, **scalars}, separators=(",", ":"))
     print(line)
+    full = json.dumps(
+        {"queries": timings, "queries_mean": means, **scalars},
+        separators=(",", ":"),
+    )
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
             "w",
         ) as f:
-            f.write(line + "\n")
+            f.write(full + "\n")
     except OSError:
         pass  # read-only checkout: the stdout line is still complete
     spark.stop()

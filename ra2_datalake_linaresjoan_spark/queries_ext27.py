@@ -180,6 +180,32 @@ _PB_CUTS16 = tuple(int(-(-c * 65536 // 1)) for c in _PB_CUMS)
 assert all(0 < t < 65536 for t in _PB_CUTS16)
 
 
+def _pb_u16(key, b):
+    """The deterministic 16-bit uniform for (row key, replicate b): two
+    32-bit LCG steps seeded by (key mod 2^32, b), top 16 bits of the
+    second state.  Exact int64 arithmetic (every intermediate < 2^53);
+    shared by the flat codegen fan-out in ``q_poisson_bootstrap_ci`` and
+    the struct-array form ``poisson_weight_structs``."""
+    km = F.pmod(key.cast("long"), F.lit(_PB_M32))
+    bl = b.cast("long")
+    s1 = F.pmod(km * _PB_A + bl * _PB_C + 12345, F.lit(_PB_M32))
+    s2 = F.pmod(s1 * _PB_A + _PB_C, F.lit(_PB_M32))
+    # s2 / 65536 is division by a power of two of a value < 2^32 —
+    # exact in IEEE double, so floor is the true top-16-bit shift
+    return F.floor(s2 / F.lit(65536)).cast("long")
+
+
+def _pb_w_of(u16):
+    """Branchless inverse CDF: the weight IS the number of cumulative
+    16-bit cuts at or below the integer uniform, so a sum of 7 integer
+    comparisons replaces a 7-deep nested CASE — and the identical
+    expression shape runs in the oracle."""
+    w = F.lit(0).cast("long")
+    for c in _PB_CUTS16:
+        w = w + (u16 >= F.lit(c)).cast("long")
+    return w
+
+
 def poisson_weight_structs(key):
     """The Poisson-bootstrap weight fan-out as ONE Column expression:
     for a row key, the array of ``_PB_B`` (b, w) structs — replicate
@@ -209,33 +235,20 @@ def poisson_weight_structs(key):
     (3.04 → 1.57 s at sf0.1): a 40-replicate percentile CI's own Monte
     Carlo error dominates any lattice effect at this replicate count.
     If CI fidelity ever matters more than the 1.5 s, add a xorshift/
-    murmur finalizer on state 2 IN BOTH ENGINES and re-pin."""
+    murmur finalizer on state 2 IN BOTH ENGINES and re-pin.
 
-    def w_of(u16):
-        # Branchless inverse CDF: the weight IS the number of cumulative
-        # 16-bit cuts at or below the integer uniform, so a sum of 7
-        # integer comparisons replaces a 7-deep nested CASE — ~2x less
-        # codegen work when evaluated 40x per row, and the identical
-        # expression shape runs in the oracle.
-        w = F.lit(0).cast("long")
-        for c in _PB_CUTS16:
-            w = w + (u16 >= F.lit(c)).cast("long")
-        return w
-
-    km = F.pmod(key.cast("long"), F.lit(_PB_M32))
-
-    def u16_of(b):
-        s1 = F.pmod(km * _PB_A + b * _PB_C + 12345, F.lit(_PB_M32))
-        s2 = F.pmod(s1 * _PB_A + _PB_C, F.lit(_PB_M32))
-        # s2 / 65536 is division by a power of two of a value < 2^32 —
-        # exact in IEEE double, so floor is the true top-16-bit shift
-        return F.floor(s2 / F.lit(65536)).cast("long")
-
+    Round-14 note: ``q_poisson_bootstrap_ci`` itself no longer explodes
+    this struct array — it runs the SAME ``_pb_u16``/``_pb_w_of`` kernel
+    in flat codegen projections after an explode(sequence) (see its
+    inline comment for the measured interpreted-lambda/CSE problem).
+    This array form remains for ``tools/scale_probe.py`` and shares the
+    two kernel helpers so the probe still measures the shipped
+    arithmetic."""
     return F.transform(
         F.sequence(F.lit(1), F.lit(_PB_B)),
         lambda b: F.struct(
             b.cast("long").alias("b"),
-            w_of(u16_of(b.cast("long"))).alias("w"),
+            _pb_w_of(_pb_u16(key, b)).alias("w"),
         ),
     )
 
@@ -280,24 +293,36 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see its docstring and SCALE.md's A/B study); on a real cluster
     # the input already has >= cores partitions and it no-ops.
     orders = _spread(spark, orders)
-    weights = poisson_weight_structs(F.col("o_orderkey"))
-    all_w = F.concat(
-        F.array(
-            F.struct(
-                F.lit(0).cast("long").alias("b"),
-                F.lit(1).cast("long").alias("w"),
-            )
-        ),
-        weights,
-    )
+    # Round-14 rewrite of the fan-out (guide §4.1 "prefer built-ins with
+    # codegen" applied to the EXPRESSION layer): the previous shape built
+    # the 41 (b, w) structs with F.transform and exploded the array.
+    # Two measured problems: (a) higher-order lambdas are evaluated
+    # INTERPRETED (one boxed closure call per element — 6.2 M structs at
+    # sf0.1, each evaluating ~7×15 expression nodes), outside
+    # whole-stage codegen entirely; (b) Catalyst does no CSE inside
+    # lambda bodies, so the 7 branchless-CDF comparisons each re-ran the
+    # full two-step LCG — the uniform was computed SEVEN times per
+    # replicate.  Exploding a plain sequence(0..B) and computing w in
+    # flat projections fixes both: Generate(explode(sequence)) and the
+    # projections are codegen'd, and the u16 uniform lands in its own
+    # projection so the 7 comparisons read one attribute (CollapseProject
+    # keeps a multiply-referenced non-cheap expression materialized; WSCG
+    # additionally CSEs).  Value-identical by construction: the same
+    # integer formula runs per (key, b), b = 0 pins weight 1 via the
+    # same when(), and the groupBy(b) ignores row order.
+    u16 = _pb_u16(F.col("o_orderkey"), F.col("b"))
     rep = (
         orders.select(
             F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
-            F.explode(all_w).alias("bw"),
+            "o_orderkey",
+            F.explode(F.sequence(F.lit(0), F.lit(_PB_B))).alias("b"),
         )
+        .select("cents", "b", u16.alias("u16"))
         .select(
-            F.col("bw.b").alias("b"),
-            F.col("bw.w").alias("w"),
+            "b",
+            F.when(F.col("b") == 0, F.lit(1).cast("long"))
+            .otherwise(_pb_w_of(F.col("u16")))
+            .alias("w"),
             "cents",
         )
         .groupBy("b")

@@ -225,9 +225,14 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hot shingles are gone) runs that subtree ONCE; the self-join and
     # the sizes aggregate then read the materialized (shingle, doc_id)
     # pairs. Row-identical: localCheckpoint only materializes.
-    kept = sh.join(
-        df_tab.filter(F.col("df") <= _CONT_DF_CAP), "shingle"
-    ).localCheckpoint()
+    # round-14 (ADVICE): project BEFORE materializing — the consumers
+    # only read (shingle, doc_id), so storing the df int64 would widen
+    # every checkpointed posting for nothing
+    kept = (
+        sh.join(df_tab.filter(F.col("df") <= _CONT_DF_CAP), "shingle")
+        .select("shingle", "doc_id")
+        .localCheckpoint()
+    )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     shared = (
         kept.alias("a")

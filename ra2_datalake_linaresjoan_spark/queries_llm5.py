@@ -191,11 +191,69 @@ ORDER BY t.lang
 # ---------------------------------------------------------------------------
 
 
+#: Auto-guard cap for the assignment-strategy probe (round-14; the
+#: ngram_contamination / similarity.py capped-count pattern).  Corpora
+#: at or under this many clean vectors route to the single-action
+#: broadcast-join Lloyd (zero driver collects, one Spark job — the
+#: measured winner at bench scale, where the whole query is fixed
+#: overhead: 2000 rows cost 4.6 s as three sequential driver-gated
+#: jobs vs 1.7 s as one job); larger corpora route to the in-row
+#: argmax + localCheckpoint shape (zero corpus-sized exchanges — at
+#: 100 TB the join shape's two groupBy(vec_id) re-groups each shuffle
+#: the full corpus with its 64-long vectors).  Both branches are
+#: row-identical by construction: the join argmax (max_by over
+#: struct(cos, -cluster)) and the in-row argmax (array_max over
+#: (cos, -cluster) structs) implement the same ordering contract over
+#: the same exact-integer cosines, proven MATCH tri-scale separately
+#: in rounds 12 and 13.  At the cap, two shuffles of 200k x (64-long
+#: vector + key) ≈ 110 MB each — comfortably inside one machine's
+#: shuffle budget, so the probe flips strategies long before the
+#: shuffle could hurt.
+_KMEANS_SMALL_CAP = 200_000
+
+
 def _seed_cents(vecs: DataFrame) -> list[tuple[int, list[int]]]:
     """The k seed centroids (k lowest vec_ids, cluster id = rank) as a
     bounded driver-side list — a TakeOrdered of k·64 longs."""
     rows = vecs.orderBy("vec_id").limit(_KMEANS_K).collect()
     return [(i, list(r["qv"])) for i, r in enumerate(rows)]
+
+
+def _seed_frame(vecs: DataFrame) -> DataFrame:
+    """The k seed centroids as a k-row FRAME (cluster id = vec_id rank)
+    — the lazy twin of ``_seed_cents`` for the small-corpus branch,
+    where seeds stay a broadcast subplan of the one Spark action."""
+    w0 = Window.orderBy("vec_id")
+    return (
+        vecs.orderBy("vec_id")
+        .limit(_KMEANS_K)
+        .select(
+            (F.row_number().over(w0) - 1).alias("cluster"),
+            F.col("qv").alias("cvec"),
+        )
+    )
+
+
+def _assign_join(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via broadcast crossJoin + argmax
+    re-group — the round-12 shape, kept as the SMALL-corpus branch.
+    Broadcasts the k centroid rows, scores every (vec, centroid) pair
+    with the exact-integer cosine, keeps the argmax per vec (ties →
+    lowest cluster id; identical ordering contract to
+    ``_assign_inrow``'s struct comparison)."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "qv",
+        "cluster",
+        _icos(F.col("qv"), F.col("cvec")).alias("cos"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cluster", F.struct(F.col("cos"), -F.col("cluster"))
+        ).alias("cluster"),
+        F.max("cos").alias("best_cos"),
+        F.first("qv").alias("qv"),
+    )
 
 
 def _assign_inrow(vecs: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
@@ -266,35 +324,56 @@ def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.79 s -> 1.61 s at sf0.1; the assignment pipeline is broadcast-only
     until the centroid-update shuffle, so map width is the bottleneck).
 
+    Round-14 routing (guide §1.2 — the bench measurement showed the
+    whole sf0.1 query is FIXED overhead, not data work: 2000 vectors
+    cost 4.6 s as three sequential driver-gated jobs + two heavy
+    assignment-expression compiles, vs 1.7 s as the round-12 one-job
+    broadcast-join; interleaved A/B at HEAD read 1.9-3.0x in the join
+    shape's favor at every iteration): a capped-count probe (the
+    ngram_contamination auto-guard pattern) routes corpora ≤
+    ``_KMEANS_SMALL_CAP`` to the single-action join Lloyd and larger
+    corpora to the in-row + localCheckpoint shape, which removes both
+    corpus-sized assignment exchanges where they actually cost (the
+    checkpoint note below).  Row-identical both ways — the two argmaxes
+    implement the same (cos, -cluster) ordering over the same
+    exact-integer cosines.
+
     Routes through _emb_clean in lockstep with _SQL_QVEC (round-8
     parity audit: dirty vectors collapsed the 8 clusters to 1)."""
     emb = _spread(spark, _emb_clean(spark, sf_dir))
-    # localCheckpoint the quantized vectors ONCE (round-13 second pass,
-    # guide §5 caching): the in-row Lloyd shape runs THREE sequential
-    # driver-gated jobs (seed collect → centroid-update collect → final
-    # aggregate), and without the checkpoint each job re-ran the parquet
-    # scan + _emb_clean + quantization from scratch — measured 1.21 s →
-    # 3.7 s after the in-row rewrite (the three serialized corpus passes
-    # cost more than the two removed concurrent shuffles at bench
-    # scale).  With the narrow (vec_id, qv) table materialized, every
-    # Lloyd job is memory-resident and the assignment stays map-side.
-    vecs = emb.select(
-        "vec_id", _qvec(F.col("embedding")).alias("qv")
-    ).localCheckpoint()
-    seeds = _seed_cents(vecs)
-    if not seeds:
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("cluster", T.IntegerType()),
-                    T.StructField("n_members", T.LongType(), False),
-                    T.StructField("avg_cos", T.DoubleType()),
-                    T.StructField("min_vec_id", vecs.schema["vec_id"].dataType),
-                ]
-            ),
-        )
-    a1 = _assign_inrow(vecs, seeds)
+    vecs = emb.select("vec_id", _qvec(F.col("embedding")).alias("qv"))
+    small = (
+        _emb_clean(spark, sf_dir).limit(_KMEANS_SMALL_CAP + 1).count()
+        <= _KMEANS_SMALL_CAP
+    )
+    if small:
+        a1 = _assign_join(vecs, _seed_frame(vecs))
+    else:
+        # localCheckpoint the quantized vectors ONCE (round-13, guide §5
+        # caching): the in-row Lloyd shape runs THREE sequential
+        # driver-gated jobs (seed collect → centroid-update collect →
+        # final aggregate), and without the checkpoint each job re-ran
+        # the parquet scan + _emb_clean + quantization from scratch.
+        # With the narrow (vec_id, qv) table materialized, every Lloyd
+        # job is memory-resident and the assignment stays map-side —
+        # zero corpus-sized exchanges at 100 TB.
+        vecs = vecs.localCheckpoint()
+        seeds = _seed_cents(vecs)
+        if not seeds:
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("cluster", T.IntegerType()),
+                        T.StructField("n_members", T.LongType(), False),
+                        T.StructField("avg_cos", T.DoubleType()),
+                        T.StructField(
+                            "min_vec_id", vecs.schema["vec_id"].dataType
+                        ),
+                    ]
+                ),
+            )
+        a1 = _assign_inrow(vecs, seeds)
     sums = (
         a1.select("cluster", F.posexplode("qv").alias("pos", "v"))
         .groupBy("cluster", "pos")
@@ -303,18 +382,22 @@ def q_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c", F.round(F.col("s").cast("double") / F.col("n"), 0).cast("long")
         )
     )
-    # the centroid update stays a Spark aggregate (exact integer sums,
-    # identical arithmetic to before); only the k·64-long RESULT is
-    # collected so the second assignment can run in-row too
+    # the centroid update is one Spark aggregate (exact integer sums,
+    # identical arithmetic in both branches); the small branch consumes
+    # the k-row frame lazily, the large branch collects only the
+    # k·64-long RESULT so the second assignment can run in-row too
     cents1 = sums.groupBy("cluster").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
         ).alias("cvec")
     )
-    cents1_list = [
-        (r["cluster"], list(r["cvec"])) for r in cents1.collect()
-    ]
-    a2 = _assign_inrow(vecs, cents1_list)
+    if small:
+        a2 = _assign_join(vecs, cents1)
+    else:
+        cents1_list = [
+            (r["cluster"], list(r["cvec"])) for r in cents1.collect()
+        ]
+        a2 = _assign_inrow(vecs, cents1_list)
     return (
         a2.groupBy("cluster")
         .agg(
@@ -390,29 +473,42 @@ def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows with the corpus so the per-cluster block stays machine-sized).
     Exact integer cosines make the prune set engine-portable. Reports
     per-cluster members, pruned count, and the kept fraction.
+    Round-14 routing: the same ``_KMEANS_SMALL_CAP`` capped-count probe
+    as q_semantic_kmeans — small corpora take the round-12 one-action
+    join assignment (the measured bench winner; the whole sf0.1 cost is
+    fixed job/compile overhead), large corpora keep the round-13
+    in-row + localCheckpoint shape (no corpus-sized assignment
+    exchange; the checkpoint also feeds the THREE asg consumers —
+    both self-join sides + member counts — from one materialization).
+
     Routes through _emb_clean in lockstep with _SQL_QVEC (round-8
     parity audit)."""
     emb = _emb_clean(spark, sf_dir)
-    # same round-13 checkpoint as q_semantic_kmeans: the seed collect and
-    # the final job's THREE asg consumers (both self-join sides + member
-    # counts) each re-ran scan + clean + quantize without it
-    vecs = emb.select(
-        "vec_id", _qvec(F.col("embedding")).alias("qv")
-    ).localCheckpoint()
-    seeds = _seed_cents(vecs)
-    if not seeds:
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField("cluster", T.IntegerType()),
-                    T.StructField("n_members", T.LongType(), False),
-                    T.StructField("n_pruned", T.LongType(), False),
-                    T.StructField("kept_frac", T.DoubleType()),
-                ]
-            ),
+    vecs = emb.select("vec_id", _qvec(F.col("embedding")).alias("qv"))
+    small = (
+        _emb_clean(spark, sf_dir).limit(_KMEANS_SMALL_CAP + 1).count()
+        <= _KMEANS_SMALL_CAP
+    )
+    if small:
+        asg = _assign_join(vecs, _seed_frame(vecs)).select(
+            "vec_id", "cluster", "qv"
         )
-    asg = _assign_inrow(vecs, seeds).select("vec_id", "cluster", "qv")
+    else:
+        vecs = vecs.localCheckpoint()
+        seeds = _seed_cents(vecs)
+        if not seeds:
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("cluster", T.IntegerType()),
+                        T.StructField("n_members", T.LongType(), False),
+                        T.StructField("n_pruned", T.LongType(), False),
+                        T.StructField("kept_frac", T.DoubleType()),
+                    ]
+                ),
+            )
+        asg = _assign_inrow(vecs, seeds).select("vec_id", "cluster", "qv")
     a = asg.select(
         F.col("cluster"),
         F.col("vec_id").alias("id_a"),

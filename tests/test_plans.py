@@ -471,16 +471,53 @@ def test_span_dedup_survivor_agg_no_window(spark, sf_dir):
     assert "hashpartitioning(span" in plan
 
 
-def test_semantic_kmeans_centroids_broadcast_k_rows(spark, sf_dir):
-    """Round-13: assignments are pure in-row argmaxes against the
-    collected k-centroid literals — the returned plan must contain NO
-    join of any kind and only the final 8-key aggregation exchange
-    (the old broadcast-crossJoin shape re-shuffled every row's 64-long
-    vector per assignment pass)."""
+def test_semantic_kmeans_small_route_is_one_action_broadcast(spark, sf_dir):
+    """Round-14 routing, small branch (what sf0.01 exercises): the
+    capped-count probe must route bench-scale corpora to the
+    single-action broadcast-join Lloyd — centroids are BROADCAST k-row
+    subplans (never a shuffled join side), and no localCheckpoint
+    materialization appears (the plan reads parquet, not ExistingRDD)."""
+    plan = _plan(spark, sf_dir, "semantic_kmeans")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Scan ExistingRDD" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_semantic_kmeans_large_route_has_no_assignment_join(
+    spark, sf_dir, monkeypatch
+):
+    """Round-14 routing, large branch (forced via a zero cap): the
+    in-row argmax + localCheckpoint shape — NO join of any kind, only
+    the final 8-key aggregation exchange, and the corpus read comes
+    from the checkpoint (Scan ExistingRDD), never a re-scan of the
+    embeddings parquet (ADVICE r13: guard the checkpoint so a refactor
+    cannot silently reintroduce the 3x scan+clean+quantize re-run)."""
+    from ra2_datalake_linaresjoan_spark import queries_llm5
+
+    monkeypatch.setattr(queries_llm5, "_KMEANS_SMALL_CAP", 0)
     plan = _plan(spark, sf_dir, "semantic_kmeans")
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
+
+
+def test_semantic_prune_large_route_reads_checkpoint(
+    spark, sf_dir, monkeypatch
+):
+    """Round-14, large branch of semantic_prune: the assignment is
+    in-row (no centroid join — the only joins left are the
+    intra-cluster pair stage the query is ABOUT) and every corpus read
+    comes from the localCheckpoint (ADVICE r13 guard)."""
+    from ra2_datalake_linaresjoan_spark import queries_llm5
+
+    monkeypatch.setattr(queries_llm5, "_KMEANS_SMALL_CAP", 0)
+    plan = _plan(spark, sf_dir, "semantic_prune")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_decimal_money_stays_decimal_to_the_sum(spark, sf_dir):
@@ -676,8 +713,17 @@ def test_containment_pairs_df_subtree_runs_once(spark, sf_dir):
     assert "Scan parquet" not in plan
     assert len(re.findall(r"\(\d+\) Scan ExistingRDD", plan)) == 3
     # the df-cap filter lives inside the checkpoint build, not the final
-    # plan — its presence here would mean the join is being recomputed
-    assert "df#" not in plan.split("\n\n")[0]
+    # plan — the cap literal reappearing would mean the df join/filter
+    # is being recomputed (ADVICE r13: the old `df#` check could never
+    # fire — attribute names don't appear in the operator tree)
+    from ra2_datalake_linaresjoan_spark.queries_llm14 import _CONT_DF_CAP
+
+    assert f"<= {_CONT_DF_CAP}" not in plan
+    # the checkpoint stores only the (shingle, doc_id) pairs the
+    # consumers read — the df column must be projected away pre-
+    # materialization, so no df attribute may appear anywhere in the
+    # final plan, including the detail blocks (ADVICE r13)
+    assert "df#" not in plan
 
 
 def test_cusum_windows_partitioned_by_type(spark, sf_dir):
