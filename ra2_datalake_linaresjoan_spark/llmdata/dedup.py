@@ -410,7 +410,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def incremental_dedup(
-    new_batch: DataFrame, corpus: DataFrame, id_col: str, text_col: str
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    fingerprint_col: str | None = None,
 ) -> DataFrame:
     """Continuous-ingest dedup: survivors of ``new_batch`` against an
     already-ingested ``corpus`` — drop batch docs whose content
@@ -426,16 +430,35 @@ def incremental_dedup(
     product. Extends the reference's snapshot-only dedup
     (``spark_cleaner.py:108-114`` newest-wins within one extract) to the
     across-loads case its ON CONFLICT inserts approximate
-    (``loader_NeonDB.py:370``)."""
+    (``loader_NeonDB.py:370``).
+
+    ``fingerprint_col`` (round-14): callers that already carry the
+    md5 fingerprint (e.g. a checkpointed fingerprint table shared with
+    other consumers) name its column here and the per-row
+    ``doc_fingerprint`` regex chain is skipped — same anti-join/window
+    semantics on identical values (the fingerprint is a deterministic
+    function of the text)."""
     from pyspark.sql import Window
 
     from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import doc_fingerprint
 
-    nb = new_batch.withColumn("fingerprint", doc_fingerprint(F.col(text_col)))
-    seen = (
-        corpus.select(doc_fingerprint(F.col(text_col)).alias("fingerprint"))
-        .distinct()
-    )
+    if fingerprint_col is None:
+        nb = new_batch.withColumn(
+            "fingerprint", doc_fingerprint(F.col(text_col))
+        )
+        seen = (
+            corpus.select(
+                doc_fingerprint(F.col(text_col)).alias("fingerprint")
+            ).distinct()
+        )
+    else:
+        nb = new_batch.withColumn(
+            "fingerprint", F.col(fingerprint_col)
+        )
+        seen = (
+            corpus.select(F.col(fingerprint_col).alias("fingerprint"))
+            .distinct()
+        )
     fresh = nb.join(seen, "fingerprint", "left_anti")
     # NULL contract in lockstep with exact_dedup (round-10 review): a
     # NULL fingerprint (NULL text) carries no evidence of duplication —

@@ -2587,7 +2587,29 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
     "conformal_calibration",
     # (b) round-14 optimization-round changes proper, declared as each
     #     lands (names without a window seat overflow to round 15 via
-    #     _CHANGED_OVERFLOW_NEXT_ROUND):
+    #     _CHANGED_OVERFLOW_NEXT_ROUND).  Window-seated r14 rewrites
+    #     (semantic_kmeans, semantic_prune, poisson_bootstrap_ci) are
+    #     already listed in cohort (a); the two below are r13-verified
+    #     queries whose plans changed in r14:
+    #     - containment_pairs: (shingle, doc_id) projected before the
+    #       kept checkpoint (drops the unused df column from the
+    #       materialization — ADVICE r13).  Row-identical; MATCH
+    #       tri-scale.
+    "containment_pairs",
+    #     - quantile_sketch_audit: the 5-row est⋈exact stitch is
+    #       broadcast-pinned (was SortMergeJoin).  Row-identical; MATCH
+    #       tri-scale.
+    "quantile_sketch_audit",
+    #     - incremental_dedup: one checkpointed narrow fingerprint
+    #       table replaces nine documents scans (the md5 regex chain
+    #       ran per scan); the dedup operator gained an optional
+    #       precomputed-fingerprint column (parity-pinned in
+    #       tests/test_round14_opt.py).  MATCH tri-scale.
+    "incremental_dedup",
+    #     - tfidf_cosine_pairs: the distinct doc-bigram table is
+    #       checkpointed for its three consumers (6 corpus tokenizes
+    #       → 0 in the final plan).  MATCH tri-scale.
+    "tfidf_cosine_pairs",
 })
 
 
@@ -2598,7 +2620,12 @@ _CHANGED_THIS_ROUND: frozenset[str] = frozenset({
 #: already window-seated defers exactly one round, pinned at positions
 #: 51+ (the FIRST cohort the round-15 window picks up).  Every name
 #: must carry a local tri-scale MATCH when declared.
-_CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = ()
+_CHANGED_OVERFLOW_NEXT_ROUND: tuple[str, ...] = (
+    "containment_pairs",
+    "quantile_sketch_audit",
+    "incremental_dedup",
+    "tfidf_cosine_pairs",
+)
 
 
 #: The max-staleness cohort that does NOT fit the round-14 window: the
@@ -2698,6 +2725,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     #    window seat, pinned to positions 51+ so they are the FIRST
     #    thing the round-15 window picks up
     #    (tests/test_driver_window.py enforces the placement)
+    "containment_pairs",
+    "quantile_sketch_audit",
+    "incremental_dedup",
+    "tfidf_cosine_pairs",
 )
 
 

@@ -116,7 +116,11 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("v").alias("exact"))
     )
     return (
-        est.join(exact, "q")
+        # round-14: broadcast-pin the 5-row stitch — Catalyst's size
+        # estimate for the aggregated `exact` side exceeded the auto
+        # threshold and planned a SortMergeJoin (2 exchanges + 2 sorts
+        # for 5 rows on each side; plans/r14/quantile_sketch_audit_*)
+        est.join(F.broadcast(exact), "q")
         .select(
             "q",
             "n_total",

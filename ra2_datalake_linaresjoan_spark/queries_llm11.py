@@ -248,6 +248,14 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nxt").isNotNull())
         .select("doc_id", "bg")
         .distinct()
+        # round-14 (guide §2.4, the r13 repeated-subtree sweep extended
+        # to the non-headline registry): tfb feeds THREE consumers (the
+        # dfb rare-key build + both blocked self-join sides) and each
+        # re-ran the corpus scan + posexplode + lead() window without
+        # this — the audited final plan held 6 parquet scans of
+        # documents; with the distinct (doc_id, bg) table materialized
+        # it holds none
+        .localCheckpoint()
     )
     dfb = tfb.groupBy("bg").agg(F.count(F.lit(1)).alias("dfb"))
     rare = (

@@ -281,16 +281,37 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     +2_000_000 — must be dropped by the within-batch window). Per-lang
     batch size vs survivors; survivors == the fresh docs exactly."""
     from ra2_datalake_linaresjoan_spark.llmdata.dedup import incremental_dedup
+    from ra2_datalake_linaresjoan_spark.llmdata.text_analysis import (
+        doc_fingerprint,
+    )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    corpus = docs.filter(F.col("doc_id") % 10 != 9)
-    fresh = docs.filter(F.col("doc_id") % 10 == 9)
+    # round-14 (guide §2.4, non-headline repeated-subtree sweep): the
+    # batch is a 3-way union of corpus slices and the kept path re-reads
+    # both batch and corpus — the audited final plan scanned documents
+    # NINE times, re-running the md5-fingerprint regex chain on every
+    # scan.  One narrow fingerprinted projection (id, lang, 32-hex — the
+    # text column never materializes past the hash), checkpointed, feeds
+    # every slice; the dedup operator takes the precomputed column.
+    # This mirrors the oracle's own `fp` CTE shape exactly.
+    fp = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            doc_fingerprint(F.col("text")).alias("fingerprint"),
+        )
+        .localCheckpoint()
+    )
+    corpus = fp.filter(F.col("doc_id") % 10 != 9)
+    fresh = fp.filter(F.col("doc_id") % 10 == 9)
     recrawl = corpus.filter(F.col("doc_id") % 20 == 4).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000
     )
     batch_dup = fresh.withColumn("doc_id", F.col("doc_id") + 2_000_000)
     batch = fresh.unionByName(recrawl).unionByName(batch_dup)
-    kept = incremental_dedup(batch, corpus, "doc_id", "text")
+    kept = incremental_dedup(
+        batch, corpus, "doc_id", "text", fingerprint_col="fingerprint"
+    )
     return (
         batch.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_batch"))
